@@ -1,0 +1,69 @@
+"""Domain normalization — exact reference semantics.
+
+Re-expresses ``NormalizeDomain`` (/root/reference/internal/certlib/
+models.go:282-313) in Python; locked by the 26 golden cases from
+``domain_normalization_test.go:31-61`` (FIXTURES.md §5.1).
+
+Branch order matters:
+1. trim ASCII space;
+2. junk gate: empty or contains space/tab/newline → return the trimmed
+   input unchanged when it contains any of " :/" or equals "::1" or
+   starts with "-", else "";
+3. lowercase, strip ALL leading and trailing dots; empty → "";
+4. label validation: any label starting/ending with "-", or a
+   "*"-prefixed label that is not exactly "*", returns the
+   lowercased/dot-stripped value unchanged (NOT the original);
+5. wildcard "*." prefixes are preserved.
+"""
+
+from __future__ import annotations
+
+
+def normalize_domain(domain: str) -> str:
+    if domain is None:
+        return ""
+    domain = domain.strip(" \t\n\r\v\f")
+    if domain == "" or any(c in domain for c in " \t\n"):
+        if any(c in domain for c in " :/") or domain == "::1" or domain.startswith("-"):
+            return domain
+        return ""
+    domain = domain.lower()
+    domain = domain.lstrip(".").rstrip(".")
+    if domain == "":
+        return ""
+    for part in domain.split("."):
+        if part.startswith("-") or part.endswith("-"):
+            return domain
+        if part.startswith("*") and part != "*":
+            return domain
+    return domain
+
+
+def normalized_domain_set(domains: list[str]) -> set[str]:
+    """Non-empty normalized forms (models.go:133-142)."""
+    out = set()
+    for d in domains or []:
+        n = normalize_domain(d)
+        if n != "":
+            out.add(n)
+    return out
+
+
+def sorted_normalized_domains(domains: list[str]) -> list[str]:
+    """Sorted unique normalized domains (models.go:145-153).
+
+    Go's ``sort.Strings`` is bytewise; Python's str sort on these
+    values matches for ASCII domains (all generated data is ASCII).
+    """
+    return sorted(normalized_domain_set(domains))
+
+
+def output_domains(sorted_normalized: list[str]) -> list[str]:
+    """Strip a leading ``*.`` for the output list only (models.go:197-205)."""
+    return [d[2:] if d.startswith("*.") else d for d in sorted_normalized]
+
+
+def primary_domain(sorted_normalized: list[str]) -> str:
+    """First (lexicographic min) normalized domain, '' if none
+    (models.go:206-209) — wildcard prefix is KEPT here."""
+    return sorted_normalized[0] if sorted_normalized else ""

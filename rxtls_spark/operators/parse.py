@@ -1,0 +1,98 @@
+"""Vectorized parse stage — the pipeline's single Python hot spot.
+
+One Arrow-batched pandas UDF turns the ``html`` binary column into the
+full parsed+derived struct (framing parse F10, field extraction P7,
+first-seen dedup P8, normalization F1, sort O1, hashes F2/F3 — SURVEY
+§2.8), mirroring how the reference does all per-entry work in one
+callback (/root/reference/internal/core/domain_extractor.go:575-714).
+Everything downstream (joins, routing, aggregation, writes) stays
+JVM-side in whole-stage codegen.
+
+Doing normalize+hash inside the same UDF avoids extra JVM↔Python Arrow
+round-trips — at 100 TB the Arrow serialization of intermediate columns
+would dominate, so the Python boundary is crossed exactly once per row
+batch.
+
+Malformed rows yield a struct with ``entry_type`` NULL; use
+``valid_pages``/``failed_pages`` to split (P5,
+domain_extractor.go:649-659).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from rxtls_spark.reference import enrich_record, parse_html
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("entry_type", StringType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("issuer_cn", StringType(), True),
+        StructField("subject_cn", StringType(), True),
+        StructField("subject_o", StringType(), True),
+        StructField("subject_c", StringType(), True),
+        StructField("subject_st", StringType(), True),
+        StructField("subject_l", StringType(), True),
+        StructField("not_before", LongType(), True),
+        StructField("not_after", LongType(), True),
+        StructField("all_domains", ArrayType(StringType()), True),
+        StructField("leaf_offset", LongType(), True),
+        StructField("extracted_text", BinaryType(), True),
+        StructField("normalized_domains", ArrayType(StringType()), True),
+        StructField("primary_domain", StringType(), True),
+        StructField("output_domains", ArrayType(StringType()), True),
+        StructField("normalized_cn", StringType(), True),
+        StructField("domain_org_hash", StringType(), True),
+        StructField("chain_hash", StringType(), True),
+    ]
+)
+
+_FIELDS = [f.name for f in PARSED_SCHEMA.fields]
+_NULL_ROW = {name: None for name in _FIELDS}
+
+
+@pandas_udf(PARSED_SCHEMA)
+def parse_page_udf(html: pd.Series) -> pd.DataFrame:
+    rows = []
+    for buf in html:
+        rec = parse_html(bytes(buf)) if buf is not None else None
+        if rec is None:
+            rows.append(_NULL_ROW)
+        else:
+            rec = enrich_record(rec)
+            rows.append({name: rec[name] for name in _FIELDS})
+    return pd.DataFrame(rows, columns=_FIELDS)
+
+
+def parsed_col() -> Column:
+    return parse_page_udf(F.col("html")).alias("parsed")
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages → (url, warc_ts, lang, text, parsed struct)."""
+    return pages.select("url", "warc_ts", "lang", "text", parsed_col())
+
+
+def valid_pages(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("parsed.entry_type").isNotNull())
+
+
+def failed_pages(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("parsed.entry_type").isNull())
+
+
+def flat_parsed(parsed_valid: DataFrame) -> DataFrame:
+    """Flatten the struct (P7 projection, models.go:226-279 analog)."""
+    return parsed_valid.select("url", "warc_ts", "lang", "text", "parsed.*")

@@ -1,0 +1,82 @@
+"""Flagship pipeline: parse → enrich → route → aggregate.
+
+Spark restatement of `rxtls domains` (SURVEY §3.1, /root/reference/
+cmd/rxtls/main.go:595-712 → internal/core/domain_extractor.go):
+
+  pages ──(salted hash exchange on url-host)──►
+  parse (ONE pandas UDF: framing+fields+normalize+hash) ──►
+  split valid/failed (P5) ──►
+  broadcast-join operator enrichment (J1) ──►
+  suffix-group route key via broadcast map expression (J3) ──►
+  single-pass multi-sink write partitionBy(lang, suffix_group) (S6/S8)
+  + per-route aggregates (A6) and failure counters (A1).
+
+The whole plan after the UDF is JVM-side; the only exchange before the
+write is the (optional) salted repartition, and the final aggregate's
+shuffle is partial-aggregated map-side by Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rxtls_spark.datagen.lookups import (
+    log_operators_df,
+    tld_suffixes_df,
+    tld_suffixes_rows,
+)
+from rxtls_spark.datagen.pages import pages_df
+from rxtls_spark.operators.enrich import enrich_operator, suffix_group_expr
+from rxtls_spark.operators.parse import failed_pages, parse_pages, valid_pages
+from rxtls_spark.operators.route import route_key, salted_repartition
+
+
+def parsed_flat(pages: DataFrame) -> DataFrame:
+    """pages → flattened valid parsed records (url, warc_ts, lang, text,
+    + all parsed struct fields)."""
+    parsed = parse_pages(pages)
+    return valid_pages(parsed).select("url", "warc_ts", "lang", "text", "parsed.*")
+
+
+def enriched(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
+    """Full enrichment: parse + operator join + suffix group + route."""
+    flat = parsed_flat(pages)
+    with_op = enrich_operator(flat, log_operators)
+    return with_op.withColumn(
+        "suffix_group", suffix_group_expr(tld_suffixes_rows())
+    ).withColumn("route", route_key())
+
+
+def route_counts(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
+    """Per-sink aggregate counts (A6, domain_extractor.go:642-705)."""
+    return (
+        enriched(pages, log_operators)
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.size("all_domains")).alias("n_domains"),
+        )
+    )
+
+
+def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-facing flagship query."""
+    pages = pages_df(spark, sf_dir)
+    return route_counts(pages, log_operators_df(spark))
+
+
+def write_routed(df: DataFrame, out_dir: str, repartition_n: int | None = None) -> None:
+    """Single-pass multi-sink write (S6): one job, one sink directory
+    per (lang, suffix_group) partition; atomic per Spark's committer
+    (S8 — the reference's .tmp+rename, domain_extractor.go:780-795,
+    is subsumed by the output committer)."""
+    if repartition_n:
+        df = salted_repartition(df, "route", repartition_n)
+    (
+        df.write.mode("overwrite")
+        .partitionBy("lang", "suffix_group")
+        .parquet(os.path.join(out_dir, "routed"))
+    )

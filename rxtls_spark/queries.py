@@ -1,0 +1,322 @@
+"""Driver-facing query registry + DuckDB oracle SQL.
+
+Every entry here is an operator from SURVEY.md §2 expressed as a
+(spark, sf_dir) → DataFrame callable, with an equivalent ANSI-SQL
+string DuckDB runs on the same parquet views.  The pages pipeline
+queries synthesise `pages` from `documents` (rxtls_spark.datagen) and
+their oracles recompute expected values **directly from documents via
+the pure doc_id formulas** (rxtls_spark.spec) — the oracle never sees
+the binary, so a hash-match proves the whole
+encode→parse→normalize→enrich→route chain.
+
+Column-name discipline: every computed column is aliased identically
+on both sides (driver hashes values after sorting columns by name).
+Counts are BIGINT on both sides (DuckDB integer SUM is HUGEINT →
+always CAST).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rxtls_spark import spec
+from rxtls_spark.datagen.lookups import log_operators_df
+from rxtls_spark.datagen.pages import pages_df
+from rxtls_spark.operators.parse import failed_pages, parse_pages
+from rxtls_spark.pipeline import enriched, parsed_flat, route_counts
+
+# ---------------------------------------------------------------------------
+# Oracle SQL building blocks — generated from spec constants
+# ---------------------------------------------------------------------------
+
+
+def _case(expr: str, mapping: list[tuple[object, str]], else_: str) -> str:
+    whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in mapping)
+    return f"CASE {expr} {whens} ELSE {else_} END"
+
+
+def _suffix_case() -> str:
+    return _case(
+        "(host_idx % 10)",
+        [(i, s) for i, s in enumerate(spec.SUFFIXES)],
+        "'com'",
+    )
+
+
+def _suffix_group_case() -> str:
+    return _case(
+        "suffix",
+        [(f"'{s}'", g) for s, g in spec.SUFFIX_GROUPS.items()],
+        "'other'",
+    )
+
+
+def _operator_name_case() -> str:
+    filtered = {
+        op for op, st in spec.OPERATOR_STATES.items()
+        if st in ("rejected", "retired", "test")
+    }
+    inner = _case(
+        "op_id",
+        [(i + 1, spec.OPERATOR_NAMES[i].replace("'", "''")) for i in range(21)],
+        "''",
+    )
+    ids = ",".join(str(i) for i in sorted(filtered))
+    return f"CASE WHEN op_id IN ({ids}) THEN '' ELSE {inner} END"
+
+
+def pages_cte() -> str:
+    """Shared WITH-clause: documents → derived page fields, pure SQL."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN doc_id % 100 < 15 THEN 0
+              WHEN doc_id % 100 < 25 THEN 1
+              WHEN doc_id % 100 < 32 THEN 2
+              ELSE 3 + doc_id % {spec.N_TAIL_HOSTS} END AS host_idx,
+         doc_id % 21 + 1 AS op_id,
+         doc_id % 5 AS n_sans,
+         (doc_id % 50 = 13) AS malformed,
+         {spec.WARC_EPOCH} + (doc_id * {spec.WARC_STEP}) % {spec.WARC_SPAN} AS warc_epoch
+  FROM documents
+), hosts AS (
+  SELECT *, {_suffix_case()} AS suffix FROM base
+), pages AS (
+  SELECT *,
+    'site' || host_idx || '.' || suffix AS host,
+    {_suffix_group_case()} AS suffix_group,
+    {_operator_name_case()} AS operator_name,
+    1700000000 + (doc_id % 1000) * 86400 AS nb_epoch,
+    CASE WHEN doc_id % 23 = 0 AND doc_id % 5 > 1 THEN 1 ELSE 0 END AS dup_san,
+    (doc_id % 11 = 0) AS wildcard_cn
+  FROM hosts
+), pd AS (
+  SELECT *,
+    CASE WHEN wildcard_cn THEN '*.' || host
+         WHEN n_sans > 0 THEN 'alt0.' || host
+         ELSE host END AS primary_domain,
+    list_prepend(
+      CASE WHEN wildcard_cn THEN '*.' || host ELSE host END,
+      list_transform(generate_series(1, n_sans), j -> 'alt' || (j - 1) || '.' || host)
+    ) AS normalized_domains
+  FROM pages
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return route_counts(pages_df(spark, sf_dir), log_operators_df(spark)).select(
+        "route",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_domains").cast("long").alias("n_domains"),
+    )
+
+
+def _q_parse_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_pages(pages_df(spark, sf_dir))
+    return failed_pages(parsed).agg(F.count("*").cast("long").alias("n_failed"))
+
+
+def _q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = parsed_flat(pages_df(spark, sf_dir))
+    ident = F.decode(F.col("extracted_text"), "UTF-8") == F.col("text")
+    return flat.agg(
+        F.count("*").cast("long").alias("n_valid"),
+        F.sum(F.when(ident, 1).otherwise(0)).cast("long").alias("n_identical"),
+    )
+
+
+def _q_parsed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-row field extraction (P7) — the widest oracle check."""
+    flat = parsed_flat(pages_df(spark, sf_dir))
+    return flat.select(
+        "url",
+        F.col("entry_type"),
+        F.col("issuer_cn"),
+        F.col("subject_o"),
+        F.col("subject_c"),
+        F.col("not_before"),
+        F.col("not_after"),
+        F.col("leaf_offset"),
+        F.col("primary_domain"),
+        F.size("all_domains").cast("long").alias("n_all_domains"),
+        F.size("normalized_domains").cast("long").alias("n_normalized"),
+    )
+
+
+def _q_operator_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = enriched(pages_df(spark, sf_dir), log_operators_df(spark))
+    return df.groupBy("operator_name").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+
+
+def _q_operator_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = enriched(pages_df(spark, sf_dir), log_operators_df(spark))
+    w = F.window("warc_ts", "1 hour")
+    return (
+        df.groupBy("operator_name", w.alias("w"))
+        .agg(F.count("*").cast("long").alias("n_pages"))
+        .select(
+            "operator_name",
+            F.unix_timestamp("w.start").cast("long").alias("hour_start"),
+            "n_pages",
+        )
+    )
+
+
+def _q_distinct_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = parsed_flat(pages_df(spark, sf_dir))
+    return (
+        flat.select(F.explode("normalized_domains").alias("domain"))
+        .agg(F.countDistinct("domain").cast("long").alias("n_distinct"))
+    )
+
+
+def _q_distinct_domains_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + exact verification pair (SURVEY §2.4) —
+    rows-only check (approx value is algorithm-specific)."""
+    flat = parsed_flat(pages_df(spark, sf_dir))
+    doms = flat.select(F.explode("normalized_domains").alias("domain"))
+    return doms.agg(
+        F.countDistinct("domain").cast("long").alias("n_exact"),
+        F.approx_count_distinct("domain", 0.02).cast("long").alias("n_approx"),
+    ).withColumn(
+        "within_5pct",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")) < 0.05,
+    )
+
+
+def _q_primary_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = parsed_flat(pages_df(spark, sf_dir))
+    return flat.groupBy("primary_domain").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+
+
+def _q_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew visibility: pages per host (the 3 hot hosts carry ~32%)."""
+    from rxtls_spark.operators.route import host_of_url
+
+    pages = pages_df(spark, sf_dir)
+    return (
+        pages.select(host_of_url().alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+    )
+
+
+def _q_validity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = parsed_flat(pages_df(spark, sf_dir))
+    return flat.agg(
+        F.min("not_before").cast("long").alias("min_nb"),
+        F.max("not_after").cast("long").alias("max_na"),
+        F.avg(F.col("not_after") - F.col("not_before")).alias("avg_validity_s"),
+    )
+
+
+def _q_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxh3 content hashes — no SQL oracle (DuckDB lacks XXH3): the
+    driver records a rows-only check; pytest locks goldens instead."""
+    flat = parsed_flat(pages_df(spark, sf_dir))
+    return flat.select("url", "domain_org_hash", "chain_hash")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "route_counts": _q_route_counts,
+    "parse_failures": _q_parse_failures,
+    "text_identity": _q_text_identity,
+    "parsed_fields": _q_parsed_fields,
+    "operator_counts": _q_operator_counts,
+    "operator_windows": _q_operator_windows,
+    "distinct_domains": _q_distinct_domains,
+    "distinct_domains_approx": _q_distinct_domains_approx,
+    "primary_domain_counts": _q_primary_domain_counts,
+    "hot_hosts": _q_hot_hosts,
+    "validity_windows": _q_validity_windows,
+    "content_hashes": _q_hashes,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    cte = pages_cte()
+    return {
+        "route_counts": cte + """
+SELECT lang || '|' || suffix_group AS route,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(1 + n_sans - dup_san) AS BIGINT) AS n_domains
+FROM pd WHERE NOT malformed
+GROUP BY 1
+""",
+        "parse_failures": cte + """
+SELECT CAST(count(*) AS BIGINT) AS n_failed FROM pd WHERE malformed
+""",
+        "text_identity": cte + """
+SELECT CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(count(*) AS BIGINT) AS n_identical
+FROM pd WHERE NOT malformed
+""",
+        "parsed_fields": cte + """
+SELECT 'https://' || host || '/p/' || doc_id AS url,
+       CASE WHEN doc_id % 7 = 3 THEN 'PrecertLogEntry' ELSE 'X509LogEntry' END AS entry_type,
+       'ca' || op_id || '.example-ca.' ||
+         (CASE (op_id % 3) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) AS issuer_cn,
+       'Org ' || op_id AS subject_o,
+       CASE (doc_id % 8) WHEN 0 THEN 'US' WHEN 1 THEN 'DE' WHEN 2 THEN 'GB'
+            WHEN 3 THEN 'FR' WHEN 4 THEN 'JP' WHEN 5 THEN 'NL'
+            WHEN 6 THEN 'ES' ELSE 'CN' END AS subject_c,
+       nb_epoch AS not_before,
+       nb_epoch + 7776000 AS not_after,
+       doc_id AS leaf_offset,
+       primary_domain,
+       CAST(1 + n_sans - dup_san AS BIGINT) AS n_all_domains,
+       CAST(1 + n_sans - dup_san AS BIGINT) AS n_normalized
+FROM pd WHERE NOT malformed
+""",
+        "operator_counts": cte + """
+SELECT operator_name, CAST(count(*) AS BIGINT) AS n_pages
+FROM pd WHERE NOT malformed
+GROUP BY 1
+""",
+        "operator_windows": cte + """
+SELECT operator_name,
+       CAST(warc_epoch // 3600 * 3600 AS BIGINT) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM pd WHERE NOT malformed
+GROUP BY 1, 2
+""",
+        "distinct_domains": cte + """
+SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_distinct
+FROM (SELECT unnest(normalized_domains) AS d FROM pd WHERE NOT malformed)
+""",
+        "primary_domain_counts": cte + """
+SELECT primary_domain, CAST(count(*) AS BIGINT) AS n_pages
+FROM pd WHERE NOT malformed
+GROUP BY 1
+""",
+        "hot_hosts": cte + """
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages
+FROM pd
+GROUP BY 1
+""",
+        "validity_windows": cte + """
+SELECT CAST(min(nb_epoch) AS BIGINT) AS min_nb,
+       CAST(max(nb_epoch + 7776000) AS BIGINT) AS max_na,
+       avg(7776000.0) AS avg_validity_s
+FROM pd WHERE NOT malformed
+""",
+        # content_hashes / distinct_domains_approx: intentionally no
+        # oracle (xxh3 / HLL not expressible in DuckDB) → rows-only.
+    }
