@@ -29,9 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from rxtls_spark.queries import QUERIES
+    from rxtls_spark.queries import _all_queries
 
-    return dict(QUERIES)
+    return _all_queries()
 
 
 def oracle_sql() -> dict[str, str]:

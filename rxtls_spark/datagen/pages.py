@@ -58,13 +58,36 @@ def _gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def pages_from_documents(documents: DataFrame) -> DataFrame:
-    return documents.select("doc_id", "text", "lang").mapInPandas(
-        _gen_batches, schema=PAGES_SCHEMA
-    )
+def pages_from_documents(
+    documents: DataFrame, amplify: int = 1, gen_partitions: int | None = None
+) -> DataFrame:
+    """documents → pages; ``amplify`` replicates each document into
+    ``amplify`` pages with fresh contiguous doc_ids (doc_id*amplify+rep)
+    so all spec formulas stay valid — the small driver parquet stands in
+    for a 10^12-row table at whatever scale the bench needs.  The
+    explode happens JVM-side; a repartition fans the generation out
+    (the source parquet is a single tiny split, which would otherwise
+    serialize generation on one task)."""
+    from pyspark.sql import functions as F
+
+    docs = documents.select("doc_id", "text", "lang")
+    if amplify > 1:
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1)))
+        ).select(
+            (F.col("doc_id") * amplify + F.col("rep")).alias("doc_id"),
+            "text",
+            "lang",
+        )
+    if gen_partitions:
+        docs = docs.repartition(gen_partitions)
+    return docs.mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
 
 
-def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_df(
+    spark: SparkSession, sf_dir: str, amplify: int = 1,
+    gen_partitions: int | None = None,
+) -> DataFrame:
     """pages table for one scale-factor directory."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pages_from_documents(docs)
+    return pages_from_documents(docs, amplify=amplify, gen_partitions=gen_partitions)

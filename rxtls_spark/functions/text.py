@@ -1,0 +1,115 @@
+"""Text-analysis operators for the training-data pipeline
+(driver mandate: language-ID, quality scoring, token counting,
+document fingerprinting over the `documents` table).
+
+Everything except the fingerprint is pure Catalyst expressions
+(JVM-side, whole-stage codegen) with an exact DuckDB-SQL mirror in
+queries.py; the fingerprint uses the vectorized XXH3 batch hasher.
+
+Language-ID is a deliberately simple marker-token heuristic so the
+oracle can recompute it: per-language scores are substring occurrence
+counts ((len(text) - len(replace(text, m, ''))) / len(m) summed over
+markers), CJK languages score by CJK-codepoint count, and the argmax
+uses a fixed priority order as the deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker tokens per language — lowercase, space-padded to avoid
+# substring false hits; shared verbatim with the SQL oracle
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " de la "],
+}
+# priority order for argmax tiebreaks (first wins on equal score)
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+CJK_RE = "[\\u4e00-\\u9fff]"
+
+
+def _occurrences(text: Column, marker: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(t, m) for m in markers), start=F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scores["zh"] = F.length(
+        F.regexp_replace(F.col(text_col), "[^\\u4e00-\\u9fff]", "")
+    ).cast("long")
+    return scores
+
+
+def lang_guess(text_col: str = "text") -> Column:
+    """argmax over language scores, fixed priority tiebreak, 'und' when
+    every score is 0."""
+    s = lang_scores(text_col)
+    # first language (in priority order) whose score equals the row max
+    mx = F.greatest(*[s[lang] for lang in LANG_PRIORITY])
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when(s[lang] == mx, F.lit(lang)).otherwise(expr)
+    return F.when(mx <= 0, F.lit("und")).otherwise(expr)
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace tokenization; empty/blank → 0."""
+    t = F.trim(F.col(text_col))
+    return (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("long")
+    )
+
+
+def quality_features(text_col: str = "text") -> dict[str, Column]:
+    """Length/punct/stopword ratios (the reference has no text quality
+    analog; this is the training-data-pipeline extension)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    digits = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    spaces = F.length(F.regexp_replace(t, "[^ ]", "")).cast("double")
+    nz = F.when(n > 0, n).otherwise(F.lit(1.0))
+    return {
+        "n_chars": n.cast("long"),
+        "alpha_ratio": alpha / nz,
+        "digit_ratio": digits / nz,
+        "punct_ratio": punct / nz,
+        "space_ratio": spaces / nz,
+        "n_tokens": token_count(text_col),
+    }
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] score: rewards alpha-heavy prose of reasonable
+    length, penalizes digit/punct noise.  Formula is frozen (mirrored
+    in the SQL oracle); not a learned model."""
+    f = quality_features(text_col)
+    length_term = F.least(f["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                0.4 * f["alpha_ratio"]
+                + 0.3 * length_term
+                + 0.3 * (1.0 - F.least(F.lit(1.0), 4.0 * f["punct_ratio"] + 4.0 * f["digit_ratio"])),
+            ),
+        ),
+        5,
+    )

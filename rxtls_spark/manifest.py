@@ -1,0 +1,168 @@
+"""Checkpoint manifest + idempotent mid-run resume (SURVEY §2.9 T6).
+
+The reference's only commit protocol is temp-file+rename per sink with
+NO mid-run checkpoint — a crash reprocesses everything
+(/root/reference/internal/core/domain_extractor.go:393-399,780-795).
+The north rule requires better: per-partition lineage + metrics
+persisted so a rerun processes only pending work, exactly-once.
+
+Design (Spark-native, no driver-side row handling):
+
+- The input is split into ``n_buckets`` deterministic buckets by
+  ``pmod(xxhash64(url), n_buckets)`` — stable across runs and across
+  cluster sizes (the bucket is a function of the DATA, not of task
+  placement).  On a real cluster each bucket is a chunk of thousands
+  of partitions; locally the default is 8.
+- Each bucket commits independently: routed parquet under
+  ``data/bucket=<b>/`` (Spark's committer makes the directory appear
+  atomically), then a manifest record ``manifest/bucket_<b>.json``
+  written tmp+rename (the one reference idiom worth keeping — atomic
+  on POSIX).
+- The manifest record carries the bucket's lineage + metrics: input
+  rows, parse failures, routed rows, domains, per-sink-file row counts
+  (read back from the committed parquet footers — lineage derived from
+  the durable artifact, not from in-flight counters), wall seconds.
+- Resume = set difference on manifest files; a half-committed bucket
+  (data written, no manifest) is rewritten idempotently — its content
+  is a pure function of the input bucket (mode=overwrite).
+- Metrics come from ``DataFrame.observe`` (A1/A6 accumulator analog,
+  domain_extractor.go:134-165) — collected during the write job, no
+  second pass over the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_expr(n_buckets: int, url_col: str = "url"):
+    return F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets))
+
+
+class CheckpointedPipeline:
+    """Run parse→enrich→route→write in resumable bucket commits."""
+
+    def __init__(self, out_dir: str, n_buckets: int = 8):
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+        self.manifest_dir = os.path.join(out_dir, "manifest")
+        self.data_dir = os.path.join(out_dir, "data")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest bookkeeping -------------------------------------------------
+
+    def _manifest_path(self, b: int) -> str:
+        return os.path.join(self.manifest_dir, f"bucket_{b}.json")
+
+    def committed_buckets(self) -> set[int]:
+        out = set()
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("bucket_") and name.endswith(".json"):
+                out.add(int(name[len("bucket_"):-len(".json")]))
+        return out
+
+    def pending_buckets(self) -> list[int]:
+        done = self.committed_buckets()
+        return [b for b in range(self.n_buckets) if b not in done]
+
+    def _commit(self, b: int, record: dict) -> None:
+        path = self._manifest_path(b)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1)
+        os.replace(tmp, path)  # atomic rename (S8 analog)
+
+    def records(self) -> list[dict]:
+        return [
+            json.load(open(self._manifest_path(b)))
+            for b in sorted(self.committed_buckets())
+        ]
+
+    # -- execution ------------------------------------------------------------
+
+    def run(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        log_operators: DataFrame,
+        fail_after: int | None = None,
+    ) -> dict:
+        """Process all pending buckets; ``fail_after=k`` aborts after k
+        bucket commits (test hook for the resume scenario)."""
+        from rxtls_spark.pipeline import enriched
+
+        pending = self.pending_buckets()
+        processed = 0
+        for b in pending:
+            t0 = time.time()
+            obs_in = Observation(f"in_{b}")
+            obs_out = Observation(f"out_{b}")
+            bucket_pages = pages.where(
+                bucket_expr(self.n_buckets) == b
+            ).observe(obs_in, F.count(F.lit(1)).alias("n_input"))
+            routed = enriched(bucket_pages, log_operators).observe(
+                obs_out,
+                F.count(F.lit(1)).alias("n_routed"),
+                F.sum(F.size("all_domains")).alias("n_domains"),
+                # DISTINCT aggregates are not allowed in observed
+                # metrics; approx is fine for a lineage hint
+                F.approx_count_distinct("route").alias("n_sinks"),
+            )
+            out_path = os.path.join(self.data_dir, f"bucket={b}")
+            (
+                routed.drop("extracted_text", "text")
+                .write.mode("overwrite")
+                .partitionBy("lang", "suffix_group")
+                .parquet(out_path)
+            )
+            m_in, m_out = obs_in.get, obs_out.get
+            record = {
+                "bucket": b,
+                "n_input": m_in["n_input"],
+                "n_routed": m_out["n_routed"] or 0,
+                "n_parse_failed": m_in["n_input"] - (m_out["n_routed"] or 0),
+                "n_domains": m_out["n_domains"] or 0,
+                "n_sinks": m_out["n_sinks"] or 0,
+                "files": self._file_lineage(out_path),
+                "wall_s": round(time.time() - t0, 3),
+                "ts": time.time(),
+            }
+            self._commit(b, record)
+            processed += 1
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(f"injected failure after {processed} buckets")
+        return self.summary()
+
+    def _file_lineage(self, out_path: str) -> list[dict]:
+        """Per-file row counts read from committed parquet footers."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for root, _dirs, names in os.walk(out_path):
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    p = os.path.join(root, name)
+                    files.append(
+                        {
+                            "path": os.path.relpath(p, self.out_dir),
+                            "rows": pq.ParquetFile(p).metadata.num_rows,
+                        }
+                    )
+        return files
+
+    def summary(self) -> dict:
+        recs = self.records()
+        return {
+            "buckets_committed": len(recs),
+            "n_buckets": self.n_buckets,
+            "complete": len(recs) == self.n_buckets,
+            "n_input": sum(r["n_input"] for r in recs),
+            "n_routed": sum(r["n_routed"] for r in recs),
+            "n_parse_failed": sum(r["n_parse_failed"] for r in recs),
+            "n_domains": sum(r["n_domains"] for r in recs),
+        }

@@ -1,0 +1,323 @@
+"""Deduplication suite for the training-data pipeline.
+
+Four families, each a `queries()` entry over the `documents` table:
+
+- **exact**: hash-groupBy on md5(text) — pure Catalyst, oracle-able
+  (DuckDB has md5).
+- **normalized exact**: same after whitespace/case canonicalization.
+- **MinHash + LSH**: shingle → k minhashes (numpy-vectorized inside a
+  pandas UDF) → band → bucket-join on (band, band_hash) → candidate
+  pairs → exact-Jaccard verify.  The LSH join is the scale path: no
+  O(n²) pair enumeration, candidates only within equal buckets.
+- **SimHash**: 64-bit signature; near-dups = pairs at Hamming ≤ k,
+  found by banding the 64 bits into 4×16-bit keys (any equal band →
+  candidate; Hamming ≤ 3 guarantees ≥1 of 4 bands equal when bits
+  differ in ≤3 positions spread across bands — standard pigeonhole).
+
+Determinism: hash seeds derive from fixed constants; duplicates are
+guaranteed present by a deterministic augmentation (`with_injected_dups`)
+mirrored in the SQL oracle, since the synthetic documents table may
+contain none.
+
+At 100 TB: every family is shuffle-bounded by groupBy on a hash/band
+key (no cross join anywhere); skewed buckets (boilerplate shingles)
+are handled by AQE skew splitting, and the candidate-pair verify is
+per-bucket local.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+MERSENNE = (1 << 61) - 1
+N_MINHASH = 64
+N_BANDS = 16  # 4 rows per band
+SHINGLE_K = 3  # word 3-grams
+
+
+def with_injected_dups(documents: DataFrame) -> DataFrame:
+    """Deterministic duplicate injection: every doc with doc_id%20==0
+    gets an exact copy (doc_id+10^9) and a near-copy with ' extra!'
+    appended (doc_id+2*10^9).  Mirrored in the SQL oracle so both
+    engines see identical data."""
+    base = documents.select("doc_id", "text", "lang")
+    dupes = base.where(F.col("doc_id") % 20 == 0)
+    exact = dupes.select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text", "lang"
+    )
+    near = dupes.select(
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra!")).alias("text"),
+        "lang",
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_docs, keep_doc_id)."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def normalized_text(col: str = "text"):
+    return F.lower(F.trim(F.regexp_replace(F.col(col), "\\s+", " ")))
+
+
+def normalized_dup_groups(docs: DataFrame) -> DataFrame:
+    return (
+        docs.groupBy(F.md5(normalized_text()).alias("norm_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """xxh3 of each word-k-gram → uint64 array (deduped)."""
+    from rxtls_spark.xxh3_vec import xxh3_64_batch
+
+    words = text.lower().split()
+    if len(words) < SHINGLE_K:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [
+            " ".join(words[i : i + SHINGLE_K])
+            for i in range(len(words) - SHINGLE_K + 1)
+        ]
+    return np.unique(xxh3_64_batch([s.encode("utf-8") for s in shingles]))
+
+
+# deterministic (a, b) parameters for the k permutations
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, MERSENNE, size=N_MINHASH, dtype=np.int64).astype(np.uint64)
+_B = _rng.randint(0, MERSENNE, size=N_MINHASH, dtype=np.int64).astype(np.uint64)
+
+
+def _minhash_sig(shingle_hashes: np.ndarray) -> np.ndarray:
+    """k-permutation minhash over the shingle hash set (vectorized
+    (k, n) broadcast; mod-Mersenne in python ints to avoid overflow)."""
+    h = shingle_hashes.astype(object)[None, :]  # exact big-int math
+    vals = (_A.astype(object)[:, None] * h + _B.astype(object)[:, None]) % MERSENNE
+    return np.min(vals, axis=1).astype(np.uint64)
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_udf(text: pd.Series) -> pd.Series:
+    out = []
+    for t in text:
+        sig = _minhash_sig(_shingle_hashes(t or ""))
+        out.append([int(v) & 0x7FFFFFFFFFFFFFFF for v in sig])
+    return pd.Series(out)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", minhash_udf(F.col("text")).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """band the signature, bucket-join, emit candidate pairs (a < b).
+
+    The self-join is on (band, band_hash) — both sides shuffled by the
+    bucket key, never a cross join; at 10^12 rows this is the only
+    scalable near-dup join shape.
+    """
+    rows_per_band = N_MINHASH // N_BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@pandas_udf(DoubleType())
+def jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    out = []
+    for ta, tb in zip(text_a, text_b):
+        sa = set(_shingle_hashes(ta or "").tolist())
+        sb = set(_shingle_hashes(tb or "").tolist())
+        union = len(sa | sb)
+        out.append(len(sa & sb) / union if union else 1.0)
+    return pd.Series(out)
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Full pipeline: signatures → LSH candidates → exact-Jaccard verify."""
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    texts = docs.select("doc_id", "text")
+    paired = (
+        cands.join(texts.withColumnsRenamed({"doc_id": "doc_a", "text": "text_a"}), "doc_a")
+        .join(texts.withColumnsRenamed({"doc_id": "doc_b", "text": "text_b"}), "doc_b")
+    )
+    return (
+        paired.withColumn("jaccard", F.round(jaccard_udf("text_a", "text_b"), 5))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (winnowing over a rolling shingle-hash stream)
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4
+
+
+def _shingle_seq(text: str) -> np.ndarray:
+    """Ordered (non-deduped) shingle hash sequence — the rolling-hash
+    stream the winnow slides over."""
+    from rxtls_spark.xxh3_vec import xxh3_64_batch
+
+    words = (text or "").lower().split()
+    if len(words) < SHINGLE_K:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [
+            " ".join(words[i : i + SHINGLE_K])
+            for i in range(len(words) - SHINGLE_K + 1)
+        ]
+    return xxh3_64_batch([s.encode("utf-8") for s in shingles])
+
+
+def _winnow(hashes: np.ndarray, w: int = WINNOW_W) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD'03): min of each w-window,
+    deduped consecutive — the standard local document fingerprint."""
+    if hashes.size == 0:
+        return []
+    if hashes.size <= w:
+        return [int(hashes.min())]
+    n = hashes.size - w + 1
+    windows = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    mins = windows.min(axis=1)
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    keep[1:] = mins[1:] != mins[:-1]
+    return [int(v) for v in np.unique(mins[keep])]
+
+
+@pandas_udf(ArrayType(LongType()))
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [v & 0x7FFFFFFFFFFFFFFF for v in _winnow(_shingle_seq(t))]
+            for t in text
+        ]
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        fingerprint_udf(F.col("text")).alias("fingerprints"),
+    ).select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("min_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash(text: str) -> int:
+    h = _shingle_hashes(text)
+    if h.size == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    return int(sum(1 << i for i in range(64) if v[i] > 0))
+
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [np.int64(np.uint64(_simhash(t or "")).astype(np.int64)) for t in text]
+    )
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤k pairs via 4-band pigeonhole bucketing (any equal
+    16-bit band → candidate) then exact popcount verify."""
+    sigs = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+    banded = sigs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.withColumn("hamming", hamming.cast("int")).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

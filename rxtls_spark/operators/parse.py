@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from rxtls_spark.reference import enrich_record, parse_html
+from rxtls_spark.reference import parse_html
 
 PARSED_SCHEMA = StructType(
     [
@@ -60,20 +60,55 @@ PARSED_SCHEMA = StructType(
 )
 
 _FIELDS = [f.name for f in PARSED_SCHEMA.fields]
-_NULL_ROW = {name: None for name in _FIELDS}
 
 
 @pandas_udf(PARSED_SCHEMA)
 def parse_page_udf(html: pd.Series) -> pd.DataFrame:
-    rows = []
+    """Framing+fields+normalize per row, then batch-vectorized XXH3 for
+    the two content hashes (rxtls_spark.xxh3_vec — numpy over the whole
+    Arrow batch; the scalar path was 150+µs/row, batch is ~5µs)."""
+    import base64
+
+    from rxtls_spark.functions.normalize import (
+        normalize_domain,
+        output_domains,
+        primary_domain,
+        sorted_normalized_domains,
+    )
+    from rxtls_spark.xxh3_vec import xxh3_hex_batch
+
+    cols: dict[str, list] = {name: [] for name in _FIELDS}
+    org_inputs: list[bytes] = []
+    chain_inputs: list[bytes] = []
+    hash_rows: list[int] = []
+    i = 0
     for buf in html:
         rec = parse_html(bytes(buf)) if buf is not None else None
         if rec is None:
-            rows.append(_NULL_ROW)
+            for name in _FIELDS:
+                cols[name].append(None)
         else:
-            rec = enrich_record(rec)
-            rows.append({name: rec[name] for name in _FIELDS})
-    return pd.DataFrame(rows, columns=_FIELDS)
+            norm = sorted_normalized_domains(rec["all_domains"])
+            rec["normalized_domains"] = norm
+            rec["primary_domain"] = primary_domain(norm)
+            rec["output_domains"] = output_domains(norm)
+            rec["normalized_cn"] = normalize_domain(rec["subject_cn"])
+            rec["domain_org_hash"] = None  # batch-filled below
+            rec["chain_hash"] = None
+            org_inputs.append(
+                (",".join(norm) + "|" + rec["subject_o"]).encode("utf-8")
+            )
+            chain_inputs.append(base64.b64encode(rec["payload"]))
+            hash_rows.append(i)
+            for name in _FIELDS:
+                cols[name].append(rec[name])
+        i += 1
+    if hash_rows:
+        for j, h in zip(hash_rows, xxh3_hex_batch(org_inputs)):
+            cols["domain_org_hash"][j] = h
+        for j, h in zip(hash_rows, xxh3_hex_batch(chain_inputs)):
+            cols["chain_hash"][j] = h
+    return pd.DataFrame(cols, columns=_FIELDS)
 
 
 def parsed_col() -> Column:

@@ -223,6 +223,33 @@ def _q_validity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOG_LIST_V3 = "/root/repo/fixtures/log_list_v3.json"
+
+
+def _q_catalog_usable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 source parity: dual-schema JSON load + P1/P4 filters +
+    per-operator counts, oracle-checked via DuckDB read_json on the
+    same committed fixture."""
+    from rxtls_spark.sources.catalog import load_log_list, usable_logs
+
+    cat = usable_logs(load_log_list(spark, _LOG_LIST_V3))
+    return cat.groupBy("operator_name").agg(
+        F.count(F.lit(1)).alias("n_logs"),
+        F.sum("tree_size").alias("total_tree_size"),
+    )
+
+
+def _q_csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 byte-identical domains CSV lines — rows-only (DuckDB lacks
+    xxh3 for the embedded hash); per-line equality vs the reference
+    composition is locked by tests/test_catalog.py."""
+    from rxtls_spark.functions.csvfmt import domains_csv_line
+    from rxtls_spark.pipeline import parsed_flat
+
+    flat = parsed_flat(pages_df(spark, sf_dir))
+    return flat.select("url", domains_csv_line().alias("csv_line"))
+
+
 def _q_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxh3 content hashes — no SQL oracle (DuckDB lacks XXH3): the
     driver records a rows-only check; pytest locks goldens instead."""
@@ -234,7 +261,14 @@ def _q_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from rxtls_spark.queries_relational import QUERIES_REL
+    from rxtls_spark.queries_training import QUERIES_TRAIN
+
+    return {**QUERIES_PIPELINE, **QUERIES_REL, **QUERIES_TRAIN}
+
+
+QUERIES_PIPELINE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_counts": _q_route_counts,
     "parse_failures": _q_parse_failures,
     "text_identity": _q_text_identity,
@@ -247,10 +281,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hot_hosts": _q_hot_hosts,
     "validity_windows": _q_validity_windows,
     "content_hashes": _q_hashes,
+    "catalog_usable": _q_catalog_usable,
+    "domains_csv_lines": _q_csv_lines,
 }
 
 
 def oracle_sql() -> dict[str, str]:
+    from rxtls_spark.queries_relational import ORACLES_REL
+    from rxtls_spark.queries_training import oracle_sql_training
+
+    return {
+        **_oracle_sql_pipeline(),
+        **ORACLES_REL,
+        **oracle_sql_training(),
+    }
+
+
+def _oracle_sql_pipeline() -> dict[str, str]:
     cte = pages_cte()
     return {
         "route_counts": cte + """
@@ -317,6 +364,21 @@ SELECT CAST(min(nb_epoch) AS BIGINT) AS min_nb,
        avg(7776000.0) AS avg_validity_s
 FROM pd WHERE NOT malformed
 """,
-        # content_hashes / distinct_domains_approx: intentionally no
-        # oracle (xxh3 / HLL not expressible in DuckDB) → rows-only.
+        "catalog_usable": f"""
+WITH ops AS (
+  SELECT unnest(operators) AS op FROM read_json('{_LOG_LIST_V3}')
+), logs AS (
+  SELECT op.name AS operator_name, unnest(op.logs) AS log FROM ops
+), flat AS (
+  SELECT operator_name, log.state AS state, log.tree_size AS tree_size FROM logs
+)
+SELECT operator_name, CAST(count(*) AS BIGINT) AS n_logs,
+       CAST(sum(tree_size) AS BIGINT) AS total_tree_size
+FROM flat
+WHERE state NOT IN ('rejected', 'retired', 'test') AND tree_size > 0
+GROUP BY 1
+""",
+        # content_hashes / distinct_domains_approx / domains_csv_lines:
+        # intentionally no oracle (xxh3 not expressible in DuckDB) →
+        # rows-only; exact semantics locked by pytest goldens.
     }

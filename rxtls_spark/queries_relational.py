@@ -1,0 +1,298 @@
+"""Relational operator coverage (SURVEY §2.2-2.7 generalized) over the
+driver's TPC-H-ish tables — every query oracle-checked against DuckDB.
+
+These exercise the Spark built-ins the pipeline relies on (broadcast /
+semi / anti joins, partial-agg groupBy, window functions, tumbling
+windows, set ops, deterministic top-k) so the engine's general query
+surface is validated, not just the flagship path.
+
+Float discipline: aggregate doubles are rounded (2-5 dp) on BOTH sides
+— summation order differs between engines and bit-exact equality is
+not meaningful for floating point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- aggregations (A1/A6 generalized: partial+final hash agg) --------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (sort/limit, SURVEY §2.6)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+# --- broadcast join chain (J1 generalized) ----------------------------------
+
+def q_supplier_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+# --- semi / anti joins (J2/P3 generalized) ----------------------------------
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- window functions (SURVEY §2.5) ------------------------------------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rn").cast("long").alias("rn"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+def q_order_price_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + running aggregate over an ordered partition frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("order_seq"),
+    )
+
+
+# --- time windows over events -------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").cast("long").alias("hour_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 5).alias("avg_value"),
+            F.round(
+                F.percentile_approx("value", 0.5, 10000), 3
+            ).alias("median_approx"),
+        )
+        .drop("median_approx")  # approx percentile: not oracle-stable
+    )
+
+
+# --- set operations (SURVEY §2.7) ---------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return spark.createDataFrame(
+        [
+            (
+                a.union(b).distinct().count(),
+                a.intersect(b).count(),  # INTERSECT DISTINCT semantics
+                a.subtract(b).count(),  # EXCEPT DISTINCT semantics
+            )
+        ],
+        "n_union long, n_intersect long, n_except long",
+    )
+
+
+# --- explode / array (UDTF analog, SURVEY §2.10) -------------------------------
+
+def q_orders_per_priority_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode + re-aggregate (the explode(all_domains) shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.explode(F.split("o_orderpriority", "-")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_revenue_topk": q_revenue_topk,
+    "rel_supplier_by_region": q_supplier_by_region,
+    "rel_customers_with_orders": q_customers_with_orders,
+    "rel_customers_without_orders": q_customers_without_orders,
+    "rel_top_orders_per_customer": q_top_orders_per_customer,
+    "rel_order_price_lag": q_order_price_lag,
+    "rel_events_hourly": q_events_hourly,
+    "rel_events_user_stats": q_events_user_stats,
+    "rel_set_ops": q_set_ops,
+    "rel_priority_tokens": q_orders_per_priority_bucket,
+}
+
+ORACLES_REL: dict[str, str] = {
+    "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+    "rel_revenue_topk": """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+    "rel_supplier_by_region": """
+SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+    "rel_customers_with_orders": """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+""",
+    "rel_customers_without_orders": """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+""",
+    "rel_top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, round(o_totalprice, 2) AS price
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+""",
+    "rel_order_price_lag": """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "rel_events_hourly": """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "rel_events_user_stats": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(avg(value), 5) AS avg_value
+FROM events GROUP BY 1
+""",
+    "rel_set_ops": """
+SELECT CAST((SELECT count(DISTINCT o_custkey) FROM orders
+             WHERE o_orderstatus IN ('O','F')) AS BIGINT) AS n_union,
+       CAST((SELECT count(*) FROM
+              (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
+               INTERSECT
+               SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F')) AS BIGINT)
+         AS n_intersect,
+       CAST((SELECT count(*) FROM
+              (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
+               EXCEPT
+               SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F')) AS BIGINT)
+         AS n_except
+""",
+    "rel_priority_tokens": """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS tok FROM orders)
+GROUP BY 1
+""",
+}

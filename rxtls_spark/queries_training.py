@@ -1,0 +1,283 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis /
+multimodal) with DuckDB oracles where SQL can express them.
+
+Non-SQL-expressible entries (xxh3 minhash/simhash signatures, LSH
+buckets, winnowing fingerprints) get rows-only driver checks; their
+exact semantics are locked by pytest instead (tests/test_dedup.py,
+tests/test_similarity.py compare against brute-force recomputation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rxtls_spark.functions.text import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    lang_guess,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from rxtls_spark.operators.dedup import (
+    doc_fingerprints,
+    exact_dup_groups,
+    minhash_near_dups,
+    normalized_dup_groups,
+    simhash_near_dups,
+    with_injected_dups,
+)
+from rxtls_spark.operators.multimodal import (
+    media_df,
+    media_feature_counts,
+    sample_frames,
+)
+from rxtls_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_stats,
+    query_set,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text analysis -----------------------------------------------------------
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = quality_features()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        token_count().alias("n_tokens"),
+        F.round(f["alpha_ratio"], 5).alias("alpha_ratio"),
+        quality_score().alias("quality"),
+        lang_guess().alias("lang_guess"),
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", lang_guess().alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- dedup ---------------------------------------------------------------------
+
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(with_injected_dups(_docs(spark, sf_dir)))
+
+
+def q_normalized_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalized_dup_groups(with_injected_dups(_docs(spark, sf_dir)))
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(with_injected_dups(_docs(spark, sf_dir)), 0.7)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(with_injected_dups(_docs(spark, sf_dir)), 3)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+# --- similarity -----------------------------------------------------------------
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, query_set(emb), k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ann_lsh_topk(emb, query_set(emb), k=10)
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_stats(_emb(spark, sf_dir))
+
+
+# --- multimodal -------------------------------------------------------------------
+
+def q_media_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_feature_counts(spark, sf_dir)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(media_df(spark, sf_dir))
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_videos"),
+    )
+
+
+QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_features": q_text_features,
+    "lang_confusion": q_lang_confusion,
+    "dedup_exact": q_exact_dups,
+    "dedup_normalized": q_normalized_dups,
+    "dedup_minhash_lsh": q_minhash_near_dups,
+    "dedup_simhash": q_simhash_near_dups,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_lsh": q_ann_lsh,
+    "embedding_stats": q_embedding_stats,
+    "media_counts": q_media_counts,
+    "media_frames": q_media_frames,
+}
+
+
+# --- oracle SQL ----------------------------------------------------------------
+
+
+def _occ_sql(marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (
+        f"CAST((length(t) - length(replace(t, '{m}', ''))) / {len(marker)} AS BIGINT)"
+    )
+
+
+def _lang_sql() -> str:
+    """score columns + argmax CASE, mirroring functions/text.py."""
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        expr = " + ".join(_occ_sql(m) for m in markers)
+        scores.append(f"({expr}) AS s_{lang}")
+    # RE2 (DuckDB) spells unicode ranges \x{4e00}, not Java's 一
+    zh = "CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS s_zh"
+    scores.append(zh)
+    return ", ".join(scores)
+
+
+def _lang_guess_case() -> str:
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_PRIORITY) + ")"
+    whens = " ".join(
+        f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in LANG_PRIORITY
+    )
+    return f"CASE WHEN {mx} <= 0 THEN 'und' {whens} END"
+
+
+_TEXT_CTE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS t,
+         {_lang_sql()}
+  FROM documents
+), feats AS (
+  SELECT *,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+    END AS n_tokens,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))
+      / greatest(length(text), 1)::DOUBLE AS digit_ratio,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+      / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+    {_lang_guess_case()} AS lang_guess
+  FROM scored
+)
+"""
+
+_DUPS_CTE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, text || ' extra!' FROM documents WHERE doc_id % 20 = 0
+)
+"""
+
+_MEDIA_CTE = """
+WITH media AS (
+  SELECT doc_id,
+    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h, 1 + doc_id % 3 AS ch,
+    CASE WHEN doc_id % 3 = 0 THEN ((16 + doc_id % 48) * (16 + doc_id % 32) * (1 + doc_id % 3)) % 4096
+         ELSE 256 + doc_id % 1024 END AS body_bytes
+  FROM documents
+)
+"""
+
+
+def oracle_sql_training() -> dict[str, str]:
+    return {
+        "text_features": _TEXT_CTE + """
+SELECT doc_id, n_chars, n_tokens, round(alpha_ratio, 5) AS alpha_ratio,
+  round(greatest(0.0, least(1.0,
+    0.4 * alpha_ratio
+    + 0.3 * least(n_chars / 500.0, 1.0)
+    + 0.3 * (1.0 - least(1.0, 4.0 * punct_ratio + 4.0 * digit_ratio)))), 5)
+    AS quality,
+  lang_guess
+FROM feats
+""",
+        "lang_confusion": _TEXT_CTE + """
+SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+FROM feats GROUP BY 1, 2
+""",
+        "dedup_exact": _DUPS_CTE + """
+SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM docs GROUP BY 1 HAVING count(*) > 1
+""",
+        "dedup_normalized": _DUPS_CTE + """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5,
+       CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc_id
+FROM docs GROUP BY 1 HAVING count(*) > 1
+""",
+        "ann_brute_force": """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+    CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])
+               * 100000) AS BIGINT) AS sim_e5
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, CAST(rn AS BIGINT) AS rank, sim_e5
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim_e5 DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+""",
+        "embedding_stats": """
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(norm), 5) AS avg_norm,
+       round(min(norm), 5) AS min_norm,
+       round(max(norm), 5) AS max_norm
+FROM (SELECT label,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+      FROM embeddings)
+GROUP BY 1
+""",
+        "media_counts": _MEDIA_CTE + """
+SELECT kind, 'stub' AS decode_ok, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(body_bytes) AS BIGINT) AS total_bytes
+FROM media GROUP BY 1, 2
+""",
+        "media_frames": _MEDIA_CTE + """
+SELECT CAST(sum((body_bytes // 64 + 3) // 4) AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_videos
+FROM media WHERE kind = 'video'
+""",
+        # dedup_minhash_lsh / dedup_simhash / doc_fingerprints / ann_lsh:
+        # intentionally no oracle (xxh3/LSH not expressible in DuckDB);
+        # exact semantics locked by tests/test_dedup.py instead.
+    }

@@ -1,0 +1,263 @@
+"""NumPy-vectorized XXH3-64 batch hashing.
+
+``xxh3_64_batch(items)`` hashes a whole Arrow batch of byte strings at
+once — the hot-path replacement for the scalar ``rxtls_spark.xxh3``
+(which stays as the reference implementation; tests assert batch ==
+scalar on randomized inputs).  All XXH3 arithmetic is mod-2^64, which
+maps 1:1 onto numpy uint64 wraparound; 64×64→128 products are built
+from 32-bit halves (exact in uint64).
+
+Per 10k-row batch the vectorized long path runs ~20 masked numpy steps
+instead of ~20k Python big-int loops — worth ~100µs/row in the parse
+UDF (measured: the scalar long path alone was 156µs/row on ~1.2 KB
+inputs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rxtls_spark.xxh3 import (
+    _K_SECRET,
+    PRIME64_1,
+    PRIME32_1,
+    PRIME_MX1,
+    PRIME_MX2,
+    PRIME64_2,
+    PRIME64_3,
+    _INIT_ACC,
+    xxh3_64,
+)
+
+U = np.uint64
+_M32 = U(0xFFFFFFFF)
+
+
+def _r64s(off: int) -> np.uint64:
+    return U(int.from_bytes(_K_SECRET[off : off + 8], "little"))
+
+
+def _r32s(off: int) -> np.uint64:
+    return U(int.from_bytes(_K_SECRET[off : off + 4], "little"))
+
+
+# secret words at every byte offset we touch (aligned + unaligned)
+_SEC64 = {off: _r64s(off) for off in range(0, 185)}
+_SECRET_LEN = len(_K_SECRET)
+_STRIPES_PER_BLOCK = (_SECRET_LEN - 64) // 8  # 16
+_BLOCK_LEN = 64 * _STRIPES_PER_BLOCK  # 1024
+
+_LANE_SWAP = np.array([1, 0, 3, 2, 5, 4, 7, 6])
+
+
+def _gather64(buf: np.ndarray, rows: np.ndarray, offs, count: int) -> np.ndarray:
+    """read ``count`` consecutive u64 at byte offset ``offs`` (scalar or
+    per-row vector) for the given row indices → (len(rows), count)."""
+    if np.isscalar(offs):
+        sl = buf[rows, offs : offs + 8 * count]
+    else:
+        idx = np.asarray(offs, dtype=np.int64)[:, None] + np.arange(8 * count)
+        sl = buf[rows[:, None], idx]
+    return np.ascontiguousarray(sl).view("<u8").reshape(len(rows), count)
+
+
+def _gather32(buf: np.ndarray, rows: np.ndarray, offs) -> np.ndarray:
+    if np.isscalar(offs):
+        sl = buf[rows, offs : offs + 4]
+    else:
+        idx = np.asarray(offs, dtype=np.int64)[:, None] + np.arange(4)
+        sl = buf[rows[:, None], idx]
+    return np.ascontiguousarray(sl).view("<u4").reshape(len(rows)).astype(np.uint64)
+
+
+def _mul128_fold64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a_lo, a_hi = a & _M32, a >> U(32)
+    b_lo, b_hi = b & _M32, b >> U(32)
+    lo_lo = a_lo * b_lo
+    hi_lo = a_hi * b_lo
+    t = hi_lo + (lo_lo >> U(32))
+    t2 = a_lo * b_hi + (t & _M32)
+    lo = (t2 << U(32)) | (lo_lo & _M32)
+    hi = a_hi * b_hi + (t >> U(32)) + (t2 >> U(32))
+    return lo ^ hi
+
+
+def _xxh64_avalanche(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> U(33))
+    h = h * U(PRIME64_2)
+    h = h ^ (h >> U(29))
+    h = h * U(PRIME64_3)
+    return h ^ (h >> U(32))
+
+
+def _xxh3_avalanche(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> U(37))
+    h = h * U(PRIME_MX1)
+    return h ^ (h >> U(32))
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << U(r)) | (x >> U(64 - r))
+
+
+def _mix16(buf, rows, doffs, soff: int) -> np.ndarray:
+    d = _gather64(buf, rows, doffs, 2)
+    lo = d[:, 0] ^ _SEC64[soff]
+    hi = d[:, 1] ^ _SEC64[soff + 8]
+    return _mul128_fold64(lo, hi)
+
+
+def xxh3_64_batch(items) -> np.ndarray:
+    """XXH3-64 (seed 0) of each bytes item → uint64 array."""
+    n = len(items)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    # pad 8 bytes so full-width u64 gathers at (len-8) never run off
+    buf = np.zeros((n, max(max_len, 1) + 8), dtype=np.uint8)
+    for i, b in enumerate(items):
+        if b:
+            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+
+    # ---- len == 0
+    m = lens == 0
+    if m.any():
+        out[m] = xxh3_64(b"")
+
+    # ---- 1..3
+    rows = np.nonzero((lens >= 1) & (lens <= 3))[0]
+    if rows.size:
+        ln = lens[rows]
+        c1 = buf[rows, 0].astype(np.uint64)
+        c2 = buf[rows, ln >> 1].astype(np.uint64)
+        c3 = buf[rows, ln - 1].astype(np.uint64)
+        combined = (c1 << U(16)) | (c2 << U(24)) | c3 | (ln.astype(np.uint64) << U(8))
+        bitflip = _r32s(0) ^ _r32s(4)
+        out[rows] = _xxh64_avalanche(combined ^ bitflip)
+
+    # ---- 4..8
+    rows = np.nonzero((lens >= 4) & (lens <= 8))[0]
+    if rows.size:
+        ln = lens[rows]
+        in1 = _gather32(buf, rows, 0)
+        in2 = _gather32(buf, rows, ln - 4)
+        bitflip = _SEC64[8] ^ _SEC64[16]
+        x = ((in2 + (in1 << U(32))) ^ bitflip)
+        # rrmxmx
+        x = x ^ (_rotl(x, 49) ^ _rotl(x, 24))
+        x = x * U(PRIME_MX2)
+        x = x ^ ((x >> U(35)) + ln.astype(np.uint64))
+        x = x * U(PRIME_MX2)
+        out[rows] = x ^ (x >> U(28))
+
+    # ---- 9..16
+    rows = np.nonzero((lens >= 9) & (lens <= 16))[0]
+    if rows.size:
+        ln = lens[rows]
+        lo = _gather64(buf, rows, 0, 1)[:, 0] ^ (_SEC64[24] ^ _SEC64[32])
+        hi = _gather64(buf, rows, ln - 8, 1)[:, 0] ^ (_SEC64[40] ^ _SEC64[48])
+        acc = ln.astype(np.uint64) + lo.byteswap() + hi + _mul128_fold64(lo, hi)
+        out[rows] = _xxh3_avalanche(acc)
+
+    # ---- 17..128
+    rows = np.nonzero((lens >= 17) & (lens <= 128))[0]
+    if rows.size:
+        ln = lens[rows]
+        acc = ln.astype(np.uint64) * U(PRIME64_1)
+        for thresh, d_fwd, d_rev, s_fwd, s_rev in (
+            (96, 48, 64, 96, 112),
+            (64, 32, 48, 64, 80),
+            (32, 16, 32, 32, 48),
+        ):
+            sub = ln > thresh
+            if sub.any():
+                r2 = rows[sub]
+                acc[sub] += _mix16(buf, r2, d_fwd, s_fwd)
+                acc[sub] += _mix16(buf, r2, lens[r2] - d_rev, s_rev)
+        acc += _mix16(buf, rows, 0, 0)
+        acc += _mix16(buf, rows, ln - 16, 16)
+        out[rows] = _xxh3_avalanche(acc)
+
+    # ---- 129..240
+    rows = np.nonzero((lens >= 129) & (lens <= 240))[0]
+    if rows.size:
+        ln = lens[rows]
+        acc = ln.astype(np.uint64) * U(PRIME64_1)
+        for i in range(8):
+            acc += _mix16(buf, rows, 16 * i, 16 * i)
+        acc = _xxh3_avalanche(acc)
+        nb = ln // 16
+        for i in range(8, 15):
+            sub = nb > i
+            if sub.any():
+                acc[sub] += _mix16(buf, rows[sub], 16 * i, 16 * (i - 8) + 3)
+        acc += _mix16(buf, rows, ln - 16, 136 - 17)
+        out[rows] = _xxh3_avalanche(acc)
+
+    # ---- > 240 (long)
+    rows = np.nonzero(lens > 240)[0]
+    if rows.size:
+        out[rows] = _hash_long_batch(buf, rows, lens[rows])
+    return out
+
+
+def _accumulate_stripe(acc: np.ndarray, dv: np.ndarray, soff: int) -> None:
+    sec = np.array([_SEC64[soff + 8 * i] for i in range(8)], dtype=np.uint64)
+    dk = dv ^ sec[None, :]
+    acc += dv[:, _LANE_SWAP]
+    acc += (dk & _M32) * (dk >> U(32))
+
+
+def _hash_long_batch(buf: np.ndarray, rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    m = rows.size
+    acc = np.tile(np.array(_INIT_ACC, dtype=np.uint64), (m, 1))
+    nb_blocks = (lens - 1) // _BLOCK_LEN
+    max_blocks = int(nb_blocks.max())
+
+    for b in range(max_blocks):
+        act = np.nonzero(nb_blocks > b)[0]
+        sub_acc = acc[act]
+        for s in range(_STRIPES_PER_BLOCK):
+            dv = _gather64(buf, rows[act], b * _BLOCK_LEN + 64 * s, 8)
+            _accumulate_stripe(sub_acc, dv, 8 * s)
+        # scramble
+        sec = np.array(
+            [_SEC64[_SECRET_LEN - 64 + 8 * i] for i in range(8)], dtype=np.uint64
+        )
+        sub_acc ^= sub_acc >> U(47)
+        sub_acc ^= sec[None, :]
+        sub_acc *= U(PRIME32_1)
+        acc[act] = sub_acc
+
+    nb_stripes = ((lens - 1) - _BLOCK_LEN * nb_blocks) // 64
+    base = nb_blocks * _BLOCK_LEN
+    max_stripes = int(nb_stripes.max())
+    for s in range(max_stripes):
+        act = np.nonzero(nb_stripes > s)[0]
+        dv = _gather64(buf, rows[act], base[act] + 64 * s, 8)
+        sub_acc = acc[act]
+        _accumulate_stripe(sub_acc, dv, 8 * s)
+        acc[act] = sub_acc
+
+    # last stripe (secret offset SECRET_LEN-64-7, unaligned)
+    dv = _gather64(buf, rows, lens - 64, 8)
+    _accumulate_stripe(acc, dv, _SECRET_LEN - 64 - 7)
+
+    # merge
+    result = lens.astype(np.uint64) * U(PRIME64_1)
+    for i in range(4):
+        result += _mul128_fold64(
+            acc[:, 2 * i] ^ _SEC64[11 + 16 * i],
+            acc[:, 2 * i + 1] ^ _SEC64[11 + 16 * i + 8],
+        )
+    return _xxh3_avalanche(result)
+
+
+_HEX = np.frompyfunc(lambda v: format(int(v), "x"), 1, 1)
+
+
+def xxh3_hex_batch(items) -> list[str]:
+    """Batch hex digests (%x — lowercase, no zero padding)."""
+    return list(_HEX(xxh3_64_batch(items)))

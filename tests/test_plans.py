@@ -1,0 +1,90 @@
+"""Plan-shape assertions — the scale contract, enforced in CI.
+
+At 100 TB the difference between a broadcast join and a shuffled join
+on the page stream is the whole job; these tests pin the plan shapes
+so a refactor can't silently regress them (SURVEY §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def flagship_df(spark):
+    from rxtls_spark.datagen.lookups import log_operators_df
+    from rxtls_spark.datagen.pages import pages_df
+    from rxtls_spark.pipeline import enriched
+
+    return enriched(pages_df(spark, SF_SMOKE), log_operators_df(spark))
+
+
+def test_operator_enrich_is_broadcast(spark, flagship_df):
+    from rxtls_spark.plans.checks import has_broadcast_join, has_shuffle_join
+
+    assert has_broadcast_join(flagship_df)
+    # the page stream must NEVER be shuffled for lookup enrichment
+    assert not has_shuffle_join(flagship_df)
+
+
+def test_flagship_has_no_shuffle_before_aggregate(spark, flagship_df):
+    from rxtls_spark.plans.checks import count_exchanges
+
+    # parse→enrich→route is exchange-free; only the final groupBy adds
+    # one partial+final hash-agg exchange
+    assert count_exchanges(flagship_df) == 0
+    agg = flagship_df.groupBy("route").count()
+    assert count_exchanges(agg) == 1
+
+
+def test_no_shuffle_or_nested_loop_joins(spark, flagship_df):
+    """The flagship plan's only join is the broadcast operator lookup —
+    the suffix route compiles to a literal-map expression (no join
+    node), and nothing shuffles or nested-loops the page stream."""
+    from rxtls_spark.plans.checks import plan_string, shuffle_join_kinds
+
+    assert shuffle_join_kinds(flagship_df) == []
+    assert plan_string(flagship_df, mode="simple").count("BroadcastHashJoin") == 1
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    from rxtls_spark.plans.checks import pushed_filters
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    q = docs.where(F.col("doc_id") > 100).select("doc_id", "lang")
+    filters = pushed_filters(q)
+    assert any("GreaterThan(doc_id,100)" in f for f in filters), filters
+
+
+def test_column_pruning_reaches_parquet(spark):
+    from rxtls_spark.plans.checks import read_schema_columns
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    q = docs.select("doc_id", "lang")
+    cols = read_schema_columns(q)
+    assert cols == {"doc_id", "lang"}, cols
+
+
+def test_pages_generation_prunes_documents_columns(spark):
+    """The pages synthesis must not drag source/n_chars through the
+    mapInPandas boundary."""
+    from rxtls_spark.datagen.pages import pages_df
+    from rxtls_spark.plans.checks import read_schema_columns
+
+    cols = read_schema_columns(pages_df(spark, SF_SMOKE))
+    assert cols == {"doc_id", "text", "lang"}, cols
+
+
+def test_relational_broadcast_choice(spark):
+    """nation/region joins broadcast; customer×orders may shuffle (both
+    large at 100 TB) — exactly the strategies SURVEY §2.3 prescribes."""
+    from rxtls_spark.plans.checks import has_broadcast_join
+    from rxtls_spark.queries_relational import q_supplier_by_region
+
+    assert has_broadcast_join(q_supplier_by_region(spark, SF_SMOKE))
+
+
+def test_codegen_covers_jvm_stages(spark, flagship_df):
+    from rxtls_spark.plans.checks import codegen_stage_count
+
+    assert codegen_stage_count(flagship_df.groupBy("route").count()) >= 1

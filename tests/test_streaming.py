@@ -1,0 +1,114 @@
+"""Streaming-vs-batch agreement: the streaming pipeline (availableNow
+micro-batches over a parquet directory) must produce exactly the batch
+pipeline's per-route counts, and restarting from the checkpoint must
+not duplicate output (exactly-once)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    """Materialize sf0.001 pages as a multi-file parquet dir (the
+    streaming source)."""
+    from rxtls_spark.datagen.pages import pages_df
+
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    pages_df(spark, SF_SMOKE).repartition(6).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch_window_counts(spark, pages_dir):
+    from rxtls_spark.datagen.lookups import log_operators_df
+    from rxtls_spark.pipeline import enriched
+
+    pages = spark.read.parquet(pages_dir)
+    df = enriched(pages, log_operators_df(spark))
+    return {
+        (r["route"], r["window_start"]): (r["n_pages"], r["n_domains"])
+        for r in df.groupBy(
+            "route", F.window("warc_ts", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.size("all_domains")).alias("n_domains"),
+        )
+        .select(
+            "route",
+            F.unix_timestamp("w.start").cast("long").alias("window_start"),
+            "n_pages",
+            "n_domains",
+        )
+        .collect()
+    }
+
+
+def test_streaming_equals_batch(spark, pages_dir, tmp_path):
+    from rxtls_spark.datagen.lookups import log_operators_df
+    from rxtls_spark.streaming.pipeline import start_windowed_counts
+
+    out = str(tmp_path / "stream_out")
+    # single availableNow batch: with multi-file micro-batches the file
+    # order is mtime-arbitrary, so late-vs-watermark drops are
+    # nondeterministic — real sources deliver roughly time-ordered data
+    q = start_windowed_counts(
+        spark, pages_dir, out, log_operators_df(spark), max_files_per_trigger=None
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["route"], r["window_start"]): (r["n_pages"], r["n_domains"])
+        for r in spark.read.parquet(os.path.join(out, "window_counts")).collect()
+    }
+    batch = _batch_window_counts(spark, pages_dir)
+    # append-mode watermark semantics: windows still open when the
+    # bounded stream ends (end > max_event_time - watermark) are
+    # correctly withheld; everything emitted must match batch exactly.
+    # the watermark lands at max_event_time − 1h, somewhere INSIDE the
+    # last window — so windows ending within (watermark, end] stay open;
+    # provably-closed ones end ≥ 2 windows before the last window start
+    last_ws = max(ws for _, ws in batch)
+    closed = {k: v for k, v in batch.items() if k[1] + 3600 <= last_ws - 3600}
+    assert got.items() <= batch.items()  # emitted ⊆ batch, values equal
+    assert closed.items() <= got.items()  # every closed window emitted
+    withheld = set(batch) - set(got)
+    assert all(ws + 3600 > last_ws - 3600 for _, ws in withheld), withheld
+
+
+def test_streaming_restart_is_noop(spark, pages_dir, tmp_path):
+    """Rerunning with the same checkpoint must not re-emit rows."""
+    from rxtls_spark.datagen.lookups import log_operators_df
+    from rxtls_spark.streaming.pipeline import start_windowed_counts
+
+    out = str(tmp_path / "restart_out")
+    ops = log_operators_df(spark)
+    q1 = start_windowed_counts(spark, pages_dir, out, ops)
+    q1.awaitTermination(300)
+    n1 = spark.read.parquet(os.path.join(out, "window_counts")).count()
+    q2 = start_windowed_counts(spark, pages_dir, out, ops)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(os.path.join(out, "window_counts")).count()
+    assert n1 == n2 > 0
+
+
+def test_foreachbatch_multisink(spark, pages_dir, tmp_path):
+    from rxtls_spark.datagen.lookups import log_operators_df
+    from rxtls_spark.pipeline import enriched
+    from rxtls_spark.streaming.pipeline import start_routed_sink
+
+    out = str(tmp_path / "routed_out")
+    q = start_routed_sink(spark, pages_dir, out, log_operators_df(spark))
+    q.awaitTermination(300)
+
+    routed = spark.read.parquet(os.path.join(out, "routed"))
+    batch = enriched(
+        spark.read.parquet(pages_dir), log_operators_df(spark)
+    )
+    assert routed.count() == batch.count()
+    # partition dirs exist per (lang, suffix_group)
+    langs = {r["lang"] for r in routed.select("lang").distinct().collect()}
+    assert len(langs) >= 3
