@@ -96,6 +96,62 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard on the injected dup pairs — pure JVM array
+    math (split/transform/array_intersect/array_union), SQL-mirrored.
+    Validates the Jaccard computation itself; the LSH pipeline applies
+    it at scale over candidate pairs only."""
+
+    def shingles(col):
+        words = F.split(F.lower(F.trim(col)), "\\s+")
+        n = F.size(words)
+        return F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0).select(
+        "doc_id", F.col("text").alias("text_a")
+    )
+    near = base.select(
+        "doc_id",
+        F.col("text_a"),
+        F.concat(F.col("text_a"), F.lit(" extra!")).alias("text_b"),
+    )
+    sa, sb = shingles(F.col("text_a")), shingles(F.col("text_b"))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return near.select(
+        "doc_id",
+        F.round(inter / union, 5).alias("jaccard_near"),
+    )
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rxtls_spark.operators.embedding_dedup import (
+        embedding_dup_pairs,
+        with_injected_embedding_dups,
+    )
+
+    return embedding_dup_pairs(
+        with_injected_embedding_dups(_emb(spark, sf_dir)), threshold=0.8
+    )
+
+
+def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rxtls_spark.operators.embedding_dedup import (
+        embedding_dup_pairs_lsh,
+        with_injected_embedding_dups,
+    )
+
+    return embedding_dup_pairs_lsh(
+        with_injected_embedding_dups(_emb(spark, sf_dir)), threshold=0.8
+    )
+
+
 # --- similarity -----------------------------------------------------------------
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,6 +190,9 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_minhash_near_dups,
     "dedup_simhash": q_simhash_near_dups,
     "doc_fingerprints": q_doc_fingerprints,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_embedding": q_embedding_dups,
+    "dedup_embedding_lsh": q_embedding_dups_lsh,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "embedding_stats": q_embedding_stats,
@@ -277,7 +336,46 @@ SELECT CAST(sum((body_bytes // 64 + 3) // 4) AS BIGINT) AS n_frames,
        CAST(count(*) AS BIGINT) AS n_videos
 FROM media WHERE kind = 'video'
 """,
-        # dedup_minhash_lsh / dedup_simhash / doc_fingerprints / ann_lsh:
-        # intentionally no oracle (xxh3/LSH not expressible in DuckDB);
-        # exact semantics locked by tests/test_dedup.py instead.
+        "ngram_jaccard": """
+WITH pairs AS (
+  SELECT doc_id, text AS text_a, text || ' extra!' AS text_b
+  FROM documents WHERE doc_id % 20 = 0
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text_a)), '\\s+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text_a)), '\\s+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text_a)), '\\s+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text_a)), '\\s+'), ' ')]
+    END AS sa,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text_b)), '\\s+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text_b)), '\\s+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text_b)), '\\s+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text_b)), '\\s+'), ' ')]
+    END AS sb
+  FROM pairs
+)
+SELECT doc_id,
+  round(
+    len(list_filter(list_distinct(sa), x -> list_contains(sb, x)))::DOUBLE
+    / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 5) AS jaccard_near
+FROM sh
+""",
+        "dedup_embedding": """
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             * 100000) AS BIGINT) AS sim_e5
+FROM emb a, emb b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+""",
+        # dedup_minhash_lsh / dedup_simhash / doc_fingerprints / ann_lsh /
+        # dedup_embedding_lsh: intentionally no oracle (xxh3/LSH not
+        # expressible in DuckDB); semantics locked by pytest instead.
     }

@@ -1,0 +1,76 @@
+"""Routing/salting tests: deterministic salted placement, skew spread,
+host extraction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from rxtls_spark.datagen.pages import pages_df
+
+    return pages_df(spark, SF_SMOKE).cache()
+
+
+def test_host_of_url(spark, pages):
+    from rxtls_spark.operators.route import host_of_url
+
+    rows = pages.select("url", host_of_url().alias("h")).limit(50).collect()
+    for r in rows:
+        assert r["url"].startswith(f"https://{r['h']}/"), r
+
+
+def test_hot_hosts_are_skewed(spark, pages):
+    """The synthetic table must actually exercise skew: top-3 hosts
+    carry ~32% of rows (15+10+7, spec.host_idx)."""
+    from rxtls_spark.operators.route import host_of_url
+
+    counts = sorted(
+        (
+            r["n"]
+            for r in pages.select(host_of_url().alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    total = sum(counts)
+    assert 0.25 < sum(counts[:3]) / total < 0.40
+
+
+def test_salted_repartition_spreads_hot_keys(spark, pages):
+    """Without salt, one hot host pins ~15% of rows to one partition;
+    with salt the max partition stays near uniform."""
+    from rxtls_spark.operators.route import host_of_url, salted_repartition
+
+    n_parts = 16
+    with_host = pages.withColumn("host", host_of_url())
+    plain = with_host.repartition(n_parts, F.col("host"))
+    salted = salted_repartition(with_host, "host", n_parts, salt_buckets=16)
+
+    def max_share(df):
+        sizes = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in sizes)
+        return max(r["n"] for r in sizes) / total
+
+    assert max_share(salted) < max_share(plain)
+    assert max_share(salted) < 2.5 / n_parts  # near-uniform
+
+
+def test_salted_repartition_deterministic(spark, pages):
+    from rxtls_spark.operators.route import salted_repartition
+
+    df = salted_repartition(pages, "lang", 8)
+    a = df.withColumn("pid", F.spark_partition_id()).select("url", "pid")
+    b = salted_repartition(pages, "lang", 8).withColumn(
+        "pid", F.spark_partition_id()
+    ).select("url", "pid")
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
