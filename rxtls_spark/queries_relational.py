@@ -89,12 +89,45 @@ def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — restricted to 'F' orders so the result is non-empty
+    (every customer has SOME order in the synthetic data, which would
+    make the check vacuous)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization in batch: 30-min-gap sessions per user via
+    lag + conditional cumsum over an ordered window — the classic
+    pattern, fully oracle-able."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("duration_s").cast("long").alias("max_duration_s"),
     )
 
 
@@ -209,6 +242,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_events_user_stats": q_events_user_stats,
     "rel_set_ops": q_set_ops,
     "rel_priority_tokens": q_orders_per_priority_bucket,
+    "rel_event_sessions": q_event_sessions,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -244,8 +278,37 @@ GROUP BY 1
 """,
     "rel_customers_without_orders": """
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
-FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+FROM customer c WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 GROUP BY 1
+""",
+    "rel_event_sessions": """
+-- floor(epoch) everywhere: Spark's unix_timestamp truncates to whole
+-- seconds, DuckDB's epoch keeps microseconds
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(es) - min(es) AS duration_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(duration_s) AS BIGINT) AS max_duration_s
+FROM per_session GROUP BY 1
 """,
     "rel_top_orders_per_customer": """
 SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, round(o_totalprice, 2) AS price
