@@ -89,6 +89,13 @@ def main() -> None:
         return df
 
     def q_parse_route_agg():
+        from rxtls_spark.pipeline import route_counts
+
+        route_counts(pages, ops).collect()
+
+    def q_parse_route_agg_full():
+        # full-width parse (all fields incl. text + hashes) — the
+        # materialization path's cost, vs the lite aggregate path
         flagship().groupBy("route").agg(
             F.count("*").alias("n"), F.sum(F.size("all_domains")).alias("d")
         ).collect()
@@ -119,18 +126,21 @@ def main() -> None:
 
     benches = {
         "parse_route_agg": q_parse_route_agg,
+        "parse_route_agg_full": q_parse_route_agg_full,
         "routed_write": q_routed_write,
         "distinct_domains": q_distinct_domains,
         "operator_windows": q_operator_windows,
         "scan_agg_jvm": q_scan_agg_jvm_only,
     }
 
-    # warm-up: one full untimed flagship run. This forks + import-warms
-    # the Python UDF worker on every core (a small sample doesn't — its
-    # tasks finish before all 32 workers fork) and JIT-compiles the
-    # codegen'd stages.  A real cluster amortizes this one-time cost
-    # over the whole 100 TB job, so sustained throughput excludes it.
+    # warm-up: one untimed run of each parse variant. This forks +
+    # import-warms the Python UDF worker on every core (a small sample
+    # doesn't — its tasks finish before all 32 workers fork) and
+    # JIT-compiles the codegen'd stages.  A real cluster amortizes this
+    # one-time cost over the whole 100 TB job, so sustained throughput
+    # excludes it.
     q_parse_route_agg()
+    q_parse_route_agg_full()
 
     times: dict[str, float] = {}
     for name, fn in benches.items():

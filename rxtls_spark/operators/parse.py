@@ -104,11 +104,55 @@ def parse_page_udf(html: pd.Series) -> pd.DataFrame:
                 cols[name].append(rec[name])
         i += 1
     if hash_rows:
-        for j, h in zip(hash_rows, xxh3_hex_batch(org_inputs)):
-            cols["domain_org_hash"][j] = h
+        # org-hash inputs repeat across certs sharing a SAN set — hash
+        # the distinct set once and fan results back out
+        uniq: dict[bytes, int] = {}
+        idx = [uniq.setdefault(s, len(uniq)) for s in org_inputs]
+        uniq_hashes = xxh3_hex_batch(list(uniq))
+        for j, k in zip(hash_rows, idx):
+            cols["domain_org_hash"][j] = uniq_hashes[k]
         for j, h in zip(hash_rows, xxh3_hex_batch(chain_inputs)):
             cols["chain_hash"][j] = h
     return pd.DataFrame(cols, columns=_FIELDS)
+
+
+LITE_SCHEMA = StructType(
+    [
+        StructField("entry_type", StringType(), True),
+        StructField("issuer_cn", StringType(), True),
+        StructField("primary_domain", StringType(), True),
+        StructField("n_domains", LongType(), True),
+    ]
+)
+
+_LITE_FIELDS = [f.name for f in LITE_SCHEMA.fields]
+
+
+@pandas_udf(LITE_SCHEMA)
+def parse_page_lite_udf(html: pd.Series) -> pd.DataFrame:
+    """Projection-pushdown variant for aggregate-only consumers: same
+    framing parse + normalize, but no text decode, no output arrays, no
+    content hashes — 5× narrower Arrow transfer and ~half the Python
+    work.  Spark cannot prune columns through a UDF, so the pushdown is
+    done by choosing the UDF variant at plan-build time (pipeline.py)."""
+    from rxtls_spark.functions.normalize import (
+        primary_domain,
+        sorted_normalized_domains,
+    )
+
+    cols: dict[str, list] = {name: [] for name in _LITE_FIELDS}
+    for buf in html:
+        rec = parse_html(bytes(buf), want_text=False) if buf is not None else None
+        if rec is None:
+            for name in _LITE_FIELDS:
+                cols[name].append(None)
+        else:
+            norm = sorted_normalized_domains(rec["all_domains"])
+            cols["entry_type"].append(rec["entry_type"])
+            cols["issuer_cn"].append(rec["issuer_cn"])
+            cols["primary_domain"].append(primary_domain(norm))
+            cols["n_domains"].append(len(rec["all_domains"]))
+    return pd.DataFrame(cols, columns=_LITE_FIELDS)
 
 
 def parsed_col() -> Column:

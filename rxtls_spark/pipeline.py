@@ -51,14 +51,24 @@ def enriched(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
 
 
 def route_counts(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
-    """Per-sink aggregate counts (A6, domain_extractor.go:642-705)."""
-    return (
-        enriched(pages, log_operators)
-        .groupBy("route")
-        .agg(
-            F.count("*").alias("n_pages"),
-            F.sum(F.size("all_domains")).alias("n_domains"),
-        )
+    """Per-sink aggregate counts (A6, domain_extractor.go:642-705).
+
+    Uses the lite parse variant: an aggregate consumer never reads the
+    arrays/hashes/text, and Spark can't prune through a UDF — choosing
+    the narrow UDF at plan-build time is the projection pushdown."""
+    from rxtls_spark.operators.parse import parse_page_lite_udf
+
+    parsed = pages.select(
+        "lang", parse_page_lite_udf(F.col("html")).alias("p")
+    )
+    valid = parsed.filter(F.col("p.entry_type").isNotNull()).select("lang", "p.*")
+    with_op = enrich_operator(valid, log_operators)
+    routed = with_op.withColumn(
+        "suffix_group", suffix_group_expr(tld_suffixes_rows())
+    ).withColumn("route", route_key())
+    return routed.groupBy("route").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_domains").alias("n_domains"),
     )
 
 

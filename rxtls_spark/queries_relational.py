@@ -200,6 +200,33 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotals + grand total in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
 # --- set operations (SURVEY §2.7) ---------------------------------------------
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,6 +270,8 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_set_ops": q_set_ops,
     "rel_priority_tokens": q_orders_per_priority_bucket,
     "rel_event_sessions": q_event_sessions,
+    "rel_rollup_pricing": q_rollup_pricing,
+    "rel_exact_median": q_exact_median,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -352,6 +381,20 @@ SELECT CAST((SELECT count(DISTINCT o_custkey) FROM orders
                EXCEPT
                SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F')) AS BIGINT)
          AS n_except
+""",
+    "rel_rollup_pricing": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "rel_exact_median": """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY 1
 """,
     "rel_priority_tokens": """
 SELECT tok, CAST(count(*) AS BIGINT) AS n

@@ -31,8 +31,11 @@ from rxtls_spark.functions.normalize import (
 _INT_KEYS = {"not_before", "not_after", "leaf_offset"}
 
 
-def parse_html(buf: bytes) -> dict[str, Any] | None:
-    """Decode one framed record → flat dict, or None on malformed input."""
+def parse_html(buf: bytes, want_text: bool = True) -> dict[str, Any] | None:
+    """Decode one framed record → flat dict, or None on malformed input.
+
+    ``want_text=False`` skips the base64 text decode (projection
+    pushdown for consumers that never read extracted_text)."""
     if buf is None or len(buf) < 15:
         return None
     if buf[0] != 0 or buf[1] != 0:
@@ -82,7 +85,8 @@ def parse_html(buf: bytes) -> dict[str, Any] | None:
             if key == "san":
                 sans.append(value)
             elif key == "text":
-                fields["extracted_text"] = base64.b64decode(value)
+                if want_text:
+                    fields["extracted_text"] = base64.b64decode(value)
             elif key in _INT_KEYS:
                 fields[key] = int(value)
             elif key in fields:
