@@ -142,9 +142,12 @@ def main() -> None:
     q_parse_route_agg()
     q_parse_route_agg_full()
 
+    # best-of-N: the shared-host VM shows ±40% run-to-run noise; min is
+    # the honest estimator of the engine's cost (noise only adds time)
+    default_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
     times: dict[str, float] = {}
     for name, fn in benches.items():
-        runs = 2 if name == "parse_route_agg" else 1
+        runs = max(default_runs, 2 if name == "parse_route_agg" else 1)
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -163,7 +166,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pages": n_pages,
         "pages_per_sec": pps,
+        "pages_per_sec_full": round(n_pages / times["parse_route_agg_full"], 1),
         "cpus": cpus,
+        # interpretability: this VM shows heavy time-varying host
+        # contention; a high load baseline explains a slow sample
+        "loadavg_1m": round(os.getloadavg()[0], 1),
     }
     print(json.dumps(result))
     spark.stop()

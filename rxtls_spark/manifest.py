@@ -157,12 +157,18 @@ class CheckpointedPipeline:
 
     def summary(self) -> dict:
         recs = self.records()
+        n_input = sum(r["n_input"] for r in recs)
+        n_failed = sum(r["n_parse_failed"] for r in recs)
         return {
             "buckets_committed": len(recs),
             "n_buckets": self.n_buckets,
             "complete": len(recs) == self.n_buckets,
-            "n_input": sum(r["n_input"] for r in recs),
+            "n_input": n_input,
             "n_routed": sum(r["n_routed"] for r in recs),
-            "n_parse_failed": sum(r["n_parse_failed"] for r in recs),
+            "n_parse_failed": n_failed,
             "n_domains": sum(r["n_domains"] for r in recs),
+            # A5 analog (GetRetryRate, domain_extractor.go:195-200) +
+            # the job failure gate (fail if ≥10%, download_manager.go:319-321)
+            "failure_rate": round(n_failed / n_input, 6) if n_input else 0.0,
+            "failure_gate_ok": (n_failed * 10 < n_input) if n_input else True,
         }

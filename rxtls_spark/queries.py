@@ -223,6 +223,26 @@ def _q_validity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship aggregate through the SQL API surface — the
+    declarative front end users get via spark.sql over registered
+    views (the engine is DataFrame/SQL-equivalent by construction)."""
+    from rxtls_spark.pipeline import enriched
+
+    enriched(pages_df(spark, sf_dir), log_operators_df(spark)).createOrReplaceTempView(
+        "routed_pages"
+    )
+    return spark.sql(
+        """
+        SELECT route,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(size(all_domains)) AS BIGINT) AS n_domains
+        FROM routed_pages
+        GROUP BY route
+        """
+    )
+
+
 _LOG_LIST_V3 = "/root/repo/fixtures/log_list_v3.json"
 
 
@@ -283,6 +303,7 @@ QUERIES_PIPELINE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_hashes": _q_hashes,
     "catalog_usable": _q_catalog_usable,
     "domains_csv_lines": _q_csv_lines,
+    "sql_route_counts": _q_sql_route_counts,
 }
 
 
@@ -363,6 +384,13 @@ SELECT CAST(min(nb_epoch) AS BIGINT) AS min_nb,
        CAST(max(nb_epoch + 7776000) AS BIGINT) AS max_na,
        avg(7776000.0) AS avg_validity_s
 FROM pd WHERE NOT malformed
+""",
+        "sql_route_counts": cte + """
+SELECT lang || '|' || suffix_group AS route,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(1 + n_sans - dup_san) AS BIGINT) AS n_domains
+FROM pd WHERE NOT malformed
+GROUP BY 1
 """,
         "catalog_usable": f"""
 WITH ops AS (

@@ -21,7 +21,11 @@ sys.path.insert(0, REPO)  # rxtls_spark importable in mp workers
 
 
 def run_bench(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, check=True,
