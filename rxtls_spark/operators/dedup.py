@@ -114,21 +114,85 @@ _A = _rng.randint(1, MERSENNE, size=N_MINHASH, dtype=np.int64).astype(np.uint64)
 _B = _rng.randint(0, MERSENNE, size=N_MINHASH, dtype=np.int64).astype(np.uint64)
 
 
+_M61 = np.uint64(MERSENNE)
+
+
+def _mod_m61(x: np.ndarray) -> np.ndarray:
+    """fold a uint64 into [0, 2^61-1) — two folds + conditional sub."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _mulmod_m61(a: np.uint64, h: np.ndarray) -> np.ndarray:
+    """a*h mod M61 exactly, in uint64 lanes: 128-bit product from
+    32-bit halves, then 2^64 ≡ 8 (mod M61) reduction."""
+    m32 = np.uint64(0xFFFFFFFF)
+    a_lo, a_hi = a & m32, a >> np.uint64(32)
+    h_lo, h_hi = h & m32, h >> np.uint64(32)
+    lo_lo = a_lo * h_lo
+    t = a_hi * h_lo + (lo_lo >> np.uint64(32))
+    t2 = a_lo * h_hi + (t & m32)
+    lo = (t2 << np.uint64(32)) | (lo_lo & m32)
+    hi = a_hi * h_hi + (t >> np.uint64(32)) + (t2 >> np.uint64(32))
+    # x = hi*2^64 + lo ≡ hi*8 + lo (mod M61); hi ≤ 2^58 so hi*8 fits
+    return _mod_m61(hi * np.uint64(8) + _mod_m61(lo))
+
+
 def _minhash_sig(shingle_hashes: np.ndarray) -> np.ndarray:
-    """k-permutation minhash over the shingle hash set (vectorized
-    (k, n) broadcast; mod-Mersenne in python ints to avoid overflow)."""
-    h = shingle_hashes.astype(object)[None, :]  # exact big-int math
+    """k-permutation minhash over the shingle hash set — exact
+    (a*h+b) mod (2^61-1) entirely in vectorized uint64."""
+    h61 = _mod_m61(shingle_hashes.astype(np.uint64))
+    out = np.empty(N_MINHASH, dtype=np.uint64)
+    for k in range(N_MINHASH):
+        out[k] = _mod_m61(_mulmod_m61(_A[k], h61) + _B[k]).min()
+    return out
+
+
+def _minhash_sig_reference(shingle_hashes: np.ndarray) -> np.ndarray:
+    """big-int reference implementation (tests assert vec == this)."""
+    h = shingle_hashes.astype(object)[None, :]
     vals = (_A.astype(object)[:, None] * h + _B.astype(object)[:, None]) % MERSENNE
     return np.min(vals, axis=1).astype(np.uint64)
 
 
+def _shingle_strings(text: str) -> list[str]:
+    words = (text or "").lower().split()
+    if len(words) < SHINGLE_K:
+        return [" ".join(words)] if words else [""]
+    return [
+        " ".join(words[i : i + SHINGLE_K])
+        for i in range(len(words) - SHINGLE_K + 1)
+    ]
+
+
+def _minhash_batch(texts) -> list[list[int]]:
+    """Batch path: ALL shingles of the Arrow batch hashed in ONE
+    xxh3 batch call (per-doc numpy-call overhead dominated otherwise),
+    then per-perm ``np.minimum.reduceat`` over doc boundaries.
+    Duplicate shingles are kept — a min is unaffected by multiplicity,
+    so per-doc dedup is pure waste here."""
+    from rxtls_spark.xxh3_vec import xxh3_64_batch
+
+    per_doc = [_shingle_strings(t) for t in texts]
+    if not per_doc:
+        return []
+    offsets = np.zeros(len(per_doc), dtype=np.int64)
+    np.cumsum([len(s) for s in per_doc[:-1]], out=offsets[1:])
+    all_h = _mod_m61(
+        xxh3_64_batch([s.encode("utf-8") for doc in per_doc for s in doc])
+    )
+    sigs = np.empty((len(per_doc), N_MINHASH), dtype=np.uint64)
+    for k in range(N_MINHASH):
+        vals = _mod_m61(_mulmod_m61(_A[k], all_h) + _B[k])
+        sigs[:, k] = np.minimum.reduceat(vals, offsets)
+    mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+    return [[int(v) for v in row & mask] for row in sigs]
+
+
 @pandas_udf(ArrayType(LongType()))
 def minhash_udf(text: pd.Series) -> pd.Series:
-    out = []
-    for t in text:
-        sig = _minhash_sig(_shingle_hashes(t or ""))
-        out.append([int(v) & 0x7FFFFFFFFFFFFFFF for v in sig])
-    return pd.Series(out)
+    return pd.Series(_minhash_batch(list(text)))
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
