@@ -227,6 +227,32 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type averages as columns (fixed key list —
+    at scale you always pass the values to avoid a discovery pass)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    # sums, not averages: an average is a repeating decimal that can sit
+    # exactly on a rounding-half boundary where Spark (HALF_UP) and
+    # DuckDB (half-even) disagree; sums of the data's fixed-precision
+    # values stay far from boundaries
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 4).alias("s"), F.count("value").alias("n"))
+        .select(
+            "user_id",
+            *[F.col(f"{t}_s").alias(f"sum_{t}") for t in types],
+            # empty pivot cell: Spark yields null, DuckDB count FILTER
+            # yields 0 — coalesce to 0
+            *[
+                F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in types
+            ],
+        )
+    )
+
+
 # --- set operations (SURVEY §2.7) ---------------------------------------------
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +298,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_event_sessions": q_event_sessions,
     "rel_rollup_pricing": q_rollup_pricing,
     "rel_exact_median": q_exact_median,
+    "rel_events_pivot": q_events_pivot,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -389,6 +416,16 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "rel_events_pivot": """
+SELECT user_id,
+       round(sum(value) FILTER (event_type = 'click'), 4) AS sum_click,
+       round(sum(value) FILTER (event_type = 'view'), 4) AS sum_view,
+       round(sum(value) FILTER (event_type = 'purchase'), 4) AS sum_purchase,
+       CAST(count(value) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(value) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(value) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase
+FROM events GROUP BY 1
 """,
     "rel_exact_median": """
 SELECT l_returnflag,

@@ -100,3 +100,27 @@ def test_winnow_properties():
     assert set(fps) <= {int(v) for v in mins}
     assert _winnow(np.array([], dtype=np.uint64)) == []
     assert _winnow(np.array([7, 7], dtype=np.uint64)) == [7]
+
+
+def test_minhash_vectorized_equals_bigint_reference():
+    """The uint64 mod-Mersenne path must equal exact big-int math."""
+    import random
+
+    from rxtls_spark.operators.dedup import (
+        _minhash_batch,
+        _minhash_sig_reference,
+        _shingle_hashes,
+    )
+
+    rng = random.Random(3)
+    texts = [
+        " ".join("w%d" % rng.randrange(500) for _ in range(rng.randrange(1, 150)))
+        for _ in range(100)
+    ] + ["", "one", "one two", "a b c d e f"]
+    batch = _minhash_batch(texts)
+    for t, row in zip(texts, batch):
+        exp = [
+            int(v) & 0x7FFFFFFFFFFFFFFF
+            for v in _minhash_sig_reference(_shingle_hashes(t))
+        ]
+        assert row == exp, t[:40]
