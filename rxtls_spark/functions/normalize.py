@@ -18,6 +18,17 @@ Branch order matters:
 
 from __future__ import annotations
 
+# Exactly Go's ``unicode.IsSpace`` set (strings.TrimSpace trims these):
+# Latin-1 fast path '\t' '\n' '\v' '\f' '\r' ' ' U+0085 U+00A0, plus the
+# non-Latin-1 White_Space runes.  Python's no-arg str.strip() is a
+# SUPERSET (it also trims U+001C-U+001F), so we trim this explicit set
+# to stay byte-faithful to the reference (models.go:283).
+GO_TRIM_SET = (
+    "\t\n\v\f\r \x85\xa0"
+    "\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+
 
 # Per-process memo: domain strings repeat heavily across certificates
 # (shared hosts/SANs), and normalization is pure — a bounded dict cache
@@ -42,7 +53,7 @@ def normalize_domain(domain: str) -> str:
 
 
 def _normalize_domain_uncached(domain: str) -> str:
-    domain = domain.strip(" \t\n\r\v\f")
+    domain = domain.strip(GO_TRIM_SET)
     if domain == "" or any(c in domain for c in " \t\n"):
         if any(c in domain for c in " :/") or domain == "::1" or domain.startswith("-"):
             return domain

@@ -100,7 +100,12 @@ WITH base AS (
          ELSE host END AS primary_domain,
     list_prepend(
       CASE WHEN wildcard_cn THEN '*.' || host ELSE host END,
-      list_transform(generate_series(1, n_sans), j -> 'alt' || (j - 1) || '.' || host)
+      -- exact per-row SAN list: when dup_san=1 spec.sans sets out[1]=out[0],
+      -- so the row has NO alt1 (first-seen dedup collapses the repeat)
+      list_filter(
+        list_transform(generate_series(1, n_sans), j -> 'alt' || (j - 1) || '.' || host),
+        x -> NOT (dup_san = 1 AND x = 'alt1.' || host)
+      )
     ) AS normalized_domains
   FROM pages
 )

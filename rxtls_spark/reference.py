@@ -7,8 +7,10 @@ api.go:461-586): version byte must be 0, leaf type 0, uint64-BE
 timestamp, uint16-BE entry type (0=x509 → "X509LogEntry", 1=precert →
 "PrecertLogEntry" with a 32-byte issuer-key-hash skipped first),
 uint24-BE bounds-checked payload length, then a uint16-BE extensions
-length that is skipped.  Any violation → None (parse failure, counted,
-P5 domain_extractor.go:649-659).
+length that is skipped (a missing/truncated length is tolerated as EOF,
+api.go:551-556; an empty payload is rejected, api.go:570-572).  Any
+other violation → None (parse failure, counted, P5
+domain_extractor.go:649-659).
 
 The Spark parse UDF (operators/parse.py) must produce records equal to
 this extractor for every url — tests/test_parse.py asserts it.
@@ -55,12 +57,15 @@ def parse_html(buf: bytes, want_text: bool = True) -> dict[str, Any] | None:
         return None  # oversized/truncated — bounds check (api.go:500-509)
     payload = buf[pos : pos + plen]
     pos += plen
-    if pos + 2 > len(buf):
-        return None
-    ext_len = struct.unpack_from(">H", buf, pos)[0]
-    pos += 2
-    if pos + ext_len > len(buf):
-        return None
+    if pos + 2 <= len(buf):
+        ext_len = struct.unpack_from(">H", buf, pos)[0]
+        pos += 2
+        if ext_len and pos + ext_len > len(buf):
+            return None  # declared extensions exceed remaining (api.go:558-560)
+    # else: missing/truncated extensions length — the reference tolerates
+    # EOF here and continues (api.go:551-556)
+    if plen == 0:
+        return None  # no certificate DER extracted (api.go:570-572)
 
     fields: dict[str, Any] = {
         "entry_type": "PrecertLogEntry" if et == 1 else "X509LogEntry",

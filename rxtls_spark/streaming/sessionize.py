@@ -56,9 +56,9 @@ def sessionize_fn(
     """Emit closed sessions for one user key."""
     (user_id,) = key
     if state.hasTimedOut:
-        start_ms, last_ms, n = state.get
+        start_us, last_us, n = state.get
         state.remove()
-        yield _session_row(user_id, start_ms, last_ms, n)
+        yield _session_row(user_id, start_us, last_us, n)
         return
 
     ts_us: list[int] = []
@@ -67,25 +67,25 @@ def sessionize_fn(
     ts_us.sort()
 
     if state.exists:
-        start_ms, last_ms, n = state.get
+        start_us, last_us, n = state.get
     else:
-        start_ms, last_ms, n = 0, 0, 0
+        start_us, last_us, n = 0, 0, 0
 
     closed = []
     for t in ts_us:
         if n == 0:
-            start_ms, last_ms, n = t, t, 1
-        elif t - last_ms > GAP_S * 1_000_000:
-            closed.append((start_ms, last_ms, n))
-            start_ms, last_ms, n = t, t, 1
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > GAP_S * 1_000_000:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
         else:
             # late-but-within-gap events extend the open session
-            start_ms = min(start_ms, t)
-            last_ms = max(last_ms, t)
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
             n += 1
 
-    state.update((start_ms, last_ms, n))
-    state.setTimeoutTimestamp(last_ms // 1000 + GAP_S * 1000)
+    state.update((start_us, last_us, n))
+    state.setTimeoutTimestamp(last_us // 1000 + GAP_S * 1000)  # us -> ms epoch
     for s, e, cnt in closed:
         yield _session_row(user_id, s, e, cnt)
 

@@ -39,6 +39,14 @@ GOLDEN = [
     ("example-.com", "example-.com"),
     ("a." * 100 + "com", "a." * 100 + "com"),
     ("*x.example.com", "*x.example.com"),  # invalid wildcard label → unchanged
+    # Unicode whitespace parity with Go strings.TrimSpace
+    # (unicode.IsSpace: models.go:283 via strings.TrimSpace) — NBSP,
+    # NEL, ideographic space, thin space are all trimmed.
+    ("\xa0example.com", "example.com"),
+    ("example.com\xa0", "example.com"),
+    ("\x85EXAMPLE.COM\x85", "example.com"),
+    ("　example.com ", "example.com"),
+    ("\xa0\x85 ", ""),  # all-whitespace → trimmed empty → ""
 ]
 
 
