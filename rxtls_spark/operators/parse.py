@@ -33,8 +33,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from rxtls_spark.reference import parse_html
-
 PARSED_SCHEMA = StructType(
     [
         StructField("entry_type", StringType(), True),
@@ -64,10 +62,11 @@ _FIELDS = [f.name for f in PARSED_SCHEMA.fields]
 
 @pandas_udf(PARSED_SCHEMA)
 def parse_page_udf(html: pd.Series) -> pd.DataFrame:
-    """Framing+fields+normalize per row, then batch-vectorized XXH3 for
-    the two content hashes (rxtls_spark.xxh3_vec — numpy over the whole
+    """Framing (numpy-vectorized header decode, rxtls_spark.parse_vec)
+    + fields + normalize per row, then batch-vectorized XXH3 for the
+    two content hashes (rxtls_spark.xxh3_vec — numpy over the whole
     Arrow batch; the scalar path was 150+µs/row, batch is ~5µs)."""
-    import base64
+    from binascii import b2a_base64
 
     from rxtls_spark.functions.normalize import (
         normalize_domain,
@@ -75,34 +74,24 @@ def parse_page_udf(html: pd.Series) -> pd.DataFrame:
         primary_domain,
         sorted_normalized_domains,
     )
+    from rxtls_spark.parse_vec import parse_batch
     from rxtls_spark.xxh3_vec import xxh3_hex_batch
 
-    cols: dict[str, list] = {name: [] for name in _FIELDS}
+    recs = parse_batch(list(html))
     org_inputs: list[bytes] = []
     chain_inputs: list[bytes] = []
     hash_rows: list[int] = []
-    i = 0
-    for buf in html:
-        rec = parse_html(bytes(buf)) if buf is not None else None
+    for i, rec in enumerate(recs):
         if rec is None:
-            for name in _FIELDS:
-                cols[name].append(None)
-        else:
-            norm = sorted_normalized_domains(rec["all_domains"])
-            rec["normalized_domains"] = norm
-            rec["primary_domain"] = primary_domain(norm)
-            rec["output_domains"] = output_domains(norm)
-            rec["normalized_cn"] = normalize_domain(rec["subject_cn"])
-            rec["domain_org_hash"] = None  # batch-filled below
-            rec["chain_hash"] = None
-            org_inputs.append(
-                (",".join(norm) + "|" + rec["subject_o"]).encode("utf-8")
-            )
-            chain_inputs.append(base64.b64encode(rec["payload"]))
-            hash_rows.append(i)
-            for name in _FIELDS:
-                cols[name].append(rec[name])
-        i += 1
+            continue
+        norm = sorted_normalized_domains(rec["all_domains"])
+        rec["normalized_domains"] = norm
+        rec["primary_domain"] = primary_domain(norm)
+        rec["output_domains"] = output_domains(norm)
+        rec["normalized_cn"] = normalize_domain(rec["subject_cn"])
+        org_inputs.append((",".join(norm) + "|" + rec["subject_o"]).encode("utf-8"))
+        chain_inputs.append(b2a_base64(rec["payload"], newline=False))
+        hash_rows.append(i)
     if hash_rows:
         # org-hash inputs repeat across certs sharing a SAN set — hash
         # the distinct set once and fan results back out
@@ -110,9 +99,12 @@ def parse_page_udf(html: pd.Series) -> pd.DataFrame:
         idx = [uniq.setdefault(s, len(uniq)) for s in org_inputs]
         uniq_hashes = xxh3_hex_batch(list(uniq))
         for j, k in zip(hash_rows, idx):
-            cols["domain_org_hash"][j] = uniq_hashes[k]
+            recs[j]["domain_org_hash"] = uniq_hashes[k]
         for j, h in zip(hash_rows, xxh3_hex_batch(chain_inputs)):
-            cols["chain_hash"][j] = h
+            recs[j]["chain_hash"] = h
+    cols = {
+        name: [None if r is None else r[name] for r in recs] for name in _FIELDS
+    }
     return pd.DataFrame(cols, columns=_FIELDS)
 
 
@@ -140,9 +132,11 @@ def parse_page_lite_udf(html: pd.Series) -> pd.DataFrame:
         sorted_normalized_domains,
     )
 
+    from rxtls_spark.parse_vec import parse_batch
+
+    recs = parse_batch(list(html), want_text=False)
     cols: dict[str, list] = {name: [] for name in _LITE_FIELDS}
-    for buf in html:
-        rec = parse_html(bytes(buf), want_text=False) if buf is not None else None
+    for rec in recs:
         if rec is None:
             for name in _LITE_FIELDS:
                 cols[name].append(None)

@@ -53,11 +53,17 @@ _LANE_SWAP = np.array([1, 0, 3, 2, 5, 4, 7, 6])
 def _gather64(buf: np.ndarray, rows: np.ndarray, offs, count: int) -> np.ndarray:
     """read ``count`` consecutive u64 at byte offset ``offs`` (scalar or
     per-row vector) for the given row indices → (len(rows), count)."""
-    if np.isscalar(offs):
-        sl = buf[rows, offs : offs + 8 * count]
-    else:
-        idx = np.asarray(offs, dtype=np.int64)[:, None] + np.arange(8 * count)
-        sl = buf[rows[:, None], idx]
+    if not np.isscalar(offs):
+        # uniform vector offsets (stripe loops over same-block rows) hit
+        # the contiguous row-slice path — ~4× faster than a 2-D gather
+        offs = np.asarray(offs, dtype=np.int64)
+        if offs.size and offs[0] == offs[-1] and (offs == offs[0]).all():
+            offs = int(offs[0])
+        else:
+            idx = offs[:, None] + np.arange(8 * count)
+            sl = buf[rows[:, None], idx]
+            return np.ascontiguousarray(sl).view("<u8").reshape(len(rows), count)
+    sl = buf[rows, offs : offs + 8 * count]
     return np.ascontiguousarray(sl).view("<u8").reshape(len(rows), count)
 
 
@@ -116,6 +122,8 @@ def xxh3_64_batch(items) -> np.ndarray:
     lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
     max_len = int(lens.max()) if n else 0
     # pad 8 bytes so full-width u64 gathers at (len-8) never run off
+    # (row-wise fill: a flat index scatter is ~3× the temporaries and
+    # loses under this host's memory-bandwidth contention)
     buf = np.zeros((n, max(max_len, 1) + 8), dtype=np.uint8)
     for i, b in enumerate(items):
         if b:
@@ -203,9 +211,19 @@ def xxh3_64_batch(items) -> np.ndarray:
     return out
 
 
+_SEC_STRIPE: dict[int, np.ndarray] = {}
+
+
+def _stripe_secret(soff: int) -> np.ndarray:
+    sec = _SEC_STRIPE.get(soff)
+    if sec is None:
+        sec = np.array([_SEC64[soff + 8 * i] for i in range(8)], dtype=np.uint64)
+        _SEC_STRIPE[soff] = sec
+    return sec
+
+
 def _accumulate_stripe(acc: np.ndarray, dv: np.ndarray, soff: int) -> None:
-    sec = np.array([_SEC64[soff + 8 * i] for i in range(8)], dtype=np.uint64)
-    dk = dv ^ sec[None, :]
+    dk = dv ^ _stripe_secret(soff)[None, :]
     acc += dv[:, _LANE_SWAP]
     acc += (dk & _M32) * (dk >> U(32))
 
