@@ -23,6 +23,16 @@ At 100 TB: every family is shuffle-bounded by groupBy on a hash/band
 key (no cross join anywhere); skewed buckets (boilerplate shingles)
 are handled by AQE skew splitting, and the candidate-pair verify is
 per-bucket local.
+
+Hot buckets: a (band, value) bucket holding b docs yields O(b²)
+candidate pairs — boilerplate-heavy corpora put millions of docs in one
+bucket and AQE skew-split relieves task skew but not pair count.  Both
+LSH families therefore cap bucket size (DEFAULT_BUCKET_CAP): rows in
+over-cap buckets are dropped from candidate generation for THAT band
+only (other bands still probe them), and the drops are observable via
+``lsh_dropped_buckets``/``simhash_dropped_buckets`` — no silent caps.
+Docs sharing an over-cap bucket are overwhelmingly exact duplicates of
+one boilerplate text; the exact md5 pass catches those.
 """
 
 from __future__ import annotations
@@ -38,6 +48,37 @@ MERSENNE = (1 << 61) - 1
 N_MINHASH = 64
 N_BANDS = 16  # 4 rows per band
 SHINGLE_K = 3  # word 3-grams
+
+# Max docs per LSH bucket before it is excluded from candidate
+# generation (bounded at cap² pairs ≈ 500k per hot bucket).
+DEFAULT_BUCKET_CAP = 1000
+
+
+def _cap_buckets(banded: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Drop rows in over-cap buckets.  The window count shuffles on the
+    same key as the downstream self-join, so AQE reuses the exchange —
+    one extra sort, no extra shuffle of the banded rows."""
+    if cap is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= cap)
+        .drop("_bsz")
+    )
+
+
+def _dropped_buckets(banded: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """The audit side of the cap: every excluded bucket with its size.
+    Run this alongside a capped dedup and surface the counts — a capped
+    pipeline that doesn't report drops is silently lossy."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > cap)
+    )
 
 
 def with_injected_dups(documents: DataFrame) -> DataFrame:
@@ -199,15 +240,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", minhash_udf(F.col("text")).alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """band the signature, bucket-join, emit candidate pairs (a < b).
-
-    The self-join is on (band, band_hash) — both sides shuffled by the
-    bucket key, never a cross join; at 10^12 rows this is the only
-    scalable near-dup join shape.
-    """
+def lsh_banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) — one row per signature band."""
     rows_per_band = N_MINHASH // N_BANDS
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -220,6 +256,26 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_dropped_buckets(
+    sigs: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """(band, band_hash, bucket_size) of buckets the cap excluded."""
+    return _dropped_buckets(lsh_banded(sigs), ["band", "band_hash"], bucket_cap)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """band the signature, bucket-join, emit candidate pairs (a < b).
+
+    The self-join is on (band, band_hash) — both sides shuffled by the
+    bucket key, never a cross join; at 10^12 rows this is the only
+    scalable near-dup join shape.  Buckets above ``bucket_cap`` are
+    excluded (O(b²) pair blowup); audit with ``lsh_dropped_buckets``.
+    """
+    banded = _cap_buckets(lsh_banded(sigs), ["band", "band_hash"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -249,10 +305,14 @@ def jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def minhash_near_dups(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
     """Full pipeline: signatures → LSH candidates → exact-Jaccard verify."""
     sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs)
+    cands = lsh_candidate_pairs(sigs, bucket_cap)
     texts = docs.select("doc_id", "text")
     paired = (
         cands.join(texts.withColumnsRenamed({"doc_id": "doc_a", "text": "text_a"}), "doc_a")
@@ -347,11 +407,10 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     )
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Hamming-≤k pairs via 4-band pigeonhole bucketing (any equal
-    16-bit band → candidate) then exact popcount verify."""
+def simhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, band, band_val) — 4×16-bit pigeonhole bands."""
     sigs = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         "sh",
         F.posexplode(
@@ -363,6 +422,23 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("band", "band_val"),
     )
+
+
+def simhash_dropped_buckets(
+    docs: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    return _dropped_buckets(simhash_banded(docs), ["band", "band_val"], bucket_cap)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Hamming-≤k pairs via 4-band pigeonhole bucketing (any equal
+    16-bit band → candidate) then exact popcount verify.  Over-cap
+    buckets excluded; audit with ``simhash_dropped_buckets``."""
+    banded = _cap_buckets(simhash_banded(docs), ["band", "band_val"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -84,12 +84,84 @@ def q_normalized_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dup_groups(with_injected_dups(_docs(spark, sf_dir)))
 
 
+def _word_shingles(col):
+    """Word-3-gram array — pure JVM (split/transform/slice), mirrored
+    1:1 by the DuckDB regexp_split_to_array/list_transform SQL."""
+    words = F.split(F.lower(F.trim(col)), "\\s+")
+    n = F.size(words)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def _expected_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """The injected pairs the LSH pipeline MUST recover, with their
+    string-shingle Jaccard (exact copies: 1.0; near copies: computed
+    with the same JVM array ops as q_ngram_jaccard).  Pairs below the
+    0.7 pipeline threshold are excluded on both engines identically."""
+    base = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    exact = base.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    sa = _word_shingles(F.col("text"))
+    sb = _word_shingles(F.concat(F.col("text"), F.lit(" extra!")))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    near = base.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_b"),
+        F.round(inter / union, 5).alias("jaccard"),
+    )
+    return exact.unionByName(near).where(F.col("jaccard") >= 0.7)
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_near_dups(with_injected_dups(_docs(spark, sf_dir)), 0.7)
+    """Injected-pair recovery — oracle-checkable even though minhash
+    signatures aren't SQL-expressible: the expected pair set and its
+    Jaccard are pure doc_id/text formulas, and `recovered` must be 1
+    for every row (exact copies share all bands structurally; near
+    copies sit far above the threshold).  Full pair-set semantics stay
+    locked by tests/test_dedup.py brute-force comparisons."""
+    docs = _docs(spark, sf_dir)
+    rec = minhash_near_dups(with_injected_dups(docs), 0.7).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    return (
+        _expected_minhash_pairs(docs)
+        .join(rec, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("recovered"),
+        )
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dups(with_injected_dups(_docs(spark, sf_dir)), 3)
+    """Exact-copy recovery through the simhash pipeline: identical text
+    → identical signature → hamming 0 and all 4 bands equal, so every
+    (d, d+1e9) pair is structurally guaranteed — any pipeline break
+    (banding, join, popcount, cap) flips a row and fails the hash."""
+    docs = _docs(spark, sf_dir)
+    rec = simhash_near_dups(with_injected_dups(docs), 3).select(
+        "doc_a", "doc_b", "hamming"
+    )
+    expected = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_b"),
+    )
+    return expected.join(rec, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("hamming"), F.lit(-1)).cast("int").alias("hamming"),
+    )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,13 +214,37 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injected-copy recovery through the hyperplane-LSH path: an exact
+    copy has identical buckets in every table, so every (v, v+1e6) pair
+    must be recovered; sim_e5 recomputed directly on the pair so both
+    engines evaluate the same float fold."""
     from rxtls_spark.operators.embedding_dedup import (
         embedding_dup_pairs_lsh,
         with_injected_embedding_dups,
     )
+    from rxtls_spark.operators.similarity import cosine_expr
 
-    return embedding_dup_pairs_lsh(
-        with_injected_embedding_dups(_emb(spark, sf_dir)), threshold=0.8
+    emb = _emb(spark, sf_dir)
+    lsh = embedding_dup_pairs_lsh(
+        with_injected_embedding_dups(emb), threshold=0.8
+    ).select("vec_a", "vec_b", F.lit(1).alias("hit"))
+    expected = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("vec_a"),
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_b"),
+        F.col("embedding").alias("emb_a"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        expected.withColumn(
+            "sim_e5", F.floor(cosine_expr("emb_a", "emb_b") * 100000).cast("long")
+        )
+        .join(lsh, ["vec_a", "vec_b"], "left")
+        .select(
+            "vec_a",
+            "vec_b",
+            "sim_e5",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("recovered"),
+        )
     )
 
 
@@ -375,7 +471,52 @@ FROM emb a, emb b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
 """,
-        # dedup_minhash_lsh / dedup_simhash / doc_fingerprints / ann_lsh /
-        # dedup_embedding_lsh: intentionally no oracle (xxh3/LSH not
-        # expressible in DuckDB); semantics locked by pytest instead.
+        # Recovery-shaped oracles: signatures aren't SQL-expressible,
+        # but the injected pair set + its Jaccard/cosine are pure
+        # formulas, and recovery is structurally guaranteed (identical
+        # text/embedding → identical signature/buckets).
+        "dedup_minhash_lsh": """
+WITH near AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')]
+    END AS sa,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+'), ' ')]
+    END AS sb
+  FROM documents WHERE doc_id % 20 = 0
+), expected AS (
+  SELECT doc_id AS doc_a, doc_id + 1000000000 AS doc_b, 1.0 AS jaccard
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 2000000000,
+    round(
+      len(list_filter(list_distinct(sa), x -> list_contains(sb, x)))::DOUBLE
+      / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 5)
+  FROM near
+)
+SELECT doc_a, doc_b, jaccard, CAST(1 AS BIGINT) AS recovered
+FROM expected WHERE jaccard >= 0.7
+""",
+        "dedup_simhash": """
+SELECT doc_id AS doc_a, doc_id + 1000000000 AS doc_b,
+       CAST(0 AS INTEGER) AS hamming
+FROM documents WHERE doc_id % 20 = 0
+""",
+        "dedup_embedding_lsh": """
+SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
+  CAST(floor(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])
+             * 100000) AS BIGINT) AS sim_e5,
+  CAST(1 AS BIGINT) AS recovered
+FROM embeddings WHERE vec_id % 25 = 0
+""",
+        # doc_fingerprints / ann_lsh: intentionally no oracle (xxh3
+        # winnowing and hyperplane bucket membership aren't expressible
+        # in DuckDB); semantics locked by pytest instead.
     }

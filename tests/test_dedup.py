@@ -124,3 +124,86 @@ def test_minhash_vectorized_equals_bigint_reference():
             for v in _minhash_sig_reference(_shingle_hashes(t))
         ]
         assert row == exp, t[:40]
+
+
+def _unique_text(i: int, n_words: int = 40) -> str:
+    return " ".join(f"tok{i}x{j}" for j in range(n_words))
+
+
+@pytest.fixture(scope="module")
+def adversarial(spark):
+    """10k identical-boilerplate docs + 5 distinct docs with injected
+    exact (+1e9) and near (+2e9) duplicates — the hot-bucket corpus."""
+    from rxtls_spark.operators.dedup import with_injected_dups
+
+    base = spark.createDataFrame(
+        [(i, _unique_text(i), "en") for i in range(0, 100, 20)],
+        "doc_id long, text string, lang string",
+    )
+    boiler = spark.range(10_000).select(
+        (F.col("id") + 500_000).alias("doc_id"),
+        F.lit("the same boilerplate spam text on every mirror page").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return with_injected_dups(base).unionByName(boiler).cache()
+
+
+def test_minhash_bucket_cap_bounds_hot_bucket(spark, adversarial):
+    """With 10k docs in one bucket the capped pipeline must stay at
+    O(injected²) candidates, still recover every injected pair, and
+    report the dropped buckets (no silent caps)."""
+    from rxtls_spark.operators.dedup import (
+        lsh_banded,
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        minhash_near_dups,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(adversarial).cache()
+    cands = lsh_candidate_pairs(sigs, bucket_cap=1000).collect()
+    # candidate count bounded: nothing from the 10k-doc bucket
+    assert len(cands) < 200, len(cands)
+    boiler_pairs = [
+        c for c in cands if c["doc_a"] >= 500_000 and c["doc_b"] >= 500_000
+        and c["doc_a"] < 1_000_000_000
+    ]
+    assert boiler_pairs == []
+
+    pairs = {
+        (p["doc_a"], p["doc_b"])
+        for p in minhash_near_dups(adversarial, 0.7, bucket_cap=1000).collect()
+    }
+    for b in range(0, 100, 20):
+        assert (b, b + 1_000_000_000) in pairs  # exact copy recovered
+        assert (b, b + 2_000_000_000) in pairs  # near copy recovered
+
+    drops = lsh_dropped_buckets(sigs, bucket_cap=1000).collect()
+    # identical sigs → one hot bucket per band
+    assert len(drops) == 16
+    assert all(d["bucket_size"] == 10_000 for d in drops)
+    # audit identity: dropped rows = banded rows in over-cap buckets
+    banded_total = lsh_banded(sigs).count()
+    kept = lsh_banded(sigs).count() - sum(d["bucket_size"] for d in drops)
+    assert banded_total - kept == 160_000
+    sigs.unpersist()
+
+
+def test_simhash_bucket_cap_bounds_hot_bucket(spark, adversarial):
+    from rxtls_spark.operators.dedup import (
+        simhash_dropped_buckets,
+        simhash_near_dups,
+    )
+
+    pairs = simhash_near_dups(adversarial, 3, bucket_cap=1000).collect()
+    assert len(pairs) < 200, len(pairs)
+    assert not any(
+        p["doc_a"] >= 500_000 and p["doc_a"] < 1_000_000_000
+        and p["doc_b"] >= 500_000 and p["doc_b"] < 1_000_000_000
+        for p in pairs
+    )
+    got = {(p["doc_a"], p["doc_b"]): p["hamming"] for p in pairs}
+    for b in range(0, 100, 20):
+        assert got.get((b, b + 1_000_000_000)) == 0  # identical text
+    drops = simhash_dropped_buckets(adversarial, bucket_cap=1000).collect()
+    assert len(drops) == 4 and all(d["bucket_size"] == 10_000 for d in drops)
