@@ -13,6 +13,18 @@ Design (Spark-native, no driver-side row handling):
   cluster sizes (the bucket is a function of the DATA, not of task
   placement).  On a real cluster each bucket is a chunk of thousands
   of partitions; locally the default is 8.
+- The bucketing is made PHYSICAL once per run directory: a single
+  pass rewrites the input under ``staging/bucket=<b>/`` (atomic
+  marker committed after), and every per-bucket job then reads with a
+  partition filter that prunes to that bucket's files.  Without this,
+  each bucket job re-scans the full input (the filter can't prune
+  row groups on a hash of url) — n_buckets× the table per resume, 0.8
+  PB read at 100 TB with the default 8.  With it, total input I/O is
+  one scan for staging + one scan of the staged copy, regardless of
+  how many times the run crashes and resumes.  The staging copy is
+  dropped on completion.  (On an Iceberg warehouse the same layout is
+  a ``bucket(n, url)`` partition transform on the source table — no
+  staging copy needed; see sources/sinks.py.)
 - Each bucket commits independently: routed parquet under
   ``data/bucket=<b>/`` (Spark's committer makes the directory appear
   atomically), then a manifest record ``manifest/bucket_<b>.json``
@@ -52,6 +64,7 @@ class CheckpointedPipeline:
         self.n_buckets = n_buckets
         self.manifest_dir = os.path.join(out_dir, "manifest")
         self.data_dir = os.path.join(out_dir, "data")
+        self.staging_dir = os.path.join(out_dir, "staging")
         os.makedirs(self.manifest_dir, exist_ok=True)
 
     # -- manifest bookkeeping -------------------------------------------------
@@ -83,6 +96,57 @@ class CheckpointedPipeline:
             for b in sorted(self.committed_buckets())
         ]
 
+    # -- physical bucketing (one pass, resumable) -------------------------------
+
+    def _stage_marker(self) -> str:
+        return os.path.join(self.staging_dir, "_STAGED.json")
+
+    def staged(self, spark: SparkSession, pages: DataFrame) -> DataFrame:
+        """The input rewritten once under ``staging/bucket=<b>/``.
+
+        Idempotent and crash-safe: the marker is committed (tmp+rename)
+        only after the Spark write succeeds, so a crash mid-staging
+        just re-stages with mode=overwrite.  Rows co-partition on
+        (bucket, salt) so each write task emits ~1 file into one bucket
+        directory instead of tasks×buckets fragments."""
+        marker = self._stage_marker()
+        if not self._marker_valid(marker):
+            k = max(1, spark.sparkContext.defaultParallelism // self.n_buckets)
+            salt = F.pmod(F.xxhash64("url", F.lit(1)), F.lit(k))
+            (
+                pages.withColumn("bucket", bucket_expr(self.n_buckets))
+                .repartition(self.n_buckets * k, F.col("bucket"), salt)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self.staging_dir)
+            )
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n_buckets": self.n_buckets, "ts": time.time()}, f)
+            os.replace(tmp, marker)
+        return spark.read.parquet(self.staging_dir)
+
+    def _marker_valid(self, marker: str) -> bool:
+        if not os.path.exists(marker):
+            return False
+        try:
+            return json.load(open(marker))["n_buckets"] == self.n_buckets
+        except (ValueError, KeyError):
+            return False
+
+    def staged_bucket(
+        self, spark: SparkSession, pages: DataFrame, b: int
+    ) -> DataFrame:
+        """One bucket's pages — the filter is on the ``bucket``
+        partition column, so the scan prunes to staging/bucket=<b>/
+        (asserted by tests/test_manifest.py plan check)."""
+        return self.staged(spark, pages).where(F.col("bucket") == b).drop("bucket")
+
+    def cleanup_staging(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging_dir, ignore_errors=True)
+
     # -- execution ------------------------------------------------------------
 
     def run(
@@ -102,9 +166,9 @@ class CheckpointedPipeline:
             t0 = time.time()
             obs_in = Observation(f"in_{b}")
             obs_out = Observation(f"out_{b}")
-            bucket_pages = pages.where(
-                bucket_expr(self.n_buckets) == b
-            ).observe(obs_in, F.count(F.lit(1)).alias("n_input"))
+            bucket_pages = self.staged_bucket(spark, pages, b).observe(
+                obs_in, F.count(F.lit(1)).alias("n_input")
+            )
             routed = enriched(bucket_pages, log_operators).observe(
                 obs_out,
                 F.count(F.lit(1)).alias("n_routed"),
@@ -136,6 +200,8 @@ class CheckpointedPipeline:
             processed += 1
             if fail_after is not None and processed >= fail_after:
                 raise RuntimeError(f"injected failure after {processed} buckets")
+        if not self.pending_buckets():
+            self.cleanup_staging()
         return self.summary()
 
     def _file_lineage(self, out_path: str) -> list[dict]:

@@ -89,3 +89,71 @@ def test_rerun_complete_is_noop(spark, inputs, tmp_path):
     before = json.dumps(cp.records())
     cp.run(spark, pages, ops)  # nothing pending → no work, no mutation
     assert json.dumps(cp.records()) == before
+
+
+def test_resume_scans_only_pending_bucket_files(spark, inputs, tmp_path):
+    """The scale contract: a single-bucket job must read ONLY that
+    bucket's staged files — partition pruning on bucket=<b>, not a
+    full-input re-scan per bucket (at 100 TB the old shape read
+    n_buckets x the table on resume)."""
+    import re
+
+    from rxtls_spark.manifest import CheckpointedPipeline
+
+    pages, ops = inputs
+    cp = CheckpointedPipeline(str(tmp_path / "prune"), n_buckets=4)
+    staged = cp.staged(spark, pages)  # one-pass physical bucketing
+    assert os.path.exists(cp._stage_marker())
+
+    one = cp.staged_bucket(spark, pages, 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*bucket#\d+L? = 2", plan), plan
+
+    # file-level proof: the pruned scan's rows equal exactly the
+    # parquet-footer sum of bucket=2's files (inputFiles() can't be
+    # used here — it reports the relation pre-pruning)
+    import pyarrow.parquet as pq
+
+    bucket2_files = [
+        os.path.join(r, n)
+        for r, _d, names in os.walk(os.path.join(str(tmp_path / "prune"),
+                                                 "staging", "bucket=2"))
+        for n in names if n.endswith(".parquet")
+    ]
+    assert bucket2_files
+    footer_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in bucket2_files)
+    assert one.count() == footer_rows
+    assert len(staged.inputFiles()) > len(bucket2_files)
+
+    # staged row placement is exhaustive and disjoint
+    n_staged = staged.count()
+    assert n_staged == pages.count()
+    per_bucket = sum(
+        cp.staged_bucket(spark, pages, b).count() for b in range(4)
+    )
+    assert per_bucket == n_staged
+
+    # completing the run drops the staging copy
+    cp.run(spark, pages, ops)
+    assert not os.path.exists(os.path.join(str(tmp_path / "prune"), "staging"))
+
+
+def test_staging_crash_safety(spark, inputs, tmp_path):
+    """No marker → re-stage; marker with wrong n_buckets → re-stage."""
+    import json as _json
+
+    from rxtls_spark.manifest import CheckpointedPipeline
+
+    pages, _ops = inputs
+    cp = CheckpointedPipeline(str(tmp_path / "crashstage"), n_buckets=2)
+    cp.staged(spark, pages)
+    marker = cp._stage_marker()
+    rec = _json.load(open(marker))
+    assert rec["n_buckets"] == 2
+    # simulate a crash that left data but a stale marker for another layout
+    rec["n_buckets"] = 7
+    with open(marker, "w") as f:
+        _json.dump(rec, f)
+    cp2 = CheckpointedPipeline(str(tmp_path / "crashstage"), n_buckets=2)
+    cp2.staged(spark, pages)
+    assert _json.load(open(marker))["n_buckets"] == 2
