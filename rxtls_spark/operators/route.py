@@ -41,6 +41,32 @@ def salted_repartition(df: DataFrame, key_col: str, num_partitions: int,
     ).drop("_salt")
 
 
+def salted_repartition_by_range(
+    df: DataFrame,
+    key_col: str,
+    num_partitions: int,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """``repartitionByRange`` on (url-hash, salted key) — the north
+    rule's stated layout, same placement semantics as the hash variant.
+
+    Range partitioning samples (hash, key, salt) and assigns contiguous
+    hash ranges to partitions: url-hash is uniform, so ranges are
+    balanced even when ``key_col`` is 15%-hot, and the trailing
+    (key, salt) columns keep same-key runs adjacent WITHIN a range for
+    better sort locality at the sink.  Deterministic per row (no
+    rand()) → retries reproduce placement, like ``salted_repartition``.
+    """
+    url_hash = F.xxhash64(F.col("url"))
+    salt = F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(salt_buckets))
+    return (
+        df.withColumn("_uh", url_hash)
+        .withColumn("_salt", salt)
+        .repartitionByRange(num_partitions, F.col("_uh"), F.col(key_col), F.col("_salt"))
+        .drop("_uh", "_salt")
+    )
+
+
 def host_of_url(url_col: str = "url"):
     """hostname of https://host/path — JVM-side (F15 analog,
     models.go:67-72 Host() splits on '/')."""

@@ -74,3 +74,45 @@ def test_salted_repartition_deterministic(spark, pages):
         "pid", F.spark_partition_id()
     ).select("url", "pid")
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_range_repartition_spreads_hot_keys(spark, pages):
+    """repartitionByRange on (url-hash, host, salt): url-hash is
+    uniform, so even the 15/10/7% hot hosts (FIXTURES §1) land within
+    a tight bound of uniform partition sizes."""
+    from rxtls_spark.operators.route import (
+        host_of_url,
+        salted_repartition_by_range,
+    )
+
+    n_parts = 16
+    with_host = pages.withColumn("host", host_of_url())
+    ranged = salted_repartition_by_range(with_host, "host", n_parts)
+
+    sizes = [
+        r["n"]
+        for r in ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    total = sum(sizes)
+    assert total == pages.count()
+    assert len(sizes) == n_parts
+    # range sampling on a uniform hash: max task input well under 2x
+    # uniform even though one host has 15% of all rows
+    assert max(sizes) / total < 1.8 / n_parts, sizes
+
+
+def test_range_repartition_deterministic(spark, pages):
+    from rxtls_spark.operators.route import salted_repartition_by_range
+
+    def placements(df):
+        return sorted(
+            map(str, df.withColumn("pid", F.spark_partition_id())
+                .select("url", "pid").collect())
+        )
+
+    a = placements(salted_repartition_by_range(pages, "lang", 8))
+    b = placements(salted_repartition_by_range(pages, "lang", 8))
+    assert a == b
