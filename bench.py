@@ -53,12 +53,16 @@ def build_pages_cache(spark, sf_dir: str, target_rows: int) -> tuple[str, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    target = int(os.environ.get("SPARK_GRAFT_PAGES", "600000"))
+    # default = the input size the BASELINE.md headline is claimed at
+    # (2.4M pages): per-query fixed costs (stage setup, UDF fan-out)
+    # amortize with input size, so throughput claims are only
+    # reproducible at the size they were made
+    target = int(os.environ.get("SPARK_GRAFT_PAGES", "2400000"))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     from rxtls_spark.datagen.lookups import log_operators_df, tld_suffixes_rows
     from rxtls_spark.operators.enrich import enrich_operator, suffix_group_expr
-    from rxtls_spark.operators.parse import parse_pages, valid_pages
+    from rxtls_spark.operators.parse import parse_pages_flat
     from rxtls_spark.operators.route import host_of_url, route_key
     from rxtls_spark.session import get_spark
 
@@ -80,8 +84,9 @@ def main() -> None:
     ops = log_operators_df(spark)
 
     def flagship(out_dir: str | None = None):
-        flat = valid_pages(parse_pages(pages)).select(
-            "url", "warc_ts", "lang", "parsed.*"
+        # expand-then-filter: one ArrowEvalPython (see parse_pages_flat)
+        flat = parse_pages_flat(pages).drop("text").filter(
+            F.col("entry_type").isNotNull()
         )
         df = enrich_operator(flat, ops).withColumn(
             "suffix_group", suffix_group_expr(tld_suffixes_rows())
@@ -111,8 +116,8 @@ def main() -> None:
             shutil.rmtree(out, ignore_errors=True)
 
     def q_distinct_domains():
-        valid_pages(parse_pages(pages)).select(
-            F.explode("parsed.normalized_domains").alias("d")
+        parse_pages_flat(pages).filter(F.col("entry_type").isNotNull()).select(
+            F.explode("normalized_domains").alias("d")
         ).agg(F.countDistinct("d")).collect()
 
     def q_operator_windows():
@@ -132,6 +137,13 @@ def main() -> None:
         "operator_windows": q_operator_windows,
         "scan_agg_jvm": q_scan_agg_jvm_only,
     }
+    # optional subset (comma-separated) — used by tools/bench_scaling.py
+    # to time the compute-bound queries at larger inputs without paying
+    # for the disk-bound write at every parallelism level
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        keep = {s.strip() for s in subset.split(",")}
+        benches = {k: v for k, v in benches.items() if k in keep}
 
     # warm-up: one untimed run of each parse variant. This forks +
     # import-warms the Python UDF worker on every core (a small sample
@@ -143,13 +155,15 @@ def main() -> None:
     q_parse_route_agg_full()
 
     # best-of-N: the shared-host VM shows ±40% run-to-run noise; min is
-    # the honest estimator of the engine's cost (noise only adds time)
-    default_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    # the honest estimator of the engine's cost (noise only adds time).
+    # Best-of-2 for EVERY query inside this one invocation, so the
+    # driver's single `python bench.py` reproduces the headline
+    # protocol without any side-channel env.
+    default_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
     for name, fn in benches.items():
-        runs = max(default_runs, 2 if name == "parse_route_agg" else 1)
         best = float("inf")
-        for _ in range(runs):
+        for _ in range(max(1, default_runs)):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
@@ -157,7 +171,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     # headline: pages parsed+routed per second = N / time(parse_route_agg)
-    pps = round(n_pages / times["parse_route_agg"], 1)
+    pps = round(n_pages / times["parse_route_agg"], 1) if "parse_route_agg" in times else None
     result = {
         "metric": "e2e_headline_total",
         "value": total,
@@ -166,7 +180,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pages": n_pages,
         "pages_per_sec": pps,
-        "pages_per_sec_full": round(n_pages / times["parse_route_agg_full"], 1),
+        "pages_per_sec_full": (
+            round(n_pages / times["parse_route_agg_full"], 1)
+            if "parse_route_agg_full" in times
+            else None
+        ),
         "cpus": cpus,
         # interpretability: this VM shows heavy time-varying host
         # contention; a high load baseline explains a slow sample

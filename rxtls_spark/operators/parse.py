@@ -149,6 +149,18 @@ def parse_page_lite_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(cols, columns=_LITE_FIELDS)
 
 
+# Both UDFs are semantically deterministic, but Catalyst treats
+# deterministic expressions as free to duplicate and to push predicates
+# through: Filter(parsed.entry_type) + Project(parsed.*) gets planned as
+# TWO ArrowEvalPython nodes — the whole parse runs twice (measured 2×
+# Python cost; SPARK-17728).  asNondeterministic() is the supported
+# barrier: one evaluation, predicates stay above the UDF (they filter
+# its OUTPUT, so placement is semantics-preserving).
+# tests/test_plans.py locks the single-node plan.
+parse_page_udf = parse_page_udf.asNondeterministic()
+parse_page_lite_udf = parse_page_lite_udf.asNondeterministic()
+
+
 def parsed_col() -> Column:
     return parse_page_udf(F.col("html")).alias("parsed")
 
@@ -156,6 +168,22 @@ def parsed_col() -> Column:
 def parse_pages(pages: DataFrame) -> DataFrame:
     """pages → (url, warc_ts, lang, text, parsed struct)."""
     return pages.select("url", "warc_ts", "lang", "text", parsed_col())
+
+
+def parse_pages_flat(pages: DataFrame) -> DataFrame:
+    """pages → flattened parsed records, failures included (entry_type
+    NULL).
+
+    Expands the struct in a projection directly above the UDF and
+    leaves filtering to the caller: filtering on ``parsed.entry_type``
+    BEFORE expanding makes Catalyst plan the UDF TWICE (one
+    ArrowEvalPython feeding the Filter, a second re-evaluating for the
+    expansion) — measured 2× the parse cost of the whole pipeline.
+    Expand-then-filter keeps a single ArrowEvalPython
+    (tests/test_plans.py asserts the node count)."""
+    return pages.select("url", "warc_ts", "lang", "text", parsed_col()).select(
+        "url", "warc_ts", "lang", "text", "parsed.*"
+    )
 
 
 def valid_pages(parsed: DataFrame) -> DataFrame:

@@ -36,9 +36,11 @@ from rxtls_spark.operators.route import route_key
 
 def parsed_flat(pages: DataFrame) -> DataFrame:
     """pages → flattened valid parsed records (url, warc_ts, lang, text,
-    + all parsed struct fields)."""
-    parsed = parse_pages(pages)
-    return valid_pages(parsed).select("url", "warc_ts", "lang", "text", "parsed.*")
+    + all parsed struct fields).  Expand-then-filter: one UDF
+    evaluation (see parse_pages_flat)."""
+    from rxtls_spark.operators.parse import parse_pages_flat
+
+    return parse_pages_flat(pages).filter(F.col("entry_type").isNotNull())
 
 
 def enriched(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
@@ -60,8 +62,10 @@ def route_counts(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
 
     parsed = pages.select(
         "lang", parse_page_lite_udf(F.col("html")).alias("p")
-    )
-    valid = parsed.filter(F.col("p.entry_type").isNotNull()).select("lang", "p.*")
+    ).select("lang", "p.*")
+    # expand-then-filter: filtering on p.entry_type before the expansion
+    # would double-evaluate the UDF (see parse_pages_flat)
+    valid = parsed.filter(F.col("entry_type").isNotNull())
     with_op = enrich_operator(valid, log_operators)
     routed = with_op.withColumn(
         "suffix_group", suffix_group_expr(tld_suffixes_rows())

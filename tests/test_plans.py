@@ -88,3 +88,26 @@ def test_codegen_covers_jvm_stages(spark, flagship_df):
     from rxtls_spark.plans.checks import codegen_stage_count
 
     assert codegen_stage_count(flagship_df.groupBy("route").count()) >= 1
+
+
+def test_parse_udf_evaluated_exactly_once(spark):
+    """Filter-then-expand used to plan the parse UDF TWICE (one
+    ArrowEvalPython feeding the Filter, a second for the projection) —
+    2x the Python cost of the whole pipeline.  Lock single evaluation
+    for every parse entry point."""
+    from rxtls_spark.datagen.lookups import log_operators_df
+    from rxtls_spark.datagen.pages import pages_df
+    from rxtls_spark.pipeline import enriched, parsed_flat, route_counts
+    from rxtls_spark.plans.checks import plan_string
+
+    pages = pages_df(spark, SF_SMOKE)
+    ops = log_operators_df(spark)
+
+    def n_udf_evals(df):
+        return plan_string(df, mode="simple").count("ArrowEvalPython")
+
+    assert n_udf_evals(parsed_flat(pages)) == 1
+    assert n_udf_evals(route_counts(pages, ops)) == 1
+    assert n_udf_evals(enriched(pages, ops)) == 1
+    agg = enriched(pages, ops).groupBy("route").count()
+    assert n_udf_evals(agg) == 1
