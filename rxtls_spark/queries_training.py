@@ -98,27 +98,33 @@ def _word_shingles(col):
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def _near_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b=doc_a+2e9, jaccard) for the injected near copies,
+    Jaccard from string shingles — a pure doc_id/text formula both
+    engines evaluate identically."""
+    base = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    sa = _word_shingles(F.col("text"))
+    sb = _word_shingles(F.concat(F.col("text"), F.lit(" extra!")))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return base.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_b"),
+        F.round(inter / union, 5).alias("jaccard"),
+    )
+
+
 def _expected_minhash_pairs(docs: DataFrame) -> DataFrame:
     """The injected pairs the LSH pipeline MUST recover, with their
     string-shingle Jaccard (exact copies: 1.0; near copies: computed
     with the same JVM array ops as q_ngram_jaccard).  Pairs below the
     0.7 pipeline threshold are excluded on both engines identically."""
-    base = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
-    exact = base.select(
+    exact = docs.where(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_b"),
         F.lit(1.0).alias("jaccard"),
     )
-    sa = _word_shingles(F.col("text"))
-    sb = _word_shingles(F.concat(F.col("text"), F.lit(" extra!")))
-    inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = F.size(F.array_union(sa, sb)).cast("double")
-    near = base.select(
-        F.col("doc_id").alias("doc_a"),
-        (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_b"),
-        F.round(inter / union, 5).alias("jaccard"),
-    )
-    return exact.unionByName(near).where(F.col("jaccard") >= 0.7)
+    return exact.unionByName(_near_pairs(docs)).where(F.col("jaccard") >= 0.7)
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +167,38 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         F.coalesce(F.col("hamming"), F.lit(-1)).cast("int").alias("hamming"),
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution (connected components + keep-list) over a
+    DETERMINISTIC pair graph — exact md5 dup groups (star pairs from
+    each group's min id) plus the formula near pairs — so DuckDB can
+    mirror the transitive closure with WITH RECURSIVE.  The LSH→CC
+    composition on the full minhash pair set is locked by
+    tests/test_cluster.py against brute-force union-find."""
+    from rxtls_spark.operators.cluster import dedup_keep_list
+
+    docs = _docs(spark, sf_dir)
+    injected = with_injected_dups(docs)
+    groups = injected.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("n")
+    )
+    exact_pairs = (
+        injected.select(F.md5("text").alias("h"), "doc_id")
+        .join(groups.where(F.col("n") > 1), "h")
+        .where(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    near_pairs = (
+        _near_pairs(docs).where(F.col("jaccard") >= 0.7).select("doc_a", "doc_b")
+    )
+    pairs = exact_pairs.unionByName(near_pairs)
+    return dedup_keep_list(pairs).select(
+        "doc_id",
+        "cluster_root",
+        F.col("n_cluster").cast("long").alias("n_cluster"),
+        F.col("keep").cast("long").alias("keep"),
     )
 
 
@@ -285,6 +323,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
     "dedup_simhash": q_simhash_near_dups,
+    "dedup_clusters": q_dedup_clusters,
     "doc_fingerprints": q_doc_fingerprints,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding": q_embedding_dups,
@@ -508,6 +547,60 @@ FROM expected WHERE jaccard >= 0.7
 SELECT doc_id AS doc_a, doc_id + 1000000000 AS doc_b,
        CAST(0 AS INTEGER) AS hamming
 FROM documents WHERE doc_id % 20 = 0
+""",
+        "dedup_clusters": """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, text || ' extra!' FROM documents WHERE doc_id % 20 = 0
+), groups AS (
+  SELECT md5(text) AS h, min(doc_id) AS root, count(*) AS n
+  FROM docs GROUP BY 1
+), exact_pairs AS (
+  SELECT g.root AS a, d.doc_id AS b
+  FROM docs d JOIN groups g ON md5(d.text) = g.h
+  WHERE g.n > 1 AND d.doc_id <> g.root
+), nearj AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')]
+    END AS sa,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+'), ' ')]
+    END AS sb
+  FROM documents WHERE doc_id % 20 = 0
+), near_pairs AS (
+  SELECT doc_id AS a, doc_id + 2000000000 AS b
+  FROM nearj
+  WHERE round(
+      len(list_filter(list_distinct(sa), x -> list_contains(sb, x)))::DOUBLE
+      / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 5) >= 0.7
+), edges AS (
+  SELECT a, b FROM exact_pairs UNION SELECT a, b FROM near_pairs
+  UNION SELECT b, a FROM exact_pairs UNION SELECT b, a FROM near_pairs
+), nodes AS (
+  SELECT DISTINCT a AS doc_id FROM edges
+), reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.doc_id
+), cc AS (
+  SELECT doc_id, min(label) AS cluster_root FROM reach GROUP BY 1
+), sizes AS (
+  SELECT cluster_root, count(*) AS n_cluster FROM cc GROUP BY 1
+)
+SELECT c.doc_id, c.cluster_root,
+       CAST(s.n_cluster AS BIGINT) AS n_cluster,
+       CAST(c.doc_id = c.cluster_root AS BIGINT) AS keep
+FROM cc c JOIN sizes s USING (cluster_root)
 """,
         "dedup_embedding_lsh": """
 SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,

@@ -1,0 +1,110 @@
+"""Connected-components / keep-list semantics: Spark min-label
+propagation must equal a brute-force union-find on the same pairs."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical root = min id of the component
+    comp = {}
+    for x in parent:
+        comp[x] = find(x)
+    # path-compress fully: find() already returns the min? No — union by
+    # min above guarantees the root IS the component min.
+    return comp
+
+
+def _spark_cc(spark, pairs, **kw):
+    from rxtls_spark.operators.cluster import connected_components
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return {
+        r["doc_id"]: r["cluster_root"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cc_matches_union_find_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(0, 400))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(300)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _spark_cc(spark, pairs) == _union_find(pairs)
+
+
+def test_cc_chain_worst_case(spark):
+    """A 30-node path graph needs ~log-to-diameter rounds — converges
+    and still labels everything with the global min."""
+    pairs = [(i, i + 1) for i in range(30)]
+    got = _spark_cc(spark, pairs, max_iter=40)
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_cc_raises_when_iteration_budget_too_small(spark):
+    pairs = [(i, i + 1) for i in range(30)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _spark_cc(spark, pairs, max_iter=2)
+
+
+def test_keep_list_invariants(spark):
+    from rxtls_spark.operators.cluster import dedup_keep_list
+
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    rows = dedup_keep_list(df).collect()
+    by_root = {}
+    for r in rows:
+        by_root.setdefault(r["cluster_root"], []).append(r)
+    assert set(by_root) == {1, 10, 20}
+    for root, members in by_root.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == root
+        assert all(m["n_cluster"] == len(members) for m in members)
+    assert {m["doc_id"] for m in by_root[20]} == {20, 21, 22}
+
+
+def test_cc_on_lsh_pairs_matches_union_find(spark):
+    """Composition: minhash LSH pairs → clusters == union-find over the
+    exact same pair set (whatever LSH found, CC must close over it)."""
+    from rxtls_spark.operators.dedup import minhash_near_dups, with_injected_dups
+
+    docs = with_injected_dups(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    pairs_df = minhash_near_dups(docs, 0.7).select("doc_a", "doc_b").persist()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    from rxtls_spark.operators.cluster import connected_components
+
+    got = {
+        r["doc_id"]: r["cluster_root"]
+        for r in connected_components(pairs_df).collect()
+    }
+    assert got == _union_find(pairs)
+    # every injected exact pair lands in ONE cluster whose root is a
+    # base id ≤ b (organic near-dup pairs may merge injected clusters
+    # with earlier docs, so equality with b itself is not guaranteed)
+    base_ids = {a for a, b in pairs if b == a + 1_000_000_000}
+    for b in base_ids:
+        assert got[b + 1_000_000_000] == got[b] <= b
+    pairs_df.unpersist()
