@@ -170,17 +170,9 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster resolution (connected components + keep-list) over a
-    DETERMINISTIC pair graph — exact md5 dup groups (star pairs from
-    each group's min id) plus the formula near pairs — so DuckDB can
-    mirror the transitive closure with WITH RECURSIVE.  The LSH→CC
-    composition on the full minhash pair set is locked by
-    tests/test_cluster.py against brute-force union-find."""
-    from rxtls_spark.operators.cluster import dedup_keep_list
-
-    docs = _docs(spark, sf_dir)
-    injected = with_injected_dups(docs)
+def _deterministic_pair_graph(docs: DataFrame, injected: DataFrame) -> DataFrame:
+    """Exact md5 dup groups (star pairs from each group's min id) plus
+    the formula near pairs — a pair graph DuckDB can rebuild exactly."""
     groups = injected.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("n")
     )
@@ -193,12 +185,56 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_pairs = (
         _near_pairs(docs).where(F.col("jaccard") >= 0.7).select("doc_a", "doc_b")
     )
-    pairs = exact_pairs.unionByName(near_pairs)
+    return exact_pairs.unionByName(near_pairs)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution (connected components + keep-list) over a
+    DETERMINISTIC pair graph — exact md5 dup groups (star pairs from
+    each group's min id) plus the formula near pairs — so DuckDB can
+    mirror the transitive closure with WITH RECURSIVE.  The LSH→CC
+    composition on the full minhash pair set is locked by
+    tests/test_cluster.py against brute-force union-find."""
+    from rxtls_spark.operators.cluster import dedup_keep_list
+
+    docs = _docs(spark, sf_dir)
+    injected = with_injected_dups(docs)
+    pairs = _deterministic_pair_graph(docs, injected)
     return dedup_keep_list(pairs).select(
         "doc_id",
         "cluster_root",
         F.col("n_cluster").cast("long").alias("n_cluster"),
         F.col("keep").cast("long").alias("keep"),
+    )
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build: inject dups → cluster → drop
+    non-keepers → quality/lang/token features → quality gate → per-lang
+    training-mix stats.  Every stage is SQL-mirrored, so the whole
+    composition is value-hash checked."""
+    from rxtls_spark.operators.cluster import dedup_keep_list
+
+    docs = _docs(spark, sf_dir)
+    injected = with_injected_dups(docs)
+    pairs = _deterministic_pair_graph(docs, injected)
+    drops = dedup_keep_list(pairs).where(~F.col("keep")).select("doc_id")
+    corpus = injected.join(drops, "doc_id", "left_anti")
+    feats = corpus.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(), 5).alias("quality"),
+        token_count().alias("n_tokens"),
+        lang_guess().alias("lang_guess"),
+    )
+    gated = feats.where(F.col("quality") >= 0.3)
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality"), 5).alias("avg_quality"),
+        F.sum(F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lang_match"),
     )
 
 
@@ -324,6 +360,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_minhash_near_dups,
     "dedup_simhash": q_simhash_near_dups,
     "dedup_clusters": q_dedup_clusters,
+    "training_mix": q_training_mix,
     "doc_fingerprints": q_doc_fingerprints,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding": q_embedding_dups,
@@ -366,11 +403,14 @@ def _lang_guess_case() -> str:
     return f"CASE WHEN {mx} <= 0 THEN 'und' {whens} END"
 
 
-_TEXT_CTE = f"""
-WITH scored AS (
+def _scored_feats_ctes(src: str = "documents") -> str:
+    """The scored/feats CTE bodies over an arbitrary source relation
+    (must expose doc_id, lang, text) — shared by text_features and the
+    training-mix oracle."""
+    return f"""scored AS (
   SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS t,
          {_lang_sql()}
-  FROM documents
+  FROM {src}
 ), feats AS (
   SELECT *,
     CAST(length(text) AS BIGINT) AS n_chars,
@@ -385,8 +425,17 @@ WITH scored AS (
       / greatest(length(text), 1)::DOUBLE AS punct_ratio,
     {_lang_guess_case()} AS lang_guess
   FROM scored
-)
+)"""
+
+
+_TEXT_CTE = f"""
+WITH {_scored_feats_ctes()}
 """
+
+_QUALITY_SQL = """round(greatest(0.0, least(1.0,
+    0.4 * alpha_ratio
+    + 0.3 * least(n_chars / 500.0, 1.0)
+    + 0.3 * (1.0 - least(1.0, 4.0 * punct_ratio + 4.0 * digit_ratio)))), 5)"""
 
 _DUPS_CTE = """
 WITH docs AS (
@@ -601,6 +650,66 @@ SELECT c.doc_id, c.cluster_root,
        CAST(s.n_cluster AS BIGINT) AS n_cluster,
        CAST(c.doc_id = c.cluster_root AS BIGINT) AS keep
 FROM cc c JOIN sizes s USING (cluster_root)
+""",
+        "training_mix": f"""
+WITH RECURSIVE docsx AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, text, lang FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, text || ' extra!', lang FROM documents WHERE doc_id % 20 = 0
+), groups AS (
+  SELECT md5(text) AS h, min(doc_id) AS root, count(*) AS n
+  FROM docsx GROUP BY 1
+), exact_pairs AS (
+  SELECT g.root AS a, d.doc_id AS b
+  FROM docsx d JOIN groups g ON md5(d.text) = g.h
+  WHERE g.n > 1 AND d.doc_id <> g.root
+), nearj AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')]
+    END AS sa,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+'), ' ')]
+    END AS sb
+  FROM documents WHERE doc_id % 20 = 0
+), near_pairs AS (
+  SELECT doc_id AS a, doc_id + 2000000000 AS b
+  FROM nearj
+  WHERE round(
+      len(list_filter(list_distinct(sa), x -> list_contains(sb, x)))::DOUBLE
+      / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 5) >= 0.7
+), edges AS (
+  SELECT a, b FROM exact_pairs UNION SELECT a, b FROM near_pairs
+  UNION SELECT b, a FROM exact_pairs UNION SELECT b, a FROM near_pairs
+), nodes AS (
+  SELECT DISTINCT a AS doc_id FROM edges
+), reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.doc_id
+), cc AS (
+  SELECT doc_id, min(label) AS cluster_root FROM reach GROUP BY 1
+), corpus AS (
+  SELECT d.* FROM docsx d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_root)
+), {_scored_feats_ctes("corpus")}
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(quality), 5) AS avg_quality,
+       CAST(sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_match
+FROM (SELECT *, {_QUALITY_SQL} AS quality FROM feats)
+WHERE quality >= 0.3
+GROUP BY lang
 """,
         "dedup_embedding_lsh": """
 SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
