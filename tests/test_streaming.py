@@ -112,3 +112,69 @@ def test_foreachbatch_multisink(spark, pages_dir, tmp_path):
     # partition dirs exist per (lang, suffix_group)
     langs = {r["lang"] for r in routed.select("lang").distinct().collect()}
     assert len(langs) >= 3
+
+
+def test_streaming_dedup_first_occurrence_and_restart(spark, tmp_path):
+    """Exact-dedup stream: one admission per distinct text across
+    micro-batches, duplicate counts right, and a RESTARTED query (same
+    checkpoint, new files) keeps rejecting hashes admitted before —
+    the state survives the restart."""
+    import pandas as pd
+
+    from rxtls_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            src / f"{name}.parquet"
+        )
+
+    # batch 1: A twice (ids 3, 1) and B once
+    write_batch("b1", [(3, "text A"), (1, "text A"), (5, "text B")])
+    # batch 2: A again (dup), C new
+    write_batch("b2", [(7, "text A"), (9, "text C")])
+
+    def run_available_now():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available_now()
+    got = {
+        r["content_hash"]: (r["doc_id"], r["n_dropped_before"])
+        for r in spark.read.parquet(out).collect()
+    }
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert got[h("text A")][0] == 1          # min doc_id of the first batch
+    assert got[h("text A")][1] == 1          # its same-batch dup dropped
+    assert got[h("text B")] == (5, 0)
+    assert got[h("text C")] == (9, 0)
+    assert len(got) == 3
+
+    # restart with new files: A must stay rejected, D admitted
+    write_batch("b3", [(11, "text A"), (13, "text D")])
+    run_available_now()
+    after = spark.read.parquet(out).groupBy("content_hash").count().collect()
+    assert all(r["count"] == 1 for r in after)  # no re-admission
+    rows = {r["content_hash"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[h("text D")]["doc_id"] == 13
+    assert rows[h("text A")]["doc_id"] == 1    # still the original keeper
+    assert len(rows) == 4
