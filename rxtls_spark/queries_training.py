@@ -330,8 +330,38 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injected-copy retrieval through the LSH index: every query
+    vector's exact copy (vec_id+1e6) shares all its buckets and has the
+    maximum cosine, so it MUST appear in the top-k — oracle-checkable
+    even though bucket membership isn't SQL-expressible.  Top-k recall
+    vs brute force stays locked by tests/test_similarity.py."""
+    from rxtls_spark.operators.embedding_dedup import with_injected_embedding_dups
+    from rxtls_spark.operators.similarity import cosine_expr
+
     emb = _emb(spark, sf_dir)
-    return ann_lsh_topk(emb, query_set(emb), k=10)
+    qs = query_set(emb)
+    topk = ann_lsh_topk(with_injected_embedding_dups(emb), qs, k=10)
+    hits = topk.where(
+        F.col("neighbor_id") == F.col("q_id") + F.lit(1_000_000)
+    ).select("q_id", F.lit(1).alias("hit"))
+    expected = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        (F.col("vec_id") + F.lit(1_000_000)).alias("copy_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        expected.withColumn(
+            "sim_e5", F.floor(cosine_expr("emb_a", "emb_b") * 100000).cast("long")
+        )
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "copy_id",
+            "sim_e5",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("recovered"),
+        )
+    )
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,6 +747,13 @@ SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
              * 100000) AS BIGINT) AS sim_e5,
   CAST(1 AS BIGINT) AS recovered
 FROM embeddings WHERE vec_id % 25 = 0
+""",
+        "ann_lsh": """
+SELECT vec_id AS q_id, vec_id + 1000000 AS copy_id,
+  CAST(floor(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])
+             * 100000) AS BIGINT) AS sim_e5,
+  CAST(1 AS BIGINT) AS recovered
+FROM embeddings WHERE vec_id % 100 = 0
 """,
         # doc_fingerprints / ann_lsh: intentionally no oracle (xxh3
         # winnowing and hyperplane bucket membership aren't expressible
