@@ -38,6 +38,9 @@ GO_TRIM_SET = (
 _MEMO: dict[str, str] = {}
 _MEMO_MAX = 200_000
 
+# see comment at the .lower() call site
+_SIMPLE_LOWER = {0x0130: "i"}
+
 
 def normalize_domain(domain: str) -> str:
     if domain is None:
@@ -58,7 +61,12 @@ def _normalize_domain_uncached(domain: str) -> str:
         if any(c in domain for c in " :/") or domain == "::1" or domain.startswith("-"):
             return domain
         return ""
-    domain = domain.lower()
+    # Go strings.ToLower is the per-rune SIMPLE mapping: U+0130 'İ' →
+    # 'i' (one rune).  Python str.lower applies the FULL mapping ('i' +
+    # U+0307) — U+0130 is the only unconditional multi-char lowercase
+    # in SpecialCasing.txt, so translating it first makes .lower()
+    # rune-for-rune equal to Go.
+    domain = domain.translate(_SIMPLE_LOWER).lower()
     domain = domain.lstrip(".").rstrip(".")
     if domain == "":
         return ""

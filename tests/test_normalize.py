@@ -47,6 +47,9 @@ GOLDEN = [
     ("\x85EXAMPLE.COM\x85", "example.com"),
     ("　example.com ", "example.com"),
     ("\xa0\x85 ", ""),  # all-whitespace → trimmed empty → ""
+    # Go strings.ToLower is per-rune SIMPLE case: İ (U+0130) → 'i',
+    # never 'i'+combining-dot (Python's full mapping)
+    ("İSTANBUL.COM", "istanbul.com"),
 ]
 
 

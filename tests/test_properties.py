@@ -23,7 +23,8 @@ def _go_normalize(domain: str) -> str:
         if any(c in domain for c in " :/") or domain == "::1" or domain.startswith("-"):
             return domain
         return ""
-    domain = domain.lower()
+    # Go's per-rune simple ToLower: U+0130 → 'i' (not 'i'+U+0307)
+    domain = domain.replace("İ", "i").lower()
     while domain.startswith("."):
         domain = domain[1:]
     while domain.endswith("."):
