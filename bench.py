@@ -129,8 +129,10 @@ def main() -> None:
             shutil.rmtree(out, ignore_errors=True)
 
     def q_distinct_domains():
-        parse_pages_flat(pages).filter(F.col("entry_type").isNotNull()).select(
-            F.explode("normalized_domains").alias("d")
+        from rxtls_spark.operators.parse import parse_page_domains_udf
+
+        pages.select(
+            F.explode(parse_page_domains_udf(F.col("html"))).alias("d")
         ).agg(F.countDistinct("d")).collect()
 
     def q_operator_windows():
@@ -166,6 +168,7 @@ def main() -> None:
     # excludes it.
     q_parse_route_agg()
     q_parse_route_agg_full()
+    q_distinct_domains()  # third UDF variant (domains-only)
 
     # best-of-N: the shared-host VM shows ±40% run-to-run noise; min is
     # the honest estimator of the engine's cost (noise only adds time).

@@ -149,7 +149,26 @@ def parse_page_lite_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(cols, columns=_LITE_FIELDS)
 
 
-# Both UDFs are semantically deterministic, but Catalyst treats
+@pandas_udf(ArrayType(StringType()))
+def parse_page_domains_udf(html: pd.Series) -> pd.Series:
+    """Narrowest variant: framing parse + normalize, emitting ONLY the
+    sorted normalized-domains array (no text decode, no hashes, no
+    field columns) — for domain-set consumers (distinct counts,
+    explodes).  NULL for malformed rows; explode() drops NULL/empty
+    arrays, which matches the valid-rows filter exactly."""
+    from rxtls_spark.functions.normalize import sorted_normalized_domains
+    from rxtls_spark.parse_vec import parse_batch
+
+    recs = parse_batch(list(html), want_text=False)
+    return pd.Series(
+        [
+            None if r is None else sorted_normalized_domains(r["all_domains"])
+            for r in recs
+        ]
+    )
+
+
+# All UDFs are semantically deterministic, but Catalyst treats
 # deterministic expressions as free to duplicate and to push predicates
 # through: Filter(parsed.entry_type) + Project(parsed.*) gets planned as
 # TWO ArrowEvalPython nodes — the whole parse runs twice (measured 2×
@@ -159,6 +178,7 @@ def parse_page_lite_udf(html: pd.Series) -> pd.DataFrame:
 # tests/test_plans.py locks the single-node plan.
 parse_page_udf = parse_page_udf.asNondeterministic()
 parse_page_lite_udf = parse_page_lite_udf.asNondeterministic()
+parse_page_domains_udf = parse_page_domains_udf.asNondeterministic()
 
 
 def parsed_col() -> Column:

@@ -178,19 +178,28 @@ def _q_operator_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domains_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One domain per row via the narrow domains-only UDF — explode()
+    drops the NULL arrays of malformed rows, so no separate filter (and
+    no full-width parse) is needed."""
+    from rxtls_spark.operators.parse import parse_page_domains_udf
+
+    pages = pages_df(spark, sf_dir)
+    return pages.select(
+        F.explode(parse_page_domains_udf(F.col("html"))).alias("domain")
+    )
+
+
 def _q_distinct_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = parsed_flat(pages_df(spark, sf_dir))
-    return (
-        flat.select(F.explode("normalized_domains").alias("domain"))
-        .agg(F.countDistinct("domain").cast("long").alias("n_distinct"))
+    return _domains_exploded(spark, sf_dir).agg(
+        F.countDistinct("domain").cast("long").alias("n_distinct")
     )
 
 
 def _q_distinct_domains_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + exact verification pair (SURVEY §2.4) —
     rows-only check (approx value is algorithm-specific)."""
-    flat = parsed_flat(pages_df(spark, sf_dir))
-    doms = flat.select(F.explode("normalized_domains").alias("domain"))
+    doms = _domains_exploded(spark, sf_dir)
     return doms.agg(
         F.countDistinct("domain").cast("long").alias("n_exact"),
         F.approx_count_distinct("domain", 0.02).cast("long").alias("n_approx"),
@@ -201,9 +210,18 @@ def _q_distinct_domains_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_primary_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = parsed_flat(pages_df(spark, sf_dir))
-    return flat.groupBy("primary_domain").agg(
-        F.count("*").cast("long").alias("n_pages")
+    """Lite-UDF projection pushdown: the aggregate only reads
+    primary_domain, so the narrow parse variant suffices."""
+    from rxtls_spark.operators.parse import parse_page_lite_udf
+
+    pages = pages_df(spark, sf_dir)
+    parsed = pages.select(parse_page_lite_udf(F.col("html")).alias("p")).select(
+        "p.*"
+    )
+    return (
+        parsed.filter(F.col("entry_type").isNotNull())
+        .groupBy("primary_domain")
+        .agg(F.count("*").cast("long").alias("n_pages"))
     )
 
 
