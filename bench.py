@@ -136,7 +136,9 @@ def main() -> None:
         ).agg(F.countDistinct("d")).collect()
 
     def q_operator_windows():
-        flagship().groupBy(
+        from rxtls_spark.pipeline import enriched_lite
+
+        enriched_lite(pages, ops, passthrough=("lang", "warc_ts")).groupBy(
             "operator_name", F.window("warc_ts", "1 hour")
         ).count().collect()
 

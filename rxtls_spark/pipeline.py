@@ -52,25 +52,31 @@ def enriched(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
     ).withColumn("route", route_key())
 
 
-def route_counts(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
-    """Per-sink aggregate counts (A6, domain_extractor.go:642-705).
-
-    Uses the lite parse variant: an aggregate consumer never reads the
-    arrays/hashes/text, and Spark can't prune through a UDF — choosing
-    the narrow UDF at plan-build time is the projection pushdown."""
+def enriched_lite(
+    pages: DataFrame,
+    log_operators: DataFrame,
+    passthrough: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Enrichment over the LITE parse variant: aggregate consumers that
+    never read the arrays/hashes/text get a 5× narrower Arrow transfer
+    and ~half the Python work.  Spark can't prune columns through a
+    UDF — choosing the narrow UDF at plan-build time IS the projection
+    pushdown.  ``passthrough`` = page columns carried alongside."""
     from rxtls_spark.operators.parse import parse_page_lite_udf
 
     parsed = pages.select(
-        "lang", parse_page_lite_udf(F.col("html")).alias("p")
-    ).select("lang", "p.*")
-    # expand-then-filter: filtering on p.entry_type before the expansion
-    # would double-evaluate the UDF (see parse_pages_flat)
+        *passthrough, parse_page_lite_udf(F.col("html")).alias("p")
+    ).select(*passthrough, "p.*")
     valid = parsed.filter(F.col("entry_type").isNotNull())
     with_op = enrich_operator(valid, log_operators)
-    routed = with_op.withColumn(
+    return with_op.withColumn(
         "suffix_group", suffix_group_expr(tld_suffixes_rows())
     ).withColumn("route", route_key())
-    return routed.groupBy("route").agg(
+
+
+def route_counts(pages: DataFrame, log_operators: DataFrame) -> DataFrame:
+    """Per-sink aggregate counts (A6, domain_extractor.go:642-705)."""
+    return enriched_lite(pages, log_operators).groupBy("route").agg(
         F.count("*").alias("n_pages"),
         F.sum("n_domains").alias("n_domains"),
     )

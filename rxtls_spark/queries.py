@@ -158,14 +158,23 @@ def _q_parsed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_operator_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = enriched(pages_df(spark, sf_dir), log_operators_df(spark))
+    """Lite-path enrichment: the aggregate reads only operator_name."""
+    from rxtls_spark.pipeline import enriched_lite
+
+    df = enriched_lite(pages_df(spark, sf_dir), log_operators_df(spark))
     return df.groupBy("operator_name").agg(
         F.count("*").cast("long").alias("n_pages")
     )
 
 
 def _q_operator_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = enriched(pages_df(spark, sf_dir), log_operators_df(spark))
+    from rxtls_spark.pipeline import enriched_lite
+
+    df = enriched_lite(
+        pages_df(spark, sf_dir),
+        log_operators_df(spark),
+        passthrough=("lang", "warc_ts"),
+    )
     w = F.window("warc_ts", "1 hour")
     return (
         df.groupBy("operator_name", w.alias("w"))
