@@ -274,8 +274,15 @@ def lsh_candidate_pairs(
     bucket key, never a cross join; at 10^12 rows this is the only
     scalable near-dup join shape.  Buckets above ``bucket_cap`` are
     excluded (O(b²) pair blowup); audit with ``lsh_dropped_buckets``.
+
+    The banded frame is lazily localCheckpoint-ed so the self-join's
+    two sides (and the cap window) share ONE signature computation —
+    without it each side re-runs the minhash UDF over the corpus.  On
+    a real cluster, write signatures to a table (or use reliable
+    ``checkpoint``) instead: localCheckpoint state dies with executors.
     """
     banded = _cap_buckets(lsh_banded(sigs), ["band", "band_hash"], bucket_cap)
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -437,8 +444,11 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Hamming-≤k pairs via 4-band pigeonhole bucketing (any equal
     16-bit band → candidate) then exact popcount verify.  Over-cap
-    buckets excluded; audit with ``simhash_dropped_buckets``."""
+    buckets excluded; audit with ``simhash_dropped_buckets``.
+    Banded frame checkpointed for the same single-computation reason
+    as ``lsh_candidate_pairs``."""
     banded = _cap_buckets(simhash_banded(docs), ["band", "band_val"], bucket_cap)
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

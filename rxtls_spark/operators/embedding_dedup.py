@@ -67,7 +67,7 @@ def embedding_dup_pairs_lsh(
         "vec_id",
         "embedding",
         F.explode(lsh_buckets_udf(F.col("embedding"))).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)  # one bucket-UDF run for both join sides
     a = banded.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
