@@ -75,6 +75,35 @@ def token_count(text_col: str = "text") -> Column:
     )
 
 
+# Frozen multi-language stopword set (mirrored in the SQL oracle) —
+# a fixed list, not a model: the ratio feeds quality filtering.
+STOPWORDS = (
+    "the a an and or of to in is it for on with as at this that be are was "
+    "der die das und ist den le la les et el los y de que"
+).split()
+
+# BPE-ish pre-tokenization: letter runs | digit runs | symbol runs.
+# The three classes are DISJOINT, so Java regex (Spark) and RE2
+# (DuckDB) agree exactly — no alternation-order or longest-match
+# sensitivity.  This is the GPT-2 pre-tokenizer shape minus the
+# contraction lookaheads RE2 can't express.
+BPE_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def token_count_bpe(text_col: str = "text") -> Column:
+    """Subword-ish token count: number of BPE_PATTERN matches."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long")
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    """Fraction of whitespace tokens that are stopwords; blank → 0."""
+    t = F.trim(F.col(text_col))
+    words = F.split(F.lower(t), "\\s+")
+    n = F.size(words).cast("double")
+    sw = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+    return F.when(t == "", F.lit(0.0)).otherwise(sw / n)
+
+
 def quality_features(text_col: str = "text") -> dict[str, Column]:
     """Length/punct/stopword ratios (the reference has no text quality
     analog; this is the training-data-pipeline extension)."""

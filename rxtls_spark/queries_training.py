@@ -65,6 +65,19 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer surface: whitespace count, BPE-ish regex count, and
+    stopword ratio — all pure Catalyst, SQL-mirrored."""
+    from rxtls_spark.functions.text import stopword_ratio, token_count_bpe
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count().alias("n_tokens_ws"),
+        token_count_bpe().alias("n_tokens_bpe"),
+        F.round(stopword_ratio(), 5).alias("stopword_ratio"),
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -384,6 +397,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_features": q_text_features,
+    "token_stats": q_token_stats,
     "lang_confusion": q_lang_confusion,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
@@ -489,6 +503,12 @@ WITH media AS (
 """
 
 
+def _stopword_list_sql() -> str:
+    from rxtls_spark.functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
 def oracle_sql_training() -> dict[str, str]:
     return {
         "text_features": _TEXT_CTE + """
@@ -504,6 +524,20 @@ FROM feats
         "lang_confusion": _TEXT_CTE + """
 SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
 FROM feats GROUP BY 1, 2
+""",
+        "token_stats": f"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+  END AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '\\p{{L}}+|\\p{{N}}+|[^\\p{{L}}\\p{{N}}\\s]+'))
+       AS BIGINT) AS n_tokens_bpe,
+  round(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    w -> list_contains({_stopword_list_sql()}, w)))::DOUBLE
+    / len(regexp_split_to_array(lower(trim(text)), '\\s+'))::DOUBLE
+  END, 5) AS stopword_ratio
+FROM documents
 """,
         "dedup_exact": _DUPS_CTE + """
 SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs,
