@@ -144,3 +144,79 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
             F.round(F.max("norm"), 5).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path alongside LSH
+# ---------------------------------------------------------------------------
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """(cell, centroid array<double>) — per-label mean vector.
+
+    Labels are the deterministic coarse quantizer here (a k-means would
+    converge to similar cells but is iteration-order dependent); at
+    10^12 rows you'd train real centroids offline and broadcast them —
+    the query shape below is identical either way."""
+    exploded = embeddings.select(
+        F.col("label").alias("cell"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "v"),
+    )
+    return (
+        exploded.groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("s"))
+        .select("cell", F.transform("s", lambda st: st["m"]).alias("centroid"))
+    )
+
+
+def _nearest_cells(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, emb_col: str, top: int
+) -> DataFrame:
+    """(id, cell) for each vector's ``top`` nearest centroids — the
+    centroid table is tiny (one row per cell) and broadcast."""
+    joined = vectors.join(F.broadcast(centroids))
+    sim_e5 = F.floor(cosine_expr(emb_col, "centroid") * 100000)
+    sel = joined.select(id_col, "cell", sim_e5.alias("_sim"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("cell").asc()
+    )
+    return (
+        sel.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= top)
+        .select(id_col, "cell")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, n_probe: int = 2
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid cell, probe
+    each query's ``n_probe`` nearest cells, brute-force only inside the
+    probed cells.  Candidates per query ≈ n_probe × n/|cells| — an
+    equi-join on the cell key, never a cross join over the corpus."""
+    cents = label_centroids(embeddings).localCheckpoint(eager=False)
+    assign = _nearest_cells(embeddings, cents, "vec_id", "embedding", 1)
+    emb_cells = embeddings.join(assign, "vec_id")
+    q_cells = _nearest_cells(queries, cents, "q_id", "q_emb", n_probe).join(
+        queries, "q_id"
+    )
+    cands = (
+        emb_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    sim_e5 = F.floor(cosine_expr("embedding", "q_emb") * 100000).cast("long")
+    scored = cands.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), sim_e5.alias("sim_e5")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_e5").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", F.col("rank").cast("long"), "sim_e5")
+    )

@@ -377,6 +377,40 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injected-copy retrieval through the IVF index: an exact copy has
+    an identical vector, hence the same nearest cell, and the query
+    always probes its own nearest cell — so recovery is structural,
+    like ann_lsh.  Recall vs brute force is pytest-locked."""
+    from rxtls_spark.operators.embedding_dedup import with_injected_embedding_dups
+    from rxtls_spark.operators.similarity import ann_ivf_topk, cosine_expr
+
+    emb = _emb(spark, sf_dir)
+    qs = query_set(emb)
+    topk = ann_ivf_topk(with_injected_embedding_dups(emb), qs, k=10, n_probe=2)
+    hits = topk.where(
+        F.col("neighbor_id") == F.col("q_id") + F.lit(1_000_000)
+    ).select("q_id", F.lit(1).alias("hit"))
+    expected = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        (F.col("vec_id") + F.lit(1_000_000)).alias("copy_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        expected.withColumn(
+            "sim_e5", F.floor(cosine_expr("emb_a", "emb_b") * 100000).cast("long")
+        )
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "copy_id",
+            "sim_e5",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("recovered"),
+        )
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_stats(_emb(spark, sf_dir))
 
@@ -411,6 +445,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_embedding_dups_lsh,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_stats": q_embedding_stats,
     "media_counts": q_media_counts,
     "media_frames": q_media_frames,
@@ -783,6 +818,13 @@ SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
 FROM embeddings WHERE vec_id % 25 = 0
 """,
         "ann_lsh": """
+SELECT vec_id AS q_id, vec_id + 1000000 AS copy_id,
+  CAST(floor(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])
+             * 100000) AS BIGINT) AS sim_e5,
+  CAST(1 AS BIGINT) AS recovered
+FROM embeddings WHERE vec_id % 100 = 0
+""",
+        "ann_ivf": """
 SELECT vec_id AS q_id, vec_id + 1000000 AS copy_id,
   CAST(floor(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])
              * 100000) AS BIGINT) AS sim_e5,
