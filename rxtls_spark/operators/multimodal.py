@@ -204,3 +204,61 @@ def media_feature_counts(spark, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("body_bytes").cast("long").alias("total_bytes"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("out_bytes", LongType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, box: int = 32) -> DataFrame:
+    """Aspect-fit resize of 'image' payloads into a box×box bound —
+    real numpy nearest-neighbor index plumbing over the (stubbed)
+    decoded pixel buffer; output dims are pure integer arithmetic on
+    (w, h), so the driver oracle can predict them even though the codec
+    is a fake.  With a real decoder only `_decode_fake` changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, payload in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                rec = _decode_fake(bytes(payload))
+                if rec["decode_ok"] != "stub":
+                    continue
+                w, h, ch = rec["width"], rec["height"], rec["channels"]
+                scale = min(box / w, box / h)
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                body = np.frombuffer(bytes(payload), np.uint8, offset=10)
+                px = body[: w * h * ch]
+                if px.size < w * h * ch:  # short body: pad like a decoder would
+                    px = np.pad(px, (0, w * h * ch - px.size))
+                img = px.reshape(h, w, ch)
+                yi = (np.arange(oh) * h // oh)
+                xi = (np.arange(ow) * w // ow)
+                out = img[yi][:, xi].tobytes()
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "w": w, "h": h, "out_w": ow, "out_h": oh,
+                        "out_bytes": len(out),
+                        "pixels": out,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

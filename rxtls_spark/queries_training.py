@@ -421,6 +421,24 @@ def q_media_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_feature_counts(spark, sf_dir)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize of every image payload — output dims/bytes are
+    integer arithmetic on (w, h, ch), SQL-mirrored; the pixel plumbing
+    (numpy nearest-neighbor gather) is exercised but the bytes stay out
+    of the compare."""
+    from rxtls_spark.operators.multimodal import media_df, resize_media
+
+    resized = resize_media(media_df(spark, sf_dir), box=32)
+    return resized.select(
+        "doc_id",
+        "w",
+        "h",
+        "out_w",
+        "out_h",
+        F.col("out_bytes").cast("long").alias("out_bytes"),
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(media_df(spark, sf_dir))
     return frames.agg(
@@ -448,6 +466,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "embedding_stats": q_embedding_stats,
     "media_counts": q_media_counts,
+    "media_resize": q_media_resize,
     "media_frames": q_media_frames,
 }
 
@@ -613,6 +632,16 @@ GROUP BY 1
 SELECT kind, 'stub' AS decode_ok, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(body_bytes) AS BIGINT) AS total_bytes
 FROM media GROUP BY 1, 2
+""",
+        "media_resize": _MEDIA_CTE + """
+SELECT doc_id,
+  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h))) AS INTEGER) AS out_w,
+  CAST(greatest(1, floor(h * least(32.0 / w, 32.0 / h))) AS INTEGER) AS out_h,
+  CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h)))
+       * greatest(1, floor(h * least(32.0 / w, 32.0 / h))) * ch AS BIGINT)
+    AS out_bytes
+FROM media WHERE kind = 'image'
 """,
         "media_frames": _MEDIA_CTE + """
 SELECT CAST(sum((body_bytes // 64 + 3) // 4) AS BIGINT) AS n_frames,
