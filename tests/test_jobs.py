@@ -1,0 +1,55 @@
+"""spark-submit job entry points, smoked as real subprocesses (their
+own sessions — cannot share the suite's, see test_retry.py note)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable] + args,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+
+
+def test_run_dedup_job(tmp_path):
+    out = _run([
+        "jobs/run_dedup.py",
+        "--docs", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "run"),
+        "--master", "local[4]",
+    ])
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["n_kept"] + summary["n_dropped"] == summary["n_docs"]
+    assert summary["n_dropped"] > 0  # organic near-dups exist at sf0.001
+    assert os.path.exists(tmp_path / "run" / "kept" / "_SUCCESS")
+    disk = json.load(open(tmp_path / "run" / "summary.json"))
+    assert disk == summary
+
+
+def test_run_pipeline_job_resumes(tmp_path):
+    """Crash after 1 of 2 buckets → rerun completes; exit codes honor
+    the manifest contract."""
+    base = [
+        "jobs/run_pipeline.py",
+        "--pages", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "run"),
+        "--buckets", "2",
+        "--master", "local[4]",
+    ]
+    first = _run(base + ["--fail-after", "1"])
+    assert first.returncode == 1, first.stderr[-2000:]
+    second = _run(base)
+    assert second.returncode == 0, second.stderr[-2000:]
+    summary = json.loads(second.stdout.strip().splitlines()[-1])
+    assert summary["complete"] and summary["buckets_committed"] == 2
