@@ -422,10 +422,10 @@ def q_media_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-fit resize of every image payload — output dims/bytes are
-    integer arithmetic on (w, h, ch), SQL-mirrored; the pixel plumbing
-    (numpy nearest-neighbor gather) is exercised but the bytes stay out
-    of the compare."""
+    """Aspect-fit resize of every image payload over the REAL decoded
+    PNG pixels — output dims/bytes are integer arithmetic on (w, h, ch),
+    SQL-mirrored; the resized bytes themselves are pytest-locked
+    (tests/test_multimodal.py) and stay out of the value compare."""
     from rxtls_spark.operators.multimodal import media_df, resize_media
 
     resized = resize_media(media_df(spark, sf_dir), box=32)
@@ -550,8 +550,10 @@ WITH media AS (
   SELECT doc_id,
     CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
     16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h, 1 + doc_id % 3 AS ch,
-    CASE WHEN doc_id % 3 = 0 THEN ((16 + doc_id % 48) * (16 + doc_id % 32) * (1 + doc_id % 3)) % 4096
-         ELSE 256 + doc_id % 1024 END AS body_bytes
+    -- images are real PNGs: decoded body = the full w*h*ch pixel array
+    CASE WHEN doc_id % 3 = 0 THEN (16 + doc_id % 48) * (16 + doc_id % 32) * (1 + doc_id % 3)
+         ELSE 256 + doc_id % 1024 END AS body_bytes,
+    CASE WHEN doc_id % 3 = 0 THEN 'real' ELSE 'stub' END AS decode_ok
   FROM documents
 )
 """
@@ -629,7 +631,7 @@ FROM (SELECT label,
 GROUP BY 1
 """,
         "media_counts": _MEDIA_CTE + """
-SELECT kind, 'stub' AS decode_ok, CAST(count(*) AS BIGINT) AS n,
+SELECT kind, decode_ok, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(body_bytes) AS BIGINT) AS total_bytes
 FROM media GROUP BY 1, 2
 """,

@@ -1,8 +1,14 @@
-"""Multimodal plumbing tests: the codec is stubbed (no image libs in
-the container) but the Spark-side schema/partitioning/UDF-batch shape
-is real — decode output must match the deterministic container header,
-frame sampling must match the arithmetic."""
+"""Multimodal codec + plumbing tests.
 
+Images are REAL PNGs now: the stdlib codec (zlib + struct) must
+round-trip exactly, reverse every spec filter type, reject corrupt
+bytes, and drive decode/resize with `decode_ok='real'`.  Audio/video
+stay in the declared MCK0 container (`decode_ok='stub'`)."""
+
+import struct
+import zlib
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -16,6 +22,113 @@ def media(spark):
     return media_df(spark, SF_SMOKE).cache()
 
 
+# ---------------------------------------------------------------------------
+# PNG codec unit tests (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_color_types():
+    from rxtls_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, size=(11, 17, ch)).astype(np.uint8)
+        out = png_decode(png_encode(arr))
+        assert out.shape == (11, 17, ch)
+        assert np.array_equal(out, arr), f"roundtrip failed for ch={ch}"
+
+
+def _filter_scanlines(arr: np.ndarray, filter_types: list[int]) -> bytes:
+    """Test-side PNG filterer (spec §6 forward direction) so the
+    decoder's un-filter path is checked against an independent
+    implementation, not its own inverse."""
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = filter_types[y % len(filter_types)]
+        cur = flat[y]
+        enc = np.empty(stride, np.int32)
+        for i in range(stride):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (int(cur[i]) - pred) & 0xFF
+        out.append(ft)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out)
+
+
+def test_png_decode_reverses_every_filter_type():
+    from rxtls_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        png_decode,
+    )
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(10, 9, 3)).astype(np.uint8)
+    # cycle through all five filter types across scanlines
+    raw = _filter_scanlines(arr, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 9, 10, 8, 2, 0, 0, 0)
+    png = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(png), arr)
+
+
+def test_png_decode_rejects_corruption():
+    from rxtls_spark.operators.multimodal import png_decode, png_encode
+
+    good = png_encode(np.zeros((4, 4, 1), np.uint8))
+    with pytest.raises(ValueError):
+        png_decode(b"NOT A PNG AT ALL")
+    # flip a byte inside the IDAT payload → CRC must catch it
+    bad = bytearray(good)
+    bad[len(good) - 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad))
+    # truncated file
+    with pytest.raises(ValueError):
+        png_decode(good[: len(good) - 15])
+
+
+def test_media_payload_images_are_valid_pngs():
+    from rxtls_spark.operators.multimodal import media_payload, png_decode
+
+    for doc_id in range(0, 90, 3):  # kind 0 = image
+        arr = png_decode(media_payload(doc_id))
+        h, w, ch = arr.shape
+        assert w == 16 + doc_id % 48
+        assert h == 16 + doc_id % 32
+        assert ch == 1 + doc_id % 3
+        # pixel content is the seeded rng stream — spot-check determinism
+        rng = np.random.RandomState(doc_id % (2**31))
+        exp = rng.randint(0, 256, size=(h, w, ch), dtype=np.int64).astype(np.uint8)
+        assert np.array_equal(arr, exp)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side decode / frames / resize
+# ---------------------------------------------------------------------------
+
 def test_media_kinds(spark, media):
     counts = {r["kind"]: r["n"] for r in media.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n")).collect()}
@@ -23,20 +136,36 @@ def test_media_kinds(spark, media):
 
 
 def test_decode_matches_header(spark, media):
-    from rxtls_spark import operators
     from rxtls_spark.operators.multimodal import decode_media
 
     dec = {r["doc_id"]: r for r in decode_media(media).collect()}
-    for doc_id in list(dec)[:50]:
+    assert {r["decode_ok"] for r in dec.values()} == {"real", "stub"}
+    for doc_id in list(dec)[:60]:
         r = dec[doc_id]
-        assert r["decode_ok"] == "stub"
         assert r["width"] == 16 + doc_id % 48
         assert r["height"] == 16 + doc_id % 32
         if r["kind"] == "image":
-            exp = (r["width"] * r["height"] * (1 + doc_id % 3)) % 4096
+            assert r["decode_ok"] == "real", doc_id
+            assert r["channels"] == 1 + doc_id % 3
+            exp = r["width"] * r["height"] * (1 + doc_id % 3)
         else:
+            assert r["decode_ok"] == "stub", doc_id
             exp = 256 + doc_id % 1024
         assert r["body_bytes"] == exp, doc_id
+
+
+def test_decode_mean_is_real_pixel_mean(spark, media):
+    from rxtls_spark.operators.multimodal import (
+        decode_media,
+        media_payload,
+        png_decode,
+    )
+
+    rows = decode_media(media.where(F.col("kind") == "image")).collect()
+    assert rows
+    for r in rows[:20]:
+        arr = png_decode(media_payload(r["doc_id"]))
+        assert r["mean_value"] == round(float(arr.mean()), 5)
 
 
 def test_frame_sampling_arithmetic(spark, media):
@@ -50,11 +179,36 @@ def test_frame_sampling_arithmetic(spark, media):
         assert r["n"] == (n_full + 3) // 4, r["doc_id"]
 
 
-def test_malformed_payload_quarantined(spark):
-    from rxtls_spark.operators.multimodal import DECODED_SCHEMA, decode_media
+def test_resize_uses_decoded_pixels(spark, media):
+    from rxtls_spark.operators.multimodal import (
+        media_payload,
+        png_decode,
+        resize_media,
+    )
 
+    rows = resize_media(media, box=32).collect()
+    assert rows
+    for r in rows[:15]:
+        img = png_decode(media_payload(r["doc_id"]))
+        h, w, ch = img.shape
+        assert (r["w"], r["h"]) == (w, h)
+        assert r["out_bytes"] == r["out_w"] * r["out_h"] * ch
+        yi = np.arange(r["out_h"]) * h // r["out_h"]
+        xi = np.arange(r["out_w"]) * w // r["out_w"]
+        assert bytes(r["pixels"]) == img[yi][:, xi].tobytes()
+
+
+def test_malformed_payload_quarantined(spark):
+    from rxtls_spark.operators.multimodal import decode_media, png_encode
+
+    corrupt_png = bytearray(png_encode(np.zeros((4, 4, 1), np.uint8)))
+    corrupt_png[-16] ^= 0xFF
     bad = spark.createDataFrame(
-        [(1, "image", b"NOT A CONTAINER"), (2, "image", b"")],
+        [
+            (1, "image", b"NOT A CONTAINER"),
+            (2, "image", b""),
+            (3, "image", bytes(corrupt_png)),
+        ],
         "doc_id long, kind string, payload binary",
     )
     rows = decode_media(bad).collect()
