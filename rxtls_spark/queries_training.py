@@ -23,7 +23,6 @@ from rxtls_spark.functions.text import (
     token_count,
 )
 from rxtls_spark.operators.dedup import (
-    doc_fingerprints,
     exact_dup_groups,
     minhash_near_dups,
     normalized_dup_groups,
@@ -252,7 +251,38 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_fingerprints(_docs(spark, sf_dir))
+    """Winnowing fingerprints via injected-copy agreement — oracle-
+    checkable even though the xxh3 rolling-hash values aren't SQL-
+    expressible: an exact copy (doc_id+1e9) must produce an IDENTICAL
+    fingerprint set, so (fingerprints_equal, n_fp_equal, has_fp) are
+    all structurally 1 and DuckDB predicts the rows exactly.  Any break
+    in shingling, winnowing, or the hash flips a row and fails the
+    value hash.  The per-doc fingerprint surface itself stays locked by
+    tests/test_dedup.py winnow properties."""
+    from rxtls_spark.operators.dedup import fingerprint_udf
+
+    docs = _docs(spark, sf_dir)
+    fps = with_injected_dups(docs).select(
+        "doc_id", fingerprint_udf(F.col("text")).alias("fp")
+    )
+    orig = fps.where(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1_000_000_000)
+    ).select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    copies = fps.where(
+        (F.col("doc_id") >= 1_000_000_000) & (F.col("doc_id") < 2_000_000_000)
+    ).select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    return (
+        orig.join(copies, copies["doc_b"] == orig["doc_a"] + 1_000_000_000)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("fp_a") == F.col("fp_b")).cast("long").alias(
+                "fingerprints_equal"
+            ),
+            (F.size("fp_a") == F.size("fp_b")).cast("long").alias("n_fp_equal"),
+            (F.size("fp_a") >= 1).cast("long").alias("has_fp"),
+        )
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,16 +408,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Injected-copy retrieval through the IVF index: an exact copy has
-    an identical vector, hence the same nearest cell, and the query
-    always probes its own nearest cell — so recovery is structural,
-    like ann_lsh.  Recall vs brute force is pytest-locked."""
+    """Injected-copy retrieval through the IVF index with TRAINED
+    k-means centroids: an exact copy has an identical vector, hence the
+    same argmax cell, and the query always probes its own nearest cell
+    — so recovery is structural for ANY quantizer, like ann_lsh.
+    Training runs once here (the offline step) and the centroids are
+    passed into the query; recall vs brute force is pytest-locked."""
     from rxtls_spark.operators.embedding_dedup import with_injected_embedding_dups
-    from rxtls_spark.operators.similarity import ann_ivf_topk, cosine_expr
+    from rxtls_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_expr,
+        train_ivf_centroids,
+    )
 
     emb = _emb(spark, sf_dir)
     qs = query_set(emb)
-    topk = ann_ivf_topk(with_injected_embedding_dups(emb), qs, k=10, n_probe=2)
+    corpus = with_injected_embedding_dups(emb)
+    cents = train_ivf_centroids(corpus, k=16, iters=3)
+    topk = ann_ivf_topk(corpus, qs, k=10, n_probe=2, centroids=cents)
     hits = topk.where(
         F.col("neighbor_id") == F.col("q_id") + F.lit(1_000_000)
     ).select("q_id", F.lit(1).alias("hit"))
@@ -862,7 +900,14 @@ SELECT vec_id AS q_id, vec_id + 1000000 AS copy_id,
   CAST(1 AS BIGINT) AS recovered
 FROM embeddings WHERE vec_id % 100 = 0
 """,
-        # doc_fingerprints / ann_lsh: intentionally no oracle (xxh3
-        # winnowing and hyperplane bucket membership aren't expressible
-        # in DuckDB); semantics locked by pytest instead.
+        # Injected-copy agreement: identical text => identical winnow
+        # fingerprint set, so every flag is structurally 1 and the row
+        # set is a pure doc_id formula.
+        "doc_fingerprints": """
+SELECT doc_id AS doc_a, doc_id + 1000000000 AS doc_b,
+  CAST(1 AS BIGINT) AS fingerprints_equal,
+  CAST(1 AS BIGINT) AS n_fp_equal,
+  CAST(1 AS BIGINT) AS has_fp
+FROM documents WHERE doc_id % 20 = 0
+""",
     }
