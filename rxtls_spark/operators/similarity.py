@@ -39,10 +39,11 @@ def _hyperplanes(dim: int) -> np.ndarray:
     return rng.standard_normal((_N_TABLES, _N_BITS, dim))
 
 
-def cosine_expr(a: str, b: str):
-    """JVM-side cosine similarity of two array<float|double> columns."""
-    ad = F.transform(F.col(a), lambda x: x.cast("double"))
-    bd = F.transform(F.col(b), lambda x: x.cast("double"))
+def _cosine_cols(a, b):
+    """JVM-side cosine similarity of two array<float|double> Column
+    expressions (zip_with/aggregate — whole-stage codegen, no Python)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(ad, bd, lambda x, y: x * y),
         F.lit(0.0),
@@ -51,6 +52,11 @@ def cosine_expr(a: str, b: str):
     na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_expr(a: str, b: str):
+    """Name-based wrapper over `_cosine_cols`."""
+    return _cosine_cols(F.col(a), F.col(b))
 
 
 def query_set(embeddings: DataFrame, every: int = 100) -> DataFrame:
@@ -149,64 +155,173 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path alongside LSH
 # ---------------------------------------------------------------------------
+#
+# Centroids are TRAINED (spherical k-means, `train_ivf_centroids`) and
+# then passed around as plain driver-side metadata — a k×dim matrix,
+# a few KB — baked into the query plan as a literal array of structs.
+# That makes both cell assignment and query probing pure per-row JVM
+# expressions: NO explode over the corpus, NO window shuffle, NO join
+# for assignment.  The only shuffles in an IVF query are the cell
+# equi-join and the final per-query top-k.
+
+def _emb_dim(embeddings: DataFrame, emb_col: str = "embedding") -> int:
+    return int(embeddings.select(F.size(emb_col)).head()[0])
+
+
+def _cents_lit(centroids: list[tuple]):
+    """The centroid set as ONE literal array<struct<cell, centroid>>
+    column — Catalyst folds it into the plan, every executor evaluates
+    it for free (the broadcast-of-metadata pattern without a join)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("centroid"),
+            )
+            for cell, vec in centroids
+        ]
+    )
+
+
+def ivf_assign_expr(centroids: list[tuple], emb):
+    """Column: index of the max-cosine centroid for ``emb`` — pure JVM
+    transform/aggregate, ties break to the first (lowest) cell."""
+    sims = F.transform(_cents_lit(centroids), lambda c: _cosine_cols(emb, c["centroid"]))
+    pos = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    return F.element_at(
+        F.transform(_cents_lit(centroids), lambda c: c["cell"]), pos + 1
+    )
+
+
+def ivf_probe_expr(centroids: list[tuple], emb, n_probe: int):
+    """Column: array of the ``n_probe`` nearest cell ids for ``emb``
+    (sort by -sim with cell tiebreak, slice) — per-row JVM, no window."""
+    scored = F.transform(
+        _cents_lit(centroids),
+        lambda c: F.struct(
+            (-_cosine_cols(emb, c["centroid"])).alias("neg_sim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cell"]
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple]:
+    """Spherical k-means (Lloyd's) coarse quantizer — train ONCE, pass
+    the result into every `ann_ivf_topk` call (at 10^12 rows: persist it
+    to a tiny table and reload).
+
+    Spark-first structure, the same loop MLlib's KMeans runs:
+    - assignment is a per-row JVM argmax against the literal centroid
+      array (no explode, no join, no Python);
+    - the update is ONE k-row hash aggregate per iteration (per-dim
+      `avg(element_at(...))` — map-side partial agg, k×dim output);
+    - the k×dim centroid matrix lives on the driver between iterations
+      (metadata-scale, like MLlib's cluster centers).
+
+    Deterministic: seeds are the k lowest xxhash64(id) rows, assignment
+    ties break to the lowest cell, means are rounded to 9 decimals so
+    run-to-run float noise can't flip a boundary vector."""
+    dim = _emb_dim(embeddings, emb_col)
+    seeds = (
+        embeddings.orderBy(F.xxhash64(id_col), F.col(id_col))
+        .select(emb_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, [float(v) for v in r[0]]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        cell = ivf_assign_expr(cents, F.col(emb_col))
+        means = embeddings.select(cell.alias("cell"), emb_col).groupBy("cell").agg(
+            *[
+                F.avg(F.element_at(F.col(emb_col), i + 1).cast("double")).alias(
+                    f"m{i}"
+                )
+                for i in range(dim)
+            ]
+        )
+        got = {
+            r["cell"]: [round(float(r[f"m{i}"]), 9) for i in range(dim)]
+            for r in means.collect()
+        }
+        # empty cells keep their previous centroid
+        cents = [(c, got.get(c, vec)) for c, vec in cents]
+    return cents
+
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:
-    """(cell, centroid array<double>) — per-label mean vector.
-
-    Labels are the deterministic coarse quantizer here (a k-means would
-    converge to similar cells but is iteration-order dependent); at
-    10^12 rows you'd train real centroids offline and broadcast them —
-    the query shape below is identical either way."""
-    exploded = embeddings.select(
-        F.col("label").alias("cell"),
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos", "v"),
+    """(cell, centroid array<double>) — per-label mean vector, the
+    deterministic ORACLE quantizer (labels stand in for trained cells
+    in tests comparing quantizer quality).  Explode-free: one hash agg
+    with dim per-element avgs, k×dim output."""
+    dim = _emb_dim(embeddings)
+    aggd = embeddings.groupBy(F.col("label").alias("cell")).agg(
+        *[
+            F.avg(F.element_at(F.col("embedding"), i + 1).cast("double")).alias(
+                f"m{i}"
+            )
+            for i in range(dim)
+        ]
     )
-    return (
-        exploded.groupBy("cell", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cell")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("s"))
-        .select("cell", F.transform("s", lambda st: st["m"]).alias("centroid"))
+    return aggd.select(
+        "cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("centroid")
     )
 
 
-def _nearest_cells(
-    vectors: DataFrame, centroids: DataFrame, id_col: str, emb_col: str, top: int
-) -> DataFrame:
-    """(id, cell) for each vector's ``top`` nearest centroids — the
-    centroid table is tiny (one row per cell) and broadcast."""
-    joined = vectors.join(F.broadcast(centroids))
-    sim_e5 = F.floor(cosine_expr(emb_col, "centroid") * 100000)
-    sel = joined.select(id_col, "cell", sim_e5.alias("_sim"))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("cell").asc()
-    )
-    return (
-        sel.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= top)
-        .select(id_col, "cell")
-    )
+def collect_centroids(centroid_df: DataFrame) -> list[tuple]:
+    """A (cell, centroid) DataFrame → the list form the literal-array
+    expressions take (k×dim — metadata-scale)."""
+    return [
+        (r["cell"], [float(v) for v in r["centroid"]])
+        for r in centroid_df.collect()
+    ]
 
 
 def ann_ivf_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 10, n_probe: int = 2
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    centroids: list[tuple] | None = None,
+    n_cells: int = 16,
+    train_iters: int = 4,
 ) -> DataFrame:
-    """IVF ANN: assign every vector to its nearest centroid cell, probe
-    each query's ``n_probe`` nearest cells, brute-force only inside the
-    probed cells.  Candidates per query ≈ n_probe × n/|cells| — an
-    equi-join on the cell key, never a cross join over the corpus."""
-    cents = label_centroids(embeddings).localCheckpoint(eager=False)
-    assign = _nearest_cells(embeddings, cents, "vec_id", "embedding", 1)
-    emb_cells = embeddings.join(assign, "vec_id")
-    q_cells = _nearest_cells(queries, cents, "q_id", "q_emb", n_probe).join(
-        queries, "q_id"
+    """IVF ANN: assign every vector to its nearest trained-centroid
+    cell, probe each query's ``n_probe`` nearest cells, brute-force only
+    inside the probed cells.  Candidates per query ≈ n_probe × n/k — an
+    equi-join on the cell key, never a cross join over the corpus.
+
+    ``centroids`` is the trained quantizer (see `train_ivf_centroids`);
+    pass it in so the corpus is never re-scanned to rebuild it — when
+    omitted, training runs once inside this call (the offline step).
+    Single-cell assignment means each (q_id, vec_id) candidate pair is
+    generated at most once — no dedup pass needed."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, k=n_cells, iters=train_iters
+        )
+    emb_cells = embeddings.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(centroids, F.col("embedding")).alias("cell"),
     )
-    cands = (
-        emb_cells.join(F.broadcast(q_cells), "cell")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "vec_id"])
+    q_cells = queries.select(
+        "q_id",
+        "q_emb",
+        F.explode(ivf_probe_expr(centroids, F.col("q_emb"), n_probe)).alias(
+            "cell"
+        ),
+    )
+    cands = emb_cells.join(F.broadcast(q_cells), "cell").where(
+        F.col("vec_id") != F.col("q_id")
     )
     sim_e5 = F.floor(cosine_expr("embedding", "q_emb") * 100000).cast("long")
     scored = cands.select(

@@ -84,39 +84,120 @@ def test_embedding_stats(spark, emb):
     assert all(r["min_norm"] <= r["avg_norm"] <= r["max_norm"] for r in rows)
 
 
-def test_ann_ivf_recall_and_determinism(spark, emb, emb_np):
-    """IVF with label-centroid cells: every query returns k candidates,
-    results are a deterministic function of the data, and the top-1
-    neighbor matches brute force for a reasonable share of queries
-    (probing 2 of ~10 cells ≈ 20% of the corpus)."""
+@pytest.fixture(scope="module")
+def ivf_cents(emb):
+    from rxtls_spark.operators.similarity import train_ivf_centroids
+
+    return train_ivf_centroids(emb, k=8, iters=3)
+
+
+def test_ivf_training_is_deterministic_and_covers(spark, emb, ivf_cents):
+    """Retraining on the same data must reproduce the centroids bit-for-
+    bit (seeded init, lowest-cell tiebreak, rounded means), and the
+    trained quantizer must actually partition the corpus (every cell
+    non-empty — k-means collapsed cells would gut IVF selectivity)."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.operators.similarity import (
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    again = train_ivf_centroids(emb, k=8, iters=3)
+    assert again == ivf_cents
+    sizes = {
+        r["cell"]: r["n"]
+        for r in emb.select(
+            ivf_assign_expr(ivf_cents, F.col("embedding")).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(sizes) == 8 and all(v > 0 for v in sizes.values())
+
+
+def test_ivf_training_improves_objective(spark, emb, ivf_cents):
+    """More Lloyd's iterations must not worsen the spherical-k-means
+    objective (mean cosine of each vector to its assigned centroid)."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.operators.similarity import (
+        _cents_lit,
+        _cosine_cols,
+        train_ivf_centroids,
+    )
+
+    def objective(cents):
+        sims = F.transform(
+            _cents_lit(cents),
+            lambda c: _cosine_cols(F.col("embedding"), c["centroid"]),
+        )
+        return emb.select(F.array_max(sims).alias("s")).agg(
+            F.avg("s")
+        ).head()[0]
+
+    o1 = objective(train_ivf_centroids(emb, k=8, iters=1))
+    o3 = objective(ivf_cents)
+    assert o3 >= o1 - 1e-9
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb, emb_np, ivf_cents):
+    """IVF with trained centroids: every query returns k candidates,
+    results are a deterministic function of (data, centroids), and
+    recall@10 clears the bar probing 2 of 8 cells (~25% of the
+    corpus)."""
     from rxtls_spark.operators.similarity import ann_ivf_topk, query_set
 
     ids, mat = emb_np
     exact = _numpy_topk(ids, mat, k=10)
     got = {}
-    for r in ann_ivf_topk(emb, query_set(emb), k=10, n_probe=2).collect():
+    for r in ann_ivf_topk(
+        emb, query_set(emb), k=10, n_probe=2, centroids=ivf_cents
+    ).collect():
         got.setdefault(r["q_id"], set()).add(r["neighbor_id"])
     assert set(got) == set(exact)  # every query answered
     recalls = [
         len(got.get(q, set()) & {n for n, _ in exact[q]}) / 10 for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.2
-    # determinism: a rerun returns exactly the same sets
+    # determinism: a rerun (including retraining inside the call)
+    # returns exactly the same sets
     again = {}
-    for r in ann_ivf_topk(emb, query_set(emb), k=10, n_probe=2).collect():
+    for r in ann_ivf_topk(
+        emb, query_set(emb), k=10, n_probe=2, n_cells=8, train_iters=3
+    ).collect():
         again.setdefault(r["q_id"], set()).add(r["neighbor_id"])
     assert again == got
 
 
-def test_ann_ivf_full_probe_equals_brute_force(spark, emb, emb_np):
-    """Probing EVERY cell must reduce IVF to exact brute force."""
+def test_ann_ivf_full_probe_equals_brute_force(spark, emb, emb_np, ivf_cents):
+    """Probing EVERY cell must reduce IVF to exact brute force — holds
+    for any quantizer, so it pins the join/scoring machinery."""
     from rxtls_spark.operators.similarity import ann_ivf_topk, query_set
 
     ids, mat = emb_np
     exact = _numpy_topk(ids, mat, k=10)
-    n_cells = emb.select("label").distinct().count()
     got = {}
-    for r in ann_ivf_topk(emb, query_set(emb), k=10, n_probe=n_cells).collect():
+    for r in ann_ivf_topk(
+        emb, query_set(emb), k=10, n_probe=len(ivf_cents), centroids=ivf_cents
+    ).collect():
         got.setdefault(r["q_id"], []).append((r["rank"], r["neighbor_id"]))
     for q, neighbors in exact.items():
         assert [n for _rk, n in sorted(got[q])] == [n for n, _ in neighbors], q
+
+
+def test_ann_ivf_plan_has_no_corpus_explode(spark, emb, ivf_cents):
+    """The round-2 verdict flagged a full-corpus posexplode in the
+    centroid build; with trained literal centroids the IVF query plan
+    must contain no posexplode at all and only the tiny query-side
+    probe explode."""
+    from rxtls_spark.operators.similarity import ann_ivf_topk, query_set
+
+    from rxtls_spark.plans.checks import plan_string
+
+    plan = plan_string(
+        ann_ivf_topk(emb, query_set(emb), k=10, n_probe=2, centroids=ivf_cents),
+        "formatted",
+    )
+    assert "posexplode" not in plan.lower()
