@@ -178,3 +178,72 @@ def test_streaming_dedup_first_occurrence_and_restart(spark, tmp_path):
     assert rows[h("text D")]["doc_id"] == 13
     assert rows[h("text A")]["doc_id"] == 1    # still the original keeper
     assert len(rows) == 4
+
+
+def test_streaming_dedup_ttl_evicts_and_readmits(spark, tmp_path):
+    """TTL-bounded dedup: within the TTL a duplicate is rejected; after
+    the TTL the hash is evicted and the next copy is ADMITTED again —
+    the evidence that expired state actually leaves the store.
+
+    Timing note: each availableNow start costs ~10 s of wall clock, so
+    the within-TTL check uses a TTL far longer than the test (10 min)
+    and the post-TTL check uses a TTL of 1 ms — both deterministic."""
+    import hashlib
+
+    import pandas as pd
+
+    from rxtls_spark.streaming.dedup_stream import dedup_stream_ttl
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()
+
+    def harness(name, ttl_ms):
+        src = tmp_path / f"{name}_src"
+        src.mkdir()
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        out = str(tmp_path / f"{name}_out")
+
+        def write_batch(fname, rows):
+            pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+                src / f"{fname}.parquet"
+            )
+
+        def run():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            q = (
+                dedup_stream_ttl(stream, ttl_ms=ttl_ms)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        return write_batch, run, out
+
+    # --- within-TTL: duplicates rejected across batches and restarts ---
+    write_batch, run, out = harness("long", ttl_ms=600_000)
+    write_batch("b1", [(2, "ttl A"), (4, "ttl A"), (6, "ttl B")])
+    run()
+    write_batch("b2", [(8, "ttl A")])
+    run()
+    rows = spark.read.parquet(out).collect()
+    admitted_a = sorted(r["doc_id"] for r in rows if r["content_hash"] == h("ttl A"))
+    assert admitted_a == [2]  # one admission; same-batch + cross-batch dups rejected
+    assert [r["n_dropped_before"] for r in rows if r["content_hash"] == h("ttl A")] == [1]
+
+    # --- post-TTL: expired hash evicted, next copy admitted anew ---
+    write_batch, run, out = harness("short", ttl_ms=1)
+    write_batch("b1", [(2, "ttl A")])
+    run()
+    write_batch("b2", [(10, "ttl A"), (12, "ttl C")])
+    run()
+    rows = spark.read.parquet(out).collect()
+    admitted_a = sorted(r["doc_id"] for r in rows if r["content_hash"] == h("ttl A"))
+    assert admitted_a == [2, 10], admitted_a  # evicted hash admitted anew
+    assert [r["doc_id"] for r in rows if r["content_hash"] == h("ttl C")] == [12]
