@@ -301,15 +301,54 @@ def lsh_candidate_pairs(
     )
 
 
+def _jaccard_scalar(ta: str, tb: str) -> float:
+    """Per-row reference (tests assert batch == this)."""
+    sa = set(_shingle_hashes(ta or "").tolist())
+    sb = set(_shingle_hashes(tb or "").tolist())
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 1.0
+
+
+def _jaccard_batch(texts_a, texts_b) -> list[float]:
+    """Exact shingle-set Jaccard for a whole Arrow batch with ONE xxh3
+    batch call over every shingle of every row on both sides (the
+    `_minhash_batch` pattern) — the per-row version pays two
+    numpy-dispatch round-trips per pair, which dominates on dup-heavy
+    corpora where the candidate set is large."""
+    from rxtls_spark.xxh3_vec import xxh3_64_batch
+
+    per_a = [_shingle_strings(t or "") for t in texts_a]
+    per_b = [_shingle_strings(t or "") for t in texts_b]
+    if not per_a:
+        return []
+    lens = np.fromiter(
+        (len(s) for pair in zip(per_a, per_b) for s in pair),
+        dtype=np.int64,
+        count=2 * len(per_a),
+    )
+    bounds = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    all_h = xxh3_64_batch(
+        [
+            s.encode("utf-8")
+            for pair in zip(per_a, per_b)
+            for side in pair
+            for s in side
+        ]
+    )
+    out = []
+    for i in range(len(per_a)):
+        sa = np.unique(all_h[bounds[2 * i] : bounds[2 * i + 1]])
+        sb = np.unique(all_h[bounds[2 * i + 1] : bounds[2 * i + 2]])
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        out.append(inter / union if union else 1.0)
+    return out
+
+
 @pandas_udf(DoubleType())
 def jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
-    out = []
-    for ta, tb in zip(text_a, text_b):
-        sa = set(_shingle_hashes(ta or "").tolist())
-        sb = set(_shingle_hashes(tb or "").tolist())
-        union = len(sa | sb)
-        out.append(len(sa & sb) / union if union else 1.0)
-    return pd.Series(out)
+    return pd.Series(_jaccard_batch(list(text_a), list(text_b)))
 
 
 def minhash_near_dups(

@@ -207,3 +207,29 @@ def test_simhash_bucket_cap_bounds_hot_bucket(spark, adversarial):
         assert got.get((b, b + 1_000_000_000)) == 0  # identical text
     drops = simhash_dropped_buckets(adversarial, bucket_cap=1000).collect()
     assert len(drops) == 4 and all(d["bucket_size"] == 10_000 for d in drops)
+
+
+def test_jaccard_batch_equals_scalar():
+    """The batched verify (one xxh3 call per Arrow batch) must agree
+    with the per-row reference bit-for-bit on every edge shape."""
+    import numpy as np
+
+    from rxtls_spark.operators.dedup import _jaccard_batch, _jaccard_scalar
+
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "x"]
+    texts_a, texts_b = [], []
+    for n in [0, 1, 2, 3, 5, 30, 100]:
+        a = " ".join(rng.choice(words, n)) if n else ""
+        b_words = a.split()
+        if b_words and rng.rand() < 0.7:
+            b_words[rng.randint(len(b_words))] = "MUT"
+        texts_a.append(a)
+        texts_b.append(" ".join(b_words))
+    texts_a += ["same same same", None, "one two three four"]
+    texts_b += ["same same same", "not empty", None]
+    got = _jaccard_batch(texts_a, texts_b)
+    exp = [_jaccard_scalar(a, b) for a, b in zip(texts_a, texts_b)]
+    assert got == exp
+    assert got[-3] == 1.0  # identical texts
+    assert _jaccard_batch([], []) == []
