@@ -120,11 +120,31 @@ class CheckpointedPipeline:
                 .partitionBy("bucket")
                 .parquet(self.staging_dir)
             )
+            # record the staging write amplification (the resume trade:
+            # one extra 1× copy of the input vs n_buckets× re-scans) so
+            # summary() can surface it — no silent costs.  Persisted
+            # OUTSIDE the staging dir because staging is deleted on
+            # completion.
+            n_files, n_bytes = 0, 0
+            for root, _dirs, names in os.walk(self.staging_dir):
+                for name in names:
+                    if name.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, name))
+            stats_tmp = self._staging_stats_path() + ".tmp"
+            with open(stats_tmp, "w") as f:
+                json.dump(
+                    {"staged_files": n_files, "staged_bytes": n_bytes}, f
+                )
+            os.replace(stats_tmp, self._staging_stats_path())
             tmp = marker + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"n_buckets": self.n_buckets, "ts": time.time()}, f)
             os.replace(tmp, marker)
         return spark.read.parquet(self.staging_dir)
+
+    def _staging_stats_path(self) -> str:
+        return os.path.join(self.manifest_dir, "staging_stats.json")
 
     def _marker_valid(self, marker: str) -> bool:
         if not os.path.exists(marker):
@@ -225,7 +245,16 @@ class CheckpointedPipeline:
         recs = self.records()
         n_input = sum(r["n_input"] for r in recs)
         n_failed = sum(r["n_parse_failed"] for r in recs)
+        try:
+            staging = json.load(open(self._staging_stats_path()))
+        except (OSError, ValueError):
+            staging = {"staged_files": 0, "staged_bytes": 0}
         return {
+            # resume-mode write amplification: the staged 1× input copy
+            # (an operator reading this sees the extra write I/O; with
+            # an Iceberg bucket(url) layout the copy disappears)
+            "staged_files": staging["staged_files"],
+            "staged_bytes": staging["staged_bytes"],
             "buckets_committed": len(recs),
             "n_buckets": self.n_buckets,
             "complete": len(recs) == self.n_buckets,

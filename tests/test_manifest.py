@@ -73,6 +73,10 @@ def test_manifest_lineage_matches_data(spark, inputs, tmp_path):
     # per-file lineage row counts sum to the routed total
     total_from_files = sum(f["rows"] for r in cp.records() for f in r["files"])
     assert total_from_files == s["n_routed"]
+    # resume-mode write amplification is observable, even after the
+    # staging dir itself was cleaned up on completion
+    assert s["staged_files"] > 0 and s["staged_bytes"] > 0
+    assert not os.path.exists(cp.staging_dir)
     # manifest records are valid JSON with the full metrics contract
     rec = cp.records()[0]
     for key in ("bucket", "n_input", "n_routed", "n_parse_failed",
