@@ -142,3 +142,39 @@ def quality_score(text_col: str = "text") -> Column:
         ),
         5,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — redact emails / phone numbers / IPv4 literals
+# ---------------------------------------------------------------------------
+#
+# A web-scale training corpus must strip contact PII before the mix
+# stage.  Patterns are deliberately simple, anchored ones that Java
+# regex (Spark) and RE2 (DuckDB oracle) match IDENTICALLY — no
+# lookarounds, no backreferences — so the whole scrub is value-hash
+# checkable.  Everything stays JVM-side (regexp_count/regexp_replace,
+# whole-stage codegen); replacement order is email → IPv4 → phone so
+# the digit-heavy phone pattern never eats a redacted token.
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+
+def pii_counts(text_col: str = "text") -> dict[str, Column]:
+    """Match counts per PII class on the RAW text (pre-scrub)."""
+    t = F.col(text_col)
+    return {
+        "n_emails": F.regexp_count(t, F.lit(PII_EMAIL)).cast("long"),
+        "n_ipv4": F.regexp_count(t, F.lit(PII_IPV4)).cast("long"),
+        "n_phones": F.regexp_count(t, F.lit(PII_PHONE)).cast("long"),
+    }
+
+
+def pii_scrub(text_col: str = "text") -> Column:
+    """Text with every PII match replaced by a typed redaction token."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    return t

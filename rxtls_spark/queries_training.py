@@ -77,6 +77,69 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_injected_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection (every doc_id%10==0 gets an email,
+    an IPv4 and a phone appended) — mirrored in the SQL oracle, since
+    the synthetic documents may contain no organic PII."""
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 call +12 3456 7890."),
+    )
+    return docs.withColumn(
+        "text", F.when(F.col("doc_id") % 10 == 0, pii).otherwise(F.col("text"))
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: per-class match counts on the raw
+    text plus the md5 of the scrubbed text — the full scrub output is
+    value-checked without shipping megabytes through the compare.  All
+    JVM-side regexp_count/regexp_replace; patterns are chosen so Java
+    regex and RE2 match identically (no lookarounds/backrefs)."""
+    from rxtls_spark.functions.text import pii_counts, pii_scrub
+
+    docs = with_injected_pii(_docs(spark, sf_dir).select("doc_id", "text"))
+    c = pii_counts()
+    return docs.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ipv4"].alias("n_ipv4"),
+        c["n_phones"].alias("n_phones"),
+        F.md5(pii_scrub()).alias("scrubbed_md5"),
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents sharing
+    any word-3-gram with the eval set (doc_id%50==0 plays the held-out
+    benchmark).  Scale shape: the eval shingle set is DISTINCT and
+    BROADCAST (eval sets are tiny vs the corpus), the corpus side is a
+    map-side explode + broadcast hash join, and the only shuffle is the
+    final per-doc partial-agg count.  array_distinct before the explode
+    makes count(*) == count(DISTINCT shingle) without a second shuffle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode(_word_shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+    corpus = docs.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_shingles(F.col("text")))).alias(
+            "shingle"
+        ),
+    )
+    return (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -489,6 +552,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_features": q_text_features,
     "token_stats": q_token_stats,
     "lang_confusion": q_lang_confusion,
+    "pii_scrub": q_pii_scrub,
+    "contamination": q_contamination,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -597,6 +662,22 @@ WITH media AS (
 """
 
 
+def _shingles_sql(col: str) -> str:
+    """Word-3-gram list expression over an arbitrary text column —
+    the SQL mirror of `_word_shingles`."""
+    w = f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+    return f"""CASE WHEN len({w}) >= 3
+      THEN list_transform(generate_series(1, len({w}) - 2),
+                          i -> array_to_string({w}[i:i+2], ' '))
+      ELSE [array_to_string({w}, ' ')] END"""
+
+
+def _pii_sql() -> dict[str, str]:
+    from rxtls_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return {"email": PII_EMAIL, "ipv4": PII_IPV4, "phone": PII_PHONE}
+
+
 def _stopword_list_sql() -> str:
     from rxtls_spark.functions.text import STOPWORDS
 
@@ -614,6 +695,37 @@ SELECT doc_id, n_chars, n_tokens, round(alpha_ratio, 5) AS alpha_ratio,
     AS quality,
   lang_guess
 FROM feats
+""",
+        "pii_scrub": f"""
+WITH pii AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0
+      THEN text || ' Contact user' || doc_id || '@example.com from 10.0.'
+           || (doc_id % 250) || '.7 call +12 3456 7890.'
+      ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_pii_sql()["email"]}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_pii_sql()["ipv4"]}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{_pii_sql()["phone"]}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_pii_sql()["email"]}', '<EMAIL>', 'g'),
+      '{_pii_sql()["ipv4"]}', '<IP>', 'g'),
+      '{_pii_sql()["phone"]}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM pii
+""",
+        "contamination": f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_shingles_sql("text")}) AS shingle
+  FROM documents WHERE doc_id % 50 = 0
+), corpus AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql("text")})) AS shingle
+  FROM documents WHERE doc_id % 50 <> 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM corpus JOIN ev USING (shingle)
+GROUP BY 1
 """,
         "lang_confusion": _TEXT_CTE + """
 SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n

@@ -66,3 +66,54 @@ def test_quality_prose_beats_noise(spark, tdf):
         for r in tdf.select("doc_id", quality_score().alias("q")).collect()
     }
     assert got[1] > got[8]  # prose > digit noise
+
+
+def test_pii_scrub_redacts_all_classes(spark):
+    from rxtls_spark.functions.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@sub.example.org thanks"),
+            (2, "server at 192.168.001.42 went down"),
+            (3, "call +44 20 7946-0958 now"),
+            (4, "clean prose with no contact details at all"),
+            (5, "a@b.io and 10.0.0.1 and +12 3456 7890 together"),
+        ],
+        "doc_id long, text string",
+    )
+    c = pii_counts()
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            c["n_emails"].alias("e"),
+            c["n_ipv4"].alias("i"),
+            c["n_phones"].alias("p"),
+            pii_scrub().alias("s"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["i"], rows[1]["p"]) == (1, 0, 0)
+    assert (rows[2]["e"], rows[2]["i"], rows[2]["p"]) == (0, 1, 0)
+    assert (rows[3]["e"], rows[3]["i"], rows[3]["p"]) == (0, 0, 1)
+    assert (rows[4]["e"], rows[4]["i"], rows[4]["p"]) == (0, 0, 0)
+    assert (rows[5]["e"], rows[5]["i"], rows[5]["p"]) == (1, 1, 1)
+    assert rows[1]["s"] == "mail me at <EMAIL> thanks"
+    assert rows[2]["s"] == "server at <IP> went down"
+    assert rows[3]["s"] == "call <PHONE> now"
+    assert rows[4]["s"] == "clean prose with no contact details at all"
+    assert rows[5]["s"] == "<EMAIL> and <IP> and <PHONE> together"
+
+
+def test_contamination_excludes_eval_docs_and_counts_distinct(spark):
+    """Eval docs (doc_id%50==0) never appear in the output, and n_shared
+    counts DISTINCT shared shingles (repeats in a doc count once)."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import q_contamination
+    from tests.conftest import SF_SMOKE
+
+    out = q_contamination(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows  # synthetic corpus shares common phrases with eval set
+    assert all(r["doc_id"] % 50 != 0 for r in rows)
+    assert all(r["n_shared"] >= 1 for r in rows)
