@@ -13,8 +13,10 @@
   force in tests.
 
 At 10^12 rows the brute-force variant is only valid for a broadcastable
-query set (it's a map-side nested loop per row — no shuffle); the IVF
-route is the real ANN: signatures are one numpy matmul per Arrow batch.
+query set (it's a map-side nested loop per row — no shuffle); the real
+ANN routes are LSH (signatures: one numpy tensordot per Arrow batch),
+IVF with trained k-means centroids, and IVF-PQ with exact re-rank (the
+FAISS-canonical shape — candidates stream 8-byte codes, not vectors).
 """
 
 from __future__ import annotations
@@ -183,11 +185,39 @@ def _cents_lit(centroids: list[tuple]):
     )
 
 
-def ivf_assign_expr(centroids: list[tuple], emb):
-    """Column: index of the max-cosine centroid for ``emb`` — pure JVM
-    transform/aggregate, ties break to the first (lowest) cell."""
-    sims = F.transform(_cents_lit(centroids), lambda c: _cosine_cols(emb, c["centroid"]))
-    pos = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+def _dot_cols(a, b):
+    """JVM dot product of two array columns (doubles)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _l2sq_cols(a, b):
+    """JVM squared-L2 distance of two array columns (doubles)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign_expr(centroids: list[tuple], emb, metric: str = "cosine"):
+    """Column: cell of the nearest centroid for ``emb`` (max cosine or
+    min L2) — pure JVM transform/aggregate, ties break to the first
+    (lowest) cell."""
+    if metric == "cosine":
+        score = F.transform(
+            _cents_lit(centroids), lambda c: _cosine_cols(emb, c["centroid"])
+        )
+    else:
+        score = F.transform(
+            _cents_lit(centroids), lambda c: -_l2sq_cols(emb, c["centroid"])
+        )
+    pos = F.array_position(score, F.array_max(score)).cast("int") - 1
     return F.element_at(
         F.transform(_cents_lit(centroids), lambda c: c["cell"]), pos + 1
     )
@@ -214,6 +244,7 @@ def train_ivf_centroids(
     iters: int = 4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> list[tuple]:
     """Spherical k-means (Lloyd's) coarse quantizer — train ONCE, pass
     the result into every `ann_ivf_topk` call (at 10^12 rows: persist it
@@ -239,7 +270,7 @@ def train_ivf_centroids(
     )
     cents = [(i, [float(v) for v in r[0]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        cell = ivf_assign_expr(cents, F.col(emb_col))
+        cell = ivf_assign_expr(cents, F.col(emb_col), metric)
         means = embeddings.select(cell.alias("cell"), emb_col).groupBy("cell").agg(
             *[
                 F.avg(F.element_at(F.col(emb_col), i + 1).cast("double")).alias(
@@ -325,6 +356,158 @@ def ann_ivf_topk(
     )
     sim_e5 = F.floor(cosine_expr("embedding", "q_emb") * 100000).cast("long")
     scored = cands.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), sim_e5.alias("sim_e5")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_e5").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", F.col("rank").cast("long"), "sim_e5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — product quantization with exact re-rank (the FAISS-canonical
+# shape for ANN at 10^9-10^12 vectors)
+# ---------------------------------------------------------------------------
+#
+# PQ compresses each vector to m small codes (here m=8 codes of 4 bits
+# for a 64-dim vector → 8 bytes instead of 256), so the candidate scan
+# touches codes + a per-query lookup table instead of full vectors.
+# Pipeline: IVF probe for candidates → PQ asymmetric-distance score
+# (pure JVM: one LUT gather + sum per candidate) → keep top `rerank`
+# → exact cosine re-rank of the survivors.  Codebooks, like the IVF
+# centroids, are offline-trained driver metadata baked into the plan
+# as literals; at 10^12 rows you train them on a deterministic sample
+# and persist.
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks: the D-dim vector is split
+    into ``m`` contiguous subvectors, each quantized independently to
+    ``ks`` centroids.  Returns codebooks[m][ks][D/m].  Training reuses
+    the Lloyd's loop (JVM argmin assignment, one ks-row agg per
+    iteration) on the sliced column; run it on a sample offline at
+    corpus scale — the codebooks are a few KB of metadata."""
+    dim = _emb_dim(embeddings, emb_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(emb_col), j * sub + 1, sub).alias("embedding"),
+        )
+        cents = train_ivf_centroids(
+            sliced, k=ks, iters=iters, metric="l2"
+        )
+        books.append([vec for _cell, vec in cents])
+    return books
+
+
+def _book_lit(book: list[list[float]]):
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
+    )
+
+
+def pq_encode_expr(codebooks: list, emb):
+    """Column: array<int> of m PQ codes (argmin-L2 per subspace) —
+    per-row JVM, ties to the lowest code."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        sv = F.slice(emb, j * sub + 1, sub)
+        d2 = F.transform(_book_lit(codebooks[j]), lambda c: _l2sq_cols(sv, c))
+        codes.append(F.array_position(d2, F.array_min(d2)).cast("int") - 1)
+    return F.array(*codes)
+
+
+def pq_lut_expr(codebooks: list, q_emb):
+    """Column: array of m lookup tables, LUT[j][c] = dot(q_j, book[j][c])
+    — computed once per QUERY row (tiny), making each candidate score a
+    pure gather+sum."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    luts = []
+    for j in range(m):
+        qv = F.slice(q_emb, j * sub + 1, sub)
+        luts.append(
+            F.transform(_book_lit(codebooks[j]), lambda c: _dot_cols(qv, c))
+        )
+    return F.array(*luts)
+
+
+def pq_score_expr(codes_col, luts_col):
+    """Approximate dot(q, v) = Σ_j LUT[j][code_j] — the PQ asymmetric
+    distance; one array gather + sum per candidate, no vector math."""
+    picked = F.zip_with(codes_col, luts_col, lambda c, lut: F.get(lut, c))
+    return F.aggregate(picked, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ann_ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 50,
+    centroids: list[tuple] | None = None,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """IVF-PQ with exact re-rank: probe ``n_probe`` cells, score every
+    candidate with the PQ asymmetric distance (codes vs the query's
+    LUT — no full-vector math on the wide candidate set), keep the top
+    ``rerank`` per query, then re-rank those exactly by cosine.
+
+    With ``rerank`` ≥ the candidate count this reduces to exact IVF
+    search regardless of codebook quality (pytest-locked); at scale the
+    PQ stage is what lets the candidate scan stream compressed codes
+    instead of raw vectors."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings)
+    if codebooks is None:
+        codebooks = train_pq(embeddings)
+    emb_cells = embeddings.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(centroids, F.col("embedding")).alias("cell"),
+        pq_encode_expr(codebooks, F.col("embedding")).alias("codes"),
+    )
+    q_cells = queries.select(
+        "q_id",
+        "q_emb",
+        pq_lut_expr(codebooks, F.col("q_emb")).alias("luts"),
+        F.explode(ivf_probe_expr(centroids, F.col("q_emb"), n_probe)).alias(
+            "cell"
+        ),
+    )
+    cands = emb_cells.join(F.broadcast(q_cells), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    approx = cands.withColumn(
+        "pq_score", pq_score_expr(F.col("codes"), F.col("luts"))
+    )
+    w_pq = Window.partitionBy("q_id").orderBy(
+        F.col("pq_score").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        approx.withColumn("_r", F.row_number().over(w_pq))
+        .where(F.col("_r") <= rerank)
+        .drop("_r", "pq_score", "codes", "luts", "cell")
+    )
+    sim_e5 = F.floor(cosine_expr("embedding", "q_emb") * 100000).cast("long")
+    scored = survivors.select(
         "q_id", F.col("vec_id").alias("neighbor_id"), sim_e5.alias("sim_e5")
     )
     w = Window.partitionBy("q_id").orderBy(

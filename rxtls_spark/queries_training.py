@@ -512,6 +512,53 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injected-copy retrieval through IVF-PQ + exact re-rank: the copy
+    shares the query's argmax cell (structural, as in ann_ivf), its PQ
+    codes are identical to the query's own encoding so its asymmetric
+    score is at the top of the candidate set, and the exact re-rank
+    then ranks it first.  Codebooks + centroids train once here (the
+    offline step).  Exactness of the rerank machinery is pytest-locked
+    (full probe + full rerank == brute force)."""
+    from rxtls_spark.operators.embedding_dedup import with_injected_embedding_dups
+    from rxtls_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        cosine_expr,
+        train_ivf_centroids,
+        train_pq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = query_set(emb)
+    corpus = with_injected_embedding_dups(emb)
+    cents = train_ivf_centroids(corpus, k=16, iters=3)
+    books = train_pq(corpus, m=8, ks=16, iters=2)
+    topk = ann_ivf_pq_topk(
+        corpus, qs, k=10, n_probe=2, rerank=50, centroids=cents, codebooks=books
+    )
+    hits = topk.where(
+        F.col("neighbor_id") == F.col("q_id") + F.lit(1_000_000)
+    ).select("q_id", F.lit(1).alias("hit"))
+    expected = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        (F.col("vec_id") + F.lit(1_000_000)).alias("copy_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        expected.withColumn(
+            "sim_e5", F.floor(cosine_expr("emb_a", "emb_b") * 100000).cast("long")
+        )
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "copy_id",
+            "sim_e5",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("recovered"),
+        )
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_stats(_emb(spark, sf_dir))
 
@@ -567,6 +614,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "embedding_stats": q_embedding_stats,
     "media_counts": q_media_counts,
     "media_resize": q_media_resize,
@@ -1006,6 +1054,13 @@ SELECT vec_id AS q_id, vec_id + 1000000 AS copy_id,
 FROM embeddings WHERE vec_id % 100 = 0
 """,
         "ann_ivf": """
+SELECT vec_id AS q_id, vec_id + 1000000 AS copy_id,
+  CAST(floor(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])
+             * 100000) AS BIGINT) AS sim_e5,
+  CAST(1 AS BIGINT) AS recovered
+FROM embeddings WHERE vec_id % 100 = 0
+""",
+        "ann_ivf_pq": """
 SELECT vec_id AS q_id, vec_id + 1000000 AS copy_id,
   CAST(floor(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])
              * 100000) AS BIGINT) AS sim_e5,

@@ -201,3 +201,69 @@ def test_ann_ivf_plan_has_no_corpus_explode(spark, emb, ivf_cents):
         "formatted",
     )
     assert "posexplode" not in plan.lower()
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    from rxtls_spark.operators.similarity import train_pq
+
+    return train_pq(emb, m=8, ks=16, iters=2)
+
+
+def test_pq_training_and_encoding_deterministic(spark, emb, pq_books):
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.operators.similarity import pq_encode_expr, train_pq
+
+    assert len(pq_books) == 8 and all(len(b) == 16 for b in pq_books)
+    assert all(len(c) == 8 for b in pq_books for c in b)  # 64/8 dims
+    again = train_pq(emb, m=8, ks=16, iters=2)
+    assert again == pq_books
+    codes = emb.select(
+        "vec_id", pq_encode_expr(pq_books, F.col("embedding")).alias("c")
+    ).collect()
+    assert all(len(r["c"]) == 8 and all(0 <= v < 16 for v in r["c"]) for r in codes)
+    codes2 = emb.select(
+        "vec_id", pq_encode_expr(pq_books, F.col("embedding")).alias("c")
+    ).collect()
+    assert sorted(map(str, codes)) == sorted(map(str, codes2))
+
+
+def test_ann_ivf_pq_full_probe_full_rerank_is_exact(spark, emb, emb_np, ivf_cents, pq_books):
+    """With every cell probed and rerank >= corpus size, IVF-PQ must
+    reduce to exact brute force REGARDLESS of codebook quality — pins
+    the probe/join/score/re-rank machinery."""
+    from rxtls_spark.operators.similarity import ann_ivf_pq_topk, query_set
+
+    ids, mat = emb_np
+    exact = _numpy_topk(ids, mat, k=10)
+    got = {}
+    for r in ann_ivf_pq_topk(
+        emb, query_set(emb), k=10,
+        n_probe=len(ivf_cents), rerank=len(ids) + 1,
+        centroids=ivf_cents, codebooks=pq_books,
+    ).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q, neighbors in exact.items():
+        assert [n for _rk, n in sorted(got[q])] == [n for n, _ in neighbors], q
+
+
+def test_ann_ivf_pq_recall(spark, emb, emb_np, ivf_cents, pq_books):
+    """Default IVF-PQ (probe 2/8 cells, rerank 50) clears the same
+    recall bar as plain IVF — PQ prefiltering must not gut recall when
+    the rerank budget covers the candidate sets."""
+    from rxtls_spark.operators.similarity import ann_ivf_pq_topk, query_set
+
+    ids, mat = emb_np
+    exact = _numpy_topk(ids, mat, k=10)
+    got = {}
+    for r in ann_ivf_pq_topk(
+        emb, query_set(emb), k=10, n_probe=2, rerank=50,
+        centroids=ivf_cents, codebooks=pq_books,
+    ).collect():
+        got.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)
+    recalls = [
+        len(got.get(q, set()) & {n for n, _ in exact[q]}) / 10 for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.2
