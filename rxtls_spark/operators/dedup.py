@@ -301,6 +301,34 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_between(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Cross-corpus LSH candidates: (doc_a from ``sigs_a``, doc_b from
+    ``sigs_b``) sharing any band bucket — the two-sided variant of
+    `lsh_candidate_pairs` (no a<b constraint; the corpora are
+    disjoint).  The cap applies to the ``sigs_b`` side, which in the
+    incremental-dedup use is the big, ever-growing admitted index."""
+    ba = lsh_banded(sigs_a)
+    bb = _cap_buckets(lsh_banded(sigs_b), ["band", "band_hash"], bucket_cap)
+    return (
+        ba.alias("a")
+        .join(
+            bb.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def _jaccard_scalar(ta: str, tb: str) -> float:
     """Per-row reference (tests assert batch == this)."""
     sa = set(_shingle_hashes(ta or "").tolist())
