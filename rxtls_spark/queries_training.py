@@ -140,6 +140,37 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str, chunk: int = 64) -> DataFrame:
+    """Training-sequence prep: each document's BPE-ish token stream cut
+    into fixed-length chunks (the per-document half of sequence
+    packing — embarrassingly parallel, no cross-doc state, so it scales
+    as a pure map; cross-doc packing at 100 TB is done per shard
+    downstream).  Emits (doc_id, chunk_idx, n_tokens, chunk_md5) —
+    the md5 of the space-joined chunk value-checks the full token
+    stream without shipping it through the compare.  Pure Catalyst:
+    regexp_extract_all → transform/sequence/slice → posexplode."""
+    from rxtls_spark.functions.text import BPE_PATTERN
+
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    n_chunks = F.ceil(n / F.lit(chunk)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("t"), i * chunk + 1, chunk),
+    )
+    return (
+        docs.where(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("c").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("c"))).alias("chunk_md5"),
+        )
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -601,6 +632,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": q_lang_confusion,
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
+    "doc_chunks": q_doc_chunks,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -762,6 +794,26 @@ SELECT doc_id,
       '{_pii_sql()["ipv4"]}', '<IP>', 'g'),
       '{_pii_sql()["phone"]}', '<PHONE>', 'g')) AS scrubbed_md5
 FROM pii
+""",
+        "doc_chunks": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+') AS t
+  FROM documents
+), chunked AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(1, CAST(ceil(len(t) / 64.0) AS BIGINT)),
+      i -> struct_pack(idx := i - 1, c := t[(i-1)*64+1 : (i-1)*64+64])
+    ) AS chunks
+  FROM toks WHERE len(t) > 0
+), ex AS (
+  SELECT doc_id, unnest(chunks) AS ch FROM chunked
+)
+SELECT doc_id,
+  CAST(ch.idx AS BIGINT) AS chunk_idx,
+  CAST(len(ch.c) AS BIGINT) AS n_tokens,
+  md5(array_to_string(ch.c, ' ')) AS chunk_md5
+FROM ex
 """,
         "contamination": f"""
 WITH ev AS (

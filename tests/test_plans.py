@@ -111,3 +111,23 @@ def test_parse_udf_evaluated_exactly_once(spark):
     assert n_udf_evals(enriched(pages, ops)) == 1
     agg = enriched(pages, ops).groupBy("route").count()
     assert n_udf_evals(agg) == 1
+
+
+def test_training_query_plan_shapes(spark):
+    """Round-3 operators keep the plan shapes that survive 100x scale:
+    contamination's only join is the broadcast of the (tiny) eval
+    shingle set — never a sort-merge over the corpus — and pii_scrub is
+    a pure map (zero exchanges) over a pruned 2-column scan."""
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import q_contamination, q_pii_scrub
+
+    cont = q_contamination(spark, SF_SMOKE)
+    p = plan_string(cont, "simple")
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
+    # eval-set distinct + final per-doc partial agg — nothing else
+    assert count_exchanges(cont) == 2
+
+    pii = q_pii_scrub(spark, SF_SMOKE)
+    assert count_exchanges(pii) == 0
+    assert "struct<doc_id:bigint,text:string>" in plan_string(pii, "formatted")

@@ -117,3 +117,34 @@ def test_contamination_excludes_eval_docs_and_counts_distinct(spark):
     assert rows  # synthetic corpus shares common phrases with eval set
     assert all(r["doc_id"] % 50 != 0 for r in rows)
     assert all(r["n_shared"] >= 1 for r in rows)
+
+
+def test_doc_chunks_reconstruct_token_stream(spark):
+    """Chunk invariants: all chunks but the last hold exactly 64
+    tokens, indices are dense from 0, and the per-doc token totals
+    match an independent re-tokenization."""
+    import re
+
+    from rxtls_spark.queries_training import q_doc_chunks
+    from tests.conftest import SF_SMOKE
+
+    rows = q_doc_chunks(spark, SF_SMOKE).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    pat = re.compile(r"[^\W\d_]+|\d+|[^\w\s]+", re.UNICODE)
+    checked = 0
+    for doc_id, chunks in list(per_doc.items())[:50]:
+        chunks.sort()
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        assert all(n == 64 for _, n in chunks[:-1])
+        assert 1 <= chunks[-1][1] <= 64
+        n_tokens = sum(n for _, n in chunks)
+        # independent tokenizer: \p{L}+|\p{N}+|[^\p{L}\p{N}\s]+ in re syntax
+        assert n_tokens == len(pat.findall(docs[doc_id])), doc_id
+        checked += 1
+    assert checked > 0
