@@ -145,6 +145,105 @@ def quality_score(text_col: str = "text") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style, Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+#
+# Repeated n-grams are the single strongest signal of low-quality /
+# machine-generated web text.  At 100 TB these MUST stay per-row: an
+# explode→groupBy over the token stream is a 10^14-row shuffle, so the
+# most-frequent-gram and duplicated-gram statistics are computed with
+# an O(n log n) sort + O(n) run-length fold over the row's own gram
+# array (F.array_sort + F.aggregate — whole-stage codegen, zero
+# exchanges).  The SQL oracle mirrors the SEMANTICS (unnest + group
+# by), not the implementation, which is exactly what an oracle is for.
+
+
+def _word_ngrams(words: Column, n_words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; empty when the doc is too
+    short (guarded: Spark's sequence(1, 0) counts DOWN, not empty)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), n_words - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(n_words >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _top_gram_chars(grams: Column) -> Column:
+    """max over distinct grams of count(gram) * length(gram), via a
+    run-length fold over the sorted gram array."""
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(grams), acc0, step, lambda a: a["best"])
+
+
+def _dup_gram_chars(grams: Column) -> Column:
+    """sum over grams occurring >= 2 times of count * length — chars
+    covered by any repeated gram (each occurrence counted).  Same
+    sorted-run fold; completed runs flush on value change, the final
+    run flushes in the finish lambda."""
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("dup")
+    )
+
+    def flush(acc: Column) -> Column:
+        return acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["dup"]).otherwise(flush(acc)).alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(grams), acc0, step, flush)
+
+
+def repetition_features(text_col: str = "text") -> dict[str, Column]:
+    """Per-doc repetition fractions: duplicate-word fraction, fraction
+    of characters in the most frequent word 2-gram, fraction of
+    characters in repeated word 3-grams.  Denominator is the raw text
+    length; all fractions are 0 for docs too short to have grams."""
+    t = F.trim(F.col(text_col))
+    words = F.split(t, "\\s+")
+    n = F.when(t == "", F.lit(0)).otherwise(F.size(words)).cast("long")
+    chars = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    dup_word = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(words)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    top2 = _top_gram_chars(_word_ngrams(words, n, 2)).cast("double") / chars
+    dup3 = _dup_gram_chars(_word_ngrams(words, n, 3)).cast("double") / chars
+    return {
+        "n_words": n,
+        "dup_word_frac": dup_word,
+        "top2gram_char_frac": top2,
+        "dup3gram_char_frac": dup3,
+    }
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing — redact emails / phone numbers / IPv4 literals
 # ---------------------------------------------------------------------------
 #

@@ -1,0 +1,67 @@
+"""Sink compaction planning — the small-file answer at 100 TB.
+
+The per-key sinks (S6/S7, rxtls_spark/pipeline.py — reference analog
+internal/core/domain_extractor.go per-operator CSV sinks) emit one
+file per (key, window); at web scale that is millions of KB-sized
+files, and the standard fix is a periodic compaction pass that merges
+adjacent small files into ~target-size groups.
+
+The PLANNER here is pure window arithmetic: greedy in-order packing
+("accumulate until the running total crosses the target, then open a
+new group") is exactly ``floor(cumulative_bytes_before / target)``,
+so planning is ONE exchange (the per-key window partitioning) with no
+recursion and no driver loop — and therefore value-hash-checkable in
+plain SQL.  The EXECUTION of a group is a read of its members +
+coalesced rewrite, which is just the existing sink path re-run per
+group; what needs an operator (and a correctness gate) is the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def file_inventory(events: DataFrame, row_overhead: int = 32) -> DataFrame:
+    """Deterministic per-(event_type, hour) file inventory derived from
+    the events table — one logical sink file per partition, bytes
+    estimated as sum(row_overhead + len(props)).  Stands in for the
+    manifest's per-file lineage rows (manifest.py A3), which at run
+    time supply the same (key, order, bytes) shape."""
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long")
+    return events.groupBy(
+        F.col("event_type").alias("sink_key"), hour.alias("hour_epoch")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("props") + F.lit(row_overhead))
+        .cast("long")
+        .alias("bytes"),
+    )
+
+
+def compaction_plan(
+    inventory: DataFrame,
+    target_bytes: int,
+    key_col: str = "sink_key",
+    order_col: str = "hour_epoch",
+) -> DataFrame:
+    """Assign each file to a merge group per sink key: files are taken
+    in ``order_col`` order and a group closes once its running byte
+    total crosses ``target_bytes`` (groups may overshoot by at most
+    one file — files are never split).  Adds grp / grp_files /
+    grp_bytes columns."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    cum_before = F.sum("bytes").over(w) - F.col("bytes")
+    planned = inventory.withColumn(
+        "grp", F.floor(cum_before / F.lit(target_bytes)).cast("long")
+    )
+    wg = Window.partitionBy(key_col, "grp")
+    return planned.select(
+        key_col,
+        order_col,
+        "n_rows",
+        "bytes",
+        "grp",
+        F.count(F.lit(1)).over(wg).cast("long").alias("grp_files"),
+        F.sum("bytes").over(wg).cast("long").alias("grp_bytes"),
+    )

@@ -245,6 +245,8 @@ def train_ivf_centroids(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     metric: str = "cosine",
+    seed_order=None,
+    round_dp: int = 9,
 ) -> list[tuple]:
     """Spherical k-means (Lloyd's) coarse quantizer — train ONCE, pass
     the result into every `ann_ivf_topk` call (at 10^12 rows: persist it
@@ -258,12 +260,16 @@ def train_ivf_centroids(
     - the k×dim centroid matrix lives on the driver between iterations
       (metadata-scale, like MLlib's cluster centers).
 
-    Deterministic: seeds are the k lowest xxhash64(id) rows, assignment
-    ties break to the lowest cell, means are rounded to 9 decimals so
-    run-to-run float noise can't flip a boundary vector."""
+    Deterministic: seeds are the k lowest xxhash64(id) rows (or the k
+    lowest ``seed_order`` rows when given — q_kmeans passes a Knuth
+    multiplicative hash so the SQL oracle can mirror the seeding),
+    assignment ties break to the lowest cell, means are rounded to
+    ``round_dp`` decimals so run-to-run float-sum-order noise can't
+    flip a boundary vector."""
     dim = _emb_dim(embeddings, emb_col)
+    order = F.xxhash64(id_col) if seed_order is None else seed_order
     seeds = (
-        embeddings.orderBy(F.xxhash64(id_col), F.col(id_col))
+        embeddings.orderBy(order, F.col(id_col))
         .select(emb_col)
         .limit(k)
         .collect()
@@ -280,7 +286,7 @@ def train_ivf_centroids(
             ]
         )
         got = {
-            r["cell"]: [round(float(r[f"m{i}"]), 9) for i in range(dim)]
+            r["cell"]: [round(float(r[f"m{i}"]), round_dp) for i in range(dim)]
             for r in means.collect()
         }
         # empty cells keep their previous centroid

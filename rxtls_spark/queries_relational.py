@@ -283,6 +283,18 @@ def q_orders_per_priority_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (see operators/compact.py): a
+    per-(event_type, hour) sink-file inventory greedily bin-packed
+    into ~4 KB merge groups per key.  Plan shape: one hash agg for the
+    inventory, then window arithmetic partitioned by sink key — no
+    joins, no driver loop, bounded exchanges."""
+    from rxtls_spark.operators.compact import compaction_plan, file_inventory
+
+    inv = file_inventory(_t(spark, sf_dir, "events"))
+    return compaction_plan(inv, target_bytes=4096)
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_topk": q_revenue_topk,
@@ -299,9 +311,29 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_rollup_pricing": q_rollup_pricing,
     "rel_exact_median": q_exact_median,
     "rel_events_pivot": q_events_pivot,
+    "sink_compaction": q_sink_compaction,
 }
 
 ORACLES_REL: dict[str, str] = {
+    "sink_compaction": """
+WITH inv AS (
+  SELECT event_type AS sink_key,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(strlen(props) + 32) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2
+), planned AS (
+  SELECT *,
+    CAST((sum(bytes) OVER (PARTITION BY sink_key ORDER BY hour_epoch
+                           ROWS UNBOUNDED PRECEDING) - bytes) // 4096
+         AS BIGINT) AS grp
+  FROM inv
+)
+SELECT sink_key, hour_epoch, n_rows, bytes, grp,
+  CAST(count(*) OVER (PARTITION BY sink_key, grp) AS BIGINT) AS grp_files,
+  CAST(sum(bytes) OVER (PARTITION BY sink_key, grp) AS BIGINT) AS grp_bytes
+FROM planned
+""",
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

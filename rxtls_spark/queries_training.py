@@ -171,6 +171,123 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str, chunk: int = 64) -> DataFrame
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021
+    §A1.1): duplicate-word fraction, most-frequent-2-gram character
+    fraction, repeated-3-gram character fraction.  Scale shape: pure
+    per-row Catalyst (array_sort + run-length F.aggregate folds) —
+    ZERO exchanges, no token-level explode/shuffle, locked by
+    tests/test_plans.py.  The oracle mirrors the semantics with
+    unnest + GROUP BY, which is fine at sf0.01 and exactly what would
+    be wrong at 100 TB."""
+    from rxtls_spark.functions.text import repetition_features
+
+    r = repetition_features()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        F.round(r["dup_word_frac"], 5).alias("dup_word_frac"),
+        F.round(r["top2gram_char_frac"], 5).alias("top2gram_char_frac"),
+        F.round(r["dup3gram_char_frac"], 5).alias("dup3gram_char_frac"),
+    )
+
+
+def q_sequence_pack(
+    spark: SparkSession, sf_dir: str, seq_len: int = 256, n_shards: int = 8
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are
+    concatenated in doc_id order and cut into fixed seq_len-token
+    training sequences; emits each doc's (shard, first/last sequence,
+    span).  Scale shape: packing is per-SHARD (doc_id % n_shards) —
+    sequences never cross shards, so the running-offset window is
+    partitionBy(shard), never a single global sort; at 100 TB shards
+    map to output files and each window partition is bounded.  One
+    exchange (the shard hash partitioning), everything else JVM
+    window arithmetic."""
+    from pyspark.sql.window import Window
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", token_count().alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("shard", (F.col("doc_id") % n_shards).cast("long"))
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    end = F.sum("n_tokens").over(w)
+    start = end - F.col("n_tokens")
+    seq_first = F.floor(start / F.lit(seq_len))
+    seq_last = F.floor((end - 1) / F.lit(seq_len))
+    return docs.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
+        (seq_last - seq_first + 1).cast("long").alias("n_seqs"),
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture sampling: per-language keep rate
+    sqrt(c_min/c_lang), so the sampled corpus is distributed
+    proportional to sqrt(c_lang) — the standard multilingual
+    rebalancing move.  Per-doc decision is a DETERMINISTIC hash
+    Bernoulli (Knuth multiplicative hash mod a prime), so the sample
+    is reproducible and embarrassingly parallel: rates are a 5-row
+    broadcast, the filter is a pure map, and the only corpus shuffle
+    is the final per-lang partial agg.  Cross-engine exactness by
+    construction: c_min/c_lang is an integer-ratio double and sqrt is
+    IEEE correctly-rounded, so Spark and the oracle compute the
+    IDENTICAL threshold — no ulp drift (this is why the rate is
+    sqrt(min/c) rather than pow(p, alpha-1), whose libm results can
+    differ)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    cmin = counts.agg(F.min("n_docs").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("cmin") / F.col("n_docs")).alias("rate"),
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    sampled = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .where(u < F.col("rate") * F.lit(1000000007.0))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        rates.join(F.broadcast(sampled), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.round("rate", 5).alias("rate"),
+        )
+    )
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Deterministic uniform inspection sample: the k docs with the
+    lowest Knuth-hash value — the distributed answer to reservoir
+    sampling.  Scale shape: Spark plans orderBy+limit as
+    TakeOrderedAndProject (per-partition top-k, driver merge of k·P
+    candidates) — NO full sort, no corpus shuffle, identical sample on
+    any partitioning or cluster size.  Emits md5(text) so the sampled
+    content is value-checked without shipping it."""
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "lang", h.alias("h"), F.md5("text").alias("text_md5")
+        )
+        .orderBy("h", "doc_id")
+        .limit(k)
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -590,6 +707,116 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means as a first-class operator — and the TRAINING LOOP
+    itself is value-hash-checked: deterministic Lloyd's (Knuth-hash
+    seeding, L2 assignment with lowest-cell tie-break, per-iteration
+    means rounded to 6 dp) is mirrored by an UNROLLED 3-iteration SQL
+    oracle, so a drift anywhere in seeding, assignment, or the update
+    step flips the hash.  Cross-engine exactness: both engines sum the
+    squared-difference terms sequentially in index order (Spark
+    zip_with+aggregate fold vs DuckDB list_distance), so assignment
+    compares identical doubles; the 6-dp round absorbs float-sum-order
+    noise in the means.  Scale shape (same as train_ivf_centroids):
+    per-row JVM argmax against a literal centroid array — no explode,
+    no join — plus one k-row hash agg per iteration.  Emits the final
+    centroid matrix as (cell, i, m) rows with per-cell assignment
+    counts."""
+    from rxtls_spark.operators.similarity import (
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    seed = (F.col("vec_id") * F.lit(2654435761)) % F.lit(1000000007)
+    cents = train_ivf_centroids(
+        emb, k=8, iters=3, metric="l2", seed_order=seed, round_dp=6
+    )
+    cell = ivf_assign_expr(cents, F.col("embedding"), metric="l2")
+    counts = (
+        emb.select(cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+    cent_rows = spark.createDataFrame(
+        [(c, i, float(v)) for c, vec in cents for i, v in enumerate(vec)],
+        "cell int, i int, m double",
+    )
+    return (
+        cent_rows.join(counts, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("i").cast("long").alias("i"),
+            "m",
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+        )
+    )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's in DuckDB SQL mirroring q_kmeans exactly:
+    same Knuth-hash seeds, same L2 argmin with (distance, cell)
+    tie-break, same 6-dp rounded means, empty cells keep their
+    previous centroid."""
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), cents0 AS (
+  SELECT cell, emb AS centroid FROM (
+    SELECT emb, CAST(row_number() OVER (
+      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS INTEGER
+    ) AS cell
+    FROM e
+  ) WHERE cell < {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""asg{it} AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{it - 1} c)
+  WHERE rn = 1
+), newc{it} AS (
+  SELECT cell, list(m ORDER BY i) AS centroid FROM (
+    SELECT cell, i, round(avg(emb[i]), 6) AS m
+    FROM asg{it}, generate_series(1, {dim}) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+), cents{it} AS (
+  SELECT c.cell, coalesce(n.centroid, c.centroid) AS centroid
+  FROM cents{it - 1} c LEFT JOIN newc{it} n USING (cell)
+)"""
+        )
+    ctes.append(
+        f"""counts AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM (
+    SELECT vec_id, cell FROM (
+      SELECT e.vec_id, c.cell,
+        row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.emb, c.centroid), c.cell
+        ) AS rn
+      FROM e, cents{iters} c)
+    WHERE rn = 1
+  ) GROUP BY cell
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(c.cell AS BIGINT) AS cell, CAST(t.i - 1 AS BIGINT) AS i,
+       c.centroid[t.i] AS m, coalesce(n.n_vecs, 0) AS n_vecs
+FROM cents{iters} c
+LEFT JOIN counts n USING (cell), generate_series(1, {dim}) t(i)
+"""
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_stats(_emb(spark, sf_dir))
 
@@ -633,6 +860,10 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
     "doc_chunks": q_doc_chunks,
+    "repetition": q_repetition,
+    "sequence_pack": q_sequence_pack,
+    "mixture_sample": q_mixture_sample,
+    "corpus_sample": q_corpus_sample,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -646,6 +877,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "kmeans": q_kmeans,
     "ann_ivf_pq": q_ann_ivf_pq,
     "embedding_stats": q_embedding_stats,
     "media_counts": q_media_counts,
@@ -815,6 +1047,88 @@ SELECT doc_id,
   md5(array_to_string(ch.c, ' ')) AS chunk_md5
 FROM ex
 """,
+        "repetition": """
+WITH w AS (
+  SELECT doc_id, greatest(len(text), 1) AS n_chars,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, n_chars, len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN 1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+              ELSE 0.0 END AS dup_word_frac,
+         list_transform(generate_series(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1]) AS g2,
+         list_transform(generate_series(1, len(words) - 2),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
+  FROM w
+), g2m AS (
+  SELECT doc_id, max(chars) AS top_chars FROM (
+    SELECT doc_id, gram, count(*) * strlen(gram) AS chars
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM base) GROUP BY 1, 2
+  ) GROUP BY 1
+), g3d AS (
+  SELECT doc_id, sum(chars) AS dup_chars FROM (
+    SELECT doc_id, gram, count(*) * strlen(gram) AS chars, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(g3) AS gram FROM base) GROUP BY 1, 2
+  ) WHERE cnt >= 2 GROUP BY 1
+)
+SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+  round(b.dup_word_frac, 5) AS dup_word_frac,
+  round(coalesce(g2m.top_chars, 0) / CAST(b.n_chars AS DOUBLE), 5)
+    AS top2gram_char_frac,
+  round(coalesce(g3d.dup_chars, 0) / CAST(b.n_chars AS DOUBLE), 5)
+    AS dup3gram_char_frac
+FROM base b
+LEFT JOIN g2m ON b.doc_id = g2m.doc_id
+LEFT JOIN g3d ON b.doc_id = g3d.doc_id
+""",
+        "sequence_pack": """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         doc_id % 8 AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS e
+  FROM d WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST((e - n_tokens) // 256 AS BIGINT) AS seq_first,
+  CAST((e - 1) // 256 AS BIGINT) AS seq_last,
+  CAST((e - 1) // 256 - (e - n_tokens) // 256 + 1 AS BIGINT) AS n_seqs
+FROM c
+""",
+        "corpus_sample": """
+SELECT doc_id, lang,
+       (doc_id * 2654435761) % 1000000007 AS h,
+       md5(text) AS text_md5
+FROM documents
+ORDER BY h, doc_id
+LIMIT 100
+""",
+        "mixture_sample": """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), r AS (
+  SELECT lang, n_docs,
+         sqrt((SELECT min(n_docs) FROM c) / CAST(n_docs AS DOUBLE)) AS rate
+  FROM c
+), s AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN r USING (lang)
+  WHERE ((d.doc_id * 2654435761) % 1000000007) < rate * 1000000007.0
+  GROUP BY 1
+)
+SELECT r.lang, r.n_docs, coalesce(s.n_sampled, 0) AS n_sampled,
+       round(r.rate, 5) AS rate
+FROM r LEFT JOIN s USING (lang)
+""",
         "contamination": f"""
 WITH ev AS (
   SELECT DISTINCT unnest({_shingles_sql("text")}) AS shingle
@@ -870,6 +1184,7 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rn <= 10
 """,
+        "kmeans": _kmeans_sql(),
         "embedding_stats": """
 SELECT label, CAST(count(*) AS BIGINT) AS n,
        round(avg(norm), 5) AS avg_norm,

@@ -131,3 +131,58 @@ def test_training_query_plan_shapes(spark):
     pii = q_pii_scrub(spark, SF_SMOKE)
     assert count_exchanges(pii) == 0
     assert "struct<doc_id:bigint,text:string>" in plan_string(pii, "formatted")
+
+
+def test_round3_training_plan_shapes(spark):
+    """Scale locks for the round-3 training operators: repetition is a
+    pure per-row map (zero exchanges — the whole point of the fold
+    implementation vs an explode+groupBy), sequence packing shuffles
+    exactly once (the shard partitioning), and mixture sampling never
+    sort-merge-joins the corpus — its only joins are broadcasts of the
+    5-row rate table."""
+    from rxtls_spark.plans.checks import (
+        count_exchanges,
+        plan_string,
+        shuffle_join_kinds,
+    )
+    from rxtls_spark.queries_training import (
+        q_mixture_sample,
+        q_repetition,
+        q_sequence_pack,
+    )
+
+    rep = q_repetition(spark, SF_SMOKE)
+    assert count_exchanges(rep) == 0
+    assert shuffle_join_kinds(rep) == []
+
+    pack = q_sequence_pack(spark, SF_SMOKE)
+    assert count_exchanges(pack) == 1
+    assert shuffle_join_kinds(pack) == []
+
+    mix = q_mixture_sample(spark, SF_SMOKE)
+    p = plan_string(mix, "simple")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_sample_and_compaction_plan_shapes(spark):
+    """corpus_sample must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge — NO global sort exchange); the compaction
+    planner is join-free with exactly its two window/agg exchanges."""
+    from rxtls_spark.plans.checks import (
+        count_exchanges,
+        plan_string,
+        shuffle_join_kinds,
+    )
+    from rxtls_spark.queries_relational import q_sink_compaction
+    from rxtls_spark.queries_training import q_corpus_sample
+
+    cs = q_corpus_sample(spark, SF_SMOKE)
+    p = plan_string(cs, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert count_exchanges(cs) == 0
+
+    comp = q_sink_compaction(spark, SF_SMOKE)
+    assert count_exchanges(comp) == 2
+    assert shuffle_join_kinds(comp) == []

@@ -267,3 +267,42 @@ def test_ann_ivf_pq_recall(spark, emb, emb_np, ivf_cents, pq_books):
         len(got.get(q, set()) & {n for n, _ in exact[q]}) / 10 for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.2
+
+
+def test_kmeans_query_matches_numpy_lloyds(spark):
+    """q_kmeans's Spark training loop must equal an independent numpy
+    re-implementation of the same deterministic Lloyd's spec (Knuth
+    seeds, L2 argmin with lowest-cell ties, 6-dp rounded means) —
+    centroids exactly, counts exactly."""
+    from rxtls_spark.queries_training import q_kmeans
+
+    rows = q_kmeans(spark, SF_SMOKE).collect()
+    got_c = {}
+    got_n = {}
+    for r in rows:
+        got_c.setdefault(r["cell"], {})[r["i"]] = r["m"]
+        got_n[r["cell"]] = r["n_vecs"]
+
+    data = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in data])
+    X = np.array([[float(v) for v in r["embedding"]] for r in data])
+    order = np.lexsort((ids, (ids * 2654435761) % 1000000007))
+    cents = X[order[:8]].copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        asg = d.argmin(axis=1)  # argmin ties -> lowest index, same rule
+        for c in range(8):
+            if (asg == c).any():
+                cents[c] = np.round(X[asg == c].mean(axis=0), 6)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    asg = d.argmin(axis=1)
+    for c in range(8):
+        exp = cents[c]
+        got = np.array([got_c[c][i] for i in range(64)])
+        # fold-sum vs numpy mean: identical after the 6-dp round
+        assert np.abs(got - exp).max() <= 1e-6, c
+        assert got_n[c] == int((asg == c).sum()), c

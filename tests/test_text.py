@@ -148,3 +148,120 @@ def test_doc_chunks_reconstruct_token_stream(spark):
         assert n_tokens == len(pat.findall(docs[doc_id])), doc_id
         checked += 1
     assert checked > 0
+
+
+def test_repetition_fold_matches_brute_force(spark, tdf):
+    """The array_sort + run-length folds must equal a Counter-based
+    recomputation of the Gopher fractions, including short/empty docs
+    (no 2-gram, no 3-gram, blank, single word)."""
+    from collections import Counter
+
+    from rxtls_spark.functions.text import repetition_features
+
+    r = repetition_features()
+    got = {
+        row["doc_id"]: row
+        for row in tdf.select(
+            "doc_id",
+            "text",
+            r["n_words"].alias("n_words"),
+            r["dup_word_frac"].alias("dw"),
+            r["top2gram_char_frac"].alias("t2"),
+            r["dup3gram_char_frac"].alias("d3"),
+        ).collect()
+    }
+    for doc_id, row in got.items():
+        words = row["text"].strip().split()
+        assert row["n_words"] == len(words), doc_id
+        chars = max(len(row["text"]), 1)
+        if words:
+            exp_dw = 1.0 - len(set(words)) / len(words)
+        else:
+            exp_dw = 0.0
+        g2 = Counter(
+            " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+        )
+        g3 = Counter(
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        )
+        exp_t2 = max((c * len(g) for g, c in g2.items()), default=0) / chars
+        exp_d3 = sum(c * len(g) for g, c in g3.items() if c >= 2) / chars
+        assert abs(row["dw"] - exp_dw) < 1e-9, doc_id
+        assert abs(row["t2"] - exp_t2) < 1e-9, doc_id
+        assert abs(row["d3"] - exp_d3) < 1e-9, doc_id
+
+
+def test_repetition_flags_degenerate_docs(spark):
+    """A boilerplate loop must light up all three fractions; clean
+    prose must not."""
+    from rxtls_spark.functions.text import repetition_features
+
+    rows = [
+        (1, "click here to buy now " * 50),
+        (2, "the quick brown fox jumps over a lazy dog near banks"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = repetition_features()
+    got = {
+        x["doc_id"]: x
+        for x in df.select(
+            "doc_id",
+            r["dup_word_frac"].alias("dw"),
+            r["top2gram_char_frac"].alias("t2"),
+            r["dup3gram_char_frac"].alias("d3"),
+        ).collect()
+    }
+    assert got[1]["dw"] > 0.9 and got[1]["t2"] > 0.2 and got[1]["d3"] > 0.9
+    assert got[2]["dw"] == 0.0 and got[2]["d3"] == 0.0
+
+
+def test_sequence_pack_invariants(spark):
+    """Within each shard the packed token stream is gapless: each
+    doc's span starts exactly where the previous doc ended, sequence
+    ids are the right floor-divisions, and every token lands in
+    exactly one sequence."""
+    from rxtls_spark.queries_training import q_sequence_pack
+    from tests.conftest import SF_SMOKE
+
+    rows = q_sequence_pack(spark, SF_SMOKE).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 8
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for d in docs:
+            assert d["seq_first"] == offset // 256
+            end = offset + d["n_tokens"]
+            assert d["seq_last"] == (end - 1) // 256
+            assert d["n_seqs"] == d["seq_last"] - d["seq_first"] + 1
+            offset = end
+
+
+def test_mixture_sample_rates_and_counts(spark):
+    """Rates are sqrt(c_min/c_lang); the rarest language keeps every
+    doc (rate 1.0) and every sampled count is reproducible from the
+    hash predicate."""
+    import math
+
+    from rxtls_spark.queries_training import q_mixture_sample
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["lang"]: r for r in q_mixture_sample(spark, SF_SMOKE).collect()}
+    cmin = min(r["n_docs"] for r in rows.values())
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang"
+    ).collect()
+    for lang, r in rows.items():
+        rate = math.sqrt(cmin / r["n_docs"])
+        assert abs(r["rate"] - round(rate, 5)) < 1e-12
+        exp = sum(
+            1
+            for d in docs
+            if d["lang"] == lang
+            and (d["doc_id"] * 2654435761) % 1000000007 < rate * 1000000007.0
+        )
+        assert r["n_sampled"] == exp, lang
+        if r["n_docs"] == cmin:
+            assert r["n_sampled"] == r["n_docs"]
