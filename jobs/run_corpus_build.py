@@ -1,0 +1,166 @@
+"""spark-submit entry point for the full training-corpus build.
+
+Ships to a cluster as:
+
+  zip -r rxtls_spark.zip rxtls_spark/
+  spark-submit --py-files rxtls_spark.zip jobs/run_corpus_build.py \\
+      --docs <parquet-path-or-sfdir> --output <run-dir> \\
+      [--quality 0.3] [--max-dup3 0.3] [--seq-len 256] [--shards 8]
+
+The one-command version of the pipeline every stage of which is
+individually oracle-checked by the driver gate: exact dedup → PII
+scrub → quality + repetition gates → temperature-0.5 mixture sample →
+per-shard sequence packing stats → scrubbed corpus written
+partitioned by lang.  Every stage is pure Catalyst (the scrub is
+regexp_replace, the gates are per-row folds, the sample is a
+broadcast-rate hash Bernoulli, packing is a per-shard window), so the
+same job runs unchanged on a 1000-executor cluster; the summary JSON
+records the doc count surviving each stage — no silent drops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True,
+                    help="documents parquet path, or a testdata sf dir")
+    ap.add_argument("--output", required=True, help="run directory")
+    ap.add_argument("--quality", type=float, default=0.3,
+                    help="min quality_score to keep")
+    ap.add_argument("--max-dup3", type=float, default=0.3,
+                    help="max repeated-3-gram char fraction to keep")
+    ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.functions.text import (
+        lang_guess,
+        pii_scrub,
+        quality_score,
+        repetition_features,
+        token_count,
+    )
+    from rxtls_spark.operators.dedup import exact_dup_groups
+    from rxtls_spark.session import get_spark
+
+    spark = get_spark("rxtls-corpus-build", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    path = args.docs
+    if os.path.isdir(path) and os.path.isfile(
+        os.path.join(path, "documents.parquet")
+    ):
+        path = os.path.join(path, "documents.parquet")
+    docs = spark.read.parquet(path).select("doc_id", "text", "lang")
+    n_docs = docs.count()
+
+    # 1. exact dedup: keep each group's keeper, drop the rest
+    losers = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .join(
+            exact_dup_groups(docs).select(
+                F.col("text_md5").alias("h"),
+                F.col("keep_doc_id").alias("root"),
+            ),
+            "h",
+        )
+        .where(F.col("doc_id") != F.col("root"))
+        .select("doc_id")
+    )
+    deduped = docs.join(losers, "doc_id", "left_anti")
+    n_deduped = deduped.count()
+
+    # 2. PII scrub + 3. quality/repetition gates (single pass)
+    r = repetition_features()
+    feats = deduped.select(
+        "doc_id",
+        "lang",
+        pii_scrub().alias("text"),
+        quality_score().alias("quality"),
+        r["dup3gram_char_frac"].alias("dup3"),
+        lang_guess().alias("lang_guess"),
+    )
+    gated = feats.where(
+        (F.col("quality") >= args.quality) & (F.col("dup3") <= args.max_dup3)
+    )
+    n_gated = gated.count()
+
+    # 4. temperature-0.5 mixture sample (deterministic hash Bernoulli)
+    counts = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    cmin = counts.agg(F.min("c").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang", F.sqrt(F.col("cmin") / F.col("c")).alias("rate")
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    sampled = gated.join(F.broadcast(rates), "lang").where(
+        u < F.col("rate") * F.lit(1000000007.0)
+    )
+
+    # 5. per-shard packing stats over the surviving token stream
+    with_tokens = sampled.withColumn("n_tokens", token_count()).withColumn(
+        "shard", (F.col("doc_id") % args.shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    packed = with_tokens.withColumn("cum", F.sum("n_tokens").over(w))
+    shard_stats = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum").alias("n_tokens"),
+        F.ceil(F.max("cum") / F.lit(args.seq_len)).alias("n_seqs"),
+    )
+    per_lang = {
+        row["lang"]: row["n"]
+        for row in sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    shards = [row.asDict() for row in shard_stats.orderBy("shard").collect()]
+
+    out_corpus = os.path.join(args.output, "corpus")
+    (
+        with_tokens.select("doc_id", "lang", "text", "n_tokens", "shard")
+        .repartition(args.shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out_corpus)
+    )
+
+    summary = {
+        "n_docs": n_docs,
+        "n_after_dedup": n_deduped,
+        "n_after_gates": n_gated,
+        "n_sampled": sum(per_lang.values()),
+        "per_lang": per_lang,
+        "n_tokens": sum(s["n_tokens"] for s in shards),
+        "n_seqs": sum(s["n_seqs"] for s in shards),
+        "shards": shards,
+        "quality": args.quality,
+        "max_dup3": args.max_dup3,
+        "seq_len": args.seq_len,
+    }
+    assert summary["n_sampled"] <= summary["n_after_gates"] <= summary[
+        "n_after_dedup"
+    ] <= summary["n_docs"]
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

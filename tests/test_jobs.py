@@ -53,3 +53,32 @@ def test_run_pipeline_job_resumes(tmp_path):
     assert second.returncode == 0, second.stderr[-2000:]
     summary = json.loads(second.stdout.strip().splitlines()[-1])
     assert summary["complete"] and summary["buckets_committed"] == 2
+
+
+def test_run_corpus_build_job(tmp_path):
+    out = _run([
+        "jobs/run_corpus_build.py",
+        "--docs", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "run"),
+        "--master", "local[4]",
+    ])
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    # monotone survivor funnel, nothing silently dropped or invented
+    assert (
+        summary["n_sampled"]
+        <= summary["n_after_gates"]
+        <= summary["n_after_dedup"]
+        <= summary["n_docs"]
+    )
+    assert summary["n_docs"] == 500
+    assert summary["n_sampled"] > 0
+    assert sum(summary["per_lang"].values()) == summary["n_sampled"]
+    assert summary["n_seqs"] >= summary["n_tokens"] // summary["seq_len"]
+    assert os.path.exists(tmp_path / "run" / "summary.json")
+    # corpus written partitioned by lang, PII-scrubbed text on disk
+    langs = [
+        d for d in os.listdir(tmp_path / "run" / "corpus")
+        if d.startswith("lang=")
+    ]
+    assert len(langs) == len(summary["per_lang"])
