@@ -269,6 +269,33 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style dynamic quality gate: keep each language's top
+    third by quality score — the threshold ADAPTS per language instead
+    of being a global constant (a fixed cut over-prunes low-resource
+    languages).  percent_rank over a per-lang window; the doc_id
+    tiebreak makes the ordering total, so the cut is exactly
+    reproducible cross-engine.  Scale shape: one exchange (the
+    per-lang window partitioning); at 100 TB the same gate runs as a
+    two-pass approx_percentile + broadcast threshold instead — this
+    exact-rank variant is the correctness anchor for that
+    optimization.  Emits per-lang survivor stats."""
+    from pyspark.sql.window import Window
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", quality_score().alias("quality")
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    )
+    kept = scored.withColumn("pr", pr).where(F.col("pr") <= 1.0 / 3.0)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.min("quality"), 5).alias("min_quality"),
+        F.round(F.avg("quality"), 5).alias("avg_quality"),
+    )
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """Deterministic uniform inspection sample: the k docs with the
     lowest Knuth-hash value — the distributed answer to reservoir
@@ -864,6 +891,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "mixture_sample": q_mixture_sample,
     "corpus_sample": q_corpus_sample,
+    "quality_quantile_gate": q_quality_quantile_gate,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -1103,6 +1131,19 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
   CAST((e - 1) // 256 AS BIGINT) AS seq_last,
   CAST((e - 1) // 256 - (e - n_tokens) // 256 + 1 AS BIGINT) AS n_seqs
 FROM c
+""",
+        "quality_quantile_gate": _TEXT_CTE + f"""
+, q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM feats)
+, ranked AS (
+  SELECT *, percent_rank() OVER (
+    PARTITION BY lang ORDER BY quality DESC, doc_id) AS pr
+  FROM q
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       round(min(quality), 5) AS min_quality,
+       round(avg(quality), 5) AS avg_quality
+FROM ranked WHERE pr <= 1.0/3.0
+GROUP BY 1
 """,
         "corpus_sample": """
 SELECT doc_id, lang,

@@ -265,3 +265,34 @@ def test_mixture_sample_rates_and_counts(spark):
         assert r["n_sampled"] == exp, lang
         if r["n_docs"] == cmin:
             assert r["n_sampled"] == r["n_docs"]
+
+
+def test_quality_quantile_gate_keeps_top_third(spark):
+    """Survivors equal a Python recomputation of the per-lang
+    percent_rank <= 1/3 cut, and the plan keeps the lang partitioning
+    for both the window and the final agg (single exchange)."""
+    from rxtls_spark.functions.text import quality_score
+    from rxtls_spark.plans.checks import count_exchanges
+    from rxtls_spark.queries_training import q_quality_quantile_gate
+    from tests.conftest import SF_SMOKE
+
+    df = q_quality_quantile_gate(spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+    got = {r["lang"]: r for r in df.collect()}
+
+    scored = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", quality_score().alias("q"))
+        .collect()
+    )
+    by_lang = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], []).append((-r["q"], r["doc_id"], r["q"]))
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        kept = [
+            q for i, (_, _, q) in enumerate(rows) if i / (n - 1) <= 1.0 / 3.0
+        ]
+        assert got[lang]["n_kept"] == len(kept), lang
+        assert abs(got[lang]["min_quality"] - round(min(kept), 5)) < 1e-12
