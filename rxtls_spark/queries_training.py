@@ -315,6 +315,44 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run corpus diff — the incremental-crawl question "what
+    changed since the last snapshot": full-outer join of two corpus
+    versions on doc_id comparing content md5, classified
+    added / removed / changed / unchanged.  The 'previous' snapshot is
+    derived deterministically from the same table (doc_id%7==0 docs
+    are new this run; doc_id%11==0 docs changed text; doc_id%13==5
+    docs were dropped) and mirrored in SQL, so all four classes are
+    populated and value-checked.  Scale shape: ONE shuffle join on the
+    primary key — at 100 TB both snapshots are bucketed by doc_id so
+    the join is co-located and shuffle-free; content compare is on
+    md5, never the text bytes."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    prev = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" v1"))
+            ).otherwise(F.col("text"))
+        ).alias("h_prev"),
+    )
+    new = docs.where(F.col("doc_id") % 13 != 5).select(
+        "doc_id", F.md5("text").alias("h_new")
+    )
+    status = (
+        F.when(F.col("h_prev").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_prev") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        prev.join(new, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -892,6 +930,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "corpus_sample": q_corpus_sample,
     "quality_quantile_gate": q_quality_quantile_gate,
+    "corpus_diff": q_corpus_diff,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -1143,6 +1182,23 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
        round(min(quality), 5) AS min_quality,
        round(avg(quality), 5) AS avg_quality
 FROM ranked WHERE pr <= 1.0/3.0
+GROUP BY 1
+""",
+        "corpus_diff": """
+WITH prev AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END) AS h_prev
+  FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id, md5(text) AS h_new
+  FROM documents WHERE doc_id % 13 <> 5
+)
+SELECT CASE WHEN h_prev IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_prev <> h_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM prev FULL OUTER JOIN new USING (doc_id)
 GROUP BY 1
 """,
         "corpus_sample": """

@@ -296,3 +296,34 @@ def test_quality_quantile_gate_keeps_top_third(spark):
         ]
         assert got[lang]["n_kept"] == len(kept), lang
         assert abs(got[lang]["min_quality"] - round(min(kept), 5)) < 1e-12
+
+
+def test_corpus_diff_statuses(spark):
+    """All four diff classes populated and equal to a Python
+    recomputation of the same snapshot derivation."""
+    from rxtls_spark.queries_training import q_corpus_diff
+    from tests.conftest import SF_SMOKE
+
+    got = {r["status"]: r["n"] for r in q_corpus_diff(spark, SF_SMOKE).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    prev = {
+        d: (t + " v1" if d % 11 == 0 else t)
+        for d, t in docs.items()
+        if d % 7 != 0
+    }
+    new = {d: t for d, t in docs.items() if d % 13 != 5}
+    exp = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    for d in set(prev) | set(new):
+        if d not in prev:
+            exp["added"] += 1
+        elif d not in new:
+            exp["removed"] += 1
+        elif prev[d] != new[d]:
+            exp["changed"] += 1
+        else:
+            exp["unchanged"] += 1
+    assert got == exp
+    assert all(v > 0 for v in exp.values())
