@@ -353,6 +353,52 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str, vocab_k: int = 30) -> DataFrame:
+    """Unigram-LM fluency scoring (the KenLM-filter stand-in): average
+    log-probability of a doc's tokens under the corpus's own top-K
+    unigram distribution, plus the out-of-vocabulary count.  Scale
+    shape: ONE corpus pass for the vocab counts (hash agg), the vocab
+    ships back as a LITERAL map expression (the centroid-literal
+    pattern — metadata-scale, zero join), and scoring is a pure
+    per-row fold — the token stream is never exploded into a shuffle.
+    Cross-engine care: p = cnt/total is the identical rational double
+    on both sides; ln() may differ by 1 ulp between libm and Java, so
+    the per-doc average is rounded to 4 dp.  vocab_k defaults small
+    (30) so the synthetic corpus exercises the OOV path; production
+    runs pass 10^5+ — the literal map stays metadata-scale either
+    way."""
+    import math
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    counts = (
+        docs.where(F.trim("text") != "")
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(vocab_k)
+        .collect()
+    )
+    total = sum(r["cnt"] for r in counts)
+    vocab = {r["tok"]: math.log(r["cnt"] / total) for r in counts}
+    lp_map = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in kv]
+    )
+    lp = F.transform(toks, lambda t: lp_map[t])
+    in_vocab = F.filter(lp, lambda x: x.isNotNull())
+    n_in = F.size(in_vocab)
+    avg_lp = F.aggregate(
+        in_vocab, F.lit(0.0), lambda a, x: a + x
+    ) / n_in.cast("double")
+    return docs.where(F.trim("text") != "").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - n_in).cast("long").alias("n_oov"),
+        F.when(n_in > 0, F.round(avg_lp, 4)).alias("avg_logprob"),
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -931,6 +977,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": q_corpus_sample,
     "quality_quantile_gate": q_quality_quantile_gate,
     "corpus_diff": q_corpus_diff,
+    "lm_score": q_lm_score,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -1183,6 +1230,27 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
        round(avg(quality), 5) AS avg_quality
 FROM ranked WHERE pr <= 1.0/3.0
 GROUP BY 1
+""",
+        "lm_score": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), vc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok
+  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 30
+), v AS (
+  SELECT tok, ln(cnt / (SELECT sum(cnt) FROM vc)::DOUBLE) AS lp FROM vc
+), scored AS (
+  SELECT tk.doc_id, count(*) AS n_tok, count(v.lp) AS n_in, sum(v.lp) AS s
+  FROM tok tk LEFT JOIN v USING (tok)
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(n_tok - n_in AS BIGINT) AS n_oov,
+  CASE WHEN n_in > 0 THEN round(s / n_in, 4) END AS avg_logprob
+FROM scored
 """,
         "corpus_diff": """
 WITH prev AS (

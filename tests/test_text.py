@@ -327,3 +327,41 @@ def test_corpus_diff_statuses(spark):
             exp["unchanged"] += 1
     assert got == exp
     assert all(v > 0 for v in exp.values())
+
+
+def test_lm_score_fold_matches_python(spark):
+    """Per-doc OOV counts and average logprob equal a Python
+    recomputation of the same top-K unigram model, and the scoring
+    stage is a pure map (vocab ships as a literal — 0 exchanges)."""
+    import math
+    from collections import Counter
+
+    from rxtls_spark.plans.checks import count_exchanges
+    from rxtls_spark.queries_training import q_lm_score
+    from tests.conftest import SF_SMOKE
+
+    df = q_lm_score(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    got = {r["doc_id"]: r for r in df.collect()}
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["text"].strip()
+    }
+    cnt = Counter(t for x in docs.values() for t in x.strip().lower().split())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    total = sum(c for _, c in top)
+    lp = {t: math.log(c / total) for t, c in top}
+    n_oov_docs = 0
+    for doc_id, text in docs.items():
+        toks = text.strip().lower().split()
+        in_v = [lp[t] for t in toks if t in lp]
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["n_oov"] == len(toks) - len(in_v)
+        n_oov_docs += got[doc_id]["n_oov"] > 0
+        if in_v:
+            assert abs(
+                got[doc_id]["avg_logprob"] - round(sum(in_v) / len(in_v), 4)
+            ) <= 1e-4
+    assert n_oov_docs > 0  # the small vocab exercises the OOV path
