@@ -47,6 +47,7 @@ def main() -> int:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from rxtls_spark.functions.hashing import knuth_hash
     from rxtls_spark.functions.text import (
         lang_guess,
         pii_scrub,
@@ -81,7 +82,9 @@ def main() -> int:
         .where(F.col("doc_id") != F.col("root"))
         .select("doc_id")
     )
-    deduped = docs.join(losers, "doc_id", "left_anti")
+    # persisted: six downstream actions (counts, aggs, the write)
+    # would otherwise re-run the dedup join + scrub + fold chain
+    deduped = docs.join(losers, "doc_id", "left_anti").persist()
     n_deduped = deduped.count()
 
     # 2. PII scrub + 3. quality/repetition gates (single pass)
@@ -96,7 +99,7 @@ def main() -> int:
     )
     gated = feats.where(
         (F.col("quality") >= args.quality) & (F.col("dup3") <= args.max_dup3)
-    )
+    ).persist()
     n_gated = gated.count()
 
     # 4. temperature-0.5 mixture sample (deterministic hash Bernoulli)
@@ -105,7 +108,7 @@ def main() -> int:
     rates = counts.crossJoin(F.broadcast(cmin)).select(
         "lang", F.sqrt(F.col("cmin") / F.col("c")).alias("rate")
     )
-    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    u = knuth_hash(F.col("doc_id"))
     sampled = gated.join(F.broadcast(rates), "lang").where(
         u < F.col("rate") * F.lit(1000000007.0)
     )
@@ -121,11 +124,19 @@ def main() -> int:
         F.max("cum").alias("n_tokens"),
         F.ceil(F.max("cum") / F.lit(args.seq_len)).alias("n_seqs"),
     )
-    per_lang = {
-        row["lang"]: row["n"]
-        for row in sampled.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
+    lang_rows = (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("lang_guess") == F.col("lang")).cast("long")
+            ).alias("n_lang_match"),
+        )
         .collect()
+    )
+    per_lang = {row["lang"]: row["n"] for row in lang_rows}
+    lang_id_agreement = {
+        row["lang"]: row["n_lang_match"] for row in lang_rows
     }
     shards = [row.asDict() for row in shard_stats.orderBy("shard").collect()]
 
@@ -144,6 +155,7 @@ def main() -> int:
         "n_after_gates": n_gated,
         "n_sampled": sum(per_lang.values()),
         "per_lang": per_lang,
+        "lang_id_agreement": lang_id_agreement,
         "n_tokens": sum(s["n_tokens"] for s in shards),
         "n_seqs": sum(s["n_seqs"] for s in shards),
         "shards": shards,
@@ -158,6 +170,8 @@ def main() -> int:
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
+    gated.unpersist()
+    deduped.unpersist()
     spark.stop()
     return 0
 

@@ -26,3 +26,22 @@ def domain_org_hash(sorted_normalized_domains: list[str], org: str) -> str:
 def chain_hash_from_payload(payload: bytes) -> str:
     as_der = base64.b64encode(payload or b"").decode("ascii")
     return xxh3_64_hex(as_der)
+
+
+KNUTH_A = 2654435761  # Knuth multiplicative constant (2^32 * phi)
+KNUTH_P = 1000000007
+
+
+def knuth_hash(col):
+    """Deterministic uniform hash of an integer id column in
+    [0, KNUTH_P): ((id % P) * A) % P.  The inner ``% P`` keeps the
+    product under 2^63 for ANY int64 id — congruent to (id*A) % P, so
+    values are unchanged, but the expression cannot overflow under
+    Spark's ANSI mode at 10^12-row scale.  SQL oracles mirror the same
+    expression verbatim."""
+    from pyspark.sql import functions as F
+
+    return ((col % F.lit(KNUTH_P)) * F.lit(KNUTH_A)) % F.lit(KNUTH_P)
+
+
+KNUTH_SQL = "(({col} % 1000000007) * 2654435761) % 1000000007"

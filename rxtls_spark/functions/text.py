@@ -70,7 +70,7 @@ def token_count(text_col: str = "text") -> Column:
     t = F.trim(F.col(text_col))
     return (
         F.when(t == "", F.lit(0))
-        .otherwise(F.size(F.split(t, "\\s+")))
+        .otherwise(F.size(F.split(t, "[ \\t\\n\\x0B\\f\\r]+")))
         .cast("long")
     )
 
@@ -86,8 +86,9 @@ STOPWORDS = (
 # The three classes are DISJOINT, so Java regex (Spark) and RE2
 # (DuckDB) agree exactly — no alternation-order or longest-match
 # sensitivity.  This is the GPT-2 pre-tokenizer shape minus the
-# contraction lookaheads RE2 can't express.
-BPE_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+# contraction lookaheads RE2 can't express.  The whitespace set is
+# spelled out because Java \s includes \x0B while RE2's does not.
+BPE_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x0B\f\r]+"
 
 
 def token_count_bpe(text_col: str = "text") -> Column:
@@ -98,7 +99,7 @@ def token_count_bpe(text_col: str = "text") -> Column:
 def stopword_ratio(text_col: str = "text") -> Column:
     """Fraction of whitespace tokens that are stopwords; blank → 0."""
     t = F.trim(F.col(text_col))
-    words = F.split(F.lower(t), "\\s+")
+    words = F.split(F.lower(t), "[ \\t\\n\\x0B\\f\\r]+")
     n = F.size(words).cast("double")
     sw = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
     return F.when(t == "", F.lit(0.0)).otherwise(sw / n)
@@ -227,7 +228,7 @@ def repetition_features(text_col: str = "text") -> dict[str, Column]:
     characters in repeated word 3-grams.  Denominator is the raw text
     length; all fractions are 0 for docs too short to have grams."""
     t = F.trim(F.col(text_col))
-    words = F.split(t, "\\s+")
+    words = F.split(t, "[ \\t\\n\\x0B\\f\\r]+")
     n = F.when(t == "", F.lit(0)).otherwise(F.size(words)).cast("long")
     chars = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
     dup_word = F.when(

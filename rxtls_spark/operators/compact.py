@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 def file_inventory(events: DataFrame, row_overhead: int = 32) -> DataFrame:
     """Deterministic per-(event_type, hour) file inventory derived from
     the events table — one logical sink file per partition, bytes
-    estimated as sum(row_overhead + len(props)).  Stands in for the
+    estimated as sum(row_overhead + octet_length(props)) — UTF-8
+    bytes, matching the oracle's strlen and the on-disk cost.  Stands in for the
     manifest's per-file lineage rows (manifest.py A3), which at run
     time supply the same (key, order, bytes) shape."""
     hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long")
@@ -33,7 +34,7 @@ def file_inventory(events: DataFrame, row_overhead: int = 32) -> DataFrame:
         F.col("event_type").alias("sink_key"), hour.alias("hour_epoch")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.length("props") + F.lit(row_overhead))
+        F.sum(F.octet_length("props") + F.lit(row_overhead))
         .cast("long")
         .alias("bytes"),
     )

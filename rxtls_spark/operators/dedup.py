@@ -116,7 +116,7 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 def normalized_text(col: str = "text"):
-    return F.lower(F.trim(F.regexp_replace(F.col(col), "\\s+", " ")))
+    return F.lower(F.trim(F.regexp_replace(F.col(col), "[ \\t\\n\\x0B\\f\\r]+", " ")))
 
 
 def normalized_dup_groups(docs: DataFrame) -> DataFrame:

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rxtls_spark.functions.hashing import knuth_hash
 from rxtls_spark.functions.text import (
     LANG_MARKERS,
     LANG_PRIORITY,
@@ -251,7 +252,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.sqrt(F.col("cmin") / F.col("n_docs")).alias("rate"),
     )
-    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    u = knuth_hash(F.col("doc_id"))
     sampled = (
         docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
         .where(u < F.col("rate") * F.lit(1000000007.0))
@@ -304,7 +305,7 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
     candidates) — NO full sort, no corpus shuffle, identical sample on
     any partitioning or cluster size.  Emits md5(text) so the sampled
     content is value-checked without shipping it."""
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    h = knuth_hash(F.col("doc_id"))
     return (
         _docs(spark, sf_dir)
         .select(
@@ -362,15 +363,17 @@ def q_lm_score(spark: SparkSession, sf_dir: str, vocab_k: int = 30) -> DataFrame
     pattern — metadata-scale, zero join), and scoring is a pure
     per-row fold — the token stream is never exploded into a shuffle.
     Cross-engine care: p = cnt/total is the identical rational double
-    on both sides; ln() may differ by 1 ulp between libm and Java, so
-    the per-doc average is rounded to 4 dp.  vocab_k defaults small
+    on both sides; Spark scores against Python math.log literals while
+    the oracle evaluates ln() in DuckDB (both glibc here, but only
+    1-ulp-close in general) and sums in its own order, so the per-doc
+    average is rounded to 4 dp to absorb both drifts.  vocab_k defaults small
     (30) so the synthetic corpus exercises the OOV path; production
     runs pass 10^5+ — the literal map stays metadata-scale either
     way."""
     import math
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    toks = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    toks = F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     counts = (
         docs.where(F.trim("text") != "")
         .select(F.explode(toks).alias("tok"))
@@ -421,7 +424,7 @@ def q_normalized_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _word_shingles(col):
     """Word-3-gram array — pure JVM (split/transform/slice), mirrored
     1:1 by the DuckDB regexp_split_to_array/list_transform SQL."""
-    words = F.split(F.lower(F.trim(col)), "\\s+")
+    words = F.split(F.lower(F.trim(col)), "[ \\t\\n\\x0B\\f\\r]+")
     n = F.size(words)
     return F.when(
         n >= 3,
@@ -614,7 +617,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     it at scale over candidate pairs only."""
 
     def shingles(col):
-        words = F.split(F.lower(F.trim(col)), "\\s+")
+        words = F.split(F.lower(F.trim(col)), "[ \\t\\n\\x0B\\f\\r]+")
         n = F.size(words)
         return F.when(
             n >= 3,
@@ -818,6 +821,13 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-means spec shared by the Spark query and the unrolled SQL oracle —
+# change together (the oracle is generated from these).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_DIM = 64
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means as a first-class operator — and the TRAINING LOOP
     itself is value-hash-checked: deterministic Lloyd's (Knuth-hash
@@ -834,14 +844,26 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid matrix as (cell, i, m) rows with per-cell assignment
     counts."""
     from rxtls_spark.operators.similarity import (
+        _emb_dim,
         ivf_assign_expr,
         train_ivf_centroids,
     )
 
     emb = _emb(spark, sf_dir)
-    seed = (F.col("vec_id") * F.lit(2654435761)) % F.lit(1000000007)
+    dim = _emb_dim(emb)
+    if dim != KMEANS_DIM:  # oracle SQL is unrolled for this dim
+        raise ValueError(
+            f"embeddings dim {dim} != KMEANS_DIM {KMEANS_DIM}; "
+            "regenerate _kmeans_sql with the new dim"
+        )
+    seed = knuth_hash(F.col("vec_id"))
     cents = train_ivf_centroids(
-        emb, k=8, iters=3, metric="l2", seed_order=seed, round_dp=6
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=seed,
+        round_dp=6,
     )
     cell = ivf_assign_expr(cents, F.col("embedding"), metric="l2")
     counts = (
@@ -864,7 +886,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM) -> str:
     """Unrolled Lloyd's in DuckDB SQL mirroring q_kmeans exactly:
     same Knuth-hash seeds, same L2 argmin with (distance, cell)
     tie-break, same 6-dp rounded means, empty cells keep their
@@ -876,7 +898,7 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
 ), cents0 AS (
   SELECT cell, emb AS centroid FROM (
     SELECT emb, CAST(row_number() OVER (
-      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS INTEGER
+      ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007, vec_id) - 1 AS INTEGER
     ) AS cell
     FROM e
   ) WHERE cell < {k}
@@ -1042,7 +1064,7 @@ def _scored_feats_ctes(src: str = "documents") -> str:
   SELECT *,
     CAST(length(text) AS BIGINT) AS n_chars,
     CASE WHEN trim(text) = '' THEN 0
-         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         ELSE CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
     END AS n_tokens,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
       / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
@@ -1091,7 +1113,7 @@ WITH media AS (
 def _shingles_sql(col: str) -> str:
     """Word-3-gram list expression over an arbitrary text column —
     the SQL mirror of `_word_shingles`."""
-    w = f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+    w = f"regexp_split_to_array(lower(trim({col})), '[ \\t\\n\\x0B\\f\\r]+')"
     return f"""CASE WHEN len({w}) >= 3
       THEN list_transform(generate_series(1, len({w}) - 2),
                           i -> array_to_string({w}[i:i+2], ' '))
@@ -1143,7 +1165,7 @@ FROM pii
 """,
         "doc_chunks": """
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+') AS t
+  SELECT doc_id, regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ), chunked AS (
   SELECT doc_id,
@@ -1165,7 +1187,7 @@ FROM ex
 WITH w AS (
   SELECT doc_id, greatest(len(text), 1) AS n_chars,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+              ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS words
   FROM documents
 ), base AS (
   SELECT doc_id, n_chars, len(words) AS n_words,
@@ -1179,12 +1201,12 @@ WITH w AS (
   FROM w
 ), g2m AS (
   SELECT doc_id, max(chars) AS top_chars FROM (
-    SELECT doc_id, gram, count(*) * strlen(gram) AS chars
+    SELECT doc_id, gram, count(*) * length(gram) AS chars
     FROM (SELECT doc_id, unnest(g2) AS gram FROM base) GROUP BY 1, 2
   ) GROUP BY 1
 ), g3d AS (
   SELECT doc_id, sum(chars) AS dup_chars FROM (
-    SELECT doc_id, gram, count(*) * strlen(gram) AS chars, count(*) AS cnt
+    SELECT doc_id, gram, count(*) * length(gram) AS chars, count(*) AS cnt
     FROM (SELECT doc_id, unnest(g3) AS gram FROM base) GROUP BY 1, 2
   ) WHERE cnt >= 2 GROUP BY 1
 )
@@ -1202,7 +1224,7 @@ LEFT JOIN g3d ON b.doc_id = g3d.doc_id
 WITH d AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens,
          doc_id % 8 AS shard
   FROM documents
 ), c AS (
@@ -1233,7 +1255,7 @@ GROUP BY 1
 """,
         "lm_score": """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents WHERE trim(text) <> ''
 ), tok AS (
   SELECT doc_id, unnest(t) AS tok FROM toks
@@ -1271,7 +1293,7 @@ GROUP BY 1
 """,
         "corpus_sample": """
 SELECT doc_id, lang,
-       (doc_id * 2654435761) % 1000000007 AS h,
+       ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h,
        md5(text) AS text_md5
 FROM documents
 ORDER BY h, doc_id
@@ -1287,7 +1309,7 @@ WITH c AS (
 ), s AS (
   SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
   FROM documents d JOIN r USING (lang)
-  WHERE ((d.doc_id * 2654435761) % 1000000007) < rate * 1000000007.0
+  WHERE (((d.doc_id % 1000000007) * 2654435761) % 1000000007) < rate * 1000000007.0
   GROUP BY 1
 )
 SELECT r.lang, r.n_docs, coalesce(s.n_sampled, 0) AS n_sampled,
@@ -1313,14 +1335,14 @@ FROM feats GROUP BY 1, 2
         "token_stats": f"""
 SELECT doc_id,
   CASE WHEN trim(text) = '' THEN 0
-       ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       ELSE CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
   END AS n_tokens_ws,
-  CAST(len(regexp_extract_all(text, '\\p{{L}}+|\\p{{N}}+|[^\\p{{L}}\\p{{N}}\\s]+'))
+  CAST(len(regexp_extract_all(text, '\\p{{L}}+|\\p{{N}}+|[^\\p{{L}}\\p{{N}} \\t\\n\\x0B\\f\\r]+'))
        AS BIGINT) AS n_tokens_bpe,
   round(CASE WHEN trim(text) = '' THEN 0.0 ELSE
-    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                     w -> list_contains({_stopword_list_sql()}, w)))::DOUBLE
-    / len(regexp_split_to_array(lower(trim(text)), '\\s+'))::DOUBLE
+    / len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))::DOUBLE
   END, 5) AS stopword_ratio
 FROM documents
 """,
@@ -1330,7 +1352,7 @@ SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs,
 FROM docs GROUP BY 1 HAVING count(*) > 1
 """,
         "dedup_normalized": _DUPS_CTE + """
-SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5,
+SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS norm_md5,
        CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc_id
 FROM docs GROUP BY 1 HAVING count(*) > 1
 """,
@@ -1386,17 +1408,17 @@ WITH pairs AS (
   FROM documents WHERE doc_id % 20 = 0
 ), sh AS (
   SELECT doc_id,
-    CASE WHEN len(regexp_split_to_array(lower(trim(text_a)), '\\s+')) >= 3
+    CASE WHEN len(regexp_split_to_array(lower(trim(text_a)), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
       THEN list_transform(
-        generate_series(1, len(regexp_split_to_array(lower(trim(text_a)), '\\s+')) - 2),
-        i -> array_to_string(regexp_split_to_array(lower(trim(text_a)), '\\s+')[i:i+2], ' '))
-      ELSE [array_to_string(regexp_split_to_array(lower(trim(text_a)), '\\s+'), ' ')]
+        generate_series(1, len(regexp_split_to_array(lower(trim(text_a)), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text_a)), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text_a)), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
     END AS sa,
-    CASE WHEN len(regexp_split_to_array(lower(trim(text_b)), '\\s+')) >= 3
+    CASE WHEN len(regexp_split_to_array(lower(trim(text_b)), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
       THEN list_transform(
-        generate_series(1, len(regexp_split_to_array(lower(trim(text_b)), '\\s+')) - 2),
-        i -> array_to_string(regexp_split_to_array(lower(trim(text_b)), '\\s+')[i:i+2], ' '))
-      ELSE [array_to_string(regexp_split_to_array(lower(trim(text_b)), '\\s+'), ' ')]
+        generate_series(1, len(regexp_split_to_array(lower(trim(text_b)), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text_b)), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text_b)), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
     END AS sb
   FROM pairs
 )
@@ -1426,17 +1448,17 @@ WHERE a.vec_id < b.vec_id
         "dedup_minhash_lsh": """
 WITH near AS (
   SELECT doc_id,
-    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
       THEN list_transform(
-        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
-        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' '))
-      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')]
+        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
     END AS sa,
-    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) >= 3
+    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
       THEN list_transform(
-        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) - 2),
-        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')[i:i+2], ' '))
-      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+'), ' ')]
+        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
     END AS sb
   FROM documents WHERE doc_id % 20 = 0
 ), expected AS (
@@ -1473,17 +1495,17 @@ WITH RECURSIVE docs AS (
   WHERE g.n > 1 AND d.doc_id <> g.root
 ), nearj AS (
   SELECT doc_id,
-    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
       THEN list_transform(
-        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
-        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' '))
-      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')]
+        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
     END AS sa,
-    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) >= 3
+    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
       THEN list_transform(
-        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) - 2),
-        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')[i:i+2], ' '))
-      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+'), ' ')]
+        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
     END AS sb
   FROM documents WHERE doc_id % 20 = 0
 ), near_pairs AS (
@@ -1527,17 +1549,17 @@ WITH RECURSIVE docsx AS (
   WHERE g.n > 1 AND d.doc_id <> g.root
 ), nearj AS (
   SELECT doc_id,
-    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
       THEN list_transform(
-        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
-        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' '))
-      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')]
+        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
     END AS sa,
-    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) >= 3
+    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
       THEN list_transform(
-        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')) - 2),
-        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+')[i:i+2], ' '))
-      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '\\s+'), ' ')]
+        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
     END AS sb
   FROM documents WHERE doc_id % 20 = 0
 ), near_pairs AS (

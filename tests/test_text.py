@@ -136,7 +136,9 @@ def test_doc_chunks_reconstruct_token_stream(spark):
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
     }
-    pat = re.compile(r"[^\W\d_]+|\d+|[^\w\s]+", re.UNICODE)
+    # letters | digits | symbol runs — '_' is \w but NOT a letter/digit,
+    # so it must land in the symbol class like BPE_PATTERN's does
+    pat = re.compile(r"[^\W\d_]+|\d+|(?:[^\w\s]|_)+", re.UNICODE)
     checked = 0
     for doc_id, chunks in list(per_doc.items())[:50]:
         chunks.sort()
@@ -292,7 +294,9 @@ def test_quality_quantile_gate_keeps_top_third(spark):
         rows.sort()
         n = len(rows)
         kept = [
-            q for i, (_, _, q) in enumerate(rows) if i / (n - 1) <= 1.0 / 3.0
+            q
+            for i, (_, _, q) in enumerate(rows)
+            if (0.0 if n == 1 else i / (n - 1)) <= 1.0 / 3.0
         ]
         assert got[lang]["n_kept"] == len(kept), lang
         assert abs(got[lang]["min_quality"] - round(min(kept), 5)) < 1e-12
@@ -365,3 +369,54 @@ def test_lm_score_fold_matches_python(spark):
                 got[doc_id]["avg_logprob"] - round(sum(in_v) / len(in_v), 4)
             ) <= 1e-4
     assert n_oov_docs > 0  # the small vocab exercises the OOV path
+
+
+def test_text_oracles_agree_on_unicode_and_vt(spark, tmp_path):
+    """Adversarial fixture for latent cross-engine divergences the
+    ASCII testdata can't catch: CJK (UTF-8 bytes != chars), accented
+    words, underscores, em-dash symbols, tab/newline AND vertical-tab
+    \\x0B whitespace (Java \\s includes it, RE2's does not).  Runs the
+    REAL driver-gate comparison (actual queries + actual oracle SQL)
+    on these docs for every text-family oracle."""
+    import duckdb
+    import pandas as pd
+
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import normalize_frame
+
+    rows = [
+        (1, "你好 世界 你好 世界 你好 世界", "zh"),
+        (2, "a_b c\x0bd e—f a_b c\x0bd", "en"),
+        (3, "héllo wörld héllo wörld héllo wörld", "de"),
+        (4, "tab\tsep\nline end tab\tsep", "en"),
+        (5, "plain ascii words only here", "en"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    from __spark_entry__ import oracle_sql, queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    qs, oracles = queries(), oracle_sql()
+    for name in (
+        "repetition",
+        "doc_chunks",
+        "token_stats",
+        "text_features",
+        "sequence_pack",
+        "lm_score",
+        "corpus_sample",
+        "dedup_normalized",
+    ):
+        s = normalize_frame(qs[name](spark, str(tmp_path)).toPandas())
+        o = normalize_frame(con.execute(oracles[name]).fetchdf())
+        assert list(s.columns) == list(o.columns), name
+        pd.testing.assert_frame_equal(s, o, obj=name)
