@@ -42,6 +42,3 @@ def knuth_hash(col):
     from pyspark.sql import functions as F
 
     return ((col % F.lit(KNUTH_P)) * F.lit(KNUTH_A)) % F.lit(KNUTH_P)
-
-
-KNUTH_SQL = "(({col} % 1000000007) * 2654435761) % 1000000007"
