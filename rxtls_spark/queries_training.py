@@ -950,6 +950,68 @@ LEFT JOIN counts n USING (cell), generate_series(1, {dim}) t(i)
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store — the standard
+    4× storage cut before ANN at 100 TB: per-dimension [min, max] over
+    the corpus (one agg, k×dim output, float-EXACT so both engines
+    agree bit-for-bit), codes = round((x-min)/(max-min)*255)-128
+    shipped as a literal-scale expression, and the reconstruction
+    error audited per label.  Scale shape: one min/max agg pass +
+    a pure map — the quantization itself never shuffles.  All
+    arithmetic is on identical doubles cross-engine; only the avg
+    error is summation-ordered, hence rounded."""
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    aggs = []
+    for i in range(dim):
+        x = F.element_at("embedding", i + 1).cast("double")
+        aggs += [F.min(x).alias(f"lo{i}"), F.max(x).alias(f"hi{i}")]
+    b = emb.agg(*aggs).collect()[0]
+    lo = [b[f"lo{i}"] for i in range(dim)]
+    hi = [b[f"hi{i}"] for i in range(dim)]
+
+    def code(i: int):
+        x = F.element_at("embedding", i + 1).cast("double")
+        span = hi[i] - lo[i]
+        if span == 0.0:
+            return F.lit(-128)
+        return (F.round((x - F.lit(lo[i])) / F.lit(span) * 255) - 128).cast(
+            "int"
+        )
+
+    def dequant(i: int):
+        span = hi[i] - lo[i]
+        return (code(i) + 128).cast("double") / 255.0 * F.lit(span) + F.lit(
+            lo[i]
+        )
+
+    err = sum(
+        (
+            (F.element_at("embedding", i + 1).cast("double") - dequant(i))
+            * (F.element_at("embedding", i + 1).cast("double") - dequant(i))
+            for i in range(dim)
+        ),
+        start=F.lit(0.0),
+    ) / F.lit(float(dim))
+    code_sum = sum(
+        (code(i).cast("long") for i in range(dim)),
+        start=F.lit(0).cast("long"),
+    )
+    return (
+        emb.select(
+            "label",
+            err.alias("mse"),
+            code_sum.alias("code_sum"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("mse"), 9).alias("avg_mse"),
+            F.sum("code_sum").cast("long").alias("code_checksum"),
+        )
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_stats(_emb(spark, sf_dir))
 
@@ -1014,6 +1076,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
+    "embedding_quantize": q_embedding_quantize,
     "ann_ivf_pq": q_ann_ivf_pq,
     "embedding_stats": q_embedding_stats,
     "media_counts": q_media_counts,
@@ -1372,6 +1435,34 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= 10
 """,
         "kmeans": _kmeans_sql(),
+        "embedding_quantize": """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), stats AS (
+  SELECT i, min(emb[i]) AS lo, max(emb[i]) AS hi
+  FROM e, generate_series(1, 64) t(i)
+  GROUP BY i
+), coded AS (
+  SELECT e.vec_id, e.label, e.emb[t.i] AS x, s.lo, s.hi,
+    CASE WHEN s.hi = s.lo THEN -128
+         ELSE CAST(round((e.emb[t.i] - s.lo) / (s.hi - s.lo) * 255) - 128
+                   AS INTEGER) END AS c
+  FROM e, generate_series(1, 64) t(i)
+  JOIN stats s ON s.i = t.i
+), perrow AS (
+  SELECT vec_id, label,
+    sum((x - ((c + 128) / 255.0 * (hi - lo) + lo))
+        * (x - ((c + 128) / 255.0 * (hi - lo) + lo))) / 64.0 AS mse,
+    sum(c) AS code_sum
+  FROM coded GROUP BY 1, 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(mse), 9) AS avg_mse,
+       CAST(sum(code_sum) AS BIGINT) AS code_checksum
+FROM perrow GROUP BY 1
+""",
         "embedding_stats": """
 SELECT label, CAST(count(*) AS BIGINT) AS n,
        round(avg(norm), 5) AS avg_norm,

@@ -306,3 +306,35 @@ def test_kmeans_query_matches_numpy_lloyds(spark):
         # fold-sum vs numpy mean: identical after the 6-dp round
         assert np.abs(got - exp).max() <= 1e-6, c
         assert got_n[c] == int((asg == c).sum()), c
+
+
+def test_embedding_quantize_matches_numpy(spark):
+    """Int8 quantization: per-label checksum and MSE equal a numpy
+    recomputation of the same spec, and the error respects the scalar
+    quantization bound (half-step per dimension)."""
+    from rxtls_spark.queries_training import q_embedding_quantize
+
+    got = {r["label"]: r for r in q_embedding_quantize(spark, SF_SMOKE).collect()}
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    span = hi - lo
+    span_nz = np.where(span == 0, 1.0, span)
+    # round-half-up like Spark/DuckDB round() for non-negative values
+    c = np.floor((X - lo) / span_nz * 255 + 0.5).astype(np.int64) - 128
+    c = np.where(span == 0, -128, c)
+    deq = (c + 128) / 255.0 * span + lo
+    mse = ((X - deq) ** 2).sum(axis=1) / 64.0
+    for lab in np.unique(labels):
+        m = labels == lab
+        assert got[int(lab)]["n"] == int(m.sum())
+        assert got[int(lab)]["code_checksum"] == int(c[m].sum())
+        assert abs(got[int(lab)]["avg_mse"] - round(float(mse[m].mean()), 9)) <= 1e-9
+        # half-step bound: per-dim |x - deq| <= span/255/2 (+ float slop)
+        assert got[int(lab)]["avg_mse"] <= float(((span / 255 / 2) ** 2).mean()) * 1.01
