@@ -415,6 +415,14 @@ def test_text_oracles_agree_on_unicode_and_vt(spark, tmp_path):
         "lm_score",
         "corpus_sample",
         "dedup_normalized",
+        "mixture_sample",
+        "quality_quantile_gate",
+        "corpus_diff",
+        "lang_confusion",
+        "dedup_exact",
+        "ngram_jaccard",
+        "pii_scrub",
+        "contamination",
     ):
         s = normalize_frame(qs[name](spark, str(tmp_path)).toPandas())
         o = normalize_frame(con.execute(oracles[name]).fetchdf())
