@@ -125,13 +125,25 @@ def quality_features(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def round5_stable(c: Column) -> Column:
+    """Round a NON-NEGATIVE per-row scalar to 5 dp identically on both
+    engines: floor(x*1e5 + 0.5)/1e5.  Engine round() implementations
+    disagree on exact decimal halves (Spark rounds the double's exact
+    BigDecimal value, DuckDB multiplies then rounds), and power-of-2
+    length denominators make exact halves REAL — 2 of 5000 sf0.1 docs
+    hit the quality boundary.  floor of identically-computed doubles
+    cannot diverge.  Per-row chains only — aggregate outputs keep
+    round(), where sum-order ulp noise dominates either way."""
+    return F.floor(c * F.lit(100000.0) + F.lit(0.5)) / F.lit(100000.0)
+
+
 def quality_score(text_col: str = "text") -> Column:
     """Composite [0,1] score: rewards alpha-heavy prose of reasonable
     length, penalizes digit/punct noise.  Formula is frozen (mirrored
     in the SQL oracle); not a learned model."""
     f = quality_features(text_col)
     length_term = F.least(f["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
-    return F.round(
+    return round5_stable(
         F.greatest(
             F.lit(0.0),
             F.least(
@@ -141,7 +153,6 @@ def quality_score(text_col: str = "text") -> Column:
                 + 0.3 * (1.0 - F.least(F.lit(1.0), 4.0 * f["punct_ratio"] + 4.0 * f["digit_ratio"])),
             ),
         ),
-        5,
     )
 
 

@@ -181,15 +181,15 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py.  The oracle mirrors the semantics with
     unnest + GROUP BY, which is fine at sf0.01 and exactly what would
     be wrong at 100 TB."""
-    from rxtls_spark.functions.text import repetition_features
+    from rxtls_spark.functions.text import repetition_features, round5_stable
 
     r = repetition_features()
     return _docs(spark, sf_dir).select(
         "doc_id",
         r["n_words"].alias("n_words"),
-        F.round(r["dup_word_frac"], 5).alias("dup_word_frac"),
-        F.round(r["top2gram_char_frac"], 5).alias("top2gram_char_frac"),
-        F.round(r["dup3gram_char_frac"], 5).alias("dup3gram_char_frac"),
+        round5_stable(r["dup_word_frac"]).alias("dup_word_frac"),
+        round5_stable(r["top2gram_char_frac"]).alias("top2gram_char_frac"),
+        round5_stable(r["dup3gram_char_frac"]).alias("dup3gram_char_frac"),
     )
 
 
@@ -560,7 +560,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = corpus.select(
         "doc_id",
         "lang",
-        F.round(quality_score(), 5).alias("quality"),
+        quality_score().alias("quality"),  # already on the 5-dp grid
         token_count().alias("n_tokens"),
         lang_guess().alias("lang_guess"),
     )
@@ -1144,10 +1144,11 @@ _TEXT_CTE = f"""
 WITH {_scored_feats_ctes()}
 """
 
-_QUALITY_SQL = """round(greatest(0.0, least(1.0,
+_QUALITY_SQL = """floor(greatest(0.0, least(1.0,
     0.4 * alpha_ratio
     + 0.3 * least(n_chars / 500.0, 1.0)
-    + 0.3 * (1.0 - least(1.0, 4.0 * punct_ratio + 4.0 * digit_ratio)))), 5)"""
+    + 0.3 * (1.0 - least(1.0, 4.0 * punct_ratio + 4.0 * digit_ratio))))
+    * 100000 + 0.5) / 100000"""
 
 _DUPS_CTE = """
 WITH docs AS (
@@ -1274,11 +1275,11 @@ WITH w AS (
   ) WHERE cnt >= 2 GROUP BY 1
 )
 SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
-  round(b.dup_word_frac, 5) AS dup_word_frac,
-  round(coalesce(g2m.top_chars, 0) / CAST(b.n_chars AS DOUBLE), 5)
-    AS top2gram_char_frac,
-  round(coalesce(g3d.dup_chars, 0) / CAST(b.n_chars AS DOUBLE), 5)
-    AS dup3gram_char_frac
+  floor(b.dup_word_frac * 100000 + 0.5) / 100000 AS dup_word_frac,
+  floor(coalesce(g2m.top_chars, 0) / CAST(b.n_chars AS DOUBLE)
+        * 100000 + 0.5) / 100000 AS top2gram_char_frac,
+  floor(coalesce(g3d.dup_chars, 0) / CAST(b.n_chars AS DOUBLE)
+        * 100000 + 0.5) / 100000 AS dup3gram_char_frac
 FROM base b
 LEFT JOIN g2m ON b.doc_id = g2m.doc_id
 LEFT JOIN g3d ON b.doc_id = g3d.doc_id
