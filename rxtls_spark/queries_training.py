@@ -297,6 +297,30 @@ def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Per-stratum fixed-quota sampling — exactly k docs per language,
+    chosen by Knuth-hash rank (deterministic, partitioning-independent)
+    — completing the sampling family: `mixture_sample` = rate-based,
+    `corpus_sample` = global quota, this = per-stratum quota.  Scale
+    shape: ONE exchange (the per-lang window); languages are few and
+    fat, so at 100 TB the same query runs as a per-partition top-k +
+    merge (rank<=k never needs the full sort spilled).  Emits
+    (lang, doc_id, rk) so the exact membership AND order are
+    value-checked."""
+    from pyspark.sql.window import Window
+
+    h = knuth_hash(F.col("doc_id"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= k)
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """Deterministic uniform inspection sample: the k docs with the
     lowest Knuth-hash value — the distributed answer to reservoir
@@ -1059,6 +1083,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "mixture_sample": q_mixture_sample,
     "corpus_sample": q_corpus_sample,
+    "stratified_sample": q_stratified_sample,
     "quality_quantile_gate": q_quality_quantile_gate,
     "corpus_diff": q_corpus_diff,
     "lm_score": q_lm_score,
@@ -1354,6 +1379,16 @@ SELECT CASE WHEN h_prev IS NULL THEN 'added'
        CAST(count(*) AS BIGINT) AS n
 FROM prev FULL OUTER JOIN new USING (doc_id)
 GROUP BY 1
+""",
+        "stratified_sample": """
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT lang, doc_id,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
+    ) AS rk
+  FROM documents
+) WHERE rk <= 20
 """,
         "corpus_sample": """
 SELECT doc_id, lang,

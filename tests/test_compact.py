@@ -70,3 +70,29 @@ def test_corpus_sample_is_bottom_k_by_hash(spark):
         sorted(all_ids, key=lambda d: ((d * 2654435761) % 1000000007, d))[:100]
     )
     assert got == exp
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    """Exactly k per language, membership equals a full-scan
+    recomputation of the per-lang bottom-k by hash."""
+    from rxtls_spark.queries_training import q_stratified_sample
+
+    rows = q_stratified_sample(spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["rk"], r["doc_id"]))
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    full = {}
+    for d in docs:
+        h = ((d["doc_id"] % 1000000007) * 2654435761) % 1000000007
+        full.setdefault(d["lang"], []).append((h, d["doc_id"]))
+    for lang, got in by_lang.items():
+        got.sort()
+        assert len(got) == 20
+        assert [rk for rk, _ in got] == list(range(1, 21))
+        exp = [doc for _, doc in sorted(full[lang])[:20]]
+        assert [doc for _, doc in got] == exp, lang
