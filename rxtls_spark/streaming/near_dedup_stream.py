@@ -14,7 +14,12 @@ Exactly-once: each batch writes its admissions to the partition
 ``admit_batch=<batch_id>`` with mode=overwrite — a retried batch
 recomputes the same deterministic result and overwrites its own
 partition, so replays are idempotent and the checkpoint's offset log
-guarantees no batch is skipped.
+guarantees no batch is skipped.  Crucially the index a batch dedups
+against is filtered to PRIOR batches (``admit_batch < batch_id``): a
+retry that crashed between the parquet write and the checkpoint commit
+would otherwise re-read its own partition, self-match every admission
+at Jaccard 1.0, and overwrite the partition with an empty set — silent
+loss of that batch's admissions.
 
 Scale notes: the per-batch work is (batch × index) band-bucket
 equi-joins — never a cross join; the index side is bucket-capped
@@ -27,6 +32,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,12 +94,46 @@ def near_dedup_admit(
 
 
 def admitted_index(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """The persisted admitted corpus, or None before the first batch."""
+    """The persisted admitted corpus, or None before the first batch.
+
+    Only a genuinely-absent index maps to None (dir missing, or present
+    but empty so schema inference fails with AnalysisException).  Real
+    read failures — corrupt files, permissions — propagate: treating
+    them as "no index yet" would silently admit the batch with no dedup
+    against history."""
     index_dir = os.path.join(out_dir, "admitted")
+    if not os.path.isdir(index_dir):
+        return None
     try:
         return spark.read.parquet(index_dir)
-    except Exception:
+    except AnalysisException:
         return None
+
+
+def admit_and_write(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    threshold: float = 0.7,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> None:
+    """One micro-batch of the foreachBatch loop (module-level so replay
+    idempotency is testable without a stream): dedup against the index
+    restricted to batches STRICTLY BEFORE this one, then overwrite this
+    batch's own partition.  A retried batch therefore never sees its own
+    earlier (uncommitted) write and reproduces the identical result."""
+    if batch_df.isEmpty():
+        return
+    index_dir = os.path.join(out_dir, "admitted")
+    index = admitted_index(batch_df.sparkSession, out_dir)
+    if index is not None:
+        index = index.where(
+            F.col("admit_batch").cast("long") < F.lit(batch_id)
+        ).select("doc_id", "text")
+    admitted = near_dedup_admit(batch_df, index, threshold, bucket_cap)
+    admitted.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"admit_batch={batch_id}")
+    )
 
 
 def start_near_dedup(
@@ -114,18 +154,7 @@ def start_near_dedup(
     stream = reader.parquet(input_dir)
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sess = batch_df.sparkSession
-        index = admitted_index(sess, out_dir)
-        if index is not None:
-            index = index.select("doc_id", "text")
-        admitted = near_dedup_admit(batch_df, index, threshold, bucket_cap)
-        (
-            admitted.write.mode("overwrite").parquet(
-                os.path.join(index_dir, f"admit_batch={batch_id}")
-            )
-        )
+        admit_and_write(batch_df, batch_id, out_dir, threshold, bucket_cap)
 
     writer = stream.writeStream.foreachBatch(admit_batch).option(
         "checkpointLocation", os.path.join(out_dir, "checkpoint")
