@@ -21,6 +21,8 @@ FAISS-canonical shape — candidates stream 8-byte codes, not vectors).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -265,7 +267,10 @@ def train_ivf_centroids(
     multiplicative hash so the SQL oracle can mirror the seeding),
     assignment ties break to the lowest cell, means are rounded to
     ``round_dp`` decimals so run-to-run float-sum-order noise can't
-    flip a boundary vector."""
+    flip a boundary vector.  Rounding is the stable floor(x*s+0.5)/s
+    form, NOT Python round(): Python rounds half-even while DuckDB
+    rounds half-away, so the unrolled kmeans oracle would disagree on
+    an exact-half mean (same flake class round5_stable exists for)."""
     dim = _emb_dim(embeddings, emb_col)
     order = F.xxhash64(id_col) if seed_order is None else seed_order
     seeds = (
@@ -285,8 +290,12 @@ def train_ivf_centroids(
                 for i in range(dim)
             ]
         )
+        scale = 10.0 ** round_dp
         got = {
-            r["cell"]: [round(float(r[f"m{i}"]), round_dp) for i in range(dim)]
+            r["cell"]: [
+                math.floor(float(r[f"m{i}"]) * scale + 0.5) / scale
+                for i in range(dim)
+            ]
             for r in means.collect()
         }
         # empty cells keep their previous centroid

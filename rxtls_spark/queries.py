@@ -313,11 +313,44 @@ def _q_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+# Driver-gate sampling is prefix-biased (r3 checked the first 50 of 65
+# registered queries), so registry ORDER is coverage policy: the least
+# driver-proven queries go first — never-driver-checked ones, then the
+# family the r3 driver skipped — and the long-green pipeline queries
+# last.  Keep any new query near the front until a CORRECTNESS_r{N}
+# shows it green.
+_PRIORITY_ORDER = [
+    # never checked by any driver round (r3 verdict item 1)
+    "kmeans",
+    "embedding_quantize",
+    "ann_ivf_pq",
+    # new in r4
+    "quality_quantile_gate_approx",
+    "lm_score_broadcast",
+    # skipped by the r3 driver sample
+    "ann_brute_force",
+    "ann_ivf",
+    "ann_lsh",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "doc_fingerprints",
+    "embedding_stats",
+    "media_counts",
+    "media_frames",
+    "media_resize",
+    "ngram_jaccard",
+    "training_mix",
+]
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rxtls_spark.queries_relational import QUERIES_REL
     from rxtls_spark.queries_training import QUERIES_TRAIN
 
-    return {**QUERIES_PIPELINE, **QUERIES_REL, **QUERIES_TRAIN}
+    merged = {**QUERIES_PIPELINE, **QUERIES_REL, **QUERIES_TRAIN}
+    front = {k: merged[k] for k in _PRIORITY_ORDER if k in merged}
+    rest = {k: v for k, v in merged.items() if k not in front}
+    return {**front, **rest}
 
 
 QUERIES_PIPELINE: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -297,6 +298,74 @@ def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_bucket() -> F.Column:
+    """Deterministic histogram bucket of the quality score: quality is
+    a stable multiple of 1e-5 (round5_stable), so floor(q*1e5+0.5) is
+    its EXACT integer numerator on both engines and // 100 gives one of
+    ~1000 buckets with no float-edge ambiguity (never floor(q*1000),
+    whose product can land an ulp under the integer)."""
+    return F.expr("CAST(floor(quality * 100000 + 0.5) AS BIGINT) DIV 100")
+
+
+def quality_gate_thresholds(scored: DataFrame) -> dict[str, int]:
+    """Pass 1 of the scale-safe gate: per-language histogram-quantile
+    threshold buckets.  The histogram is a hash agg with a BOUNDED
+    output (n_langs × ≤1001 rows) regardless of corpus size — the
+    collect is metadata-scale at 100 TB exactly like the IVF centroid
+    matrix.  Threshold rule mirrors the exact gate's kept count
+    (percent_rank ≤ 1/3 keeps (n-1)//3 + 1 docs): the largest bucket b
+    with #docs-in-buckets-≥-b still covering that count."""
+    hist = (
+        scored.groupBy("lang", quality_bucket().alias("qb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    by_lang: dict[str, dict[int, int]] = {}
+    for r in hist:
+        by_lang.setdefault(r["lang"], {})[int(r["qb"])] = int(r["c"])
+    thresholds = {}
+    for lang, buckets in by_lang.items():
+        n = sum(buckets.values())
+        target = (n - 1) // 3 + 1
+        cum = 0
+        for qb in sorted(buckets, reverse=True):
+            cum += buckets[qb]
+            if cum >= target:
+                thresholds[lang] = qb
+                break
+    return thresholds
+
+
+def q_quality_quantile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB shape of the quality gate the exact-rank variant
+    anchors: two passes, NO per-language window sort.  Pass 1 reduces
+    the corpus to a bounded per-lang quality histogram and derives a
+    threshold bucket per language (quality_gate_thresholds); pass 2 is
+    a PURE-MAP filter against the broadcast (literal-map) thresholds
+    followed by one partial-agg exchange.  The exact variant's
+    per-lang `Window.partitionBy(lang)` percent_rank forces one full
+    multi-TB sort chain per language at scale; here every stage is a
+    hash agg over all cores.  Spark's built-in approx_percentile has
+    the same two-pass shape but a sketch DuckDB can't reproduce — the
+    deterministic histogram quantile keeps the driver gate hash-green.
+    Agreement with the exact gate is pytest-locked (≥99% of kept docs
+    identical; disagreement is confined to the threshold bucket)."""
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", quality_score().alias("quality")
+    )
+    thresholds = quality_gate_thresholds(scored)
+    thr_map = F.create_map(
+        *[F.lit(x) for kv in sorted(thresholds.items()) for x in kv]
+    )
+    kept = scored.where(quality_bucket() >= thr_map[F.col("lang")])
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.min("quality"), 5).alias("min_quality"),
+        F.round(F.avg("quality"), 5).alias("avg_quality"),
+        F.min(thr_map[F.col("lang")]).cast("long").alias("qb_threshold"),
+    )
+
+
 def q_stratified_sample(
     spark: SparkSession, sf_dir: str, k: int = 20
 ) -> DataFrame:
@@ -394,21 +463,9 @@ def q_lm_score(spark: SparkSession, sf_dir: str, vocab_k: int = 30) -> DataFrame
     (30) so the synthetic corpus exercises the OOV path; production
     runs pass 10^5+ — the literal map stays metadata-scale either
     way."""
-    import math
-
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    toks = F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
-    counts = (
-        docs.where(F.trim("text") != "")
-        .select(F.explode(toks).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "tok")
-        .limit(vocab_k)
-        .collect()
-    )
-    total = sum(r["cnt"] for r in counts)
-    vocab = {r["tok"]: math.log(r["cnt"] / total) for r in counts}
+    vocab = _lm_vocab(docs, vocab_k)
+    toks = _lm_tokens()
     lp_map = F.create_map(
         *[F.lit(x) for kv in vocab.items() for x in kv]
     )
@@ -422,7 +479,93 @@ def q_lm_score(spark: SparkSession, sf_dir: str, vocab_k: int = 30) -> DataFrame
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(toks) - n_in).cast("long").alias("n_oov"),
-        F.when(n_in > 0, F.round(avg_lp, 4)).alias("avg_logprob"),
+        F.when(n_in > 0, F.round(avg_lp, 3)).alias("avg_logprob"),
+    )
+
+
+def _lm_tokens() -> F.Column:
+    """The shared token-array expression (JVM-side so the broadcast
+    path scores the IDENTICAL tokens — Python lower()/split() differ
+    from Spark's on unicode edge cases)."""
+    return F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
+
+
+def _lm_vocab(docs: DataFrame, vocab_k: int) -> dict[str, float]:
+    """One corpus pass → top-K unigram log-probs (driver-side dict)."""
+    import math
+
+    counts = (
+        docs.where(F.trim("text") != "")
+        .select(F.explode(_lm_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(vocab_k)
+        .collect()
+    )
+    total = sum(r["cnt"] for r in counts)
+    return {r["tok"]: math.log(r["cnt"] / total) for r in counts}
+
+
+def q_lm_score_broadcast(
+    spark: SparkSession, sf_dir: str, vocab_k: int = 30
+) -> DataFrame:
+    """`lm_score` with the vocab shipped as a Spark BROADCAST VARIABLE
+    scored inside an Arrow-batched pandas UDF — the shape that survives
+    production vocab sizes (10^5+ entries): the literal create_map path
+    inflates every serialized plan and task by the whole vocab, while a
+    broadcast variable ships once per executor and the plan stays
+    bounded.  Tokenization stays JVM-side (the same expression as the
+    literal path) so both paths score identical tokens; the UDF folds
+    log-probs in token order with the same IEEE adds, so outputs are
+    bit-identical to the literal path (pytest-locked at vocab_k=10^4)
+    and the DuckDB oracle is shared verbatim with `lm_score`."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bv = spark.sparkContext.broadcast(_lm_vocab(docs, vocab_k))
+
+    out_t = StructType(
+        [
+            StructField("n_in", LongType()),
+            StructField("sum_lp", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def score(tok_arrays: pd.Series) -> pd.DataFrame:
+        vocab = bv.value
+        n_in = []
+        sums = []
+        for toks in tok_arrays:
+            s = 0.0
+            n = 0
+            for t in toks:
+                lp = vocab.get(t)
+                if lp is not None:
+                    s += lp
+                    n += 1
+            n_in.append(n)
+            sums.append(s)
+        return pd.DataFrame({"n_in": n_in, "sum_lp": sums})
+
+    toks = _lm_tokens()
+    scored = docs.where(F.trim("text") != "").select(
+        "doc_id", F.size(toks).alias("n_toks"), score(toks).alias("s")
+    )
+    n_in = F.col("s.n_in")
+    return scored.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_tokens"),
+        (F.col("n_toks") - n_in).cast("long").alias("n_oov"),
+        F.when(
+            n_in > 0, F.round(F.col("s.sum_lp") / n_in.cast("double"), 3)
+        ).alias("avg_logprob"),
     )
 
 
@@ -940,7 +1083,7 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_
   WHERE rn = 1
 ), newc{it} AS (
   SELECT cell, list(m ORDER BY i) AS centroid FROM (
-    SELECT cell, i, round(avg(emb[i]), 6) AS m
+    SELECT cell, i, floor(avg(emb[i]) * 1000000 + 0.5) / 1000000 AS m
     FROM asg{it}, generate_series(1, {dim}) t(i)
     GROUP BY cell, i
   ) GROUP BY cell
@@ -1085,6 +1228,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": q_corpus_sample,
     "stratified_sample": q_stratified_sample,
     "quality_quantile_gate": q_quality_quantile_gate,
+    "quality_quantile_gate_approx": q_quality_quantile_gate_approx,
+    "lm_score_broadcast": q_lm_score_broadcast,
     "corpus_diff": q_corpus_diff,
     "lm_score": q_lm_score,
     "dedup_exact": q_exact_dups,
@@ -1222,6 +1367,14 @@ def _stopword_list_sql() -> str:
 
 
 def oracle_sql_training() -> dict[str, str]:
+    oracles = _oracle_sql_training_literal()
+    # the broadcast-UDF path computes the identical result, so it
+    # shares lm_score's oracle verbatim
+    oracles["lm_score_broadcast"] = oracles["lm_score"]
+    return oracles
+
+
+def _oracle_sql_training_literal() -> dict[str, str]:
     return {
         "text_features": _TEXT_CTE + """
 SELECT doc_id, n_chars, n_tokens, round(alpha_ratio, 5) AS alpha_ratio,
@@ -1342,6 +1495,27 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
 FROM ranked WHERE pr <= 1.0/3.0
 GROUP BY 1
 """,
+        "quality_quantile_gate_approx": _TEXT_CTE + f"""
+, q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM feats)
+, qb AS (SELECT *, CAST(floor(quality * 100000 + 0.5) AS BIGINT) // 100 AS qb FROM q)
+, hist AS (SELECT lang, qb, CAST(count(*) AS BIGINT) AS c FROM qb GROUP BY 1, 2)
+, tot AS (SELECT lang, sum(c) AS n FROM hist GROUP BY 1)
+, cum AS (
+  SELECT h.lang, h.qb,
+         sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.qb DESC) AS cum, t.n
+  FROM hist h JOIN tot t USING (lang)
+)
+, thr AS (
+  SELECT lang, max(qb) AS qb_thr FROM cum
+  WHERE cum >= (n - 1) // 3 + 1 GROUP BY 1
+)
+SELECT qb.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       round(min(qb.quality), 5) AS min_quality,
+       round(avg(qb.quality), 5) AS avg_quality,
+       CAST(min(thr.qb_thr) AS BIGINT) AS qb_threshold
+FROM qb JOIN thr ON qb.lang = thr.lang AND qb.qb >= thr.qb_thr
+GROUP BY 1
+""",
         "lm_score": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
@@ -1360,7 +1534,7 @@ WITH toks AS (
 )
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
   CAST(n_tok - n_in AS BIGINT) AS n_oov,
-  CASE WHEN n_in > 0 THEN round(s / n_in, 4) END AS avg_logprob
+  CASE WHEN n_in > 0 THEN round(s / n_in, 3) END AS avg_logprob
 FROM scored
 """,
         "corpus_diff": """

@@ -297,7 +297,8 @@ def test_kmeans_query_matches_numpy_lloyds(spark):
         asg = d.argmin(axis=1)  # argmin ties -> lowest index, same rule
         for c in range(8):
             if (asg == c).any():
-                cents[c] = np.round(X[asg == c].mean(axis=0), 6)
+                # stable floor(x*1e6+0.5)/1e6 round, same as the engine
+                cents[c] = np.floor(X[asg == c].mean(axis=0) * 1e6 + 0.5) / 1e6
     d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     asg = d.argmin(axis=1)
     for c in range(8):

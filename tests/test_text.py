@@ -302,6 +302,107 @@ def test_quality_quantile_gate_keeps_top_third(spark):
         assert abs(got[lang]["min_quality"] - round(min(kept), 5)) < 1e-12
 
 
+def test_quality_gate_approx_agrees_with_exact(spark):
+    """The scale-safe histogram-quantile gate: (a) its plan has NO
+    window and a single exchange (the per-lang window sort of the exact
+    variant is the thing it removes); (b) the kept-doc set agrees with
+    the exact percent_rank anchor on ≥99% of docs per direction, with
+    disagreement confined to the threshold bucket."""
+    from rxtls_spark.functions.text import quality_score
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import (
+        q_quality_quantile_gate_approx,
+        quality_bucket,
+        quality_gate_thresholds,
+    )
+    from tests.conftest import SF_CORRECT
+
+    df = q_quality_quantile_gate_approx(spark, SF_CORRECT)
+    assert count_exchanges(df) == 1
+    assert "Window" not in plan_string(df)
+
+    scored_df = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "lang", quality_score().alias("quality"))
+    )
+    thr = quality_gate_thresholds(scored_df)
+    approx_kept = {
+        r["doc_id"]
+        for r in scored_df.select(
+            "doc_id", "lang", quality_bucket().alias("qb")
+        ).collect()
+        if r["qb"] >= thr[r["lang"]]
+    }
+
+    by_lang = {}
+    for r in scored_df.collect():
+        by_lang.setdefault(r["lang"], []).append(
+            (-r["quality"], r["doc_id"])
+        )
+    exact_kept = set()
+    for rows in by_lang.values():
+        rows.sort()
+        n = len(rows)
+        exact_kept |= {
+            d
+            for i, (_, d) in enumerate(rows)
+            if (0.0 if n == 1 else i / (n - 1)) <= 1.0 / 3.0
+        }
+    assert len(exact_kept & approx_kept) >= 0.99 * len(exact_kept)
+    assert len(exact_kept & approx_kept) >= 0.99 * len(approx_kept)
+    # the gate never keeps fewer than the exact cut (threshold rule
+    # covers the exact kept count, boundary-bucket ties only add)
+    assert len(approx_kept) >= len(exact_kept)
+
+    # per-lang stats in the query output match the recomputed kept set
+    got = {r["lang"]: r for r in df.collect()}
+    for lang, t in thr.items():
+        assert got[lang]["qb_threshold"] == t
+
+
+def test_lm_score_broadcast_equals_literal_at_large_vocab(spark, tmp_path):
+    """The broadcast-variable scoring path is bit-identical to the
+    literal-map path at a production-shaped vocab (10^4 entries), and
+    its plan does NOT grow with the vocab (the literal path's does —
+    that's why it can't survive 10^5+)."""
+    import pandas as pd
+
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import q_lm_score, q_lm_score_broadcast
+
+    rows = []
+    for d in range(200):
+        toks = [f"tok{(d * 61 + j * 7919) % 12000}" for j in range(60)]
+        rows.append((d, " ".join(toks), "en"))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    sf = str(tmp_path)
+
+    lit = sorted(
+        q_lm_score(spark, sf, vocab_k=10_000).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    bc = sorted(
+        q_lm_score_broadcast(spark, sf, vocab_k=10_000).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert len(lit) == 200 and len(bc) == 200
+    for a, b in zip(lit, bc):
+        assert a["doc_id"] == b["doc_id"]
+        assert a["n_tokens"] == b["n_tokens"]
+        assert a["n_oov"] == b["n_oov"]
+        assert a["avg_logprob"] == b["avg_logprob"]
+
+    # bounded plan: vocab 100 → vocab 10^4 leaves the broadcast plan
+    # essentially unchanged, while the literal plan carries the map
+    p_small = len(plan_string(q_lm_score_broadcast(spark, sf, vocab_k=100)))
+    p_big = len(plan_string(q_lm_score_broadcast(spark, sf, vocab_k=10_000)))
+    assert p_big < 2 * p_small
+    p_lit_big = len(plan_string(q_lm_score(spark, sf, vocab_k=10_000)))
+    assert p_lit_big > 10 * p_big
+
+
 def test_corpus_diff_statuses(spark):
     """All four diff classes populated and equal to a Python
     recomputation of the same snapshot derivation."""
@@ -365,9 +466,11 @@ def test_lm_score_fold_matches_python(spark):
         assert got[doc_id]["n_oov"] == len(toks) - len(in_v)
         n_oov_docs += got[doc_id]["n_oov"] > 0
         if in_v:
+            # engine rounds half-up at 3 dp, Python round is half-even
+            # — allow one 3-dp step of slack at exact halves
             assert abs(
-                got[doc_id]["avg_logprob"] - round(sum(in_v) / len(in_v), 4)
-            ) <= 1e-4
+                got[doc_id]["avg_logprob"] - round(sum(in_v) / len(in_v), 3)
+            ) <= 1e-3
     assert n_oov_docs > 0  # the small vocab exercises the OOV path
 
 
@@ -417,6 +520,8 @@ def test_text_oracles_agree_on_unicode_and_vt(spark, tmp_path):
         "dedup_normalized",
         "mixture_sample",
         "quality_quantile_gate",
+        "quality_quantile_gate_approx",
+        "lm_score_broadcast",
         "corpus_diff",
         "lang_confusion",
         "dedup_exact",
