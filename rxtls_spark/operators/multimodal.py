@@ -14,23 +14,29 @@ discipline mirrors the reference's binary-framing contract (F10,
 /root/reference/internal/certlib/api.go:461-586): length-prefixed
 chunks, validated before use, malformed input quarantined not crashed.
 
-Audio/video have no stdlib codec, so those kinds stay in the synthetic
-MCK0 container (an honest, clearly-labeled stand-in — `decode_ok='stub'`)
-while the Spark-side plumbing (schema, partitioning, UDF signatures,
-1→N frame expansion) is real and tested.
+**Audio payloads are REAL RIFF/WAVE files** written and parsed with the
+stdlib `wave` module (16-bit PCM, 1-3 channels): the decoder surfaces
+sample rate, frame count, channel count, decoded PCM byte size and mean
+absolute amplitude with `decode_ok='real'`.  Video has no stdlib codec,
+so that kind stays in the synthetic MCK0 container (an honest,
+clearly-labeled stand-in — `decode_ok='stub'`) while the Spark-side
+plumbing (schema, partitioning, UDF signatures, 1→N frame expansion)
+is real and tested.
 
-MCK0 container layout (audio/video, deterministic per doc_id):
+MCK0 container layout (video, deterministic per doc_id):
   bytes 0-3   : magic b"MCK0"
-  byte  4     : kind (1=audio, 2=video)
-  bytes 5-6   : uint16 BE sample-rate/100 (audio) | width (video)
-  bytes 7-8   : uint16 BE channels (audio) | height (video)
-  byte  9     : fps (video)
-  bytes 10..  : payload body (pseudo-samples; seeded RandomState)
+  byte  4     : kind (2=video)
+  bytes 5-6   : uint16 BE width
+  bytes 7-8   : uint16 BE height
+  byte  9     : fps
+  bytes 10..  : payload body (pseudo-frames; seeded RandomState)
 """
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
@@ -172,12 +178,46 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# stdlib WAV codec
+# ---------------------------------------------------------------------------
+
+def wav_encode(sample_rate: int, channels: int, samples: np.ndarray) -> bytes:
+    """16-bit PCM RIFF/WAVE from an int16 sample array (interleaved,
+    len = n_frames * channels).  Pure stdlib `wave`."""
+    if samples.dtype != np.int16:
+        raise ValueError("wav_encode wants int16 samples")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(sample_rate, channels, n_frames, int16 samples) from WAV bytes.
+    Raises wave.Error / ValueError on malformed input."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        frames = w.readframes(w.getnframes())
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getnframes(),
+            np.frombuffer(frames, dtype="<i2"),
+        )
+
+
+# ---------------------------------------------------------------------------
 # synthetic media table
 # ---------------------------------------------------------------------------
 
 def media_payload(doc_id: int) -> bytes:
-    """Deterministic payload per doc: images are genuine PNGs (pixels
-    seeded by doc_id), audio/video stay in the MCK0 container."""
+    """Deterministic payload per doc: images are genuine PNGs, audio is
+    genuine 16-bit PCM WAV (both seeded by doc_id); video stays in the
+    MCK0 container."""
     kind = doc_id % 3
     w = 16 + (doc_id % 48)
     h = 16 + (doc_id % 32)
@@ -186,6 +226,12 @@ def media_payload(doc_id: int) -> bytes:
     if kind == 0:
         px = rng.randint(0, 256, size=(h, w, ch), dtype=np.int64).astype(np.uint8)
         return png_encode(px)
+    if kind == 1:
+        n_frames = 256 + (doc_id % 1024)
+        samples = rng.randint(
+            -32768, 32768, size=n_frames * ch, dtype=np.int64
+        ).astype(np.int16)
+        return wav_encode(w * 100, ch, samples)
     body_len = 256 + (doc_id % 1024)
     body = rng.randint(0, 256, size=body_len, dtype=np.int64).astype(np.uint8)
     return (
@@ -239,25 +285,47 @@ DECODED_SCHEMA = StructType(
 
 
 def _decode_real(payload: bytes) -> dict | None:
-    """Real codec path: stdlib PNG decode.  Returns None for non-PNG
-    payloads (the MCK0 kinds fall through to `_decode_fake`); a payload
-    that CLAIMS to be a PNG but fails validation also returns None and
-    is quarantined as malformed downstream."""
-    if payload[:8] != PNG_SIG:
-        return None
-    try:
-        arr = png_decode(payload)
-    except (ValueError, zlib.error):
-        return None
-    h, w, ch = arr.shape
-    return {
-        "width": int(w),
-        "height": int(h),
-        "channels": int(ch),
-        "body_bytes": int(arr.nbytes),
-        "mean_value": round(float(arr.mean()), 5),
-        "decode_ok": "real",
-    }
+    """Real codec paths: stdlib PNG and RIFF/WAVE decode.  Returns None
+    for other payloads (the MCK0 kind falls through to `_decode_fake`);
+    a payload that CLAIMS to be a PNG/WAV but fails validation also
+    returns None and is quarantined as malformed downstream.  Audio
+    fills the spatial columns with its own axes — width := sample
+    rate / 100, height := frame count — so every parsed quantity stays
+    inside the fixed DECODED_SCHEMA."""
+    if payload[:8] == PNG_SIG:
+        try:
+            arr = png_decode(payload)
+        except (ValueError, zlib.error):
+            return None
+        h, w, ch = arr.shape
+        return {
+            "width": int(w),
+            "height": int(h),
+            "channels": int(ch),
+            "body_bytes": int(arr.nbytes),
+            "mean_value": round(float(arr.mean()), 5),
+            "decode_ok": "real",
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            rate, ch, n_frames, samples = wav_decode(payload)
+        except (wave.Error, ValueError, EOFError):
+            return None
+        return {
+            "width": int(rate // 100),
+            "height": int(n_frames),
+            "channels": int(ch),
+            "body_bytes": int(samples.nbytes),
+            # mean absolute amplitude of the decoded PCM stream
+            "mean_value": round(
+                float(np.abs(samples.astype(np.int64)).mean())
+                if samples.size
+                else 0.0,
+                5,
+            ),
+            "decode_ok": "real",
+        }
+    return None
 
 
 def _decode_fake(payload: bytes) -> dict:

@@ -1335,10 +1335,13 @@ WITH media AS (
   SELECT doc_id,
     CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
     16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h, 1 + doc_id % 3 AS ch,
-    -- images are real PNGs: decoded body = the full w*h*ch pixel array
+    -- images are real PNGs: decoded body = the full w*h*ch pixel array;
+    -- audio is real 16-bit PCM WAV: decoded body = n_frames*ch*2;
+    -- video stays the MCK0 stub with its raw byte body
     CASE WHEN doc_id % 3 = 0 THEN (16 + doc_id % 48) * (16 + doc_id % 32) * (1 + doc_id % 3)
+         WHEN doc_id % 3 = 1 THEN (256 + doc_id % 1024) * (1 + doc_id % 3) * 2
          ELSE 256 + doc_id % 1024 END AS body_bytes,
-    CASE WHEN doc_id % 3 = 0 THEN 'real' ELSE 'stub' END AS decode_ok
+    CASE WHEN doc_id % 3 = 2 THEN 'stub' ELSE 'real' END AS decode_ok
   FROM documents
 )
 """

@@ -1,9 +1,9 @@
 """Multimodal codec + plumbing tests.
 
-Images are REAL PNGs now: the stdlib codec (zlib + struct) must
-round-trip exactly, reverse every spec filter type, reject corrupt
-bytes, and drive decode/resize with `decode_ok='real'`.  Audio/video
-stay in the declared MCK0 container (`decode_ok='stub'`)."""
+Images are REAL PNGs (stdlib zlib + struct) and audio is REAL 16-bit
+PCM WAV (stdlib wave): both codecs must round-trip exactly, reject
+corrupt bytes, and drive decode with `decode_ok='real'`.  Video stays
+in the declared MCK0 container (`decode_ok='stub'`)."""
 
 import struct
 import zlib
@@ -125,6 +125,43 @@ def test_media_payload_images_are_valid_pngs():
         assert np.array_equal(arr, exp)
 
 
+def test_wav_roundtrip():
+    """WAV encode→decode round-trips rate/channels/samples exactly,
+    and malformed WAV input raises rather than mis-decoding."""
+    import wave
+
+    from rxtls_spark.operators.multimodal import wav_decode, wav_encode
+
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-32768, 32768, size=300, dtype=np.int64).astype(
+        np.int16
+    )
+    payload = wav_encode(4400, 3, samples)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, ch, n_frames, got = wav_decode(payload)
+    assert (rate, ch, n_frames) == (4400, 3, 100)
+    assert np.array_equal(got, samples)
+    with pytest.raises((wave.Error, EOFError, ValueError)):
+        wav_decode(b"RIFF1234WAVEgarbage")
+    with pytest.raises((wave.Error, EOFError, ValueError)):
+        wav_decode(payload[:30])
+
+
+def test_media_payload_audio_is_valid_wav():
+    from rxtls_spark.operators.multimodal import media_payload, wav_decode
+
+    for doc_id in range(1, 91, 3):  # kind 1 = audio
+        rate, ch, n_frames, samples = wav_decode(media_payload(doc_id))
+        assert rate == (16 + doc_id % 48) * 100
+        assert ch == 1 + doc_id % 3
+        assert n_frames == 256 + doc_id % 1024
+        rng = np.random.RandomState(doc_id % (2**31))
+        exp = rng.randint(
+            -32768, 32768, size=n_frames * ch, dtype=np.int64
+        ).astype(np.int16)
+        assert np.array_equal(samples, exp)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side decode / frames / resize
 # ---------------------------------------------------------------------------
@@ -142,14 +179,20 @@ def test_decode_matches_header(spark, media):
     assert {r["decode_ok"] for r in dec.values()} == {"real", "stub"}
     for doc_id in list(dec)[:60]:
         r = dec[doc_id]
-        assert r["width"] == 16 + doc_id % 48
-        assert r["height"] == 16 + doc_id % 32
+        assert r["width"] == 16 + doc_id % 48  # audio: sample_rate/100
         if r["kind"] == "image":
             assert r["decode_ok"] == "real", doc_id
+            assert r["height"] == 16 + doc_id % 32
             assert r["channels"] == 1 + doc_id % 3
             exp = r["width"] * r["height"] * (1 + doc_id % 3)
+        elif r["kind"] == "audio":
+            assert r["decode_ok"] == "real", doc_id
+            assert r["height"] == 256 + doc_id % 1024  # n_frames
+            assert r["channels"] == 1 + doc_id % 3
+            exp = (256 + doc_id % 1024) * (1 + doc_id % 3) * 2
         else:
             assert r["decode_ok"] == "stub", doc_id
+            assert r["height"] == 16 + doc_id % 32
             exp = 256 + doc_id % 1024
         assert r["body_bytes"] == exp, doc_id
 
