@@ -6,12 +6,18 @@ file per (key, window); at web scale that is millions of KB-sized
 files, and the standard fix is a periodic compaction pass that merges
 adjacent small files into ~target-size groups.
 
-The PLANNER here is pure window arithmetic: greedy in-order packing
-("accumulate until the running total crosses the target, then open a
-new group") is exactly ``floor(cumulative_bytes_before / target)``,
-so planning is ONE exchange (the per-key window partitioning) with no
-recursion and no driver loop — and therefore value-hash-checkable in
-plain SQL.  The EXECUTION of a group is a read of its members +
+The PLANNER here is pure window arithmetic — a BYTE-RANGE scheme, not
+greedy accumulation: each file goes to group
+``floor(cumulative_bytes_before / target)``, i.e. groups are the
+fixed ranges [0,T), [T,2T), … of the per-key cumulative byte line.  A
+group therefore holds every file whose start offset falls in its
+range; a file straddling a boundary lands in the earlier group (so
+groups can overshoot by at most one file), and a group whose range is
+covered by one big file can close without its own bytes reaching T.
+(True greedy packing — accumulate-until-cross with a reset — needs a
+sequential recurrence per key; the byte-range rule gives the same
+~target-sized groups with ONE exchange and no recursion, and is
+value-hash-checkable in plain SQL.)  The EXECUTION of a group is a read of its members +
 coalesced rewrite, which is just the existing sink path re-run per
 group; what needs an operator (and a correctness gate) is the plan.
 """
@@ -46,10 +52,11 @@ def compaction_plan(
     key_col: str = "sink_key",
     order_col: str = "hour_epoch",
 ) -> DataFrame:
-    """Assign each file to a merge group per sink key: files are taken
-    in ``order_col`` order and a group closes once its running byte
-    total crosses ``target_bytes`` (groups may overshoot by at most
-    one file — files are never split).  Adds grp / grp_files /
+    """Assign each file to a merge group per sink key by the byte-range
+    rule (module docstring): group = floor(cumulative_bytes_before /
+    target_bytes) over files in ``order_col`` order.  Files are never
+    split; a boundary-straddling file belongs to the earlier group, so
+    groups overshoot by at most one file.  Adds grp / grp_files /
     grp_bytes columns."""
     w = Window.partitionBy(key_col).orderBy(order_col)
     cum_before = F.sum("bytes").over(w) - F.col("bytes")

@@ -55,19 +55,20 @@ DEFAULT_BUCKET_CAP = 1000
 
 
 def _cap_buckets(banded: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
-    """Drop rows in over-cap buckets.  The window count shuffles on the
-    same key as the downstream self-join, so AQE reuses the exchange —
-    one extra sort, no extra shuffle of the banded rows."""
+    """Drop rows in over-cap buckets via a broadcast anti-join against
+    the (tiny) over-cap bucket list: the bucket-size count is a
+    map-side partial aggregate whose shuffled output is one row per
+    bucket, the over-cap filter leaves a handful of hot buckets, and
+    the anti-join broadcasts those — the banded rows themselves never
+    shuffle.  (The previous window count shuffled and sorted EVERY
+    banded row on the bucket key; exchange reuse never fired because
+    the self-join subplan isn't identical.)  Callers materialize
+    ``banded`` (localCheckpoint) BEFORE capping so the count pass and
+    the join probe share one signature computation."""
     if cap is None:
         return banded
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols)
-    return (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .where(F.col("_bsz") <= cap)
-        .drop("_bsz")
-    )
+    over = _dropped_buckets(banded, key_cols, cap).select(*key_cols)
+    return banded.join(F.broadcast(over), key_cols, "left_anti")
 
 
 def _dropped_buckets(banded: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
@@ -276,13 +277,14 @@ def lsh_candidate_pairs(
     excluded (O(b²) pair blowup); audit with ``lsh_dropped_buckets``.
 
     The banded frame is lazily localCheckpoint-ed so the self-join's
-    two sides (and the cap window) share ONE signature computation —
-    without it each side re-runs the minhash UDF over the corpus.  On
-    a real cluster, write signatures to a table (or use reliable
-    ``checkpoint``) instead: localCheckpoint state dies with executors.
+    two sides (and the cap's bucket-count pass) share ONE signature
+    computation — without it each side re-runs the minhash UDF over
+    the corpus.  On a real cluster, write signatures to a table (or use
+    reliable ``checkpoint``) instead: localCheckpoint state dies with
+    executors.
     """
-    banded = _cap_buckets(lsh_banded(sigs), ["band", "band_hash"], bucket_cap)
-    banded = banded.localCheckpoint(eager=False)
+    banded = lsh_banded(sigs).localCheckpoint(eager=False)
+    banded = _cap_buckets(banded, ["band", "band_hash"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -312,7 +314,12 @@ def lsh_candidate_pairs_between(
     disjoint).  The cap applies to the ``sigs_b`` side, which in the
     incremental-dedup use is the big, ever-growing admitted index."""
     ba = lsh_banded(sigs_a)
-    bb = _cap_buckets(lsh_banded(sigs_b), ["band", "band_hash"], bucket_cap)
+    bb = lsh_banded(sigs_b)
+    if bucket_cap is not None:
+        # materialize so the cap's count pass and the join probe share
+        # one signature computation over the index side
+        bb = bb.localCheckpoint(eager=False)
+    bb = _cap_buckets(bb, ["band", "band_hash"], bucket_cap)
     return (
         ba.alias("a")
         .join(
@@ -495,8 +502,8 @@ def simhash_near_dups(
     buckets excluded; audit with ``simhash_dropped_buckets``.
     Banded frame checkpointed for the same single-computation reason
     as ``lsh_candidate_pairs``."""
-    banded = _cap_buckets(simhash_banded(docs), ["band", "band_val"], bucket_cap)
-    banded = banded.localCheckpoint(eager=False)
+    banded = simhash_banded(docs).localCheckpoint(eager=False)
+    banded = _cap_buckets(banded, ["band", "band_val"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
