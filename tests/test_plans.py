@@ -186,3 +186,23 @@ def test_sample_and_compaction_plan_shapes(spark):
     comp = q_sink_compaction(spark, SF_SMOKE)
     assert count_exchanges(comp) == 2
     assert shuffle_join_kinds(comp) == []
+
+
+def test_round4_training_plan_shapes(spark):
+    """Round-4 scale locks: the broadcast-vocab lm_score path runs its
+    pandas UDF EXACTLY once (Catalyst duplicates deterministic UDF
+    expressions across projections — the r2 parse-path trap) and stays
+    a pure map (0 exchanges, join-free); the approx quality gate has no
+    Window and one partial-agg exchange (locked in test_text.py too)."""
+    from rxtls_spark.plans.checks import (
+        count_exchanges,
+        plan_string,
+        shuffle_join_kinds,
+    )
+    from rxtls_spark.queries_training import q_lm_score_broadcast
+
+    lm = q_lm_score_broadcast(spark, SF_SMOKE)
+    p = plan_string(lm, "simple")
+    assert p.count("ArrowEvalPython") == 1, p
+    assert count_exchanges(lm) == 0
+    assert shuffle_join_kinds(lm) == []
