@@ -36,7 +36,13 @@ def main() -> int:
                     help="documents parquet path, or a testdata sf dir")
     ap.add_argument("--output", required=True, help="run directory")
     ap.add_argument("--quality", type=float, default=0.3,
-                    help="min quality_score to keep")
+                    help="min quality_score to keep (quality-mode=fixed)")
+    ap.add_argument("--quality-mode", choices=("fixed", "quantile"),
+                    default="fixed",
+                    help="fixed: quality >= --quality; quantile: per-lang "
+                    "top-third via the scale-safe histogram gate "
+                    "(quality_gate_thresholds — adaptive threshold, no "
+                    "per-lang window sort)")
     ap.add_argument("--max-dup3", type=float, default=0.3,
                     help="max repeated-3-gram char fraction to keep")
     ap.add_argument("--seq-len", type=int, default=256)
@@ -97,9 +103,23 @@ def main() -> int:
         r["dup3gram_char_frac"].alias("dup3"),
         lang_guess().alias("lang_guess"),
     )
-    gated = feats.where(
-        (F.col("quality") >= args.quality) & (F.col("dup3") <= args.max_dup3)
-    ).persist()
+    quality_thresholds = None
+    if args.quality_mode == "quantile":
+        from rxtls_spark.queries_training import (
+            quality_bucket,
+            quality_gate_thresholds,
+        )
+
+        quality_thresholds = quality_gate_thresholds(
+            feats.select("lang", "quality")
+        )
+        thr_map = F.create_map(
+            *[F.lit(x) for kv in sorted(quality_thresholds.items()) for x in kv]
+        )
+        qual_ok = quality_bucket() >= thr_map[F.col("lang")]
+    else:
+        qual_ok = F.col("quality") >= args.quality
+    gated = feats.where(qual_ok & (F.col("dup3") <= args.max_dup3)).persist()
     n_gated = gated.count()
 
     # 4. temperature-0.5 mixture sample (deterministic hash Bernoulli)
@@ -159,7 +179,9 @@ def main() -> int:
         "n_tokens": sum(s["n_tokens"] for s in shards),
         "n_seqs": sum(s["n_seqs"] for s in shards),
         "shards": shards,
+        "quality_mode": args.quality_mode,
         "quality": args.quality,
+        "quality_thresholds": quality_thresholds,
         "max_dup3": args.max_dup3,
         "seq_len": args.seq_len,
     }

@@ -327,6 +327,7 @@ _PRIORITY_ORDER = [
     # new in r4
     "quality_quantile_gate_approx",
     "lm_score_broadcast",
+    "dsir_weights",
     # skipped by the r3 driver sample
     "ann_brute_force",
     "ann_ivf",

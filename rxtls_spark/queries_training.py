@@ -569,6 +569,95 @@ def q_lm_score_broadcast(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit_map() -> F.Column:
+    """Literal map hex-char → value, the cross-engine-safe way to turn
+    md5 hex chars into integers (Spark conv() has no DuckDB twin)."""
+    return F.create_map(
+        *[F.lit(x) for i, c in enumerate(_HEX) for x in (c, i)]
+    )
+
+
+def _token_bucket(tok: F.Column, hexmap: F.Column) -> F.Column:
+    """Deterministic token → [0, 64) feature bucket: first two hex
+    chars of md5(tok) (identical on both engines) → integer % 64."""
+    h = F.md5(tok)
+    v = hexmap[F.substring(h, 1, 1)] * 16 + hexmap[F.substring(h, 2, 1)]
+    return v % 64
+
+
+def q_dsir_weights(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 64, target_lang: str = "en"
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    doc by the mean log-likelihood ratio of its hashed unigram features
+    under a target-domain vs raw unigram distribution — the standard
+    move for steering a web-scale corpus toward a target domain without
+    training a classifier.  Target here = the ``target_lang`` slice of
+    the same corpus (deterministic, so the oracle can mirror it).
+
+    Scale shape: ONE corpus pass reduces the token stream to a
+    64-bucket (c_raw, c_target) table (hash agg with map-side combine —
+    bounded output at any corpus size); the Laplace-smoothed log-ratio
+    vector is computed driver-side (metadata-scale, the lm_score vocab
+    pattern) and ships back as a LITERAL array; scoring is a pure
+    per-row fold over JVM-computed buckets — the token stream never
+    shuffles for scoring and the scoring pass has zero exchanges.
+
+    Cross-engine exactness: md5 hex + the hex-digit map give identical
+    buckets; (c+1)/(t+B) is the identical rational double; ln() args
+    match so the per-token log-ratios match; the per-doc mean is
+    rounded to 3 dp to absorb fold-vs-group sum order."""
+    import math
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = _lm_tokens()
+    hexmap = _hex_digit_map()
+
+    counts = (
+        docs.where(F.trim("text") != "")
+        .select("lang", F.explode(toks).alias("tok"))
+        .select(
+            _token_bucket(F.col("tok"), hexmap).alias("bucket"),
+            (F.col("lang") == target_lang).cast("long").alias("is_tgt"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum("is_tgt").alias("c_tgt"),
+        )
+        .collect()
+    )
+    raw = {int(r["bucket"]): int(r["c_raw"]) for r in counts}
+    tgt = {int(r["bucket"]): int(r["c_tgt"]) for r in counts}
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+    lr = [
+        math.log((tgt.get(b, 0) + 1) / (t_tgt + n_buckets))
+        - math.log((raw.get(b, 0) + 1) / (t_raw + n_buckets))
+        for b in range(n_buckets)
+    ]
+    lr_arr = F.array(*[F.lit(v) for v in lr])
+
+    lrs = F.transform(
+        toks, lambda t: F.element_at(lr_arr, _token_bucket(t, hexmap) + 1)
+    )
+    n_tok = F.size(toks)
+    weight = F.aggregate(lrs, F.lit(0.0), lambda a, x: a + x) / n_tok.cast(
+        "double"
+    )
+    return docs.where(F.trim("text") != "").select(
+        "doc_id",
+        "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        # + 0.0 normalizes IEEE -0.0 (a near-target doc can round to
+        # exactly zero from below; DuckDB keeps the sign, Spark doesn't)
+        (F.round(weight, 3) + F.lit(0.0)).alias("dsir_weight"),
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -1230,6 +1319,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_quantile_gate": q_quality_quantile_gate,
     "quality_quantile_gate_approx": q_quality_quantile_gate_approx,
     "lm_score_broadcast": q_lm_score_broadcast,
+    "dsir_weights": q_dsir_weights,
     "corpus_diff": q_corpus_diff,
     "lm_score": q_lm_score,
     "dedup_exact": q_exact_dups,
@@ -1538,6 +1628,38 @@ WITH toks AS (
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
   CAST(n_tok - n_in AS BIGINT) AS n_oov,
   CASE WHEN n_in > 0 THEN round(s / n_in, 3) END AS avg_logprob
+FROM scored
+""",
+        "dsir_weights": """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bu
+  FROM (SELECT doc_id, lang, unnest(t) AS tok FROM toks)
+), counts AS (
+  SELECT bu % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_tgt
+  FROM tok GROUP BY 1
+), tot AS (
+  SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM counts
+), lr AS (
+  SELECT g.b AS bucket,
+         ln((coalesce(c.c_tgt, 0) + 1) / (t.t_tgt + 64.0))
+         - ln((coalesce(c.c_raw, 0) + 1) / (t.t_raw + 64.0)) AS lr
+  FROM generate_series(0, 63) g(b)
+  LEFT JOIN counts c ON c.bucket = g.b, tot t
+), scored AS (
+  SELECT tok.doc_id, any_value(tok.lang) AS lang,
+         count(*) AS n_tok, sum(lr.lr) AS s
+  FROM tok JOIN lr ON tok.bu % 64 = lr.bucket
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+       round(s / n_tok, 3) + 0.0 AS dsir_weight
 FROM scored
 """,
         "corpus_diff": """

@@ -82,3 +82,33 @@ def test_run_corpus_build_job(tmp_path):
         if d.startswith("lang=")
     ]
     assert len(langs) == len(summary["per_lang"])
+
+
+def test_run_corpus_build_job_quantile_gate(tmp_path):
+    """--quality-mode quantile: the per-lang histogram gate (the
+    100-TB shape) replaces the fixed threshold; the funnel stays
+    monotone and every language keeps roughly its top third."""
+    out = _run([
+        "jobs/run_corpus_build.py",
+        "--docs", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "run"),
+        "--quality-mode", "quantile",
+        "--max-dup3", "1.0",  # isolate the quality gate
+        "--master", "local[4]",
+    ])
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["quality_mode"] == "quantile"
+    assert (
+        summary["n_sampled"]
+        <= summary["n_after_gates"]
+        <= summary["n_after_dedup"]
+        <= summary["n_docs"]
+    )
+    # adaptive per-lang thresholds recorded, one per language present
+    thr = summary["quality_thresholds"]
+    assert thr and all(isinstance(v, int) for v in thr.values())
+    # top-third cut: kept fraction is ~1/3 of the deduped corpus
+    # (boundary-bucket ties only ADD survivors, never remove)
+    frac = summary["n_after_gates"] / summary["n_after_dedup"]
+    assert 1 / 3 - 0.01 <= frac <= 0.45, frac

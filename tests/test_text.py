@@ -403,6 +403,60 @@ def test_lm_score_broadcast_equals_literal_at_large_vocab(spark, tmp_path):
     assert p_lit_big > 10 * p_big
 
 
+def test_dsir_weights_match_python(spark):
+    """Per-doc DSIR importance weights equal a from-scratch Python
+    recomputation (hashed-unigram buckets, Laplace smoothing, mean
+    log-ratio), the scoring pass is a pure map (0 exchanges, no UDF),
+    and target-language docs average a higher weight than the rest
+    (the whole point of importance weighting)."""
+    import hashlib
+    import math
+
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import q_dsir_weights
+    from tests.conftest import SF_SMOKE
+
+    df = q_dsir_weights(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    assert "ArrowEvalPython" not in plan_string(df)
+    got = {r["doc_id"]: r for r in df.collect()}
+
+    docs = [
+        (r["doc_id"], r["lang"], r["text"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["text"].strip()
+    ]
+
+    def bucket(tok: str) -> int:
+        h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % 64
+
+    raw = [0] * 64
+    tgt = [0] * 64
+    for _, lang, text in docs:
+        for t in text.strip().lower().split():
+            b = bucket(t)
+            raw[b] += 1
+            if lang == "en":
+                tgt[b] += 1
+    t_raw, t_tgt = sum(raw), sum(tgt)
+    lr = [
+        math.log((tgt[b] + 1) / (t_tgt + 64))
+        - math.log((raw[b] + 1) / (t_raw + 64))
+        for b in range(64)
+    ]
+    by_lang: dict[str, list[float]] = {}
+    for doc_id, lang, text in docs:
+        toks = text.strip().lower().split()
+        w = sum(lr[bucket(t)] for t in toks) / len(toks)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert abs(got[doc_id]["dsir_weight"] - round(w, 3)) <= 1e-3, doc_id
+        by_lang.setdefault(lang, []).append(w)
+    en = sum(by_lang["en"]) / len(by_lang["en"])
+    rest = [w for lang, ws in by_lang.items() if lang != "en" for w in ws]
+    assert en > sum(rest) / len(rest)
+
+
 def test_corpus_diff_statuses(spark):
     """All four diff classes populated and equal to a Python
     recomputation of the same snapshot derivation."""
@@ -522,6 +576,7 @@ def test_text_oracles_agree_on_unicode_and_vt(spark, tmp_path):
         "quality_quantile_gate",
         "quality_quantile_gate_approx",
         "lm_score_broadcast",
+        "dsir_weights",
         "corpus_diff",
         "lang_confusion",
         "dedup_exact",
