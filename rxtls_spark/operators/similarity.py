@@ -430,6 +430,67 @@ def train_pq(
     return books
 
 
+def save_quantizer(
+    spark,
+    path: str,
+    centroids: list[tuple] | None = None,
+    codebooks: list | None = None,
+) -> None:
+    """Persist the offline-trained quantizer metadata (IVF centroids
+    and/or PQ codebooks) as tiny parquet tables — the 10^12-row
+    workflow the training docstrings prescribe: train once on a sample,
+    persist, and every serving query reloads instead of retraining.
+    Layout: ``<path>/centroids`` rows (cell, centroid array<double>);
+    ``<path>/codebooks`` rows (subspace, code, centroid array<double>).
+    Both are k×dim-scale (a few KB) regardless of corpus size."""
+    if centroids is not None:
+        spark.createDataFrame(
+            [(int(c), [float(v) for v in vec]) for c, vec in centroids],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if codebooks is not None:
+        rows = [
+            (j, c, [float(v) for v in vec])
+            for j, book in enumerate(codebooks)
+            for c, vec in enumerate(book)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_quantizer(
+    spark, path: str
+) -> tuple[list[tuple] | None, list | None]:
+    """(centroids, codebooks) back in the literal-expression form
+    `ann_ivf_topk` / `ann_ivf_pq_topk` take.  Missing parts load as
+    None so IVF-only quantizers round-trip too."""
+    import os
+
+    centroids = None
+    if os.path.isdir(f"{path}/centroids"):
+        centroids = [
+            (int(r["cell"]), [float(v) for v in r["centroid"]])
+            for r in spark.read.parquet(f"{path}/centroids")
+            .orderBy("cell")
+            .collect()
+        ]
+    codebooks = None
+    if os.path.isdir(f"{path}/codebooks"):
+        rows = (
+            spark.read.parquet(f"{path}/codebooks")
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        m = max(r["subspace"] for r in rows) + 1
+        codebooks = [[] for _ in range(m)]
+        for r in rows:
+            codebooks[r["subspace"]].append(
+                [float(v) for v in r["centroid"]]
+            )
+    return centroids, codebooks
+
+
 def _book_lit(book: list[list[float]]):
     return F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in book]

@@ -309,6 +309,42 @@ def test_kmeans_query_matches_numpy_lloyds(spark):
         assert got_n[c] == int((asg == c).sum()), c
 
 
+def test_quantizer_persistence_roundtrip(spark, tmp_path):
+    """Offline-train → persist → reload → serve: the reloaded quantizer
+    is exactly the trained one, and IVF-PQ search with it returns the
+    identical result frame."""
+    from rxtls_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        load_quantizer,
+        query_set,
+        save_quantizer,
+        train_ivf_centroids,
+        train_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    books = train_pq(emb, m=8, ks=8, iters=1)
+    save_quantizer(spark, str(tmp_path / "q"), cents, books)
+    got_c, got_b = load_quantizer(spark, str(tmp_path / "q"))
+    assert got_c == cents
+    assert got_b == books
+
+    qs = query_set(emb)
+    a = ann_ivf_pq_topk(emb, qs, k=5, centroids=cents, codebooks=books)
+    b = ann_ivf_pq_topk(emb, qs, k=5, centroids=got_c, codebooks=got_b)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+
+    # IVF-only quantizer round-trips with codebooks absent
+    save_quantizer(spark, str(tmp_path / "q2"), centroids=cents)
+    c2, b2 = load_quantizer(spark, str(tmp_path / "q2"))
+    assert c2 == cents and b2 is None
+
+
 def test_embedding_quantize_matches_numpy(spark):
     """Int8 quantization: per-label checksum and MSE equal a numpy
     recomputation of the same spec, and the error respects the scalar
