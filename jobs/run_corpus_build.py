@@ -45,6 +45,14 @@ def main() -> int:
                     "per-lang window sort)")
     ap.add_argument("--max-dup3", type=float, default=0.3,
                     help="max repeated-3-gram char fraction to keep")
+    ap.add_argument("--sample-mode", choices=("temperature", "dsir"),
+                    default="temperature",
+                    help="temperature: sqrt(c_min/c_lang) per-lang rates; "
+                    "dsir: keep the top --dsir-frac of gated docs by "
+                    "DSIR importance weight toward --dsir-target "
+                    "(hashed-unigram log-likelihood ratio)")
+    ap.add_argument("--dsir-target", default="en")
+    ap.add_argument("--dsir-frac", type=float, default=0.5)
     ap.add_argument("--seq-len", type=int, default=256)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--master", default=None)
@@ -122,16 +130,34 @@ def main() -> int:
     gated = feats.where(qual_ok & (F.col("dup3") <= args.max_dup3)).persist()
     n_gated = gated.count()
 
-    # 4. temperature-0.5 mixture sample (deterministic hash Bernoulli)
-    counts = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
-    cmin = counts.agg(F.min("c").alias("cmin"))
-    rates = counts.crossJoin(F.broadcast(cmin)).select(
-        "lang", F.sqrt(F.col("cmin") / F.col("c")).alias("rate")
-    )
-    u = knuth_hash(F.col("doc_id"))
-    sampled = gated.join(F.broadcast(rates), "lang").where(
-        u < F.col("rate") * F.lit(1000000007.0)
-    )
+    # 4. corpus selection: temperature-0.5 mixture sample
+    # (deterministic hash Bernoulli) or DSIR importance selection
+    # (top-frac by target-domain log-likelihood ratio; orderBy+limit
+    # plans as TakeOrderedAndProject — no global sort at scale)
+    if args.sample_mode == "dsir":
+        from rxtls_spark.queries_training import dsir_weights_for
+
+        w = dsir_weights_for(
+            gated.select("doc_id", "lang", "text"),
+            target_lang=args.dsir_target,
+        )
+        k_keep = max(1, int(n_gated * args.dsir_frac))
+        keep_ids = (
+            w.orderBy(F.col("dsir_weight").desc(), "doc_id")
+            .limit(k_keep)
+            .select("doc_id")
+        )
+        sampled = gated.join(keep_ids, "doc_id")
+    else:
+        counts = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+        cmin = counts.agg(F.min("c").alias("cmin"))
+        rates = counts.crossJoin(F.broadcast(cmin)).select(
+            "lang", F.sqrt(F.col("cmin") / F.col("c")).alias("rate")
+        )
+        u = knuth_hash(F.col("doc_id"))
+        sampled = gated.join(F.broadcast(rates), "lang").where(
+            u < F.col("rate") * F.lit(1000000007.0)
+        )
 
     # 5. per-shard packing stats over the surviving token stream
     with_tokens = sampled.withColumn("n_tokens", token_count()).withColumn(
@@ -183,6 +209,11 @@ def main() -> int:
         "quality": args.quality,
         "quality_thresholds": quality_thresholds,
         "max_dup3": args.max_dup3,
+        "sample_mode": args.sample_mode,
+        "dsir_target": (
+            args.dsir_target if args.sample_mode == "dsir" else None
+        ),
+        "dsir_frac": args.dsir_frac if args.sample_mode == "dsir" else None,
         "seq_len": args.seq_len,
     }
     assert summary["n_sampled"] <= summary["n_after_gates"] <= summary[

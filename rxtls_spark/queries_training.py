@@ -611,9 +611,18 @@ def q_dsir_weights(
     buckets; (c+1)/(t+B) is the identical rational double; ln() args
     match so the per-token log-ratios match; the per-doc mean is
     rounded to 3 dp to absorb fold-vs-group sum order."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return dsir_weights_for(docs, n_buckets, target_lang)
+
+
+def dsir_weights_for(
+    docs: DataFrame, n_buckets: int = 64, target_lang: str = "en"
+) -> DataFrame:
+    """The reusable form of `q_dsir_weights` over an arbitrary
+    (doc_id, lang, text) frame — jobs compose it on their own gated
+    corpus (see jobs/run_corpus_build.py --sample-mode dsir)."""
     import math
 
-    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     toks = _lm_tokens()
     hexmap = _hex_digit_map()
 

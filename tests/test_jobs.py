@@ -84,6 +84,32 @@ def test_run_corpus_build_job(tmp_path):
     assert len(langs) == len(summary["per_lang"])
 
 
+def test_run_corpus_build_job_dsir_sampling(tmp_path):
+    """--sample-mode dsir: importance selection keeps exactly the top
+    --dsir-frac of gated docs by target-domain weight, and the kept
+    set skews toward the target language."""
+    out = _run([
+        "jobs/run_corpus_build.py",
+        "--docs", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "run"),
+        "--sample-mode", "dsir",
+        "--dsir-target", "en",
+        "--dsir-frac", "0.4",
+        "--master", "local[4]",
+    ])
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["sample_mode"] == "dsir"
+    assert summary["dsir_target"] == "en"
+    assert summary["n_sampled"] == max(1, int(summary["n_after_gates"] * 0.4))
+    # importance selection toward 'en' over-represents it: largest
+    # language in the sample, and well above a uniform share
+    per_lang = summary["per_lang"]
+    assert max(per_lang, key=per_lang.get) == "en", per_lang
+    en_frac = per_lang.get("en", 0) / summary["n_sampled"]
+    assert en_frac > 1.5 / len(per_lang), per_lang
+
+
 def test_run_corpus_build_job_quantile_gate(tmp_path):
     """--quality-mode quantile: the per-lang histogram gate (the
     100-TB shape) replaces the fixed threshold; the funnel stays
