@@ -132,21 +132,26 @@ def main() -> int:
 
     # 4. corpus selection: temperature-0.5 mixture sample
     # (deterministic hash Bernoulli) or DSIR importance selection
-    # (top-frac by target-domain log-likelihood ratio; orderBy+limit
-    # plans as TakeOrderedAndProject — no global sort at scale)
+    # (top-frac by target-domain log-likelihood ratio via the bounded
+    # weight-histogram threshold — dsir_select_top_frac; a global
+    # orderBy+limit with k ~ half the corpus would merge the top-k on
+    # the DRIVER and OOM at 10^12 rows)
+    n_dsir_unscoreable = None
     if args.sample_mode == "dsir":
-        from rxtls_spark.queries_training import dsir_weights_for
+        from rxtls_spark.queries_training import (
+            dsir_select_top_frac,
+            dsir_weights_for,
+        )
 
         w = dsir_weights_for(
             gated.select("doc_id", "lang", "text"),
             target_lang=args.dsir_target,
-        )
-        k_keep = max(1, int(n_gated * args.dsir_frac))
-        keep_ids = (
-            w.orderBy(F.col("dsir_weight").desc(), "doc_id")
-            .limit(k_keep)
-            .select("doc_id")
-        )
+        ).persist()
+        # the frac is promised over SCOREABLE docs (dsir_weights_for
+        # drops trim(text)=='' — unscoreable); empty-text gated docs
+        # are counted and reported, never silently vanished
+        n_dsir_unscoreable = n_gated - w.count()
+        keep_ids = dsir_select_top_frac(w, args.dsir_frac)
         sampled = gated.join(keep_ids, "doc_id")
     else:
         counts = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
@@ -214,6 +219,7 @@ def main() -> int:
             args.dsir_target if args.sample_mode == "dsir" else None
         ),
         "dsir_frac": args.dsir_frac if args.sample_mode == "dsir" else None,
+        "n_dsir_unscoreable": n_dsir_unscoreable,
         "seq_len": args.seq_len,
     }
     assert summary["n_sampled"] <= summary["n_after_gates"] <= summary[

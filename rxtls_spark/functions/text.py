@@ -137,6 +137,16 @@ def round5_stable(c: Column) -> Column:
     return F.floor(c * F.lit(100000.0) + F.lit(0.5)) / F.lit(100000.0)
 
 
+def round3_stable(c: Column) -> Column:
+    """3-dp sibling of `round5_stable`, safe for SIGNED per-row scalars
+    (log-ratio weights, avg log-probs): floor() rounds exact halves
+    toward +inf identically on both engines, unlike engine round()
+    (Spark BigDecimal HALF_UP vs DuckDB multiply-then-round, which
+    already disagree on positive halves and differ again on sign
+    handling).  floor of identically-computed doubles cannot diverge."""
+    return F.floor(c * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)
+
+
 def quality_score(text_col: str = "text") -> Column:
     """Composite [0,1] score: rewards alpha-heavy prose of reasonable
     length, penalizes digit/punct noise.  Formula is frozen (mirrored

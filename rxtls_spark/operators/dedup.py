@@ -53,22 +53,41 @@ SHINGLE_K = 3  # word 3-grams
 # generation (bounded at cap² pairs ≈ 500k per hot bucket).
 DEFAULT_BUCKET_CAP = 1000
 
+# Max over-cap buckets the anti-join may BROADCAST (16-byte keys →
+# ~16 MB at this bound).  On organic web text the over-cap set is a
+# handful of boilerplate buckets; adversarial/skewed corpora can push
+# it to millions, where a forced broadcast OOMs the driver — above
+# this bound the cap falls back to a shuffled anti-join, which is the
+# old graceful-degradation shape (banded rows shuffle once on the
+# bucket key) rather than a failure.
+BUCKET_CAP_BROADCAST_MAX = 1_000_000
+
 
 def _cap_buckets(banded: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
-    """Drop rows in over-cap buckets via a broadcast anti-join against
-    the (tiny) over-cap bucket list: the bucket-size count is a
-    map-side partial aggregate whose shuffled output is one row per
-    bucket, the over-cap filter leaves a handful of hot buckets, and
-    the anti-join broadcasts those — the banded rows themselves never
+    """Drop rows in over-cap buckets via an anti-join against the
+    over-cap bucket list: the bucket-size count is a map-side partial
+    aggregate whose shuffled output is one row per bucket, the
+    over-cap filter normally leaves a handful of hot buckets, and the
+    anti-join broadcasts those — the banded rows themselves never
     shuffle.  (The previous window count shuffled and sorted EVERY
     banded row on the bucket key; exchange reuse never fired because
-    the self-join subplan isn't identical.)  Callers materialize
-    ``banded`` (localCheckpoint) BEFORE capping so the count pass and
-    the join probe share one signature computation."""
+    the self-join subplan isn't identical.)  The broadcast is guarded:
+    the over-cap list is eagerly checkpointed and counted, and above
+    ``BUCKET_CAP_BROADCAST_MAX`` buckets the join degrades to a
+    shuffled anti-join instead of an OOM-prone forced broadcast.
+    Callers materialize ``banded`` (localCheckpoint) BEFORE capping so
+    the count pass and the join probe share one signature
+    computation."""
     if cap is None:
         return banded
-    over = _dropped_buckets(banded, key_cols, cap).select(*key_cols)
-    return banded.join(F.broadcast(over), key_cols, "left_anti")
+    over = (
+        _dropped_buckets(banded, key_cols, cap)
+        .select(*key_cols)
+        .localCheckpoint(eager=True)
+    )
+    if over.count() <= BUCKET_CAP_BROADCAST_MAX:
+        over = F.broadcast(over)
+    return banded.join(over, key_cols, "left_anti")
 
 
 def _dropped_buckets(banded: DataFrame, key_cols: list[str], cap: int) -> DataFrame:

@@ -313,35 +313,57 @@ def _q_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
-# Driver-gate sampling is prefix-biased (r3 checked the first 50 of 65
+# Driver-gate sampling is prefix-biased (the driver checks the first 50
 # registered queries), so registry ORDER is coverage policy: the least
-# driver-proven queries go first — never-driver-checked ones, then the
-# family the r3 driver skipped — and the long-green pipeline queries
-# last.  Keep any new query near the front until a CORRECTNESS_r{N}
-# shows it green.
-_PRIORITY_ORDER = [
-    # never checked by any driver round (r3 verdict item 1)
-    "kmeans",
-    "embedding_quantize",
-    "ann_ivf_pq",
-    # new in r4
-    "quality_quantile_gate_approx",
-    "lm_score_broadcast",
-    "dsir_weights",
-    # skipped by the r3 driver sample
-    "ann_brute_force",
-    "ann_ivf",
-    "ann_lsh",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "doc_fingerprints",
-    "embedding_stats",
-    "media_counts",
-    "media_frames",
-    "media_resize",
-    "ngram_jaccard",
-    "training_mix",
-]
+# recently driver-proven queries go first.  The order is DERIVED at
+# registry build time from the CORRECTNESS_r*.json files the driver
+# leaves at the repo root — a query never seen by any driver round
+# sorts first, then ascending by the last round in which the driver
+# recorded a green row for it (hash-green, or the documented rows-only
+# check for the no-oracle set).  This makes rotation self-maintaining:
+# once round N's gate file lands, round N+1's registry automatically
+# leads with the queries round N displaced (r4 verdict item 1).
+
+
+def _driver_checked_rounds() -> dict[str, int]:
+    """name → latest driver round with a green row for that query.
+
+    A row counts as green if the driver's compare passed (hash_match)
+    or it is the documented rows-only check (err == 'no_oracle' with a
+    row count recorded).  Errored/mismatched rows do NOT count — a
+    failing query keeps sorting to the front until proven."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                latest[name] = max(latest.get(name, rnd), rnd)
+    return latest
+
+
+def _priority_order(names: list[str]) -> list[str]:
+    checked = _driver_checked_rounds()
+    return sorted(names, key=lambda n: (checked.get(n, -1), n))
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -349,9 +371,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rxtls_spark.queries_training import QUERIES_TRAIN
 
     merged = {**QUERIES_PIPELINE, **QUERIES_REL, **QUERIES_TRAIN}
-    front = {k: merged[k] for k in _PRIORITY_ORDER if k in merged}
-    rest = {k: v for k, v in merged.items() if k not in front}
-    return {**front, **rest}
+    return {k: merged[k] for k in _priority_order(list(merged))}
 
 
 QUERIES_PIPELINE: dict[str, Callable[[SparkSession, str], DataFrame]] = {

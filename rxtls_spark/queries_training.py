@@ -22,6 +22,7 @@ from rxtls_spark.functions.text import (
     lang_guess,
     quality_features,
     quality_score,
+    round3_stable,
     token_count,
 )
 from rxtls_spark.operators.dedup import (
@@ -459,7 +460,10 @@ def q_lm_score(spark: SparkSession, sf_dir: str, vocab_k: int = 30) -> DataFrame
     on both sides; Spark scores against Python math.log literals while
     the oracle evaluates ln() in DuckDB (both glibc here, but only
     1-ulp-close in general) and sums in its own order, so the per-doc
-    average is rounded to 4 dp to absorb both drifts.  vocab_k defaults small
+    average is rounded to 3 dp to absorb both drifts (was 4 dp; reduced
+    when the drift proved >1e-4 on long token streams), via the
+    STABLE floor form — engine round() disagrees on exact halves
+    (CLAUDE.md per-row-scalar discipline).  vocab_k defaults small
     (30) so the synthetic corpus exercises the OOV path; production
     runs pass 10^5+ — the literal map stays metadata-scale either
     way."""
@@ -479,7 +483,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str, vocab_k: int = 30) -> DataFrame
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(toks) - n_in).cast("long").alias("n_oov"),
-        F.when(n_in > 0, F.round(avg_lp, 3)).alias("avg_logprob"),
+        F.when(n_in > 0, round3_stable(avg_lp)).alias("avg_logprob"),
     )
 
 
@@ -564,7 +568,7 @@ def q_lm_score_broadcast(
         F.col("n_toks").cast("long").alias("n_tokens"),
         (F.col("n_toks") - n_in).cast("long").alias("n_oov"),
         F.when(
-            n_in > 0, F.round(F.col("s.sum_lp") / n_in.cast("double"), 3)
+            n_in > 0, round3_stable(F.col("s.sum_lp") / n_in.cast("double"))
         ).alias("avg_logprob"),
     )
 
@@ -663,8 +667,61 @@ def dsir_weights_for(
         n_tok.cast("long").alias("n_tokens"),
         # + 0.0 normalizes IEEE -0.0 (a near-target doc can round to
         # exactly zero from below; DuckDB keeps the sign, Spark doesn't)
-        (F.round(weight, 3) + F.lit(0.0)).alias("dsir_weight"),
+        (round3_stable(weight) + F.lit(0.0)).alias("dsir_weight"),
     )
+
+
+def dsir_select_top_frac(w: DataFrame, frac: float) -> DataFrame:
+    """Scale-safe EXACT top-`frac` selection by `dsir_weight` — the
+    100-TB shape of what `orderBy(desc).limit(k)` means when k is half
+    the corpus (TakeOrderedAndProject merges the top-k on the DRIVER,
+    so a corpus-sized k is a driver OOM, not just a slow sort).
+
+    Same two-pass shape as `quality_gate_thresholds`: dsir_weight is a
+    stable 1e-3 multiple (round3_stable), so floor(w*1e3+0.5) is its
+    EXACT integer numerator on any engine — pass 1 reduces the corpus
+    to a bounded histogram over those integers (weights are mean log
+    ratios, |w| ≲ 20 → ≤ ~4·10^4 buckets at ANY corpus size; the
+    collect is metadata-scale) and derives the threshold bucket b for
+    k = max(1, int(frac * n_scoreable)).  Pass 2 keeps every doc with
+    bucket > b via a PURE-MAP filter, then tops up the remainder from
+    bucket b alone with orderBy+limit — within a bucket all rounded
+    weights are EQUAL, so the doc_id-ascending top-up reproduces the
+    old global `orderBy(desc(weight), doc_id).limit(k)` selection
+    bit-for-bit while the driver-side merge shrinks from k rows to
+    (k - n_above) rows of ONE bucket (expected corpus/n_buckets; a
+    degenerate all-one-weight corpus degrades to the old top-k, never
+    worse).
+
+    Returns (doc_id) — exactly k rows when the input has ≥ k docs."""
+    wb = F.floor(F.col("dsir_weight") * F.lit(1000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    hist = (
+        w.groupBy(wb.alias("wb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    buckets = {int(r["wb"]): int(r["c"]) for r in hist}
+    n_scoreable = sum(buckets.values())
+    k = max(1, int(n_scoreable * frac))
+    cum = 0
+    thr = None
+    for b in sorted(buckets, reverse=True):
+        if cum + buckets[b] >= k:
+            thr = b
+            break
+        cum += buckets[b]
+    if thr is None:  # frac >= 1: keep everything
+        return w.select("doc_id")
+    above = w.where(wb > thr).select("doc_id")
+    boundary = (
+        w.where(wb == thr)
+        .orderBy("doc_id")
+        .limit(k - cum)
+        .select("doc_id")
+    )
+    return above.unionByName(boundary)
 
 
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,7 +1693,7 @@ WITH toks AS (
 )
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
   CAST(n_tok - n_in AS BIGINT) AS n_oov,
-  CASE WHEN n_in > 0 THEN round(s / n_in, 3) END AS avg_logprob
+  CASE WHEN n_in > 0 THEN floor(s / n_in * 1000.0 + 0.5) / 1000.0 END AS avg_logprob
 FROM scored
 """,
         "dsir_weights": """
@@ -1668,7 +1725,7 @@ WITH toks AS (
   GROUP BY tok.doc_id
 )
 SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
-       round(s / n_tok, 3) + 0.0 AS dsir_weight
+       floor(s / n_tok * 1000.0 + 0.5) / 1000.0 + 0.0 AS dsir_weight
 FROM scored
 """,
         "corpus_diff": """

@@ -189,6 +189,29 @@ def test_minhash_bucket_cap_bounds_hot_bucket(spark, adversarial):
     sigs.unpersist()
 
 
+def test_bucket_cap_shuffled_fallback_is_value_identical(
+    spark, adversarial, monkeypatch
+):
+    """The broadcast guard (BUCKET_CAP_BROADCAST_MAX): with the bound
+    forced to 0 the cap must take the shuffled anti-join path and
+    return the IDENTICAL candidate set — adversarial skew degrades to
+    a shuffle, never to an OOM or a semantic change."""
+    from rxtls_spark.operators import dedup
+
+    sigs = dedup.minhash_signatures(adversarial).cache()
+    want = {
+        (c["doc_a"], c["doc_b"])
+        for c in dedup.lsh_candidate_pairs(sigs, bucket_cap=1000).collect()
+    }
+    monkeypatch.setattr(dedup, "BUCKET_CAP_BROADCAST_MAX", 0)
+    got = {
+        (c["doc_a"], c["doc_b"])
+        for c in dedup.lsh_candidate_pairs(sigs, bucket_cap=1000).collect()
+    }
+    sigs.unpersist()
+    assert got == want
+
+
 def test_simhash_bucket_cap_bounds_hot_bucket(spark, adversarial):
     from rxtls_spark.operators.dedup import (
         simhash_dropped_buckets,

@@ -101,7 +101,10 @@ def test_run_corpus_build_job_dsir_sampling(tmp_path):
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["sample_mode"] == "dsir"
     assert summary["dsir_target"] == "en"
-    assert summary["n_sampled"] == max(1, int(summary["n_after_gates"] * 0.4))
+    # exact top-frac of SCOREABLE docs (empty-text gated docs are
+    # unscoreable — counted in the summary, not silently dropped)
+    n_scoreable = summary["n_after_gates"] - summary["n_dsir_unscoreable"]
+    assert summary["n_sampled"] == max(1, int(n_scoreable * 0.4))
     # importance selection toward 'en' over-represents it: largest
     # language in the sample, and well above a uniform share
     per_lang = summary["per_lang"]

@@ -22,17 +22,40 @@ def test_every_query_has_an_oracle_or_a_documented_exemption():
     )
 
 
-def test_priority_order_names_resolve():
-    """Registry order is driver-coverage policy (CLAUDE.md): every name
-    in the priority list must actually exist, and the registry must
-    lead with it — a typo here silently demotes an unproven query."""
+def test_registry_order_is_least_recently_driver_proven_first():
+    """Registry order is driver-coverage policy (CLAUDE.md): the order
+    is DERIVED from the CORRECTNESS_r*.json gate files so rotation is
+    self-maintaining (r4 verdict item 1).  Assert the registry follows
+    the rule: never-driver-checked queries first, then ascending by
+    last driver-green round, name-tiebroken."""
     from __spark_entry__ import queries
-    from rxtls_spark.queries import _PRIORITY_ORDER
+    from rxtls_spark.queries import _driver_checked_rounds, _priority_order
 
     names = list(queries())
-    missing = [n for n in _PRIORITY_ORDER if n not in names]
-    assert missing == [], f"priority entries not registered: {missing}"
-    assert names[: len(_PRIORITY_ORDER)] == _PRIORITY_ORDER
+    assert names == _priority_order(names)
+
+    checked = _driver_checked_rounds()
+    rounds = [checked.get(n, -1) for n in names]
+    assert rounds == sorted(rounds), "registry not sorted by last-green round"
+
+
+def test_r4_displaced_queries_lead_the_r5_prefix():
+    """The 18 queries the r4 driver prefix displaced (last green in r3)
+    must sort ahead of every r4-green query — i.e. inside the driver's
+    50-query prefix for round 5."""
+    from __spark_entry__ import queries
+
+    names = list(queries())
+    displaced = {
+        "contamination", "corpus_diff", "corpus_sample", "doc_chunks",
+        "lang_confusion", "lm_score", "mixture_sample", "pii_scrub",
+        "quality_quantile_gate", "repetition", "sequence_pack",
+        "stratified_sample", "token_stats",
+    }
+    missing = displaced - set(names)
+    assert missing == set(), f"displaced queries not registered: {missing}"
+    prefix = set(names[:50])
+    assert displaced <= prefix, f"not in 50-prefix: {displaced - prefix}"
 
 
 def test_oracle_sql_is_static():

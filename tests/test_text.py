@@ -457,6 +457,38 @@ def test_dsir_weights_match_python(spark):
     assert en > sum(rest) / len(rest)
 
 
+@pytest.mark.parametrize("frac", [0.1, 0.4, 0.5, 0.9, 1.0])
+def test_dsir_select_top_frac_equals_global_topk(spark, frac):
+    """The scale-safe histogram-threshold selection must reproduce the
+    old global orderBy(desc(weight), doc_id).limit(k) selection
+    BIT-FOR-BIT (within a 1e-3 weight bucket all rounded weights are
+    equal, so the doc_id-ascending boundary top-up is the same tie
+    order), while never merging more than one bucket's rows on the
+    driver."""
+    from rxtls_spark.queries_training import (
+        dsir_select_top_frac,
+        dsir_weights_for,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    w = dsir_weights_for(docs).persist()
+    n = w.count()
+    k = max(1, int(n * frac))
+    want = {
+        r["doc_id"]
+        for r in w.orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(k)
+        .collect()
+    }
+    got = {r["doc_id"] for r in dsir_select_top_frac(w, frac).collect()}
+    w.unpersist()
+    assert len(got) == k
+    assert got == want
+
+
 def test_corpus_diff_statuses(spark):
     """All four diff classes populated and equal to a Python
     recomputation of the same snapshot derivation."""
