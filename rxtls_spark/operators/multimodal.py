@@ -17,19 +17,16 @@ chunks, validated before use, malformed input quarantined not crashed.
 **Audio payloads are REAL RIFF/WAVE files** written and parsed with the
 stdlib `wave` module (16-bit PCM, 1-3 channels): the decoder surfaces
 sample rate, frame count, channel count, decoded PCM byte size and mean
-absolute amplitude with `decode_ok='real'`.  Video has no stdlib codec,
-so that kind stays in the synthetic MCK0 container (an honest,
-clearly-labeled stand-in — `decode_ok='stub'`) while the Spark-side
-plumbing (schema, partitioning, UDF signatures, 1→N frame expansion)
-is real and tested.
+absolute amplitude with `decode_ok='real'`.
 
-MCK0 container layout (video, deterministic per doc_id):
-  bytes 0-3   : magic b"MCK0"
-  byte  4     : kind (2=video)
-  bytes 5-6   : uint16 BE width
-  bytes 7-8   : uint16 BE height
-  byte  9     : fps
-  bytes 10..  : payload body (pseudo-frames; seeded RandomState)
+**Video payloads are REAL ANIMATED PNGs** (APNG — acTL/fcTL/fdAT
+chunks, full-frame subset): the encoder extends the still-PNG writer
+with the animation control chunks, the decoder validates the
+consecutive sequence-number contract and inflates + unfilters every
+frame.  `sample_frames` decodes the stream and re-emits every k-th
+frame as a standalone still PNG — all three kinds now decode for real
+(`decode_ok='real'`); anything unparseable is quarantined as
+`malformed`, never crashed on.
 """
 
 from __future__ import annotations
@@ -54,7 +51,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-MAGIC = b"MCK0"
 KINDS = ["image", "audio", "video"]
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -139,14 +135,13 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
-def png_decode(payload: bytes) -> np.ndarray:
-    """(h, w, ch) uint8 from PNG bytes — stdlib chunk walk with CRC
-    checks.  Supports the still-image subset this pipeline produces
-    and the common web case: bit depth 8, color types 0/2/4/6,
-    non-interlaced.  Raises ValueError on anything malformed."""
+def _png_chunks(payload: bytes):
+    """CRC-validated (tag, data) chunk walk shared by the still and
+    animated decoders.  Stops after IEND; raises ValueError on
+    truncation or CRC mismatch."""
     if payload[:8] != PNG_SIG:
         raise ValueError("bad PNG signature")
-    pos, ihdr, idat = 8, None, []
+    pos = 8
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -156,25 +151,163 @@ def png_decode(payload: bytes) -> np.ndarray:
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
         if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
             raise ValueError(f"bad CRC on {tag!r}")
-        if tag == b"IHDR":
-            ihdr = data
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
+        yield tag, data
+        if tag == b"IEND":
+            return
         pos += 12 + ln
-    if ihdr is None or len(ihdr) != 13 or not idat:
-        raise ValueError("missing IHDR/IDAT")
+
+
+def _parse_ihdr(ihdr: bytes) -> tuple[int, int, int]:
+    """(w, h, ch) from a validated IHDR — rejects everything outside
+    the supported subset (depth 8, color types 0/2/4/6,
+    non-interlaced)."""
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG variant")
     if ctype not in _COLOR_TYPE_TO_CH or not (0 < w and 0 < h):
         raise ValueError("unsupported color type")
-    ch = _COLOR_TYPE_TO_CH[ctype]
-    raw = zlib.decompress(b"".join(idat))
+    return w, h, _COLOR_TYPE_TO_CH[ctype]
+
+
+def _inflate_frame(parts: list[bytes], h: int, w: int, ch: int) -> np.ndarray:
+    raw = zlib.decompress(b"".join(parts))
     if len(raw) != h * (w * ch + 1):
-        raise ValueError("IDAT length mismatch")
+        raise ValueError("frame data length mismatch")
     return _unfilter(raw, h, w, ch)
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """(h, w, ch) uint8 from PNG bytes — stdlib chunk walk with CRC
+    checks.  Supports the still-image subset this pipeline produces
+    and the common web case: bit depth 8, color types 0/2/4/6,
+    non-interlaced.  Raises ValueError on anything malformed,
+    including an ANIMATED png (use `apng_decode` — silently returning
+    the first frame of a video would be a data bug)."""
+    ihdr, idat = None, []
+    for tag, data in _png_chunks(payload):
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"acTL":
+            raise ValueError("animated PNG — use apng_decode")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if not idat:
+        raise ValueError("missing IDAT")
+    w, h, ch = _parse_ihdr(ihdr)
+    return _inflate_frame(idat, h, w, ch)
+
+
+# ---------------------------------------------------------------------------
+# stdlib APNG codec (video frames)
+# ---------------------------------------------------------------------------
+
+def apng_encode(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Animated PNG from a list of same-shape uint8 frames — the
+    spec's acTL/fcTL/fdAT chunk layout (all frames full-size at offset
+    0, dispose/blend 0, delay 1/fps), filter-0 scanlines like
+    `png_encode`.  This is a REAL video container a browser will play;
+    pure stdlib."""
+    if not frames:
+        raise ValueError("apng_encode wants at least one frame")
+    norm = [f[:, :, None] if f.ndim == 2 else f for f in frames]
+    h, w, ch = norm[0].shape
+    if any(f.shape != (h, w, ch) or f.dtype != np.uint8 for f in norm):
+        raise ValueError("frames must share one uint8 (h, w, ch) shape")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CH_TO_COLOR_TYPE[ch], 0, 0, 0)
+    out = [
+        PNG_SIG,
+        _png_chunk(b"IHDR", ihdr),
+        _png_chunk(b"acTL", struct.pack(">II", len(norm), 0)),
+    ]
+    seq = 0
+    for i, fr in enumerate(norm):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, max(1, fps), 0, 0
+        )
+        seq += 1
+        out.append(_png_chunk(b"fcTL", fctl))
+        raw = np.concatenate(
+            [np.zeros((h, 1), np.uint8), fr.reshape(h, w * ch)], axis=1
+        ).tobytes()
+        comp = zlib.compress(raw)
+        if i == 0:
+            out.append(_png_chunk(b"IDAT", comp))
+        else:
+            out.append(_png_chunk(b"fdAT", struct.pack(">I", seq) + comp))
+            seq += 1
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def is_apng(payload: bytes) -> bool:
+    """Cheap animated-vs-still test: acTL must precede IDAT (spec), so
+    scanning the chunk walk until either tag settles it."""
+    try:
+        for tag, _ in _png_chunks(payload):
+            if tag == b"acTL":
+                return True
+            if tag == b"IDAT":
+                return False
+    except ValueError:
+        return False
+    return False
+
+
+def apng_decode(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """(fps, frames) from APNG bytes — CRC-checked chunk walk,
+    consecutive-sequence-number validation, full-frame subset only
+    (every fcTL at the canvas size and offset 0, dispose/blend 0).
+    Raises ValueError on anything malformed or outside the subset."""
+    ihdr, actl = None, None
+    frames_raw: list[list[bytes]] = []
+    fctls: list[tuple] = []
+    seqs: list[int] = []
+    for tag, data in _png_chunks(payload):
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"acTL":
+            if len(data) != 8:
+                raise ValueError("bad acTL")
+            actl = struct.unpack(">II", data)
+        elif tag == b"fcTL":
+            if len(data) != 26:
+                raise ValueError("bad fcTL")
+            f = struct.unpack(">IIIIIHHBB", data)
+            seqs.append(f[0])
+            fctls.append(f)
+            frames_raw.append([])
+        elif tag == b"IDAT":
+            if not frames_raw:
+                raise ValueError("IDAT before first fcTL")
+            frames_raw[0].append(data)
+        elif tag == b"fdAT":
+            if len(data) < 4 or not frames_raw:
+                raise ValueError("bad fdAT")
+            seqs.append(struct.unpack_from(">I", data)[0])
+            frames_raw[-1].append(data[4:])
+        elif tag == b"IEND":
+            break
+    if actl is None:
+        raise ValueError("not an APNG (no acTL)")
+    w, h, ch = _parse_ihdr(ihdr)
+    n_frames, _plays = actl
+    if n_frames != len(fctls) or n_frames == 0:
+        raise ValueError("acTL frame count mismatch")
+    if seqs != list(range(len(seqs))):
+        raise ValueError("non-consecutive APNG sequence numbers")
+    fps = 0
+    for _seq, fw, fh, fx, fy, dnum, dden, dispose, blend in fctls:
+        if (fw, fh, fx, fy) != (w, h, 0, 0) or dispose != 0 or blend != 0:
+            raise ValueError("sub-frame/dispose APNG outside subset")
+        fps = dden // max(1, dnum)
+    if any(not parts for parts in frames_raw):
+        raise ValueError("fcTL with no frame data")
+    frames = [_inflate_frame(parts, h, w, ch) for parts in frames_raw]
+    return fps, frames
 
 
 # ---------------------------------------------------------------------------
@@ -214,10 +347,17 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 # synthetic media table
 # ---------------------------------------------------------------------------
 
+# video frame count per doc: small and deterministic — mirrored in the
+# media oracle CTE (change together)
+def video_n_frames(doc_id: int) -> int:
+    return 2 + (doc_id % 6)
+
+
 def media_payload(doc_id: int) -> bytes:
-    """Deterministic payload per doc: images are genuine PNGs, audio is
-    genuine 16-bit PCM WAV (both seeded by doc_id); video stays in the
-    MCK0 container."""
+    """Deterministic payload per doc — ALL three kinds are genuine
+    containers now: images are PNGs, audio is 16-bit PCM RIFF/WAVE,
+    video is an ANIMATED PNG (acTL/fcTL/fdAT) with 2-7 full frames.
+    Everything seeded by doc_id."""
     kind = doc_id % 3
     w = 16 + (doc_id % 48)
     h = 16 + (doc_id % 32)
@@ -232,16 +372,11 @@ def media_payload(doc_id: int) -> bytes:
             -32768, 32768, size=n_frames * ch, dtype=np.int64
         ).astype(np.int16)
         return wav_encode(w * 100, ch, samples)
-    body_len = 256 + (doc_id % 1024)
-    body = rng.randint(0, 256, size=body_len, dtype=np.int64).astype(np.uint8)
-    return (
-        MAGIC
-        + bytes([kind])
-        + struct.pack(">H", w)
-        + struct.pack(">H", h)
-        + bytes([ch])
-        + body.tobytes()
-    )
+    frames = [
+        rng.randint(0, 256, size=(h, w, ch), dtype=np.int64).astype(np.uint8)
+        for _ in range(video_n_frames(doc_id))
+    ]
+    return apng_encode(frames, fps=8 + (doc_id % 23))
 
 
 MEDIA_SCHEMA = StructType(
@@ -285,15 +420,29 @@ DECODED_SCHEMA = StructType(
 
 
 def _decode_real(payload: bytes) -> dict | None:
-    """Real codec paths: stdlib PNG and RIFF/WAVE decode.  Returns None
-    for other payloads (the MCK0 kind falls through to `_decode_fake`);
-    a payload that CLAIMS to be a PNG/WAV but fails validation also
-    returns None and is quarantined as malformed downstream.  Audio
+    """Real codec paths: stdlib PNG / APNG / RIFF-WAVE decode.  Returns
+    None for unrecognized payloads — and for a payload that CLAIMS to
+    be a PNG/APNG/WAV but fails validation — which `decode_media`
+    quarantines as `malformed`.  Audio
     fills the spatial columns with its own axes — width := sample
     rate / 100, height := frame count — so every parsed quantity stays
-    inside the fixed DECODED_SCHEMA."""
+    inside the fixed DECODED_SCHEMA.  Video (animated PNG) reports the
+    frame dims with body_bytes = total decoded pixel bytes across all
+    frames and mean over all frames."""
     if payload[:8] == PNG_SIG:
         try:
+            if is_apng(payload):
+                _fps, frames = apng_decode(payload)
+                h, w, ch = frames[0].shape
+                stack = np.stack(frames)
+                return {
+                    "width": int(w),
+                    "height": int(h),
+                    "channels": int(ch),
+                    "body_bytes": int(stack.nbytes),
+                    "mean_value": round(float(stack.mean()), 5),
+                    "decode_ok": "real",
+                }
             arr = png_decode(payload)
         except (ValueError, zlib.error):
             return None
@@ -328,26 +477,10 @@ def _decode_real(payload: bytes) -> dict | None:
     return None
 
 
-def _decode_fake(payload: bytes) -> dict:
-    """Deterministic decode of the synthetic MCK0 container (the
-    declared stand-in for the kinds with no stdlib codec)."""
-    if len(payload) < 10 or payload[:4] != MAGIC:
-        return {
-            "width": None, "height": None, "channels": None,
-            "body_bytes": None, "mean_value": None, "decode_ok": "malformed",
-        }
-    w = struct.unpack_from(">H", payload, 5)[0]
-    h = struct.unpack_from(">H", payload, 7)[0]
-    ch = payload[9]
-    body = np.frombuffer(payload, dtype=np.uint8, offset=10)
-    return {
-        "width": int(w),
-        "height": int(h),
-        "channels": int(ch),
-        "body_bytes": int(body.size),
-        "mean_value": round(float(body.mean()) if body.size else 0.0, 5),
-        "decode_ok": "stub",
-    }
+_MALFORMED = {
+    "width": None, "height": None, "channels": None,
+    "body_bytes": None, "mean_value": None, "decode_ok": "malformed",
+}
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -358,7 +491,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload)
-                rec = _decode_real(payload) or _decode_fake(payload)
+                rec = _decode_real(payload) or dict(_MALFORMED)
                 rec.update({"doc_id": int(doc_id), "kind": kind})
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
@@ -375,10 +508,13 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def sample_frames(media: DataFrame, every: int = 4, frame_size: int = 64) -> DataFrame:
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
     """Frame-sampling for 'video' payloads: 1→N expansion inside
-    mapInPandas (the UDTF shape), body split into fixed-size frames,
-    keep every k-th."""
+    mapInPandas (the UDTF shape).  The APNG is REALLY decoded (CRC
+    walk + inflate + unfilter) and every k-th frame is re-emitted as a
+    standalone still PNG — the shape a vision-model preprocessing
+    pipeline needs (sampled frames as independent images).  Malformed
+    videos are skipped (quarantined by `decode_media` upstream)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -388,12 +524,14 @@ def sample_frames(media: DataFrame, every: int = 4, frame_size: int = 64) -> Dat
             ):
                 if kind != "video":
                     continue
-                body = bytes(payload)[10:]
-                n = len(body) // frame_size
-                for i in range(0, n, every):
+                try:
+                    _fps, decoded = apng_decode(bytes(payload))
+                except (ValueError, zlib.error):
+                    continue
+                for i in range(0, len(decoded), every):
                     ids.append(int(doc_id))
                     idxs.append(i)
-                    frames.append(body[i * frame_size : (i + 1) * frame_size])
+                    frames.append(png_encode(decoded[i]))
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames},
             )

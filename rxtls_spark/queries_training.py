@@ -541,6 +541,13 @@ def q_lm_score_broadcast(
         ]
     )
 
+    # Scoring deliberately stays a token-order Python loop inside the
+    # Arrow batch: the candidate vectorization (flatten → Series.map →
+    # np.add.reduceat per doc) is NOT bit-identical to the JVM literal
+    # path — reduceat sums pairwise, the fold sums sequentially, and
+    # they diverge by ~1e-12 on ~600-token docs (measured), which the
+    # bit-identity pytest vs `lm_score` would rightly fail.  The loop
+    # is dict-lookup-bound and plan-locked to ONE UDF evaluation.
     @F.pandas_udf(out_t)
     def score(tok_arrays: pd.Series) -> pd.DataFrame:
         vocab = bv.value
@@ -1491,13 +1498,15 @@ WITH media AS (
   SELECT doc_id,
     CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
     16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h, 1 + doc_id % 3 AS ch,
+    2 + doc_id % 6 AS video_frames,
     -- images are real PNGs: decoded body = the full w*h*ch pixel array;
     -- audio is real 16-bit PCM WAV: decoded body = n_frames*ch*2;
-    -- video stays the MCK0 stub with its raw byte body
+    -- video is a real ANIMATED PNG: decoded body = frames*w*h*ch
     CASE WHEN doc_id % 3 = 0 THEN (16 + doc_id % 48) * (16 + doc_id % 32) * (1 + doc_id % 3)
          WHEN doc_id % 3 = 1 THEN (256 + doc_id % 1024) * (1 + doc_id % 3) * 2
-         ELSE 256 + doc_id % 1024 END AS body_bytes,
-    CASE WHEN doc_id % 3 = 2 THEN 'stub' ELSE 'real' END AS decode_ok
+         ELSE (2 + doc_id % 6) * (16 + doc_id % 48) * (16 + doc_id % 32) * (1 + doc_id % 3)
+    END AS body_bytes,
+    'real' AS decode_ok
   FROM documents
 )
 """
@@ -1890,7 +1899,7 @@ SELECT doc_id,
 FROM media WHERE kind = 'image'
 """,
         "media_frames": _MEDIA_CTE + """
-SELECT CAST(sum((body_bytes // 64 + 3) // 4) AS BIGINT) AS n_frames,
+SELECT CAST(sum((video_frames + 3) // 4) AS BIGINT) AS n_frames,
        CAST(count(*) AS BIGINT) AS n_videos
 FROM media WHERE kind = 'video'
 """,

@@ -30,6 +30,7 @@ bucket transform) and periodic compaction merges the per-batch files
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,6 +120,217 @@ def start_ann_index(
     return writer.start()
 
 
+def _index_leaf_files(index_dir: str) -> list[dict]:
+    """Driver-side inventory of the index's parquet leaf files:
+    (add_batch, cell, path, bytes).  Metadata-scale — one row per FILE,
+    not per vector; at 10^12 vectors this listing comes from the table
+    manifest instead of a directory walk, same shape."""
+    rows = []
+    for batch_dir in sorted(os.listdir(index_dir)):
+        if not batch_dir.startswith("add_batch="):
+            continue
+        add_batch = int(batch_dir.split("=")[1])
+        bpath = os.path.join(index_dir, batch_dir)
+        for cell_dir in sorted(os.listdir(bpath)):
+            if not cell_dir.startswith("cell="):
+                continue
+            cell = int(cell_dir.split("=")[1])
+            cpath = os.path.join(bpath, cell_dir)
+            for f in sorted(os.listdir(cpath)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(cpath, f)
+                    rows.append(
+                        {
+                            "add_batch": add_batch,
+                            "cell": cell,
+                            "path": p,
+                            "bytes": os.path.getsize(p),
+                        }
+                    )
+    return rows
+
+
+def _footer_rows(paths: list[str]) -> int:
+    """Exact row count of a set of parquet files from their footers —
+    driver-side metadata reads, no Spark job."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+def _apply_delete_journal(index_dir: str) -> None:
+    """Finish an interrupted compaction: the journal lists the consumed
+    source files whose rows were already moved into a compacted
+    partition — delete them (idempotent) before trusting the index."""
+    journal = os.path.join(os.path.dirname(index_dir), "compact_journal.json")
+    if not os.path.exists(journal):
+        return
+    for p in json.load(open(journal)):
+        if os.path.exists(p):
+            os.remove(p)
+        crc = os.path.join(
+            os.path.dirname(p), f".{os.path.basename(p)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+    _prune_empty_dirs(index_dir)
+    os.remove(journal)
+
+
+def _prune_empty_dirs(index_dir: str) -> None:
+    """Remove fully-consumed cell/batch dirs; `_SUCCESS` markers and
+    `.crc` siblings don't count as content."""
+
+    def only_junk(path: str) -> bool:
+        return all(
+            e == "_SUCCESS" or e.startswith(".") for e in os.listdir(path)
+        )
+
+    for batch_dir in list(os.listdir(index_dir)):
+        bpath = os.path.join(index_dir, batch_dir)
+        if not os.path.isdir(bpath):
+            continue
+        for cell_dir in list(os.listdir(bpath)):
+            cpath = os.path.join(bpath, cell_dir)
+            if os.path.isdir(cpath) and only_junk(cpath):
+                import shutil
+
+                shutil.rmtree(cpath)
+        if only_junk(bpath):
+            import shutil
+
+            shutil.rmtree(bpath)
+
+
+def compact_index(
+    spark: SparkSession,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Merge the per-batch small files of the streaming index into
+    ~``target_bytes`` files per cell — the maintenance pass the module
+    docstring names, planned by ``operators/compact.compaction_plan``
+    (byte-range groups per cell over batch order) and executed as ONE
+    Spark job over only the files being rewritten.
+
+    OFFLINE contract: run with the stream stopped, and only over
+    batches the checkpoint has committed — Structured Streaming never
+    replays a committed batch id against the same checkpoint, so the
+    consumed ``add_batch=N`` partitions can be safely absorbed.  The
+    rewritten rows land in a single new ``add_batch=<negative id>``
+    partition (cell-subpartitioned, same two-level layout, so partition
+    discovery and the search's cell pruning are untouched) via
+    write-to-tmp + one atomic directory rename into the live tree; the
+    consumed-file delete list is journaled BEFORE the rename and
+    replayed on the next compaction if a crash strikes between rename
+    and deletes — the index is never left half-moved.
+
+    Single-file groups are left in place (already compact).  Returns a
+    summary dict; ``n_files_before/after`` count parquet leaves."""
+    import shutil
+
+    from rxtls_spark.operators.compact import compaction_plan
+
+    index_dir = os.path.join(out_dir, "index")
+    _apply_delete_journal(index_dir)
+    files = _index_leaf_files(index_dir)
+    if not files:
+        return {"n_files_before": 0, "n_files_after": 0, "n_rewritten": 0}
+
+    # order inside a cell: batch id, then file name (negative ids —
+    # prior compactions — sort first via the +10^9 offset)
+    inv = spark.createDataFrame(
+        [
+            (
+                f["cell"],
+                f"{f['add_batch'] + 1_000_000_000:012d}|{os.path.basename(f['path'])}",
+                f["path"],
+                0,
+                f["bytes"],
+            )
+            for f in files
+        ],
+        "cell long, ord string, path string, n_rows long, bytes long",
+    )
+    plan = compaction_plan(inv, target_bytes, key_col="cell", order_col="ord")
+    rows = plan.select("cell", "ord", "grp", "grp_files").collect()
+    ord_to_path = {
+        (f["cell"], f"{f['add_batch'] + 1_000_000_000:012d}|{os.path.basename(f['path'])}"): f["path"]
+        for f in files
+    }
+    rewrite = [
+        (r["cell"], int(r["grp"]), ord_to_path[(r["cell"], r["ord"])])
+        for r in rows
+        if r["grp_files"] > 1
+    ]
+    if not rewrite:
+        return {
+            "n_files_before": len(files),
+            "n_files_after": len(files),
+            "n_rewritten": 0,
+        }
+
+    new_batch = min(min(f["add_batch"] for f in files), 0) - 1
+    paths = [p for _, _, p in rewrite]
+    # Hadoop-style URI, `file:` + absolute path — what
+    # _metadata.file_path actually carries on a local filesystem
+    grp_map = spark.createDataFrame(
+        [(f"file:{p}", g) for _, g, p in rewrite], "fp string, grp long"
+    )
+    n_groups = len({(c, g) for c, g, _ in rewrite})
+
+    tmp = os.path.join(out_dir, "compact_tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        spark.read.parquet(index_dir)
+        .withColumn("fp", F.col("_metadata.file_path"))
+        .join(F.broadcast(grp_map), "fp")
+        # one shuffle partition per (cell, grp) keeps ~one output file
+        # per group (a hash collision merges two groups' files — a
+        # size overshoot, never a correctness issue); 2× slots makes
+        # collisions rare
+        .repartition(max(2 * n_groups, 1), F.col("cell"), F.col("grp"))
+        .select("vec_id", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    for junk in ("_SUCCESS",):
+        j = os.path.join(tmp, junk)
+        if os.path.exists(j):
+            os.remove(j)
+
+    # SAFETY GATE before any delete is journaled: the rewritten rows
+    # must equal the source footers' row count exactly — a path-format
+    # mismatch (or any silently-empty join) must abort with the index
+    # untouched, never absorb-and-delete
+    expect = _footer_rows(paths)
+    got = spark.read.parquet(tmp).count()
+    if got != expect:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction rewrite produced {got} rows, sources hold "
+            f"{expect} — aborting with the index untouched"
+        )
+
+    journal = os.path.join(out_dir, "compact_journal.json")
+    with open(journal + ".tmp", "w") as fh:
+        json.dump(paths, fh)
+    os.rename(journal + ".tmp", journal)
+    os.rename(tmp, os.path.join(index_dir, f"add_batch={new_batch}"))
+    _apply_delete_journal(index_dir)
+
+    after = _index_leaf_files(index_dir)
+    return {
+        "n_files_before": len(files),
+        "n_files_after": len(after),
+        "n_rewritten": len(paths),
+        "n_groups": n_groups,
+        "compacted_batch": new_batch,
+    }
+
+
 def ann_index_search(
     spark: SparkSession,
     out_dir: str,
@@ -129,7 +341,16 @@ def ann_index_search(
     """Top-k cosine search over the accumulated index: probe each
     query's ``n_probe`` nearest cells (frozen quantizer), equi-join the
     probed cells, exact cosine inside — `ann_ivf_topk` semantics over
-    everything ever added."""
+    everything ever added.
+
+    The index scan carries an explicit STATIC partition filter on the
+    union of probed cells (queries are metadata-scale — the same frame
+    we broadcast — so collecting their probe lists is free): relying on
+    dynamic partition pruning to fire for the broadcast join would scan
+    every cell's files whenever the runtime heuristic declines, and at
+    10^12 vectors the whole point of IVF is touching n_probe/k of the
+    corpus.  tests/test_ann_index_stream.py asserts the scan's
+    PartitionFilters and footer row counts."""
     from pyspark.sql import Window
 
     from rxtls_spark.operators.similarity import cosine_expr, ivf_probe_expr
@@ -137,15 +358,20 @@ def ann_index_search(
     cents, _ = load_quantizer(spark, _quantizer_dir(out_dir))
     if cents is None:
         raise ValueError(f"no quantizer at {out_dir} — index is empty")
-    index = spark.read.parquet(os.path.join(out_dir, "index")).select(
-        "vec_id", "embedding", "cell"
-    )
     q_cells = queries.select(
         "q_id",
         "q_emb",
         F.explode(ivf_probe_expr(cents, F.col("q_emb"), n_probe)).alias(
             "cell"
         ),
+    )
+    probed = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    index = (
+        spark.read.parquet(os.path.join(out_dir, "index"))
+        .where(F.col("cell").isin(probed))
+        .select("vec_id", "embedding", "cell")
     )
     cands = index.join(F.broadcast(q_cells), "cell").where(
         F.col("vec_id") != F.col("q_id")

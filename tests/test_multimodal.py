@@ -1,9 +1,9 @@
 """Multimodal codec + plumbing tests.
 
-Images are REAL PNGs (stdlib zlib + struct) and audio is REAL 16-bit
-PCM WAV (stdlib wave): both codecs must round-trip exactly, reject
-corrupt bytes, and drive decode with `decode_ok='real'`.  Video stays
-in the declared MCK0 container (`decode_ok='stub'`)."""
+Images are REAL PNGs (stdlib zlib + struct), audio is REAL 16-bit PCM
+WAV (stdlib wave), and video is a REAL ANIMATED PNG (APNG —
+acTL/fcTL/fdAT): every codec must round-trip exactly, reject corrupt
+bytes, and drive decode with `decode_ok='real'`."""
 
 import struct
 import zlib
@@ -125,6 +125,109 @@ def test_media_payload_images_are_valid_pngs():
         assert np.array_equal(arr, exp)
 
 
+def test_apng_roundtrip():
+    """APNG encode→decode round-trips fps and every frame exactly, for
+    every channel count."""
+    from rxtls_spark.operators.multimodal import apng_decode, apng_encode
+
+    rng = np.random.RandomState(11)
+    for ch in (1, 2, 3, 4):
+        frames = [
+            rng.randint(0, 256, size=(9, 13, ch)).astype(np.uint8)
+            for _ in range(5)
+        ]
+        fps, got = apng_decode(apng_encode(frames, fps=12))
+        assert fps == 12
+        assert len(got) == 5
+        for a, b in zip(frames, got):
+            assert np.array_equal(a, b)
+
+
+def test_apng_rejects_corruption_and_still_png():
+    from rxtls_spark.operators.multimodal import (
+        apng_decode,
+        apng_encode,
+        is_apng,
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = [
+        rng.randint(0, 256, size=(6, 7, 3)).astype(np.uint8) for _ in range(3)
+    ]
+    good = apng_encode(frames, fps=10)
+    assert is_apng(good)
+    still = png_encode(frames[0])
+    assert not is_apng(still)
+    # a still PNG is not an APNG, an APNG is not a still PNG — neither
+    # decoder silently accepts the other's stream
+    with pytest.raises(ValueError):
+        apng_decode(still)
+    with pytest.raises(ValueError):
+        png_decode(good)
+    # CRC flip inside a frame chunk
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0xFF
+    with pytest.raises((ValueError, zlib.error)):
+        apng_decode(bytes(bad))
+    # truncation
+    with pytest.raises((ValueError, zlib.error)):
+        apng_decode(good[: len(good) - 20])
+
+
+def test_apng_rejects_sequence_gap():
+    """Sequence numbers must be consecutive (the spec contract a
+    frame-dropping writer would violate)."""
+    from rxtls_spark.operators.multimodal import (
+        _png_chunk,
+        apng_decode,
+        apng_encode,
+    )
+
+    rng = np.random.RandomState(6)
+    frames = [
+        rng.randint(0, 256, size=(5, 5, 1)).astype(np.uint8) for _ in range(3)
+    ]
+    good = apng_encode(frames, fps=10)
+    # bump the last fdAT's sequence number (rebuild with valid CRC)
+    idx = good.rfind(b"fdAT")
+    ln = struct.unpack(">I", good[idx - 4 : idx])[0]
+    data = bytearray(good[idx + 4 : idx + 4 + ln])
+    seq = struct.unpack(">I", bytes(data[:4]))[0]
+    data[:4] = struct.pack(">I", seq + 7)
+    rebuilt = (
+        good[: idx - 4] + _png_chunk(b"fdAT", bytes(data))
+        + good[idx + 8 + ln :]
+    )
+    with pytest.raises(ValueError, match="sequence"):
+        apng_decode(rebuilt)
+
+
+def test_media_payload_videos_are_valid_apngs():
+    from rxtls_spark.operators.multimodal import (
+        apng_decode,
+        media_payload,
+        video_n_frames,
+    )
+
+    for doc_id in range(2, 92, 3):  # kind 2 = video
+        fps, frames = apng_decode(media_payload(doc_id))
+        assert fps == 8 + doc_id % 23
+        assert len(frames) == video_n_frames(doc_id) == 2 + doc_id % 6
+        h, w, ch = frames[0].shape
+        assert w == 16 + doc_id % 48
+        assert h == 16 + doc_id % 32
+        assert ch == 1 + doc_id % 3
+        # frame pixels are the seeded rng stream, in order
+        rng = np.random.RandomState(doc_id % (2**31))
+        for fr in frames:
+            exp = rng.randint(0, 256, size=(h, w, ch), dtype=np.int64).astype(
+                np.uint8
+            )
+            assert np.array_equal(fr, exp)
+
+
 def test_wav_roundtrip():
     """WAV encode→decode round-trips rate/channels/samples exactly,
     and malformed WAV input raises rather than mis-decoding."""
@@ -176,24 +279,26 @@ def test_decode_matches_header(spark, media):
     from rxtls_spark.operators.multimodal import decode_media
 
     dec = {r["doc_id"]: r for r in decode_media(media).collect()}
-    assert {r["decode_ok"] for r in dec.values()} == {"real", "stub"}
+    # no stub rows anywhere: all three kinds decode for real
+    assert {r["decode_ok"] for r in dec.values()} == {"real"}
     for doc_id in list(dec)[:60]:
         r = dec[doc_id]
         assert r["width"] == 16 + doc_id % 48  # audio: sample_rate/100
         if r["kind"] == "image":
-            assert r["decode_ok"] == "real", doc_id
             assert r["height"] == 16 + doc_id % 32
             assert r["channels"] == 1 + doc_id % 3
             exp = r["width"] * r["height"] * (1 + doc_id % 3)
         elif r["kind"] == "audio":
-            assert r["decode_ok"] == "real", doc_id
             assert r["height"] == 256 + doc_id % 1024  # n_frames
             assert r["channels"] == 1 + doc_id % 3
             exp = (256 + doc_id % 1024) * (1 + doc_id % 3) * 2
-        else:
-            assert r["decode_ok"] == "stub", doc_id
+        else:  # video: all decoded frames' pixel bytes
             assert r["height"] == 16 + doc_id % 32
-            exp = 256 + doc_id % 1024
+            assert r["channels"] == 1 + doc_id % 3
+            exp = (
+                (2 + doc_id % 6)
+                * r["width"] * r["height"] * (1 + doc_id % 3)
+            )
         assert r["body_bytes"] == exp, doc_id
 
 
@@ -211,15 +316,30 @@ def test_decode_mean_is_real_pixel_mean(spark, media):
         assert r["mean_value"] == round(float(arr.mean()), 5)
 
 
-def test_frame_sampling_arithmetic(spark, media):
-    from rxtls_spark.operators.multimodal import sample_frames
+def test_frame_sampling_emits_real_stills(spark, media):
+    """sample_frames keeps every 4th REAL decoded frame and re-encodes
+    it as a standalone still PNG whose pixels equal the source video's
+    frame at that index."""
+    from rxtls_spark.operators.multimodal import (
+        apng_decode,
+        png_decode,
+        sample_frames,
+        video_n_frames,
+    )
 
-    frames = sample_frames(media, every=4, frame_size=64)
+    frames = sample_frames(media, every=4)
     agg = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert agg
     for r in agg:
-        body = 256 + r["doc_id"] % 1024
-        n_full = body // 64
-        assert r["n"] == (n_full + 3) // 4, r["doc_id"]
+        assert r["n"] == (video_n_frames(r["doc_id"]) + 3) // 4, r["doc_id"]
+
+    from rxtls_spark.operators.multimodal import media_payload
+
+    sample = frames.orderBy("doc_id", "frame_idx").limit(12).collect()
+    for r in sample:
+        _fps, decoded = apng_decode(media_payload(r["doc_id"]))
+        got = png_decode(bytes(r["frame"]))
+        assert np.array_equal(got, decoded[r["frame_idx"]])
 
 
 def test_resize_uses_decoded_pixels(spark, media):
