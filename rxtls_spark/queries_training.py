@@ -580,6 +580,102 @@ def q_lm_score_broadcast(
     )
 
 
+# BM25 constants (Robertson/Spärck Jones defaults) — baked into BOTH
+# the Spark expression and the SQL oracle; change together.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_TERMS = 3
+BM25_TOPK = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 text-retrieval top-k — the lexical member of the
+    similarity-search family (ANN covers embeddings; this covers the
+    sparse/keyword side a RAG or search pipeline needs).  Query terms
+    are the corpus's top-``BM25_N_TERMS`` tokens by (count desc, tok)
+    so the whole query is deterministic and oracle-mirrorable.
+
+    Scale shape: ONE token-count pass picks the terms (hash agg +
+    tiny top-k), one bounded agg computes df per term and (N, avgdl) —
+    all metadata-scale driver literals, the lm_score vocab pattern.
+    Scoring is a pure per-row fold (tf per term via
+    size(filter(tokens)), no explode, no UDF, 0 exchanges) ending in a
+    TakeOrderedAndProject of ``BM25_TOPK`` rows.
+
+    Cross-engine exactness: idf = ln((N - df + 0.5)/(df + 0.5) + 1) is
+    a Python math.log literal vs DuckDB ln() of the identical rational
+    (the dsir precedent); tf and dl are exact integers; the three
+    per-term scores are added in FIXED term order on both engines; the
+    score ships as the stable-rounded integer numerator
+    floor(score*1e3 + 0.5)."""
+    import math
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(
+        F.trim("text") != ""
+    )
+    toks = _lm_tokens()
+
+    term_rows = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(BM25_N_TERMS)
+        .collect()
+    )
+    terms = [r["tok"] for r in term_rows]
+
+    wd = docs.select(F.size(toks).alias("dl"), toks.alias("t"))
+    stats = wd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("total"),
+        *[
+            F.sum(F.array_contains("t", t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = int(stats["total"]) / n_docs
+    idfs = [
+        math.log((n_docs - int(stats[f"df{i}"]) + 0.5)
+                 / (int(stats[f"df{i}"]) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+
+    dlr = F.size(toks).cast("double") / F.lit(avgdl)
+
+    def term_score(term: str, idf: float) -> F.Column:
+        tf = F.size(
+            F.filter(toks, lambda x: x == F.lit(term))
+        ).cast("double")
+        den = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dlr
+        )
+        return F.lit(idf) * ((tf * F.lit(BM25_K1 + 1.0)) / den)
+
+    score = term_score(terms[0], idfs[0])
+    for t, i in zip(terms[1:], idfs[1:]):
+        score = score + term_score(t, i)
+    from pyspark.sql.window import Window
+
+    bm25_e3 = F.floor(score * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    return (
+        docs.select("doc_id", bm25_e3.alias("bm25_e3"))
+        .orderBy(F.col("bm25_e3").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            "bm25_e3",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("bm25_e3").desc(), "doc_id")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
 _HEX = "0123456789abcdef"
 
 
@@ -729,6 +825,24 @@ def dsir_select_top_frac(w: DataFrame, frac: float) -> DataFrame:
         .select("doc_id")
     )
     return above.unionByName(boundary)
+
+
+def q_dsir_topfrac(
+    spark: SparkSession, sf_dir: str, frac: float = 0.5
+) -> DataFrame:
+    """The DSIR corpus-selection operator end-to-end: weights, then the
+    scale-safe histogram-threshold top-`frac` selection
+    (`dsir_select_top_frac`) — the shape jobs/run_corpus_build.py
+    --sample-mode dsir runs.  The oracle expresses the identical
+    selection as a window rank (the selection is pytest-locked
+    bit-identical to global top-k), so the driver value-hashes the
+    EXACT kept set and its weights."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    w = dsir_weights_for(docs).localCheckpoint(eager=False)
+    kept = dsir_select_top_frac(w, frac)
+    return kept.join(
+        w.select("doc_id", "lang", "dsir_weight"), "doc_id"
+    ).select("doc_id", "lang", "dsir_weight")
 
 
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,6 +1507,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_quantile_gate_approx": q_quality_quantile_gate_approx,
     "lm_score_broadcast": q_lm_score_broadcast,
     "dsir_weights": q_dsir_weights,
+    "dsir_topfrac": q_dsir_topfrac,
+    "bm25_topk": q_bm25_topk,
     "corpus_diff": q_corpus_diff,
     "lm_score": q_lm_score,
     "dedup_exact": q_exact_dups,
@@ -1508,6 +1624,95 @@ WITH media AS (
     END AS body_bytes,
     'real' AS decode_ok
   FROM documents
+)
+"""
+
+
+def _bm25_sql() -> str:
+    """Generated BM25 oracle — per-term score expressions expanded
+    textually in FIXED term order (rk 1..N) so the three-term addition
+    matches the Spark expression's order exactly; the per-(doc, rk)
+    pivot uses sum(CASE ... ELSE 0) over exactly one non-zero row, so
+    no FP reorder can occur.  Constants mirror BM25_K1/B/N_TERMS/TOPK."""
+    k1, b, n_terms, topk = BM25_K1, BM25_B, BM25_N_TERMS, BM25_TOPK
+
+    def sc(rk: int) -> str:
+        return f"sum(CASE WHEN rk = {rk} THEN sc ELSE 0.0 END)"
+
+    total = " + ".join(sc(rk) for rk in range(1, n_terms + 1))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(t)) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
+  FROM d
+), vc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM d)
+  GROUP BY 1 ORDER BY c DESC, tok LIMIT {n_terms}
+), terms AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM vc
+), dfs AS (
+  SELECT tm.rk, tm.tok,
+         (SELECT CAST(count(*) AS BIGINT) FROM d
+          WHERE list_contains(d.t, tm.tok)) AS df
+  FROM terms tm
+), per AS (
+  SELECT d.doc_id, f.rk,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * ((len(list_filter(d.t, x -> x = f.tok)) * {k1 + 1.0}) /
+            (len(list_filter(d.t, x -> x = f.tok))
+             + {k1} * ({1.0 - b} + {b} * (len(d.t) / s.avgdl)))) AS sc
+  FROM d, dfs f, stats s
+), agg AS (
+  SELECT doc_id, {total} AS score FROM per GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id,
+         CAST(floor(score * 1000.0 + 0.5) AS BIGINT) AS bm25_e3
+  FROM agg
+)
+SELECT doc_id, bm25_e3,
+       CAST(row_number() OVER (ORDER BY bm25_e3 DESC, doc_id) AS BIGINT)
+         AS rank
+FROM ranked
+ORDER BY bm25_e3 DESC, doc_id
+LIMIT {topk}
+"""
+
+
+# Shared DSIR oracle body: md5 hex-digit buckets → smoothed log-ratio
+# vector → per-doc mean, ending at a `scored(doc_id, lang, n_tok, s)`
+# CTE both dsir oracles build on.  Mirrors dsir_weights_for exactly.
+_DSIR_WEIGHTS_CTE = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bu
+  FROM (SELECT doc_id, lang, unnest(t) AS tok FROM toks)
+), counts AS (
+  SELECT bu % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_tgt
+  FROM tok GROUP BY 1
+), tot AS (
+  SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM counts
+), lr AS (
+  SELECT g.b AS bucket,
+         ln((coalesce(c.c_tgt, 0) + 1) / (t.t_tgt + 64.0))
+         - ln((coalesce(c.c_raw, 0) + 1) / (t.t_raw + 64.0)) AS lr
+  FROM generate_series(0, 63) g(b)
+  LEFT JOIN counts c ON c.bucket = g.b, tot t
+), scored AS (
+  SELECT tok.doc_id, any_value(tok.lang) AS lang,
+         count(*) AS n_tok, sum(lr.lr) AS s
+  FROM tok JOIN lr ON tok.bu % 64 = lr.bucket
+  GROUP BY tok.doc_id
 )
 """
 
@@ -1705,38 +1910,30 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
   CASE WHEN n_in > 0 THEN floor(s / n_in * 1000.0 + 0.5) / 1000.0 END AS avg_logprob
 FROM scored
 """,
-        "dsir_weights": """
-WITH toks AS (
-  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
-  FROM documents WHERE trim(text) <> ''
-), tok AS (
-  SELECT doc_id, lang,
-         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bu
-  FROM (SELECT doc_id, lang, unnest(t) AS tok FROM toks)
-), counts AS (
-  SELECT bu % 64 AS bucket,
-         CAST(count(*) AS BIGINT) AS c_raw,
-         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_tgt
-  FROM tok GROUP BY 1
-), tot AS (
-  SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM counts
-), lr AS (
-  SELECT g.b AS bucket,
-         ln((coalesce(c.c_tgt, 0) + 1) / (t.t_tgt + 64.0))
-         - ln((coalesce(c.c_raw, 0) + 1) / (t.t_raw + 64.0)) AS lr
-  FROM generate_series(0, 63) g(b)
-  LEFT JOIN counts c ON c.bucket = g.b, tot t
-), scored AS (
-  SELECT tok.doc_id, any_value(tok.lang) AS lang,
-         count(*) AS n_tok, sum(lr.lr) AS s
-  FROM tok JOIN lr ON tok.bu % 64 = lr.bucket
-  GROUP BY tok.doc_id
-)
+        "dsir_weights": _DSIR_WEIGHTS_CTE + """
 SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
        floor(s / n_tok * 1000.0 + 0.5) / 1000.0 + 0.0 AS dsir_weight
 FROM scored
 """,
+        # the histogram-threshold selection is bit-identical to the
+        # global (weight desc, doc_id) top-k (pytest-locked), so the
+        # oracle can express it as a plain window rank
+        "dsir_topfrac": _DSIR_WEIGHTS_CTE + """
+, weights AS (
+  SELECT doc_id, lang,
+         floor(s / n_tok * 1000.0 + 0.5) / 1000.0 + 0.0 AS dsir_weight
+  FROM scored
+), ranked AS (
+  SELECT doc_id, lang, dsir_weight,
+         row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM weights
+)
+SELECT doc_id, lang, dsir_weight
+FROM ranked
+WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
+""",
+        "bm25_topk": _bm25_sql(),
         "corpus_diff": """
 WITH prev AS (
   SELECT doc_id,

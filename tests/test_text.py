@@ -489,6 +489,61 @@ def test_dsir_select_top_frac_equals_global_topk(spark, frac):
     assert got == want
 
 
+def test_bm25_plan_and_python_recompute(spark):
+    """BM25 top-k: the scoring pass is a pure fold ending in
+    TakeOrderedAndProject (no Window sort of the corpus, no UDF), and
+    the scores equal a from-scratch Python BM25 over the same terms."""
+    import math
+
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        BM25_B,
+        BM25_K1,
+        BM25_N_TERMS,
+        BM25_TOPK,
+        q_bm25_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q_bm25_topk(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan
+
+    got = df.collect()
+    assert len(got) == BM25_TOPK
+    assert [r["rank"] for r in got] == list(range(1, BM25_TOPK + 1))
+
+    # from-scratch recompute
+    docs = [
+        (r["doc_id"], r["text"].strip().lower().split())
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["text"].strip()
+    ]
+    from collections import Counter
+
+    counts = Counter(t for _, toks in docs for t in toks)
+    terms = [
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:BM25_N_TERMS]
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    scores = {}
+    for doc_id, toks in docs:
+        s = 0.0
+        for term in terms:
+            df_t = sum(1 for _, tt in docs if term in tt)
+            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            tf = toks.count(term)
+            s += idf * (
+                (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avgdl))
+            )
+        scores[doc_id] = math.floor(s * 1000.0 + 0.5)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    assert [(r["doc_id"], r["bm25_e3"]) for r in got] == want
+
+
 def test_corpus_diff_statuses(spark):
     """All four diff classes populated and equal to a Python
     recomputation of the same snapshot derivation."""
