@@ -1133,6 +1133,84 @@ def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup threshold — baked into BOTH the Spark filter (as the e5
+# integer) and the SQL oracle (as the raw float); change together.
+SEMDEDUP_TAU = 0.8
+SEMDEDUP_TAU_E5 = 80000
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-duplicate pruning via cluster-then-compare: k-means the
+    embedding space, then compute pairwise cosine ONLY within each
+    cluster and drop every vector that has a lower-id near-duplicate
+    (deterministic min-id keep rule) in its cell.  Output is one row
+    per dropped vector: (vec_id, cell, keeper=min dup partner, sim_e5
+    to that keeper).
+
+    Composition of proven pieces: the quantizer is the SAME
+    deterministic Lloyd's as `kmeans` (knuth seed, L2 argmin with
+    lowest-cell tie-break, 6-dp means — the oracle reuses those CTEs
+    verbatim), assignment is the per-row JVM argmin of `ann_ivf_topk`,
+    and the pair verify is the exact-cosine fold of `dedup_embedding`.
+    Injected copies (vec_id+10^6, identical embedding) land in the same
+    cell by construction, so the dropped set is deterministic and
+    non-empty.
+
+    Scale shape (the SemDeDup design point): NO corpus-wide pair join —
+    candidates come from an equi-join on `cell`, and k grows with the
+    corpus (the paper uses k ≈ N/5000) so per-cell pair work stays
+    bounded; skewed cells would take the same capped-bucket guard as
+    `dedup.py:_cap_buckets`.  Training is metadata-scale (k-row agg
+    per iteration); assignment is a pure per-row map."""
+    from rxtls_spark.operators.embedding_dedup import (
+        with_injected_embedding_dups,
+    )
+    from rxtls_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    uni = with_injected_embedding_dups(emb)
+    asg = uni.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias("cell"),
+    ).localCheckpoint(eager=False)  # assign once for both join sides
+    a = asg.select(
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("emb_a"),
+        "cell",
+    )
+    b = asg.select(
+        "vec_id", F.col("embedding").alias("emb_b"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("keeper") < F.col("vec_id"))
+        .withColumn(
+            "sim_e5",
+            F.floor(cosine_expr("emb_a", "emb_b") * 100000).cast("long"),
+        )
+        .where(F.col("sim_e5") >= SEMDEDUP_TAU_E5)
+    )
+    return pairs.groupBy("vec_id").agg(
+        F.min("cell").cast("long").alias("cell"),
+        F.min("keeper").alias("keeper"),
+        F.min_by("sim_e5", "keeper").alias("sim_e5"),
+    )
+
+
 # --- similarity -----------------------------------------------------------------
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,11 +1407,12 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM) -> str:
-    """Unrolled Lloyd's in DuckDB SQL mirroring q_kmeans exactly:
-    same Knuth-hash seeds, same L2 argmin with (distance, cell)
-    tie-break, same 6-dp rounded means, empty cells keep their
-    previous centroid."""
+def _kmeans_cents_ctes(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
+) -> list[str]:
+    """The unrolled-Lloyd's CTE chain (e, cents0 .. cents{iters}) shared
+    verbatim by the `kmeans` and `semantic_dedup` oracles — both mirror
+    `train_ivf_centroids(metric='l2', seed_order=knuth, round_dp=6)`."""
     ctes = [
         f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -1368,6 +1447,15 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_
   FROM cents{it - 1} c LEFT JOIN newc{it} n USING (cell)
 )"""
         )
+    return ctes
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM) -> str:
+    """Unrolled Lloyd's in DuckDB SQL mirroring q_kmeans exactly:
+    same Knuth-hash seeds, same L2 argmin with (distance, cell)
+    tie-break, same 6-dp rounded means, empty cells keep their
+    previous centroid."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
     ctes.append(
         f"""counts AS (
   SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM (
@@ -1389,6 +1477,48 @@ SELECT CAST(c.cell AS BIGINT) AS cell, CAST(t.i - 1 AS BIGINT) AS i,
        c.centroid[t.i] AS m, coalesce(n.n_vecs, 0) AS n_vecs
 FROM cents{iters} c
 LEFT JOIN counts n USING (cell), generate_series(1, {dim}) t(i)
+"""
+    )
+
+
+def _semantic_dedup_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
+) -> str:
+    """SemDeDup oracle: the SAME unrolled-Lloyd's centroid CTEs as the
+    `kmeans` oracle (trained on the BASE embeddings table), then the
+    base+injected-copy union assigned to cells by the identical
+    (list_distance, cell) argmin, within-cell pairs above τ, and the
+    per-victim (min-keeper, arg_min sim) aggregation mirroring the
+    Spark groupBy exactly."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+uni AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 25 = 0
+), asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT u.vec_id, u.emb, c.cell,
+      row_number() OVER (PARTITION BY u.vec_id
+                         ORDER BY list_distance(u.emb, c.centroid), c.cell
+      ) AS rn
+    FROM uni u, cents{iters} c)
+  WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id AS vec_id, a.cell AS cell, a.vec_id AS keeper,
+    CAST(floor(list_cosine_similarity(a.emb, b.emb) * 100000) AS BIGINT)
+      AS sim_e5
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= {SEMDEDUP_TAU}
+)
+SELECT vec_id, CAST(min(cell) AS BIGINT) AS cell, min(keeper) AS keeper,
+       arg_min(sim_e5, keeper) AS sim_e5
+FROM pairs GROUP BY vec_id
 """
     )
 
@@ -1521,6 +1651,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding": q_embedding_dups,
     "dedup_embedding_lsh": q_embedding_dups_lsh,
+    "semantic_dedup": q_semantic_dedup,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -2042,6 +2173,7 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= 10
 """,
         "kmeans": _kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "embedding_quantize": """
 WITH e AS (
   SELECT vec_id, label,

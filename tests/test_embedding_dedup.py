@@ -62,3 +62,59 @@ def test_lsh_subset_of_exact(spark, emb_dup):
     exact = {(r["vec_a"], r["vec_b"]) for r in embedding_dup_pairs(emb_dup, 0.8).collect()}
     lsh = {(r["vec_a"], r["vec_b"]) for r in embedding_dup_pairs_lsh(emb_dup, 0.8).collect()}
     assert lsh <= exact
+
+
+def test_semantic_dedup_drops_copies_cluster_scoped(spark):
+    """SemDeDup: every injected copy is dropped with its original as
+    keeper (identical embedding -> same cell, sim ~= 1.0); every victim
+    shares a cell with its keeper; and the candidate join is an
+    equi-join on cell (no nested-loop / cartesian pair enumeration)."""
+    from rxtls_spark.operators.embedding_dedup import DUP_OFFSET
+    from rxtls_spark.operators.similarity import ivf_assign_expr, train_ivf_centroids
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _emb,
+        q_semantic_dedup,
+    )
+    from rxtls_spark.functions.hashing import knuth_hash
+    from tests.conftest import SF_SMOKE
+
+    df = q_semantic_dedup(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {r["vec_id"]: r for r in df.collect()}
+
+    emb = _emb(spark, SF_SMOKE)
+    injected = [
+        r["vec_id"] for r in emb.where(F.col("vec_id") % 25 == 0).collect()
+    ]
+    assert injected
+    for v in injected:
+        row = got[v + DUP_OFFSET]
+        assert row["keeper"] == v
+        assert row["sim_e5"] >= 99999  # identical vectors, ulp-tolerant
+
+    # victim and keeper always share the assigned cell
+    cents = train_ivf_centroids(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")), round_dp=6,
+    )
+    from rxtls_spark.operators.embedding_dedup import (
+        with_injected_embedding_dups,
+    )
+
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in with_injected_embedding_dups(emb)
+        .select(
+            "vec_id",
+            ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias("cell"),
+        )
+        .collect()
+    }
+    for v, row in got.items():
+        assert row["cell"] == cell_of[v] == cell_of[row["keeper"]]
