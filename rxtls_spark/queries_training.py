@@ -1211,6 +1211,202 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span-dedup constants — W mirrored in the oracle SQL; change together.
+SPAN_W = 10
+SPAN_DUP_OFFSET = 1_000_000_000
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span deduplication (Raffel et al. 2020
+    §2.2 dedup three-sentence spans; here fixed ``SPAN_W``-word spans
+    since the corpus is flat word streams): every occurrence of a span
+    after its global first occurrence (ordered by doc_id, span idx) is
+    removed, and each document is re-assembled from its surviving
+    spans.  Emits per doc: n_spans, n_kept, md5 of the re-assembled
+    text (null when the whole doc was consumed by earlier documents).
+    Injected full copies (doc_id+10^9 for doc_id%20==0, the
+    dedup_minhash convention) deterministically lose every span.
+
+    Scale shape: tokenize + span-split is a pure map (the doc_chunks
+    transform/sequence/slice pattern, no UDF); first-occurrence is ONE
+    hash-partitioned window over span text (partition = identical
+    span — never a global sort; a pathologically hot span would take
+    the dedup.py bucket-cap guard); re-assembly is one per-doc hash
+    agg with an in-group array_sort — 2 exchanges total, both on keys
+    that scale with the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    uni = docs.unionByName(
+        docs.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + F.lit(SPAN_DUP_OFFSET)).alias("doc_id"),
+            "text",
+        )
+    )
+    t = uni.select("doc_id", _lm_tokens().alias("t"))
+    n = F.size("t")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(SPAN_W)).cast("int") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("t"), i * SPAN_W + 1, SPAN_W)
+        ),
+    )
+    ex = t.where(n > 0).select(
+        "doc_id", F.posexplode(spans).alias("idx", "span")
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "idx")
+    flagged = ex.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("kept") == 1, F.struct("idx", "span")))
+    )
+    out = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["span"]), " "
+        ).alias("kept_text"),
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.md5("kept_text")).alias("kept_md5"),
+    )
+
+
+# PCA power-iteration count / dim — mirrored in the unrolled oracle SQL.
+PCA_ITERS = 3
+PCA_DIM = 64
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embedding store —
+    the dimensionality-reduction step a curation pipeline runs before
+    clustering/visualization — via DETERMINISTIC power iteration, and
+    (as with `kmeans`) the training loop itself is value-hash-checked
+    by an unrolled SQL mirror.
+
+    Method: center on the 6-dp-rounded per-dim mean (one agg; the
+    rounding makes μ bit-identical cross-engine), start from the
+    uniform unit vector, then ``PCA_ITERS`` × [one agg pass computing
+    s_j = Σ_i d_i·(x_ij-μ_j) with d_i = (x_i-μ)·v, normalize, round
+    components to 6 dp, flip so c1 ≥ 0].  Per-row dot products are
+    left-to-right folds in index order on BOTH engines, so every d_i
+    is computed on identical doubles; cross-row sum-order noise is
+    absorbed by the 6-dp round exactly like the kmeans means.  Output
+    is the per-vector projection (x-μ)·v, floor-stable-rounded to 5 dp
+    (signed-safe form).
+
+    Scale shape: dim-column agg passes (bounded output) + pure per-row
+    maps — no shuffle of the corpus beyond one partial agg per
+    iteration; v and μ travel as literals."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    dim = PCA_DIM
+    x = [F.element_at("embedding", j + 1).cast("double") for j in range(dim)]
+    mu_row = emb.agg(
+        *[F.avg(x[j]).alias(f"m{j}") for j in range(dim)]
+    ).collect()[0]
+    mu = [math.floor(mu_row[f"m{j}"] * 1e6 + 0.5) / 1e6 for j in range(dim)]
+    c = [x[j] - F.lit(mu[j]) for j in range(dim)]
+
+    def dot_v(v: list[float]):
+        d = c[0] * F.lit(v[0])
+        for j in range(1, dim):
+            d = d + c[j] * F.lit(v[j])
+        return d
+
+    v = [0.125] * dim
+    for _ in range(PCA_ITERS):
+        d = dot_v(v)
+        srow = emb.agg(
+            *[F.sum(d * c[j]).alias(f"s{j}") for j in range(dim)]
+        ).collect()[0]
+        s = [srow[f"s{j}"] for j in range(dim)]
+        norm = math.sqrt(sum(t * t for t in s))
+        v = [math.floor(s[j] / norm * 1e6 + 0.5) / 1e6 for j in range(dim)]
+        if v[0] < 0:
+            v = [-t for t in v]
+
+    pc1 = F.floor(dot_v(v) * F.lit(100000.0) + F.lit(0.5)) / F.lit(100000.0)
+    return emb.select("vec_id", "label", pc1.alias("pc1"))
+
+
+def _embedding_pca_sql(dim: int = PCA_DIM, iters: int = PCA_ITERS) -> str:
+    """Unrolled power iteration mirroring q_embedding_pca exactly:
+    6-dp-rounded mean, uniform start vector, per-iteration
+    (sum → normalize → 6-dp round → sign-flip on c1), 5-dp
+    floor-stable projection.  All dot products expand textually in
+    index order so the FP addition order matches the Spark fold."""
+    mu_cols = ", ".join(
+        f"floor(avg(emb[{j + 1}]) * 1000000 + 0.5) / 1000000 AS m{j + 1}"
+        for j in range(dim)
+    )
+    parts = [
+        f"""e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), mu AS (
+  SELECT {mu_cols} FROM e
+)"""
+    ]
+
+    def d_expr(vref) -> str:
+        return " + ".join(
+            f"(e.emb[{j + 1}] - mu.m{j + 1}) * {vref(j)}" for j in range(dim)
+        )
+
+    prev = None
+    for it in range(1, iters + 1):
+        if prev is None:
+            vref = lambda j: "0.125"  # noqa: E731
+            extra = ""
+        else:
+            vref = lambda j, p=prev: f"{p}.c{j + 1}"  # noqa: E731
+            extra = f", {prev}"
+        sums = ", ".join(
+            f"sum(t.d * (t.emb[{j + 1}] - mu.m{j + 1})) AS s{j + 1}"
+            for j in range(dim)
+        )
+        norm = " + ".join(f"s{j + 1} * s{j + 1}" for j in range(dim))
+        comps = ", ".join(
+            f"floor(s{j + 1} / nrm * 1000000 + 0.5) / 1000000 AS c{j + 1}"
+            for j in range(dim)
+        )
+        flipped = ", ".join(f"sgn * c{j + 1} AS c{j + 1}" for j in range(dim))
+        parts.append(
+            f"""it{it} AS (
+  SELECT {sums}
+  FROM (SELECT e.emb, {d_expr(vref)} AS d FROM e, mu{extra}) t, mu
+), n{it} AS (
+  SELECT *, sqrt({norm}) AS nrm FROM it{it}
+), vr{it} AS (
+  SELECT {comps} FROM n{it}
+), v{it} AS (
+  SELECT {flipped}
+  FROM (SELECT *, CASE WHEN c1 < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM vr{it})
+)"""
+        )
+        prev = f"v{it}"
+    final_d = d_expr(lambda j: f"{prev}.c{j + 1}")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT e.vec_id, e.label,
+       floor(({final_d}) * 100000 + 0.5) / 100000 AS pc1
+FROM e, mu, {prev}
+"""
+    )
+
+
 # --- similarity -----------------------------------------------------------------
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1652,6 +1848,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_embedding_dups,
     "dedup_embedding_lsh": q_embedding_dups_lsh,
     "semantic_dedup": q_semantic_dedup,
+    "span_dedup": q_span_dedup,
+    "embedding_pca": q_embedding_pca,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -2174,6 +2372,37 @@ WHERE rn <= 10
 """,
         "kmeans": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "embedding_pca": _embedding_pca_sql(),
+        "span_dedup": f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), uni AS (
+  SELECT doc_id, t FROM base
+  UNION ALL
+  SELECT doc_id + {SPAN_DUP_OFFSET}, t FROM base WHERE doc_id % 20 = 0
+), ex0 AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, CAST(ceil(len(t) / {SPAN_W}.0) AS BIGINT))) AS i
+  FROM uni WHERE len(t) > 0
+), ex AS (
+  SELECT doc_id, i - 1 AS idx,
+         array_to_string(t[(i-1)*{SPAN_W} + 1 : (i-1)*{SPAN_W} + {SPAN_W}], ' ') AS span
+  FROM ex0
+), flagged AS (
+  SELECT doc_id, idx, span,
+         CASE WHEN row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM ex
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CASE WHEN sum(kept) > 0
+            THEN md5(string_agg(span, ' ' ORDER BY idx) FILTER (WHERE kept = 1))
+       END AS kept_md5
+FROM flagged GROUP BY doc_id
+""",
         "embedding_quantize": """
 WITH e AS (
   SELECT vec_id, label,

@@ -375,3 +375,50 @@ def test_embedding_quantize_matches_numpy(spark):
         assert abs(got[int(lab)]["avg_mse"] - round(float(mse[m].mean()), 9)) <= 1e-9
         # half-step bound: per-dim |x - deq| <= span/255/2 (+ float slop)
         assert got[int(lab)]["avg_mse"] <= float(((span / 255 / 2) ** 2).mean()) * 1.01
+
+
+def test_embedding_pca_numpy_recompute(spark):
+    """q_embedding_pca == an exact numpy replica of the deterministic
+    power iteration (same 6-dp mean/component rounding, same sign
+    rule, same 5-dp floor-stable projection), and the found direction
+    captures above-average variance."""
+    import math
+
+    from rxtls_spark.queries_training import PCA_ITERS, q_embedding_pca
+
+    got = {
+        r["vec_id"]: (r["label"], r["pc1"])
+        for r in q_embedding_pca(spark, SF_SMOKE).collect()
+    }
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def r6(a):
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
+    mu = r6(X.mean(axis=0))
+    C = X - mu
+    v = np.full(X.shape[1], 0.125)
+    for _ in range(PCA_ITERS):
+        d = C @ v
+        s = d @ C
+        v = r6(s / math.sqrt(float((s * s).sum())))
+        if v[0] < 0:
+            v = -v
+    pc1 = np.floor((C @ v) * 1e5 + 0.5) / 1e5
+
+    assert set(got) == set(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid] == (labels[vid], pc1[i]), vid
+
+    # the power-iteration direction explains above-average variance
+    var_along = float(((C @ v) ** 2).mean()) / float((v @ v))
+    avg_dim_var = float((C ** 2).mean(axis=0).mean())
+    assert var_along > avg_dim_var

@@ -675,3 +675,62 @@ def test_text_oracles_agree_on_unicode_and_vt(spark, tmp_path):
         o = normalize_frame(con.execute(oracles[name]).fetchdf())
         assert list(s.columns) == list(o.columns), name
         pd.testing.assert_frame_equal(s, o, obj=name)
+
+
+def test_span_dedup_python_recompute(spark):
+    """span_dedup == a from-scratch Python first-occurrence sweep, and
+    every injected full copy loses all its spans; plan has no
+    cartesian pair enumeration and no UDF."""
+    import hashlib
+
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        SPAN_DUP_OFFSET,
+        SPAN_W,
+        q_span_dedup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q_span_dedup(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["kept_md5"])
+        for r in df.collect()
+    }
+
+    base = [
+        (r["doc_id"], r["text"].strip().lower().split())
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["text"].strip()
+    ]
+    uni = base + [
+        (d + SPAN_DUP_OFFSET, t) for d, t in base if d % 20 == 0
+    ]
+    rows = []
+    for d, toks in uni:
+        for i in range(0, (len(toks) + SPAN_W - 1) // SPAN_W):
+            rows.append((d, i, " ".join(toks[i * SPAN_W:(i + 1) * SPAN_W])))
+    seen = set()
+    per_doc = {}
+    for d, i, span in sorted(rows):
+        ns, nk, kept = per_doc.setdefault(d, [0, 0, []])
+        per_doc[d][0] += 1
+        if span not in seen:
+            seen.add(span)
+            per_doc[d][1] += 1
+            per_doc[d][2].append(span)
+    want = {
+        d: (
+            ns,
+            nk,
+            hashlib.md5(" ".join(kept).encode()).hexdigest() if nk else None,
+        )
+        for d, (ns, nk, kept) in per_doc.items()
+    }
+    assert got == want
+    copies = [d for d in got if d >= SPAN_DUP_OFFSET]
+    assert copies
+    assert all(got[d][1] == 0 and got[d][2] is None for d in copies)
