@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rxtls_spark.functions.hashing import knuth_hash
+from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P, knuth_hash
 from rxtls_spark.functions.text import (
     LANG_MARKERS,
     LANG_PRIORITY,
@@ -1407,6 +1407,341 @@ FROM e, mu, {prev}
     )
 
 
+# --- epoch shuffle / sharding -------------------------------------------------
+
+# Shard count for the deterministic epoch shuffle — mirrored in the
+# `shuffle_shards` oracle SQL; change together.
+SHUFFLE_N_SHARDS = 16
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment — the step that
+    turns a curated corpus into a training-order dataset: every doc
+    gets a pseudo-random order key (`knuth_hash`, the ANSI-safe
+    multiplicative hash — xxh3 would defeat the SQL oracle), a shard
+    (key mod ``SHUFFLE_N_SHARDS``), and its 0-based position within
+    the shard ordered by (key, doc_id).  Same-seed runs reproduce the
+    exact order — the property training jobs need for resumable
+    epochs and for the reference's deterministic routing analog
+    (F16 shard key, /root/reference/internal/core/router.go route
+    hashing re-expressed over docs instead of domains).
+
+    Scale shape: ONE exchange hash-partitioned on shard + an
+    in-partition sort (Exchange+Sort+Window — never a global sort);
+    at 10^12 rows this is exactly repartition(S) +
+    sortWithinPartitions with one writer file per shard.  Plan-locked
+    to a single exchange and zero UDFs in tests/test_plans.py."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    key = knuth_hash(F.col("doc_id"))
+    keyed = docs.select(
+        "doc_id",
+        key.alias("order_key"),
+        (key % F.lit(SHUFFLE_N_SHARDS)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col("order_key").cast("long").alias("order_key"),
+    )
+
+
+def _shuffle_shards_sql() -> str:
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         ((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS order_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(order_key % {SHUFFLE_N_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY order_key % {SHUFFLE_N_SHARDS}
+                               ORDER BY order_key, doc_id) - 1
+            AS BIGINT) AS pos,
+       CAST(order_key AS BIGINT) AS order_key
+FROM k
+"""
+
+
+# --- distributed classifier training -------------------------------------------
+
+# Logistic-regression training constants — baked into the unrolled
+# `_logreg_sql` oracle; change together.
+LOGREG_ITERS = 5
+LOGREG_LR = 0.5
+
+
+def logreg_features(docs: DataFrame) -> DataFrame:
+    """The (x1, x2, x3, y) feature/label projection q_logreg_quality
+    trains on — a pure map over docs (plan-locked in test_plans.py:
+    its gradient agg is one partial-agg exchange, join/window/UDF
+    free)."""
+    feats = quality_features()
+    return docs.select(
+        feats["alpha_ratio"].alias("x1"),
+        F.least(feats["n_chars"] / F.lit(500.0), F.lit(1.0)).alias("x2"),
+        feats["punct_ratio"].alias("x3"),
+        F.when(lang_guess() == "en", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training as a first-class
+    operator — the quality-classifier step of a curation pipeline
+    (a fastText-style doc classifier reduced to its distributed
+    core: full-batch gradient descent over doc features), and as
+    with `kmeans` and `embedding_pca` the TRAINING LOOP itself is
+    value-hash-checked against an unrolled SQL mirror.
+
+    Features per doc — identical rational doubles on both engines:
+    x1 = alpha_ratio, x2 = min(n_chars/500, 1), x3 = punct_ratio,
+    plus bias; label y = [lang_guess == 'en'].  ``LOGREG_ITERS``
+    GD steps at lr ``LOGREG_LR``: per-step mean-gradient components
+    and the pre-update mean log-loss are rounded 6-dp STABLE (floor
+    form, the kmeans-means discipline) so cross-engine exp()/ln()
+    ulp noise and sum-order drift (~1e-12 absolute) cannot move
+    them; the weight recurrence w -= lr*g then evolves as identical
+    doubles on both engines.  Emits (it, j, w, loss) per step — the
+    monotone loss column is the training-progress proof.
+
+    Scale shape: one 5-scalar hash agg per iteration over a pure-map
+    feature projection (the kmeans loop shape — no explode, no join,
+    no window; plan-locked 0 extra exchanges); weights travel as
+    literals; driver state is 4 floats."""
+    import math
+
+    fx = logreg_features(_docs(spark, sf_dir))
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    wv = [0.0, 0.0, 0.0, 0.0]
+    rows = []
+    for it in range(1, LOGREG_ITERS + 1):
+        # fold order (((w0*1 + w1*x1) + w2*x2) + w3*x3) mirrors the SQL
+        # text exactly — both engines add in the same IEEE order
+        m = (
+            F.lit(wv[0]) * xs[0]
+            + F.lit(wv[1]) * xs[1]
+            + F.lit(wv[2]) * xs[2]
+            + F.lit(wv[3]) * xs[3]
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        err = p - F.col("y")
+        agg = fx.agg(
+            *[F.sum(err * xs[j]).alias(f"g{j}") for j in range(4)],
+            F.sum(
+                -(
+                    F.col("y") * F.log(p)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                )
+            ).alias("l"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = float(agg["n"])
+        g = [
+            math.floor(agg[f"g{j}"] / n * 1e6 + 0.5) / 1e6 for j in range(4)
+        ]
+        loss = math.floor(agg["l"] / n * 1e6 + 0.5) / 1e6
+        wv = [wv[j] - LOGREG_LR * g[j] for j in range(4)]
+        rows += [(it, j, wv[j], loss) for j in range(4)]
+    return spark.createDataFrame(rows, "it long, j long, w double, loss double")
+
+
+def _logreg_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """Unrolled full-batch GD in DuckDB mirroring q_logreg_quality
+    exactly: same features/label CTE as text_features, same fold order
+    in the margin, 6-dp floor-stable mean gradients and loss, same
+    w -= lr*g recurrence on the rounded values."""
+    parts = [
+        _scored_feats_ctes(),
+        """fx AS (
+  SELECT alpha_ratio AS x1, least(n_chars / 500.0, 1.0) AS x2,
+         punct_ratio AS x3,
+         CASE WHEN lang_guess = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM feats
+), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""",
+    ]
+    for it in range(1, iters + 1):
+        m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+        p = f"(1.0 / (1.0 + exp(-{m})))"
+        parts.append(
+            f"""g{it} AS (
+  SELECT
+    floor(sum(({p} - y) * 1.0) / count(*) * 1000000 + 0.5) / 1000000 AS g0,
+    floor(sum(({p} - y) * x1) / count(*) * 1000000 + 0.5) / 1000000 AS g1,
+    floor(sum(({p} - y) * x2) / count(*) * 1000000 + 0.5) / 1000000 AS g2,
+    floor(sum(({p} - y) * x3) / count(*) * 1000000 + 0.5) / 1000000 AS g3,
+    floor(sum(-(y * ln({p}) + (1.0 - y) * ln(1.0 - {p}))) / count(*)
+          * 1000000 + 0.5) / 1000000 AS loss
+  FROM fx, w{it - 1} w
+), w{it} AS (
+  SELECT w.w0 - {lr} * g.g0 AS w0, w.w1 - {lr} * g.g1 AS w1,
+         w.w2 - {lr} * g.g2 AS w2, w.w3 - {lr} * g.g3 AS w3
+  FROM w{it - 1} w, g{it} g
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({it} AS BIGINT) AS it, CAST({j} AS BIGINT) AS j, "
+        f"w{it}.w{j} AS w, g{it}.loss AS loss FROM w{it}, g{it}"
+        for it in range(1, iters + 1)
+        for j in range(4)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+# --- BPE tokenizer training ----------------------------------------------------
+
+# BPE training constants — baked into the unrolled `_bpe_merges_sql`
+# oracle; change together.  The doubled-space merge-application trick
+# (see q_bpe_merges) is load-bearing on BOTH engines.
+BPE_ITERS = 8
+BPE_MAX_WORDS = 10000
+BPE_EOW = "</w>"
+
+
+def bpe_apply_merge(syms, left: str, right: str):
+    """Apply one BPE merge (left, right) -> left+right to a space-
+    separated symbol string via the DOUBLED-SPACE trick: doubling the
+    separators gives every pair occurrence its own boundary spaces, so
+    one left-to-right non-overlapping replace pass merges greedily
+    exactly like canonical BPE ('a a a' -> 'aa a') — and Spark, DuckDB
+    and Python str.replace all share that scan semantics (continue
+    after the replacement), so all three implementations agree
+    byte-for-byte (tests/test_text.py adversarial cases)."""
+    padded = F.concat(
+        F.lit(" "), F.replace(syms, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    replaced = F.replace(
+        padded, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+    )
+    return F.trim(F.replace(replaced, F.lit("  "), F.lit(" ")))
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016, learned merge
+    ops) as a first-class distributed operator — the merge table IS
+    the tokenizer model, and the merge LOOP is value-hash-checked by
+    an unrolled SQL mirror (the kmeans discipline).
+
+    Words are lowercase-ascii segments ``[a-z]+`` of the RAW text (no
+    lower(): engine lower() implementations disagree on exotic
+    unicode); the corpus collapses to a (word, count) table capped at
+    ``BPE_MAX_WORDS`` by (count desc, word) — the classical trick that
+    makes BPE training cost corpus-size-independent after one pass.
+    Each word starts as space-joined chars + ' </w>'.  Per merge step:
+    adjacent-pair counts weighted by word count (vocab-scale agg),
+    best pair by (total desc, pair asc) — ascii-binary order on both
+    engines — then the merge applies via the DOUBLED-SPACE replace
+
+        trim(collapse2(replace(' '+double(s)+' ', ' l  r ', ' lr ')))
+
+    where double() turns every separator into two spaces, so each
+    pair occurrence owns its boundary spaces and ONE left-to-right
+    non-overlapping replace pass (identical scan semantics in Spark
+    and DuckDB `replace`) merges occurrences greedily exactly like
+    canonical BPE ('a a a' -> 'aa a').  Emits (it, pair, merged,
+    total) for ``BPE_ITERS`` merges.
+
+    Scale shape: ONE corpus-scale pass (word-explode hash agg, capped
+    TakeOrdered); the loop then runs entirely on the cached bounded
+    word table — per step one vocab-scale agg + top-1 TakeOrdered,
+    merge application is a pure string map; no UDF anywhere."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(BPE_MAX_WORDS)
+    )
+    w0 = words.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1)), ' ')"
+            f" || ' {BPE_EOW}'"
+        ).alias("syms"),
+        "cnt",
+    ).cache()
+    syms = F.col("syms")
+    rows = []
+    for it in range(1, BPE_ITERS + 1):
+        arr = F.split(syms, " ")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda i: F.concat(
+                    F.get(arr, i), F.lit(" "), F.get(arr, i + 1)
+                ),
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)"))
+        best = (
+            w0.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("total"))
+            .orderBy(F.col("total").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        left, right = best["pair"].split(" ")
+        rows.append((it, best["pair"], left + right, int(best["total"])))
+        syms = bpe_apply_merge(syms, left, right)
+    w0.unpersist()
+    return spark.createDataFrame(
+        rows, "it long, pair string, merged string, total long"
+    )
+
+
+def _bpe_merges_sql(iters: int = BPE_ITERS) -> str:
+    """Unrolled BPE merge loop in DuckDB mirroring q_bpe_merges
+    exactly: same capped word table, same ' </w>' char seeding, same
+    (total desc, pair) winner, same doubled-space replace."""
+    parts = [
+        f"""words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+    FROM documents
+  ) GROUP BY word ORDER BY cnt DESC, word LIMIT {BPE_MAX_WORDS}
+), w0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(generate_series(1, length(word)),
+           i -> word[i:i]), ' ') || ' {BPE_EOW}' AS syms, cnt
+  FROM words
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""p{it} AS (
+  SELECT pair, CAST(sum(cnt) AS BIGINT) AS total FROM (
+    SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
+             i -> s[i] || ' ' || s[i + 1])) AS pair
+    FROM (SELECT string_split(syms, ' ') AS s, cnt FROM w{it - 1})
+  ) GROUP BY pair
+), b{it} AS MATERIALIZED (
+  SELECT pair, replace(pair, ' ', '') AS merged, total
+  FROM p{it} ORDER BY total DESC, pair LIMIT 1
+), w{it} AS MATERIALIZED (
+  SELECT trim(replace(replace(
+           ' ' || replace(syms, ' ', '  ') || ' ',
+           (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b{it}),
+           (SELECT ' ' || merged || ' ' FROM b{it})),
+         '  ', ' ')) AS syms, cnt
+  FROM w{it - 1}
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({it} AS BIGINT) AS it, pair, merged, total FROM b{it}"
+        for it in range(1, iters + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 # --- similarity -----------------------------------------------------------------
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1850,6 +2185,9 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "span_dedup": q_span_dedup,
     "embedding_pca": q_embedding_pca,
+    "shuffle_shards": q_shuffle_shards,
+    "logreg_quality": q_logreg_quality,
+    "bpe_merges": q_bpe_merges,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -2373,6 +2711,9 @@ WHERE rn <= 10
         "kmeans": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "embedding_pca": _embedding_pca_sql(),
+        "shuffle_shards": _shuffle_shards_sql(),
+        "logreg_quality": _logreg_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "span_dedup": f"""
 WITH base AS (
   SELECT doc_id,

@@ -206,3 +206,40 @@ def test_round4_training_plan_shapes(spark):
     assert p.count("ArrowEvalPython") == 1, p
     assert count_exchanges(lm) == 0
     assert shuffle_join_kinds(lm) == []
+
+
+def test_round5_training_plan_shapes(spark):
+    """Round-5 scale locks.  shuffle_shards: the epoch shuffle is ONE
+    exchange (hash-partitioned on shard) + in-partition sort + Window
+    — never a global sort, no UDF, no join.  logreg: the per-iteration
+    gradient agg over the feature projection is one partial-agg
+    exchange, join/window/UDF free (the kmeans loop shape)."""
+    from rxtls_spark.plans.checks import (
+        count_exchanges,
+        plan_string,
+        shuffle_join_kinds,
+    )
+    from rxtls_spark.queries_training import (
+        _docs,
+        logreg_features,
+        q_shuffle_shards,
+    )
+
+    sh = q_shuffle_shards(spark, SF_SMOKE)
+    p = plan_string(sh, "simple")
+    assert count_exchanges(sh) == 1, p
+    assert "Window" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert shuffle_join_kinds(sh) == []
+    # partitioned window, not a global sort: the Sort node is the
+    # window's local sort, so no Exchange rangepartitioning appears
+    assert "rangepartitioning" not in plan_string(sh, "formatted").lower(), p
+
+    fx = logreg_features(_docs(spark, SF_SMOKE))
+    g = fx.agg(*[F.sum(F.col(c)).alias(c) for c in ("x1", "x2", "x3", "y")])
+    gp = plan_string(g, "simple")
+    # <=1: at SF_SMOKE the source is a single partition and the global
+    # agg needs no exchange at all; at scale it is exactly one
+    assert count_exchanges(g) <= 1, gp
+    assert "Window" not in gp and "Join" not in gp, gp
+    assert "ArrowEvalPython" not in gp and "BatchEvalPython" not in gp, gp

@@ -734,3 +734,182 @@ def test_span_dedup_python_recompute(spark):
     copies = [d for d in got if d >= SPAN_DUP_OFFSET]
     assert copies
     assert all(got[d][1] == 0 and got[d][2] is None for d in copies)
+
+
+def test_bpe_apply_merge_is_greedy_left_canonical(spark):
+    """The doubled-space replace trick must reproduce canonical BPE
+    greedy-left merge application on the adversarial cases: chained
+    identical pairs, back-to-back occurrences, substring collisions
+    across symbol boundaries ('xa b' must NOT merge as 'a b'), and
+    merges touching the </w> marker."""
+    from rxtls_spark.queries_training import bpe_apply_merge
+
+    cases = [
+        # (syms, left, right, expected)
+        ("a a a", "a", "a", "aa a"),
+        ("a a a a", "a", "a", "aa aa"),
+        ("a b a b", "a", "b", "ab ab"),
+        ("x a b y", "a", "b", "x ab y"),
+        ("xa b c", "a", "b", "xa b c"),   # 'xa' != 'a': no merge
+        ("a bx c", "a", "b", "a bx c"),   # 'bx' != 'b': no merge
+        ("t h e </w>", "e", "</w>", "t h e</w>"),
+        ("e r e r", "e", "r", "er er"),
+        ("a", "a", "a", "a"),             # single symbol: no pairs
+        ("ab ab", "ab", "ab", "abab"),    # multi-char symbols merge too
+    ]
+    df = spark.createDataFrame(
+        [(i, s, l, r, e) for i, (s, l, r, e) in enumerate(cases)],
+        "i long, syms string, l string, r string, expected string",
+    )
+    # one expression per distinct (l, r) — evaluate case-by-case
+    for i, (s, left, right, expected) in enumerate(cases):
+        got = (
+            df.where(F.col("i") == i)
+            .select(bpe_apply_merge(F.col("syms"), left, right).alias("g"))
+            .collect()[0]["g"]
+        )
+        assert got == expected, (s, left, right, got, expected)
+        # Python str.replace shares the scan semantics — the BPE
+        # reference recompute below leans on this agreement
+        padded = " " + s.replace(" ", "  ") + " "
+        py = (
+            padded.replace(f" {left}  {right} ", f" {left}{right} ")
+            .replace("  ", " ")
+            .strip()
+        )
+        assert py == expected, (s, left, right, py, expected)
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    """Full-loop lock: q_bpe_merges' merge table equals a from-scratch
+    Python BPE (Sennrich-style greedy-left, capped word table) run on
+    the same corpus — every pair choice, merged symbol and count."""
+    import re
+    from collections import Counter
+
+    from rxtls_spark.queries_training import (
+        BPE_EOW,
+        BPE_ITERS,
+        BPE_MAX_WORDS,
+        q_bpe_merges,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["it"], r["pair"], r["merged"], r["total"])
+        for r in q_bpe_merges(spark, SF_SMOKE).orderBy("it").collect()
+    ]
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wc = Counter(w for t in texts for w in re.findall(r"[a-z]+", t))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_WORDS]
+    table = [(" ".join(w) + " " + BPE_EOW, c) for w, c in top]
+    expected = []
+    for it in range(1, BPE_ITERS + 1):
+        pc = Counter()
+        for syms, cnt in table:
+            toks = syms.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pc[a + " " + b] += cnt
+        pair, total = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        left, right = pair.split(" ")
+        expected.append((it, pair, left + right, total))
+        table = [
+            (
+                (" " + s.replace(" ", "  ") + " ")
+                .replace(f" {left}  {right} ", f" {left}{right} ")
+                .replace("  ", " ")
+                .strip(),
+                c,
+            )
+            for s, c in table
+        ]
+    assert got == expected
+    # best-pair frequency is non-increasing over merges (new pairs are
+    # bounded by the merged pair's count) — the classic BPE invariant
+    totals = [t for _, _, _, t in got]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_logreg_loop_matches_numpy_and_loss_decreases(spark):
+    """The GD recurrence (6-dp floor-stable mean gradients, w -= lr*g)
+    recomputed in numpy from the collected feature projection must
+    reproduce q_logreg_quality's weights exactly, and the pre-update
+    mean log-loss must strictly decrease across iterations."""
+    import math
+
+    import numpy as np
+
+    from rxtls_spark.queries_training import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        _docs,
+        logreg_features,
+        q_logreg_quality,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = q_logreg_quality(spark, SF_SMOKE).collect()
+    w_got = {(r["it"], r["j"]): r["w"] for r in out}
+    loss_got = sorted({r["it"]: r["loss"] for r in out}.items())
+
+    fx = logreg_features(_docs(spark, SF_SMOKE)).toPandas()
+    X = np.column_stack(
+        [np.ones(len(fx)), fx["x1"], fx["x2"], fx["x3"]]
+    ).astype(np.float64)
+    y = fx["y"].to_numpy(np.float64)
+    n = float(len(fx))
+    w = np.zeros(4)
+    for it in range(1, LOGREG_ITERS + 1):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        g = [
+            math.floor(float(np.sum((p - y) * X[:, j])) / n * 1e6 + 0.5)
+            / 1e6
+            for j in range(4)
+        ]
+        loss = (
+            math.floor(
+                float(np.sum(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+                / n
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        )
+        w = np.array([w[j] - LOGREG_LR * g[j] for j in range(4)])
+        for j in range(4):
+            # numpy sums pairwise vs Spark's partial-agg order: both
+            # land on the same 6-dp-rounded gradient, so weights match
+            # to the last bit after the stable round
+            assert abs(w_got[(it, j)] - w[j]) < 5e-7, (it, j)
+        assert abs(loss_got[it - 1][1] - loss) < 2e-6, it
+    losses = [l for _, l in loss_got]
+    assert losses == sorted(losses, reverse=True) and len(set(losses)) == len(
+        losses
+    )
+
+
+def test_shuffle_shards_is_a_deterministic_permutation(spark):
+    """Epoch-shuffle invariants: every doc appears exactly once,
+    positions within each shard are contiguous 0..n-1, and the
+    assignment is bit-stable across runs (resumable-epoch contract)."""
+    from rxtls_spark.queries_training import SHUFFLE_N_SHARDS, q_shuffle_shards
+    from tests.conftest import SF_SMOKE
+
+    a = q_shuffle_shards(spark, SF_SMOKE).collect()
+    b = q_shuffle_shards(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    docs = {r["doc_id"] for r in a}
+    assert len(docs) == len(a)
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < SHUFFLE_N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
