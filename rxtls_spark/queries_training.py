@@ -1467,6 +1467,171 @@ FROM k
 """
 
 
+# --- token-budget / epoch planner -----------------------------------------------
+
+# UniMax-style planner constants — MIRRORED in `_token_budget_sql`;
+# change together.  Budget = floor(total * NUM / DEN) tokens; each
+# (lang, source) stratum is capped at PLAN_MAX_EPOCHS passes over its
+# available tokens.
+TOKEN_BUDGET_NUM = 3
+TOKEN_BUDGET_DEN = 2
+PLAN_MAX_EPOCHS = 2
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget / epoch planner: given per-(lang, source) available
+    token counts, allocate a fixed training budget uniformly across
+    strata subject to an epoch cap — the UniMax sampling rule (Chung
+    et al. 2023, "UniMax: Fairer and More Effective Language
+    Sampling"), which prevents over-repeating small languages while
+    spending the whole budget.  This is the planning step between
+    corpus curation and `shuffle_shards`: its output (per-stratum
+    token allocations and epoch counts) parameterizes the sampler.
+
+    The iterative water-filling loop has an exact closed form over the
+    cap-sorted strata: with caps ascending, stratum i is capped iff
+    cap_i * (L - i + 1) + cumcap_{<i} < B (the condition is monotone,
+    so the capped set is a prefix), and every uncapped stratum gets an
+    equal share of the remaining budget.  All comparisons are BIGINT —
+    no float in the branch decision — so Spark and DuckDB agree
+    exactly; the fractional share and epoch ratio are single IEEE
+    divisions, floor-stable-rounded per CLAUDE.md discipline.
+
+    Scale shape: ONE exchange (the per-stratum partial agg); the
+    window pass runs over the strata table, which is metadata-scale
+    (#langs × #sources — thousands, not rows), the same bounded-
+    summary-then-plan shape as `quality_quantile_gate_approx`.  No
+    reference analog (the reference curates, never plans training
+    epochs); this is the training-data-pipeline extension."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    avail = docs.groupBy("lang", "source").agg(
+        F.sum(token_count()).cast("long").alias("avail_tokens")
+    )
+    caps = avail.select(
+        "lang",
+        "source",
+        "avail_tokens",
+        (F.col("avail_tokens") * PLAN_MAX_EPOCHS)
+        .cast("long")
+        .alias("cap_tokens"),
+    )
+    # strata table is metadata-scale: a single-partition window is the
+    # whole point (bounded summary on the driver-side of the plan).
+    order = Window.orderBy("cap_tokens", "lang", "source")
+    unb = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    flagged = caps.select(
+        "*",
+        F.row_number().over(order).alias("rn"),
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                order.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cum_excl"),
+        F.count(F.lit(1)).over(unb).cast("long").alias("n_strata"),
+        F.sum("avail_tokens").over(unb).cast("long").alias("total"),
+    ).withColumn(
+        "budget",
+        F.expr(
+            f"CAST((total * {TOKEN_BUDGET_NUM}) DIV {TOKEN_BUDGET_DEN} AS BIGINT)"
+        ),
+    ).withColumn(
+        "capped",
+        (
+            F.col("cap_tokens") * (F.col("n_strata") - F.col("rn") + 1)
+            + F.col("cum_excl")
+            < F.col("budget")
+        ).cast("long"),
+    )
+    planned = flagged.select(
+        "*",
+        F.sum(F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(0))
+        .over(unb)
+        .cast("long")
+        .alias("capped_sum"),
+        F.sum("capped").over(unb).cast("long").alias("n_capped"),
+    )
+    n_uncapped = F.col("n_strata") - F.col("n_capped")
+    share = (F.col("budget") - F.col("capped_sum")).cast("double") / n_uncapped.cast(
+        "double"
+    )
+    alloc = (
+        F.when(F.col("capped") == 1, F.col("cap_tokens"))
+        .when(n_uncapped == 0, F.col("cap_tokens"))
+        .otherwise(F.floor(share))
+        .cast("long")
+    )
+    return planned.select(
+        "lang",
+        "source",
+        "avail_tokens",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        round5_stable(
+            alloc.cast("double") / F.col("avail_tokens").cast("double")
+        ).alias("epochs"),
+        F.col("capped").alias("capped"),
+    )
+
+
+def _token_budget_sql() -> str:
+    tc = (
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array("
+        "trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END"
+    )
+    return f"""
+WITH avail AS (
+  SELECT lang, source, CAST(SUM({tc}) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY 1, 2
+), caps AS (
+  SELECT lang, source, avail_tokens,
+         CAST(avail_tokens * {PLAN_MAX_EPOCHS} AS BIGINT) AS cap_tokens
+  FROM avail
+), flagged AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY cap_tokens, lang, source) AS rn,
+    CAST(COALESCE(SUM(cap_tokens) OVER (
+        ORDER BY cap_tokens, lang, source
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_excl,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_strata,
+    CAST(SUM(avail_tokens) OVER () AS BIGINT) AS total
+  FROM caps
+), budgeted AS (
+  SELECT *,
+    CAST((total * {TOKEN_BUDGET_NUM}) // {TOKEN_BUDGET_DEN} AS BIGINT)
+      AS budget,
+    CASE WHEN cap_tokens * (n_strata - rn + 1) + cum_excl
+              < (total * {TOKEN_BUDGET_NUM}) // {TOKEN_BUDGET_DEN}
+         THEN 1 ELSE 0 END AS capped
+  FROM flagged
+), planned AS (
+  SELECT *,
+    CAST(SUM(CASE WHEN capped = 1 THEN cap_tokens ELSE 0 END) OVER ()
+         AS BIGINT) AS capped_sum,
+    CAST(SUM(capped) OVER () AS BIGINT) AS n_capped
+  FROM budgeted
+), alloced AS (
+  SELECT *,
+    CAST(CASE WHEN capped = 1 THEN cap_tokens
+              WHEN n_strata - n_capped = 0 THEN cap_tokens
+              ELSE floor((budget - capped_sum)::DOUBLE
+                         / (n_strata - n_capped)::DOUBLE) END
+         AS BIGINT) AS alloc_tokens
+  FROM planned
+)
+SELECT lang, source, avail_tokens, cap_tokens, alloc_tokens,
+       floor(alloc_tokens::DOUBLE / avail_tokens::DOUBLE * 1e5 + 0.5) / 1e5
+         AS epochs,
+       CAST(capped AS BIGINT) AS capped
+FROM alloced
+"""
+
+
 # --- distributed classifier training -------------------------------------------
 
 # Logistic-regression training constants — baked into the unrolled
@@ -2301,6 +2466,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "embedding_pca": q_embedding_pca,
     "shuffle_shards": q_shuffle_shards,
+    "token_budget": q_token_budget,
     "logreg_quality": q_logreg_quality,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -2828,6 +2994,7 @@ WHERE rn <= 10
         "semantic_dedup": _semantic_dedup_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
+        "token_budget": _token_budget_sql(),
         "logreg_quality": _logreg_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),

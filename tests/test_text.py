@@ -948,3 +948,60 @@ def test_bpe_encode_roundtrip_and_pure_map_plan(spark):
         # each word contributes >= 1 and <= len(word)+1 tokens
         assert len(words) <= r["n_bpe_tokens"] <= n_chars + len(words)
         assert abs(r["chars_per_token"] - n_chars / r["n_bpe_tokens"]) < 1e-5
+
+
+def test_token_budget_matches_iterative_water_filling(spark):
+    """The planner's closed form (prefix-capped strata over the
+    cap-sorted order) must equal the classic UniMax iterative
+    water-filling loop run with exact rational arithmetic: same capped
+    set, same integer allocations.  Also locks the budget-accounting
+    invariants: nothing over its cap, budget spent to within one
+    floor-share per uncapped stratum, never overspent."""
+    from fractions import Fraction
+
+    from rxtls_spark.queries_training import (
+        PLAN_MAX_EPOCHS,
+        TOKEN_BUDGET_DEN,
+        TOKEN_BUDGET_NUM,
+        q_token_budget,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_token_budget(spark, SF_SMOKE).collect()
+    assert rows, "planner returned no strata"
+    total = sum(r["avail_tokens"] for r in rows)
+    budget = (total * TOKEN_BUDGET_NUM) // TOKEN_BUDGET_DEN
+
+    # iterative reference: peel strata whose cap is under the equal
+    # share, re-split the remaining budget, repeat to fixpoint
+    caps = {(r["lang"], r["source"]): r["cap_tokens"] for r in rows}
+    rem, b = dict(caps), budget
+    alloc_ref, capped_ref = {}, set()
+    while rem:
+        share = Fraction(b, len(rem))
+        newly = [k for k, c in rem.items() if c < share]
+        if not newly:
+            break
+        for k in newly:
+            alloc_ref[k] = rem.pop(k)
+            capped_ref.add(k)
+            b -= alloc_ref[k]
+    for k, c in rem.items():
+        alloc_ref[k] = min(c, b // len(rem))
+
+    spent = 0
+    for r in rows:
+        k = (r["lang"], r["source"])
+        assert r["cap_tokens"] == r["avail_tokens"] * PLAN_MAX_EPOCHS
+        assert r["alloc_tokens"] == alloc_ref[k], k
+        assert bool(r["capped"]) == (k in capped_ref), k
+        assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
+        assert r["epochs"] <= PLAN_MAX_EPOCHS + 1e-9
+        got_ep = r["alloc_tokens"] / r["avail_tokens"]
+        assert abs(r["epochs"] - got_ep) <= 1e-5
+        spent += r["alloc_tokens"]
+    n_uncapped = sum(1 for r in rows if not r["capped"])
+    assert spent <= budget or n_uncapped == 0
+    if n_uncapped:
+        # each uncapped stratum floors its share: undershoot < n_uncapped
+        assert budget - spent < n_uncapped
