@@ -1212,6 +1212,95 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SSL-prototypes pruning constants — MIRRORED in `_proto_prune_sql`;
+# change together.  Each cluster drops its floor(n_cell * NUM / DEN)
+# most-prototypical vectors; the cut count is decided in pure BIGINT.
+PROTO_PRUNE_NUM = 1
+PROTO_PRUNE_DEN = 4
+
+
+def q_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486): cluster the embedding
+    space, score each vector by cosine similarity to its own cluster
+    centroid (prototypicality), and prune the MOST prototypical
+    fraction per cluster — on large corpora the easy/redundant
+    examples near cluster centers contribute least to training, so
+    dropping them beats random pruning.  Output is one row per vector:
+    (vec_id, cell, proto_e5, rnk, kept) with kept=0 for the pruned
+    top floor(n_cell * NUM/DEN) of each cell.
+
+    Composition of proven pieces: the quantizer is the SAME
+    deterministic Lloyd's as `kmeans` / `semantic_dedup` (knuth seed,
+    L2 argmin with lowest-cell tie-break, 6-dp means — the oracle
+    reuses those CTEs verbatim); the prototypicality score is the
+    e5-floored cosine fold of the ANN family; the per-cluster cut is
+    a window rank with (score desc, vec_id) tie-break and an
+    all-BIGINT threshold, so both engines make identical decisions.
+
+    Scale shape: training is metadata-scale (k-row agg per
+    iteration); assignment + scoring is a pure per-row map against
+    literal centroids (no join); the only corpus exchange is the ONE
+    hash-partition on `cell` for the within-cluster rank — never a
+    global sort, and cells stay bounded because k grows with the
+    corpus (the SemDeDup sizing argument)."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.similarity import (
+        _cents_lit,
+        _cosine_cols,
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    asg = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias("cell"),
+    )
+    sim_structs = F.transform(
+        _cents_lit(cents),
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            _cosine_cols(F.col("embedding"), c["centroid"]).alias("sim"),
+        ),
+    )
+    own = F.element_at(
+        F.filter(sim_structs, lambda s: s["cell"] == F.col("cell")), 1
+    )
+    scored = asg.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.floor(own["sim"] * 100000).cast("long").alias("proto_e5"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("proto_e5").desc(), "vec_id")
+    cw = Window.partitionBy("cell")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(cw).cast("long").alias("n_cell"),
+    )
+    prune_k = F.expr(
+        f"CAST((n_cell * {PROTO_PRUNE_NUM}) DIV {PROTO_PRUNE_DEN} AS BIGINT)"
+    )
+    return ranked.select(
+        "vec_id",
+        "cell",
+        "proto_e5",
+        "rnk",
+        (F.col("rnk") > prune_k).cast("long").alias("kept"),
+    )
+
+
 # Span-dedup constants — W mirrored in the oracle SQL; change together.
 SPAN_W = 10
 SPAN_DUP_OFFSET = 1_000_000_000
@@ -2334,6 +2423,47 @@ FROM pairs GROUP BY vec_id
     )
 
 
+def _proto_prune_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
+) -> str:
+    """SSL-prototypes oracle: the SAME unrolled-Lloyd's centroid CTEs
+    as the `kmeans` oracle, the identical (list_distance, cell) argmin
+    assignment, cosine-to-own-centroid via list_cosine_similarity
+    (matches the Spark zip_with fold to ~1e-10; compared e5-floored),
+    and the per-cell rank/threshold in pure BIGINT arithmetic."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{iters} c)
+  WHERE rn = 1
+), scored AS (
+  SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+    CAST(floor(list_cosine_similarity(a.emb, c.centroid) * 100000)
+         AS BIGINT) AS proto_e5
+  FROM asg a JOIN cents{iters} c USING (cell)
+), ranked AS (
+  SELECT *,
+    CAST(row_number() OVER (PARTITION BY cell
+                            ORDER BY proto_e5 DESC, vec_id) AS BIGINT) AS rnk,
+    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+  FROM scored
+)
+SELECT vec_id, cell, proto_e5, rnk,
+       CAST(CASE WHEN rnk > (n_cell * {PROTO_PRUNE_NUM}) // {PROTO_PRUNE_DEN}
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ranked
+"""
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding store — the standard
     4× storage cut before ANN at 100 TB: per-dimension [min, max] over
@@ -2464,6 +2594,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_embedding_dups_lsh,
     "semantic_dedup": q_semantic_dedup,
     "span_dedup": q_span_dedup,
+    "proto_prune": q_proto_prune,
     "embedding_pca": q_embedding_pca,
     "shuffle_shards": q_shuffle_shards,
     "token_budget": q_token_budget,
@@ -2992,6 +3123,7 @@ WHERE rn <= 10
 """,
         "kmeans": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "proto_prune": _proto_prune_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
         "token_budget": _token_budget_sql(),

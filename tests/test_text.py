@@ -1005,3 +1005,69 @@ def test_token_budget_matches_iterative_water_filling(spark):
     if n_uncapped:
         # each uncapped stratum floors its share: undershoot < n_uncapped
         assert budget - spent < n_uncapped
+
+
+def test_proto_prune_matches_sequential_python_replica(spark):
+    """Full-table equality with a pure-Python replica that uses the
+    centroids from q_kmeans and folds every dot/norm LEFT-TO-RIGHT in
+    index order (the Spark aggregate order), so proto_e5, ranks and
+    keep decisions must match exactly.  Also locks the per-cell cut:
+    exactly floor(n_cell * NUM / DEN) pruned, and every pruned vector
+    is >= every kept vector in (proto_e5, -vec_id) order."""
+    import math
+
+    import pandas as pd
+
+    from rxtls_spark.queries_training import (
+        KMEANS_DIM,
+        KMEANS_K,
+        PROTO_PRUNE_DEN,
+        PROTO_PRUNE_NUM,
+        q_kmeans,
+        q_proto_prune,
+    )
+    from tests.conftest import SF_SMOKE
+
+    cents_rows = q_kmeans(spark, SF_SMOKE).collect()
+    cents = {}
+    for r in cents_rows:
+        cents.setdefault(r["cell"], [0.0] * KMEANS_DIM)[r["i"]] = r["m"]
+    assert len(cents) == KMEANS_K
+
+    got = {r["vec_id"]: r for r in q_proto_prune(spark, SF_SMOKE).collect()}
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    by_cell = {}
+    for vec_id, e in zip(emb["vec_id"], emb["embedding"]):
+        x = [float(v) for v in e]
+        best_cell, best_d = None, None
+        for cell in sorted(cents):
+            d = 0.0
+            for j in range(KMEANS_DIM):  # sequential fold, Spark order
+                t = x[j] - cents[cell][j]
+                d = d + t * t
+            if best_d is None or d < best_d:
+                best_cell, best_d = cell, d
+        dot = na = nb = 0.0
+        for j in range(KMEANS_DIM):
+            dot = dot + x[j] * cents[best_cell][j]
+            na = na + x[j] * x[j]
+            nb = nb + cents[best_cell][j] * cents[best_cell][j]
+        sim = dot / (math.sqrt(na) * math.sqrt(nb))
+        by_cell.setdefault(best_cell, []).append(
+            (math.floor(sim * 100000), int(vec_id))
+        )
+
+    n_checked = 0
+    for cell, members in by_cell.items():
+        members.sort(key=lambda t: (-t[0], t[1]))
+        cut = (len(members) * PROTO_PRUNE_NUM) // PROTO_PRUNE_DEN
+        for rnk0, (p_e5, vec_id) in enumerate(members):
+            g = got[vec_id]
+            assert g["cell"] == cell, vec_id
+            assert g["proto_e5"] == p_e5, vec_id
+            assert g["rnk"] == rnk0 + 1, vec_id
+            assert g["kept"] == (1 if rnk0 + 1 > cut else 0), vec_id
+            n_checked += 1
+        assert sum(1 for p, v in members if not (got[v]["kept"])) == cut
+    assert n_checked == len(got) == len(emb)
