@@ -696,6 +696,136 @@ def _token_bucket(tok: F.Column, hexmap: F.Column) -> F.Column:
     return v % 64
 
 
+# Count-min-sketch constants — MIRRORED in `_cms_sql`; change together.
+CMS_D = 4  # independent hash rows
+CMS_W = 512  # buckets per row
+CMS_TOPK = 20
+
+
+def _cms_bucket(tok: F.Column, i: int, hexmap: F.Column) -> F.Column:
+    """Hash row i's bucket for ``tok``: first 3 hex chars of
+    md5(tok || '#i') → [0, 4096) → % CMS_W.  Salting the input (not
+    the hash) keeps the rows independent with one md5 primitive both
+    engines share."""
+    h = F.md5(F.concat(tok, F.lit(f"#{i}")))
+    v = (
+        hexmap[F.substring(h, 1, 1)] * 256
+        + hexmap[F.substring(h, 2, 1)] * 16
+        + hexmap[F.substring(h, 3, 1)]
+    )
+    return (v % CMS_W).cast("int")
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    estimate term frequencies from a bounded ``CMS_D × CMS_W`` counter
+    grid and report the corpus's top-``CMS_TOPK`` terms with exact
+    count, sketch estimate, and overcount.  This is the bounded-state
+    member of the corpus-stats family: an exact term count at 100 TB
+    shuffles the full token stream by term (unbounded key cardinality),
+    while the sketch aggregates into 2 048 cells with map-side combine
+    — the same metadata-scale-summary design point as
+    `quality_quantile_gate_approx` — and estimates any term's count
+    after the fact; the exact count here is the verification anchor
+    the driver gate needs.
+
+    Everything is integer arithmetic on md5-derived buckets (identical
+    on both engines), so the oracle is hash-exact, and the CMS
+    guarantee est >= exact holds structurally (every occurrence lands
+    in all D of its buckets).
+
+    Scale shape: 2 corpus passes, each ONE exchange with partial aggs
+    — the sketch pass reduces to 2 048 cells, the anchor pass to a
+    per-term agg + TakeOrderedAndProject; estimation joins the 20
+    candidate terms' 80 exploded buckets against the broadcast
+    2 048-row sketch."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(
+        F.trim("text") != ""
+    )
+    hexmap = _hex_digit_map()
+    tok_df = docs.select(F.explode(_lm_tokens()).alias("tok"))
+
+    def buckets(tok: F.Column) -> F.Column:
+        return F.array(*[_cms_bucket(tok, i, hexmap) for i in range(CMS_D)])
+
+    sketch = (
+        tok_df.select(F.posexplode(buckets(F.col("tok"))).alias("row_i", "bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    topk = (
+        tok_df.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(CMS_TOPK)
+    )
+    cand = topk.select(
+        "tok",
+        "exact_cnt",
+        F.posexplode(buckets(F.col("tok"))).alias("row_i", "bucket"),
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def _cms_sql() -> str:
+    """CMS oracle: identical md5-hex buckets, sketch cells, exact
+    top-k anchor, and min-over-rows estimate — pure integer arithmetic
+    end to end, so the match is exact by construction."""
+
+    def bucket(tok: str, i: int) -> str:
+        h = f"md5({tok} || '#{i}')"
+        return (
+            f"(((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 256"
+            f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1))"
+            f" % {CMS_W})"
+        )
+
+    cell_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS row_i, {bucket('tok', i)} AS bucket FROM tk"
+        for i in range(CMS_D)
+    )
+    cand_rows = "\n  UNION ALL\n".join(
+        f"  SELECT tok, exact_cnt, {i} AS row_i, {bucket('tok', i)} AS bucket"
+        f" FROM exact"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH d AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tk AS (
+  SELECT unnest(t) AS tok FROM d
+), cell_src AS (
+{cell_rows}
+), cells AS (
+  SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cell_src GROUP BY 1, 2
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM tk GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT {CMS_TOPK}
+), cand AS (
+{cand_rows}
+), est AS (
+  SELECT tok, exact_cnt, min(cnt) AS cms_est
+  FROM cand JOIN cells USING (row_i, bucket)
+  GROUP BY 1, 2
+)
+SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+FROM est
+"""
+
+
 def q_dsir_weights(
     spark: SparkSession, sf_dir: str, n_buckets: int = 64, target_lang: str = "en"
 ) -> DataFrame:
@@ -1553,6 +1683,71 @@ SELECT doc_id,
             AS BIGINT) AS pos,
        CAST(order_key AS BIGINT) AS order_key
 FROM k
+"""
+
+
+# Holdout-split constants — MIRRORED in `_holdout_split_sql`; change
+# together.  hash-permille >= TEST_FROM → test, >= VAL_FROM → val.
+HOLDOUT_VAL_FROM = 980
+HOLDOUT_TEST_FROM = 990
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout split — the step every
+    training-data pipeline runs before packing: assignment is a pure
+    function of doc_id (knuth-hash permille against fixed thresholds),
+    so membership is stable under re-runs, repartitioning, and
+    incremental corpus growth (a doc never migrates between splits
+    when new data arrives — the property random sampling lacks).
+    Output is the per-(split, lang) audit summary: doc count, token
+    sum, and a doc_id checksum that pins the exact membership.
+
+    Scale shape: pure per-row map + ONE partial-agg exchange to a
+    (3 × #langs)-row summary; the split column itself costs nothing
+    at write time (it is a partition key, not a shuffle).  The
+    checksum is bit_xor of the hash values — overflow-free at any row
+    count (a SUM of ~1e9-scale hashes breaks int64 past ~1e10 rows)."""
+    docs = _docs(spark, sf_dir)
+    permille = knuth_hash(F.col("doc_id")) % 1000
+    split = (
+        F.when(permille >= HOLDOUT_TEST_FROM, F.lit("test"))
+        .when(permille >= HOLDOUT_VAL_FROM, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            token_count().alias("n_tok"),
+            knuth_hash(F.col("doc_id")).alias("kh"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(kh)").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+def _holdout_split_sql() -> str:
+    tc = (
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array("
+        "trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END"
+    )
+    kh = f"((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {tc} AS n_tok,
+         CASE WHEN ({kh}) % 1000 >= {HOLDOUT_TEST_FROM} THEN 'test'
+              WHEN ({kh}) % 1000 >= {HOLDOUT_VAL_FROM} THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({kh}) AS BIGINT) AS id_checksum
+FROM d GROUP BY 1, 2
 """
 
 
@@ -2595,9 +2790,11 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "span_dedup": q_span_dedup,
     "proto_prune": q_proto_prune,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "embedding_pca": q_embedding_pca,
     "shuffle_shards": q_shuffle_shards,
     "token_budget": q_token_budget,
+    "holdout_split": q_holdout_split,
     "logreg_quality": q_logreg_quality,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -3124,9 +3321,11 @@ WHERE rn <= 10
         "kmeans": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "proto_prune": _proto_prune_sql(),
+        "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
         "token_budget": _token_budget_sql(),
+        "holdout_split": _holdout_split_sql(),
         "logreg_quality": _logreg_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),

@@ -1071,3 +1071,92 @@ def test_proto_prune_matches_sequential_python_replica(spark):
             n_checked += 1
         assert sum(1 for p, v in members if not (got[v]["kept"])) == cut
     assert n_checked == len(got) == len(emb)
+
+
+def test_cms_heavy_hitters_matches_hashlib_sketch(spark):
+    """Full replica with Python hashlib: rebuild the D×W sketch from
+    the SAME token stream Spark tokenizes (collected, so tokenization
+    can't diverge), then check the exact top-k, every estimate's
+    min-over-rows value, and the structural CMS guarantee
+    est >= exact."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        CMS_D,
+        CMS_TOPK,
+        CMS_W,
+        _docs,
+        _lm_tokens,
+        q_cms_heavy_hitters,
+    )
+    from tests.conftest import SF_SMOKE
+
+    toks = [
+        r["tok"]
+        for r in _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select(F.explode(_lm_tokens()).alias("tok"))
+        .collect()
+    ]
+
+    def bucket(tok: str, i: int) -> int:
+        h = hashlib.md5(f"{tok}#{i}".encode()).hexdigest()
+        return int(h[:3], 16) % CMS_W
+
+    sketch = Counter()
+    for t in toks:
+        for i in range(CMS_D):
+            sketch[(i, bucket(t, i))] += 1
+    exact = Counter(toks)
+    want_topk = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+
+    got = {r["tok"]: r for r in q_cms_heavy_hitters(spark, SF_SMOKE).collect()}
+    assert len(got) == CMS_TOPK
+    for tok, cnt in want_topk:
+        g = got[tok]
+        assert g["exact_cnt"] == cnt, tok
+        est = min(sketch[(i, bucket(tok, i))] for i in range(CMS_D))
+        assert g["cms_est"] == est, tok
+        assert g["overcount"] == est - cnt >= 0, tok
+
+
+def test_holdout_split_membership_is_a_pure_function_of_doc_id(spark):
+    """Split assignment must equal the Python replica of the
+    knuth-permille rule for every doc (checked via per-group doc
+    counts and the xor checksum), the three splits must partition the
+    corpus exactly, and the sizes must track the 98/1/1 permille
+    thresholds."""
+    import pandas as pd
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        HOLDOUT_TEST_FROM,
+        HOLDOUT_VAL_FROM,
+        q_holdout_split,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = pd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    want = {}
+    for doc_id, lang in zip(docs["doc_id"], docs["lang"]):
+        kh = ((int(doc_id) % KNUTH_P) * KNUTH_A) % KNUTH_P
+        pm = kh % 1000
+        split = (
+            "test"
+            if pm >= HOLDOUT_TEST_FROM
+            else "val" if pm >= HOLDOUT_VAL_FROM else "train"
+        )
+        n, x = want.get((split, lang), (0, 0))
+        want[(split, lang)] = (n + 1, x ^ kh)
+
+    rows = q_holdout_split(spark, SF_SMOKE).collect()
+    got = {(r["split"], r["lang"]): (r["n_docs"], r["id_checksum"]) for r in rows}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(docs)
+    n_train = sum(n for (s, _), (n, _x) in got.items() if s == "train")
+    assert n_train >= 0.9 * len(docs)  # ~98% at permille thresholds
