@@ -243,3 +243,43 @@ def test_round5_training_plan_shapes(spark):
     assert count_exchanges(g) <= 1, gp
     assert "Window" not in gp and "Join" not in gp, gp
     assert "ArrowEvalPython" not in gp and "BatchEvalPython" not in gp, gp
+
+
+def test_r5_planner_and_sketch_plan_shapes(spark):
+    """Late round-5 scale locks.  proto_prune: centroid scoring must
+    stay a pure per-row map against literal centroids (0 joins, no
+    UDF) with the ONE exchange being the per-cell window.  cms: the
+    corpus touches exactly 2 shuffle exchanges (sketch agg + exact
+    anchor agg) and the sketch rides a broadcast, never a shuffled
+    join.  holdout_split / token_budget: single partial-agg exchange,
+    join/UDF free."""
+    from rxtls_spark.plans.checks import (
+        count_exchanges,
+        plan_string,
+        shuffle_join_kinds,
+    )
+    from rxtls_spark.queries_training import (
+        q_cms_heavy_hitters,
+        q_holdout_split,
+        q_proto_prune,
+        q_token_budget,
+    )
+
+    pp = q_proto_prune(spark, SF_SMOKE)
+    p = plan_string(pp, "simple")
+    assert count_exchanges(pp) == 1, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    cms = q_cms_heavy_hitters(spark, SF_SMOKE)
+    p = plan_string(cms, "simple")
+    assert count_exchanges(cms) == 2, p
+    assert "BroadcastExchange" in p, p
+    assert shuffle_join_kinds(cms) == [], p
+
+    for q in (q_holdout_split, q_token_budget):
+        df = q(spark, SF_SMOKE)
+        p = plan_string(df, "simple")
+        assert count_exchanges(df) == 1, (q.__name__, p)
+        assert "Join" not in p, (q.__name__, p)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
