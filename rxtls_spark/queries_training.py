@@ -1931,6 +1931,7 @@ def logreg_features(docs: DataFrame) -> DataFrame:
     free)."""
     feats = quality_features()
     return docs.select(
+        "doc_id",
         feats["alpha_ratio"].alias("x1"),
         F.least(feats["n_chars"] / F.lit(500.0), F.lit(1.0)).alias("x2"),
         feats["punct_ratio"].alias("x3"),
@@ -1963,9 +1964,17 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature projection (the kmeans loop shape — no explode, no join,
     no window; plan-locked 0 extra exchanges); weights travel as
     literals; driver state is 4 floats."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    rows, _ = _logreg_train(fx)
+    return spark.createDataFrame(rows, "it long, j long, w double, loss double")
+
+
+def _logreg_train(fx: DataFrame) -> tuple[list[tuple], list[float]]:
+    """The full-batch GD loop shared by training and inference:
+    returns the per-step (it, j, w, loss) rows and the final weight
+    vector.  See q_logreg_quality for the cross-engine contract."""
     import math
 
-    fx = logreg_features(_docs(spark, sf_dir))
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
     wv = [0.0, 0.0, 0.0, 0.0]
     rows = []
@@ -1997,18 +2006,48 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         loss = math.floor(agg["l"] / n * 1e6 + 0.5) / 1e6
         wv = [wv[j] - LOGREG_LR * g[j] for j in range(4)]
         rows += [(it, j, wv[j], loss) for j in range(4)]
-    return spark.createDataFrame(rows, "it long, j long, w double, loss double")
+    return rows, wv
 
 
-def _logreg_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
-    """Unrolled full-batch GD in DuckDB mirroring q_logreg_quality
-    exactly: same features/label CTE as text_features, same fold order
-    in the margin, 6-dp floor-stable mean gradients and loss, same
-    w -= lr*g recurrence on the rounded values."""
+def q_logreg_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier INFERENCE — the serve side of `logreg_quality`'s
+    train side: retrain the deterministic GD weights, then score every
+    document with the final weight vector as literals.  Emits per doc
+    the 5-dp stable-rounded margin, the decision pred_en = [margin >=
+    0] (the sign test avoids exp() in per-row output — the margin is
+    pure arithmetic on identical doubles cross-engine, so the decision
+    boundary cannot flake), and the label for downstream accuracy
+    audits.
+
+    Scale shape: training is the bounded per-iteration agg loop
+    (weights are 4 driver floats); scoring is a pure map with ZERO
+    exchanges — the exact shape a 100-TB quality-filter pass needs."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    return fx.select(
+        "doc_id",
+        round5_stable(m).alias("margin"),
+        (m >= 0).cast("long").alias("pred_en"),
+        F.col("y").cast("long").alias("label"),
+    )
+
+
+def _logreg_ctes(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> list[str]:
+    """The unrolled-GD CTE chain (fx, w0 .. w{iters}) shared by the
+    `logreg_quality` and `logreg_infer` oracles — mirrors
+    `_logreg_train` exactly: same features/label CTE as text_features,
+    same fold order in the margin, 6-dp floor-stable mean gradients
+    and loss, same w -= lr*g recurrence on the rounded values."""
     parts = [
         _scored_feats_ctes(),
         """fx AS (
-  SELECT alpha_ratio AS x1, least(n_chars / 500.0, 1.0) AS x2,
+  SELECT doc_id, alpha_ratio AS x1, least(n_chars / 500.0, 1.0) AS x2,
          punct_ratio AS x3,
          CASE WHEN lang_guess = 'en' THEN 1.0 ELSE 0.0 END AS y
   FROM feats
@@ -2033,6 +2072,12 @@ def _logreg_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
   FROM w{it - 1} w, g{it} g
 )"""
         )
+    return parts
+
+
+def _logreg_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """Per-step (it, j, w, loss) rows off the shared GD CTE chain."""
+    parts = _logreg_ctes(iters, lr)
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({it} AS BIGINT) AS it, CAST({j} AS BIGINT) AS j, "
         f"w{it}.w{j} AS w, g{it}.loss AS loss FROM w{it}, g{it}"
@@ -2040,6 +2085,25 @@ def _logreg_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
         for j in range(4)
     )
     return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def _logreg_infer_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """Inference oracle: same CTE chain to the final weights, then the
+    identical-fold margin scored per doc, 5-dp floor-stable, decision
+    by sign test."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id,
+       floor({m} * 100000 + 0.5) / 100000 AS margin,
+       CAST(CASE WHEN {m} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_en,
+       CAST(y AS BIGINT) AS label
+FROM fx, w{iters} w
+"""
+    )
 
 
 # --- BPE tokenizer training ----------------------------------------------------
@@ -2796,6 +2860,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "holdout_split": q_holdout_split,
     "logreg_quality": q_logreg_quality,
+    "logreg_infer": q_logreg_infer,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "ann_brute_force": q_ann_brute_force,
@@ -3327,6 +3392,7 @@ WHERE rn <= 10
         "token_budget": _token_budget_sql(),
         "holdout_split": _holdout_split_sql(),
         "logreg_quality": _logreg_sql(),
+        "logreg_infer": _logreg_infer_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "span_dedup": f"""

@@ -283,3 +283,14 @@ def test_r5_planner_and_sketch_plan_shapes(spark):
         assert count_exchanges(df) == 1, (q.__name__, p)
         assert "Join" not in p, (q.__name__, p)
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    # logreg_infer: training collects happen while BUILDING the plan;
+    # the returned scoring plan itself is a pure map — 0 exchanges,
+    # no join, no UDF (the 100-TB quality-filter shape)
+    from rxtls_spark.queries_training import q_logreg_infer
+
+    inf = q_logreg_infer(spark, SF_SMOKE)
+    p = plan_string(inf, "simple")
+    assert count_exchanges(inf) == 0, p
+    assert "Join" not in p and "Window" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p

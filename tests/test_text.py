@@ -1160,3 +1160,36 @@ def test_holdout_split_membership_is_a_pure_function_of_doc_id(spark):
     assert sum(n for n, _ in got.values()) == len(docs)
     n_train = sum(n for (s, _), (n, _x) in got.items() if s == "train")
     assert n_train >= 0.9 * len(docs)  # ~98% at permille thresholds
+
+
+def test_logreg_infer_scores_with_final_trained_weights(spark):
+    """Inference must score every doc with the LAST iteration's
+    weights in the exact training fold order: the margin equals the
+    Python sequential-fold replica bit-for-bit (after the 5-dp stable
+    round), the decision is the margin sign test, and the label column
+    matches the training projection."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        LOGREG_ITERS,
+        _docs,
+        logreg_features,
+        q_logreg_infer,
+        q_logreg_quality,
+    )
+    from tests.conftest import SF_SMOKE
+
+    w = {
+        r["j"]: r["w"]
+        for r in q_logreg_quality(spark, SF_SMOKE).collect()
+        if r["it"] == LOGREG_ITERS
+    }
+    fx = logreg_features(_docs(spark, SF_SMOKE)).collect()
+    inf = {r["doc_id"]: r for r in q_logreg_infer(spark, SF_SMOKE).collect()}
+    assert len(inf) == len(fx)
+    for r in fx:
+        m = w[0] * 1.0 + w[1] * r["x1"] + w[2] * r["x2"] + w[3] * r["x3"]
+        g = inf[r["doc_id"]]
+        assert g["margin"] == math.floor(m * 1e5 + 0.5) / 1e5, r["doc_id"]
+        assert g["pred_en"] == (1 if m >= 0 else 0), r["doc_id"]
+        assert g["label"] == int(r["y"]), r["doc_id"]
