@@ -1862,13 +1862,15 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_budget_sql() -> str:
+def _token_budget_ctes() -> str:
+    """The planner CTE chain (avail .. alloced) shared verbatim by the
+    `token_budget` and `unimax_sample` oracles — mirrors
+    q_token_budget's closed-form water-filling exactly."""
     tc = (
         "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array("
         "trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END"
     )
-    return f"""
-WITH avail AS (
+    return f"""avail AS (
   SELECT lang, source, CAST(SUM({tc}) AS BIGINT) AS avail_tokens
   FROM documents GROUP BY 1, 2
 ), caps AS (
@@ -1907,12 +1909,111 @@ WITH avail AS (
                          / (n_strata - n_capped)::DOUBLE) END
          AS BIGINT) AS alloc_tokens
   FROM planned
-)
+)"""
+
+
+def _token_budget_sql() -> str:
+    return f"""
+WITH {_token_budget_ctes()}
 SELECT lang, source, avail_tokens, cap_tokens, alloc_tokens,
        floor(alloc_tokens::DOUBLE / avail_tokens::DOUBLE * 1e5 + 0.5) / 1e5
          AS epochs,
        CAST(capped AS BIGINT) AS capped
 FROM alloced
+"""
+
+
+# Partial-epoch hash threshold resolution — MIRRORED in
+# `_unimax_sample_sql`; change together.
+UNIMAX_HASH_MOD = 1_000_000
+
+
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-expansion sampler — CONSUMES the `token_budget` plan and
+    emits what the training dataloader actually reads: per-document
+    repeat counts.  A stratum allocated `alloc` tokens over `avail`
+    available runs f = alloc DIV avail full epochs, plus a partial
+    epoch holding the hash-selected share of documents whose expected
+    token mass is the remainder: doc joins the partial epoch iff
+    knuth_hash(doc_id) % 10^6 < floor(partial * 10^6 / avail).
+
+    Why a hash threshold and not an exact token-prefix: the exact rule
+    is a per-stratum cumulative sum — a window partitioned by (lang,
+    source), and with ~10^2 strata over 10^12 docs one dominant
+    language funnels the whole corpus through a handful of partitions
+    (the skew failure `span_dedup` avoids by keying on span text).
+    The threshold form is a PURE MAP: same determinism, same
+    membership stability under growth (the `holdout_split` argument),
+    token budget met in expectation with hash-uniform error.  The
+    threshold itself is computed driver-side in exact Python integers
+    (partial * 10^6 overflows int64 at 10^13-token strata, so the
+    Spark plan must not compute it; the DuckDB oracle mirror only ever
+    runs at test scale).
+
+    Scale shape: ONE corpus exchange (the planner's per-stratum agg) +
+    a broadcast join of the bounded plan + pure map.  n_repeats <=
+    PLAN_MAX_EPOCHS structurally: f = MAX_EPOCHS forces partial = 0,
+    so the threshold term is 0."""
+    plan = q_token_budget(spark, sf_dir).collect()  # metadata-scale
+    rows = []
+    for r in plan:
+        avail, alloc = int(r["avail_tokens"]), int(r["alloc_tokens"])
+        f = alloc // avail if avail else 0
+        partial = alloc - f * avail
+        thr = partial * UNIMAX_HASH_MOD // avail if avail else 0
+        rows.append((r["lang"], r["source"], f, thr))
+    pdf = spark.createDataFrame(
+        rows, "lang string, source string, f long, thr long"
+    )
+    docs = _docs(spark, sf_dir)
+    khm = knuth_hash(F.col("doc_id")) % UNIMAX_HASH_MOD
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            token_count().cast("long").alias("n_tok"),
+            khm.alias("khm"),
+        )
+        .join(F.broadcast(pdf), ["lang", "source"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tok",
+            (F.col("f") + (F.col("khm") < F.col("thr")).cast("long")).alias(
+                "n_repeats"
+            ),
+        )
+    )
+
+
+def _unimax_sample_sql() -> str:
+    tc = (
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array("
+        "trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END"
+    )
+    kh = f"((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"
+    m = UNIMAX_HASH_MOD
+    return f"""
+WITH {_token_budget_ctes()},
+plan AS (
+  SELECT lang, source,
+    CASE WHEN avail_tokens = 0 THEN 0
+         ELSE alloc_tokens // avail_tokens END AS f,
+    CASE WHEN avail_tokens = 0 THEN 0
+         ELSE ((alloc_tokens - (alloc_tokens // avail_tokens) * avail_tokens)
+               * {m}) // avail_tokens END AS thr
+  FROM alloced
+), d AS (
+  SELECT doc_id, lang, source, CAST({tc} AS BIGINT) AS n_tok,
+         ({kh}) % {m} AS khm
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.source, d.n_tok,
+       CAST(p.f + CASE WHEN d.khm < p.thr THEN 1 ELSE 0 END AS BIGINT)
+         AS n_repeats
+FROM d JOIN plan p USING (lang, source)
 """
 
 
@@ -2858,6 +2959,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca": q_embedding_pca,
     "shuffle_shards": q_shuffle_shards,
     "token_budget": q_token_budget,
+    "unimax_sample": q_unimax_sample,
     "holdout_split": q_holdout_split,
     "logreg_quality": q_logreg_quality,
     "logreg_infer": q_logreg_infer,
@@ -3390,6 +3492,7 @@ WHERE rn <= 10
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
         "token_budget": _token_budget_sql(),
+        "unimax_sample": _unimax_sample_sql(),
         "holdout_split": _holdout_split_sql(),
         "logreg_quality": _logreg_sql(),
         "logreg_infer": _logreg_infer_sql(),

@@ -294,3 +294,15 @@ def test_r5_planner_and_sketch_plan_shapes(spark):
     assert count_exchanges(inf) == 0, p
     assert "Join" not in p and "Window" not in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    # unimax_sample: the planner agg runs at build time; the returned
+    # sampler plan is scan → pure map → broadcast join with the
+    # bounded plan — 0 shuffle exchanges, no window, no skewed
+    # per-stratum cumsum anywhere
+    from rxtls_spark.queries_training import q_unimax_sample
+
+    um = q_unimax_sample(spark, SF_SMOKE)
+    p = plan_string(um, "simple")
+    assert count_exchanges(um) == 0, p
+    assert "BroadcastExchange" in p and "Window" not in p, p
+    assert shuffle_join_kinds(um) == [], p

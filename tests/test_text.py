@@ -1193,3 +1193,42 @@ def test_logreg_infer_scores_with_final_trained_weights(spark):
         assert g["margin"] == math.floor(m * 1e5 + 0.5) / 1e5, r["doc_id"]
         assert g["pred_en"] == (1 if m >= 0 else 0), r["doc_id"]
         assert g["label"] == int(r["y"]), r["doc_id"]
+
+
+def test_unimax_sample_consumes_the_token_budget_plan_exactly(spark):
+    """The sampler's repeat counts must equal the Python replica built
+    from the planner's own output (f = alloc DIV avail full epochs,
+    partial epoch by exact-integer hash threshold), every count must
+    stay within [f, f+1] and never exceed PLAN_MAX_EPOCHS, and a
+    stratum at the full epoch cap must take NO partial members."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        PLAN_MAX_EPOCHS,
+        UNIMAX_HASH_MOD,
+        q_token_budget,
+        q_unimax_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    plan = {}
+    for r in q_token_budget(spark, SF_SMOKE).collect():
+        avail, alloc = int(r["avail_tokens"]), int(r["alloc_tokens"])
+        f = alloc // avail if avail else 0
+        thr = (alloc - f * avail) * UNIMAX_HASH_MOD // avail if avail else 0
+        plan[(r["lang"], r["source"])] = (f, thr)
+
+    rows = q_unimax_sample(spark, SF_SMOKE).collect()
+    assert rows
+    per_stratum_extra = {}
+    for r in rows:
+        f, thr = plan[(r["lang"], r["source"])]
+        khm = ((int(r["doc_id"]) % KNUTH_P) * KNUTH_A) % KNUTH_P % UNIMAX_HASH_MOD
+        want = f + (1 if khm < thr else 0)
+        assert r["n_repeats"] == want, r["doc_id"]
+        assert f <= r["n_repeats"] <= min(f + 1, PLAN_MAX_EPOCHS)
+        if f == PLAN_MAX_EPOCHS:
+            assert r["n_repeats"] == PLAN_MAX_EPOCHS  # capped: no partial
+        per_stratum_extra.setdefault((r["lang"], r["source"]), 0)
+    # every planned stratum that has documents appears in the output
+    langs_sources = {(r["lang"], r["source"]) for r in rows}
+    assert langs_sources == set(plan)
