@@ -2471,6 +2471,288 @@ def _bpe_merges_sql(iters: int = BPE_ITERS) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+# --- keyword extraction / n-gram LM / filter funnel / curriculum -----------------
+
+# TF-IDF constants — MIRRORED in the `tfidf_topterms` oracle SQL;
+# change together.  The IDF is the RECIPROCAL form idf = N/df (no
+# ln): division of identical int64-derived doubles is IEEE-exact on
+# both engines, so ranking ties are deterministic without any
+# rounding step — the same cross-engine-exactness reasoning that
+# picked sqrt over pow for `mixture_sample`.  (Log-IDF only compresses
+# the range; it never reorders terms within a doc when tf is equal,
+# and the ordering this emits is the classic tf·idf one.)
+TFIDF_TOPK = 3
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-``TFIDF_TOPK`` terms by
+    TF-IDF (reciprocal-IDF variant, constants above) with stopwords
+    removed — the per-doc feature-extraction sibling of `bm25_topk`
+    (which ranks DOCS for a query; this ranks TERMS for a doc), used
+    for topic labeling, clustering features, and index pruning in a
+    curation pipeline.  The reference has no analog; training-data
+    extension.
+
+    Scale shape: explode → (doc, term) hash agg [exchange 1] →
+    term-keyed DF agg [exchange 2, vocab-scale output] → term equi-join
+    (stopword removal bounds the hot keys; AQE skew-join handles the
+    rest) → per-doc top-k via rank-filter, which Spark 4 plans as
+    WindowGroupLimit — partial top-k BEFORE the window shuffle, so no
+    doc's full term list crosses the wire.  N_docs is a single driver
+    scalar (metadata-scale, the lm_score vocab pattern)."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.functions.text import STOPWORDS
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    n_docs = docs.count()  # metadata-scale scalar
+    tf = (
+        docs.select("doc_id", F.explode(_lm_tokens()).alias("term"))
+        .where(~F.col("term").isin(*STOPWORDS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # score = tf * (N/df): two IEEE ops on identical doubles — the SQL
+    # oracle parenthesizes identically; never tf*N/df (re-association
+    # changes the double AND tf*N can overflow int64 under ANSI).
+    score = F.col("tf").cast("double") * (
+        F.lit(float(n_docs)) / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+# Bigram-LM constants — MIRRORED in the `bigram_lm_score` oracle SQL;
+# change together.  Small vocab (30) so the synthetic corpus exercises
+# the OOV path, exactly like `lm_score`.
+BIGRAM_VOCAB_K = 30
+
+
+def _bigrams() -> F.Column:
+    """JVM-side bigram array over `_lm_tokens()`: element i is
+    ``tok[i] || ' ' || tok[i+1]`` (0-based), empty for single-token
+    docs — mirrored by the oracle's list_transform(generate_series)."""
+    toks = _lm_tokens()
+    left = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.transform(left, lambda t, i: F.concat(t, F.lit(" "), F.get(toks, i + 1)))
+
+
+def _bigram_vocab(docs: DataFrame, vocab_k: int) -> dict[str, float]:
+    """Two metadata-scale passes → top-K bigram conditional log-probs
+    ln(c(w1 w2)/c(w1)) as a driver-side dict.  c2 ≤ c1 always (every
+    bigram occurrence IS a left-unigram occurrence), so p ≤ 1."""
+    import math
+
+    live = docs.where(F.trim("text") != "")
+    c2 = (
+        live.select(F.explode(_bigrams()).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bg")
+        .limit(vocab_k)
+        .collect()
+    )
+    left_words = sorted({r["bg"].split(" ")[0] for r in c2})
+    c1 = {
+        r["tok"]: r["cnt"]
+        for r in (
+            live.select(F.explode(_lm_tokens()).alias("tok"))
+            .where(F.col("tok").isin(left_words))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    return {
+        r["bg"]: math.log(r["cnt"] / c1[r["bg"].split(" ")[0]]) for r in c2
+    }
+
+
+def q_bigram_lm_score(
+    spark: SparkSession, sf_dir: str, vocab_k: int = BIGRAM_VOCAB_K
+) -> DataFrame:
+    """Bigram-LM fluency scoring — the KenLM-style CONDITIONAL upgrade
+    of `lm_score`: average log-probability ln p(w2|w1) of a doc's
+    bigrams under the corpus's own top-K bigram distribution, plus
+    bigram and OOV counts.  Unigram scoring reads token plausibility;
+    conditional bigram scoring reads local word ORDER — the signal
+    n-gram quality filters actually gate on.
+
+    Scale shape: the vocab is two bounded hash aggs (top-K bigrams,
+    then the ≤K left-word unigram counts) shipped back as a LITERAL
+    map; scoring is a pure per-row fold over the JVM-built bigram
+    array — zero exchanges, no token explode (plan-locked).  Single-
+    token docs emit n_bigrams=0 with a NULL average, mirrored by the
+    oracle's LEFT JOIN.  Cross-engine care: p = c2/c1 is the identical
+    rational double on both sides; Python math.log vs DuckDB ln() are
+    only ulp-close, and the sums fold in different orders, so the
+    per-doc average is rounded 3-dp STABLE (the lm_score discipline)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    vocab = _bigram_vocab(docs, vocab_k)
+    lp_map = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    bi = _bigrams()
+    lp = F.transform(bi, lambda b: lp_map[b])
+    in_vocab = F.filter(lp, lambda x: x.isNotNull())
+    n_in = F.size(in_vocab)
+    avg_lp = F.aggregate(in_vocab, F.lit(0.0), lambda a, x: a + x) / n_in.cast(
+        "double"
+    )
+    return docs.where(F.trim("text") != "").select(
+        "doc_id",
+        F.size(bi).cast("long").alias("n_bigrams"),
+        (F.size(bi) - n_in).cast("long").alias("n_oov"),
+        F.when(n_in > 0, round3_stable(avg_lp)).alias("avg_logprob"),
+    )
+
+
+# Filter-cascade gate constants — MIRRORED in `_filter_cascade_sql`;
+# change together.  Thresholds compare STABLE-ROUNDED 5-dp fractions
+# (identical doubles on both engines) against literal doubles, so the
+# comparisons cannot diverge cross-engine.
+CASCADE_MIN_TOKENS = 5
+CASCADE_DUP_WORD_MAX = 0.3
+CASCADE_TOP2_MAX = 0.2
+CASCADE_DUP3_MAX = 0.2
+CASCADE_MIN_QUALITY = 0.35
+
+# (name, ordinal) of every gate, in evaluation order; 'kept' gets
+# ordinal len(_CASCADE_GATES).  The oracle CASE mirrors this order.
+_CASCADE_GATES = (
+    "empty",
+    "too_short",
+    "lang_unknown",
+    "dup_words",
+    "top2gram",
+    "dup3gram",
+    "low_quality",
+)
+
+
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb/RefinedWeb-style quality-filter FUNNEL as one
+    operator: every doc flows through the ordered gate cascade (empty →
+    too-short → unknown-language → Gopher repetition trio → composite
+    quality floor) and reports the FIRST gate that rejects it, or
+    'kept' — the per-stage accounting a curation pipeline publishes as
+    its data-funnel table (reference analog: the usability funnel of
+    P1/P4/P5 re-expressed over documents; thresholds adapted from
+    Rae et al. 2021 §A1.1).
+
+    Scale shape: the ENTIRE cascade is a single Catalyst projection —
+    every signal (token counts, lang-ID marker scores, repetition
+    run-length folds, composite quality) is a per-row expression, so
+    the plan is scan → project with ZERO exchanges, no UDF, no window
+    (plan-locked); at 100 TB it fuses into one whole-stage-codegen
+    pass over the corpus.  CaseWhen also short-circuits: docs failing
+    cheap early gates never evaluate the repetition folds."""
+    from rxtls_spark.functions.text import repetition_features
+
+    docs = _docs(spark, sf_dir)
+    r = repetition_features()
+    conds = {
+        "empty": F.trim(F.col("text")) == "",
+        "too_short": token_count() < CASCADE_MIN_TOKENS,
+        "lang_unknown": lang_guess() == "und",
+        "dup_words": round5_stable(r["dup_word_frac"])
+        > CASCADE_DUP_WORD_MAX,
+        "top2gram": round5_stable(r["top2gram_char_frac"]) > CASCADE_TOP2_MAX,
+        "dup3gram": round5_stable(r["dup3gram_char_frac"]) > CASCADE_DUP3_MAX,
+        "low_quality": quality_score() < CASCADE_MIN_QUALITY,
+    }
+    verdict = None
+    stage = None
+    for i, name in enumerate(_CASCADE_GATES):
+        c = conds[name]
+        verdict = (
+            F.when(c, F.lit(name)) if verdict is None else verdict.when(c, F.lit(name))
+        )
+        stage = F.when(c, F.lit(i)) if stage is None else stage.when(c, F.lit(i))
+    return docs.select(
+        "doc_id",
+        "lang",
+        verdict.otherwise(F.lit("kept")).alias("verdict"),
+        stage.otherwise(F.lit(len(_CASCADE_GATES)))
+        .cast("long")
+        .alias("stage"),
+    )
+
+
+# Curriculum constants — MIRRORED in the `curriculum_order` oracle SQL;
+# change together.  Stage thresholds are INTEGER comparisons on the
+# exact 1e-5 quality numerator (the quality_bucket() rationale), never
+# float compares on quality itself.
+CURRICULUM_HI_FROM = 70000  # quality >= 0.70 → stage 0
+CURRICULUM_MID_FROM = 40000  # quality >= 0.40 → stage 1, else 2
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: assign every doc a quality STAGE
+    (high-quality first — the warm-up data — then mid, then tail) and
+    a deterministic position within (stage, shard), giving the exact
+    traversal order (stage asc, shard asc, pos asc) a curriculum
+    training job replays — `shuffle_shards` composed with a quality
+    staging, the curriculum-learning counterpart of `mixture_sample`'s
+    temperature reweighting.
+
+    Scale shape: stage assignment is a pure map (integer compare on
+    the exact quality numerator); position is a per-(stage, shard)
+    row_number — sharding inside each stage keeps the window
+    partition count at 3×``SHUFFLE_N_SHARDS`` and each partition at
+    corpus/48, so no stage becomes one giant sort (the skew trap a
+    bare PARTITION BY stage would be at 100 TB).  ONE exchange total,
+    no UDF (plan-locked)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", quality_score().alias("quality")
+    )
+    qnum = F.floor(F.col("quality") * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    stage = (
+        F.when(qnum >= CURRICULUM_HI_FROM, F.lit(0))
+        .when(qnum >= CURRICULUM_MID_FROM, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    key = knuth_hash(F.col("doc_id"))
+    keyed = docs.select(
+        "doc_id",
+        "quality",
+        stage.alias("stage"),
+        key.alias("order_key"),
+        (key % F.lit(SHUFFLE_N_SHARDS)).alias("shard"),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy("order_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.col("stage").cast("long").alias("stage"),
+        F.col("shard").cast("long").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col("order_key").cast("long").alias("order_key"),
+        "quality",
+    )
+
+
 # --- similarity -----------------------------------------------------------------
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2940,6 +3222,10 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "dsir_topfrac": q_dsir_topfrac,
     "bm25_topk": q_bm25_topk,
+    "tfidf_topterms": q_tfidf_topterms,
+    "bigram_lm_score": q_bigram_lm_score,
+    "filter_cascade": q_filter_cascade,
+    "curriculum_order": q_curriculum_order,
     "corpus_diff": q_corpus_diff,
     "lm_score": q_lm_score,
     "dedup_exact": q_exact_dups,
@@ -3042,6 +3328,35 @@ _QUALITY_SQL = """floor(greatest(0.0, least(1.0,
     + 0.3 * least(n_chars / 500.0, 1.0)
     + 0.3 * (1.0 - least(1.0, 4.0 * punct_ratio + 4.0 * digit_ratio))))
     * 100000 + 0.5) / 100000"""
+
+# The Gopher-repetition CTE bodies (w/base/g2m/g3d) — shared by the
+# `repetition` and `filter_cascade` oracles.
+_REP_CTES = """w AS (
+  SELECT doc_id, greatest(len(text), 1) AS n_chars,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, n_chars, len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN 1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+              ELSE 0.0 END AS dup_word_frac,
+         list_transform(generate_series(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1]) AS g2,
+         list_transform(generate_series(1, len(words) - 2),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
+  FROM w
+), g2m AS (
+  SELECT doc_id, max(chars) AS top_chars FROM (
+    SELECT doc_id, gram, count(*) * length(gram) AS chars
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM base) GROUP BY 1, 2
+  ) GROUP BY 1
+), g3d AS (
+  SELECT doc_id, sum(chars) AS dup_chars FROM (
+    SELECT doc_id, gram, count(*) * length(gram) AS chars, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(g3) AS gram FROM base) GROUP BY 1, 2
+  ) WHERE cnt >= 2 GROUP BY 1
+)"""
 
 _DUPS_CTE = """
 WITH docs AS (
@@ -3183,6 +3498,132 @@ def _stopword_list_sql() -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
+def _stopword_in_sql() -> str:
+    from rxtls_spark.functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(t) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term NOT IN ({_stopword_in_sql()})
+  GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         CAST(tf.tf AS DOUBLE) * (n.n / CAST(dfq.df AS DOUBLE)) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM ranked)
+WHERE rk <= {TFIDF_TOPK}
+"""
+
+
+def _bigram_lm_sql(vocab_k: int = BIGRAM_VOCAB_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM toks
+), bg AS (
+  SELECT doc_id, unnest(g2) AS bg FROM pairs
+), c2 AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg
+  GROUP BY 1 ORDER BY cnt DESC, bg LIMIT {vocab_k}
+), c1 AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), v AS (
+  SELECT c2.bg, ln(c2.cnt / CAST(c1.cnt AS DOUBLE)) AS lp
+  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.tok
+), scored AS (
+  SELECT bg.doc_id, count(*) AS n_bg, count(v.lp) AS n_in, sum(v.lp) AS s
+  FROM bg LEFT JOIN v USING (bg) GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(coalesce(s.n_bg, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(s.n_bg, 0) - coalesce(s.n_in, 0) AS BIGINT) AS n_oov,
+  CASE WHEN s.n_in > 0 THEN floor(s.s / s.n_in * 1000.0 + 0.5) / 1000.0
+  END AS avg_logprob
+FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+"""
+
+
+def _filter_cascade_sql() -> str:
+    return f"""
+WITH {_scored_feats_ctes()},
+{_REP_CTES},
+rep AS (
+  SELECT b.doc_id,
+    floor(b.dup_word_frac * 100000 + 0.5) / 100000 AS dwf,
+    floor(coalesce(g2m.top_chars, 0) / CAST(b.n_chars AS DOUBLE)
+          * 100000 + 0.5) / 100000 AS t2f,
+    floor(coalesce(g3d.dup_chars, 0) / CAST(b.n_chars AS DOUBLE)
+          * 100000 + 0.5) / 100000 AS d3f
+  FROM base b
+  LEFT JOIN g2m ON b.doc_id = g2m.doc_id
+  LEFT JOIN g3d ON b.doc_id = g3d.doc_id
+),
+v AS (
+  SELECT f.doc_id, f.lang,
+    CASE WHEN trim(f.text) = '' THEN 'empty'
+         WHEN f.n_tokens < {CASCADE_MIN_TOKENS} THEN 'too_short'
+         WHEN f.lang_guess = 'und' THEN 'lang_unknown'
+         WHEN rep.dwf > {CASCADE_DUP_WORD_MAX} THEN 'dup_words'
+         WHEN rep.t2f > {CASCADE_TOP2_MAX} THEN 'top2gram'
+         WHEN rep.d3f > {CASCADE_DUP3_MAX} THEN 'dup3gram'
+         WHEN {_QUALITY_SQL} < {CASCADE_MIN_QUALITY} THEN 'low_quality'
+         ELSE 'kept' END AS verdict
+  FROM feats f JOIN rep ON f.doc_id = rep.doc_id
+)
+SELECT doc_id, lang, verdict,
+  CAST(CASE verdict WHEN 'empty' THEN 0 WHEN 'too_short' THEN 1
+       WHEN 'lang_unknown' THEN 2 WHEN 'dup_words' THEN 3
+       WHEN 'top2gram' THEN 4 WHEN 'dup3gram' THEN 5
+       WHEN 'low_quality' THEN 6 ELSE 7 END AS BIGINT) AS stage
+FROM v
+"""
+
+
+def _curriculum_sql() -> str:
+    return f"""
+WITH {_scored_feats_ctes()},
+q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats),
+k AS (
+  SELECT doc_id, quality,
+    CAST(floor(quality * 100000 + 0.5) AS BIGINT) AS qnum,
+    ((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS order_key
+  FROM q
+), s AS (
+  SELECT doc_id, quality, order_key,
+    CASE WHEN qnum >= {CURRICULUM_HI_FROM} THEN 0
+         WHEN qnum >= {CURRICULUM_MID_FROM} THEN 1 ELSE 2 END AS stage,
+    order_key % {SHUFFLE_N_SHARDS} AS shard
+  FROM k
+)
+SELECT doc_id, CAST(stage AS BIGINT) AS stage, CAST(shard AS BIGINT) AS shard,
+  CAST(row_number() OVER (PARTITION BY stage, shard
+                          ORDER BY order_key, doc_id) - 1 AS BIGINT) AS pos,
+  CAST(order_key AS BIGINT) AS order_key, quality
+FROM s
+"""
+
+
 def oracle_sql_training() -> dict[str, str]:
     oracles = _oracle_sql_training_literal()
     # the broadcast-UDF path computes the identical result, so it
@@ -3242,33 +3683,7 @@ SELECT doc_id,
   md5(array_to_string(ch.c, ' ')) AS chunk_md5
 FROM ex
 """,
-        "repetition": """
-WITH w AS (
-  SELECT doc_id, greatest(len(text), 1) AS n_chars,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS words
-  FROM documents
-), base AS (
-  SELECT doc_id, n_chars, len(words) AS n_words,
-         CASE WHEN len(words) > 0
-              THEN 1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
-              ELSE 0.0 END AS dup_word_frac,
-         list_transform(generate_series(1, len(words) - 1),
-                        i -> words[i] || ' ' || words[i+1]) AS g2,
-         list_transform(generate_series(1, len(words) - 2),
-                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
-  FROM w
-), g2m AS (
-  SELECT doc_id, max(chars) AS top_chars FROM (
-    SELECT doc_id, gram, count(*) * length(gram) AS chars
-    FROM (SELECT doc_id, unnest(g2) AS gram FROM base) GROUP BY 1, 2
-  ) GROUP BY 1
-), g3d AS (
-  SELECT doc_id, sum(chars) AS dup_chars FROM (
-    SELECT doc_id, gram, count(*) * length(gram) AS chars, count(*) AS cnt
-    FROM (SELECT doc_id, unnest(g3) AS gram FROM base) GROUP BY 1, 2
-  ) WHERE cnt >= 2 GROUP BY 1
-)
+        "repetition": "WITH " + _REP_CTES + """
 SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
   floor(b.dup_word_frac * 100000 + 0.5) / 100000 AS dup_word_frac,
   floor(coalesce(g2m.top_chars, 0) / CAST(b.n_chars AS DOUBLE)
@@ -3378,6 +3793,10 @@ FROM ranked
 WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
 """,
         "bm25_topk": _bm25_sql(),
+        "tfidf_topterms": _tfidf_sql(),
+        "bigram_lm_score": _bigram_lm_sql(),
+        "filter_cascade": _filter_cascade_sql(),
+        "curriculum_order": _curriculum_sql(),
         "corpus_diff": """
 WITH prev AS (
   SELECT doc_id,

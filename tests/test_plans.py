@@ -306,3 +306,54 @@ def test_r5_planner_and_sketch_plan_shapes(spark):
     assert count_exchanges(um) == 0, p
     assert "BroadcastExchange" in p and "Window" not in p, p
     assert shuffle_join_kinds(um) == [], p
+
+
+def test_r5_text_pipeline_plan_shapes(spark):
+    """Late round-5 scale locks (part 2).  filter_cascade: the ENTIRE
+    FineWeb-style gate funnel is one Catalyst projection — 0 exchanges,
+    no join, no window, no UDF.  bigram_lm_score: vocab passes happen
+    at build time; the returned scoring plan is a pure per-row fold
+    against the literal bigram map — 0 exchanges, join/UDF free.
+    curriculum_order: ONE exchange hash-partitioned on (stage, shard)
+    — sharding inside each stage is the skew guard; a bare PARTITION BY
+    stage (3 giant sorts at 100 TB) must never come back.
+    tfidf_topterms: the per-doc top-k must ride WindowGroupLimit with a
+    PARTIAL (map-side) pass — no doc's full term list crosses the
+    shuffle — and nothing evaluates Python."""
+    from rxtls_spark.plans.checks import (
+        count_exchanges,
+        plan_string,
+        shuffle_join_kinds,
+    )
+    from rxtls_spark.queries_training import (
+        q_bigram_lm_score,
+        q_curriculum_order,
+        q_filter_cascade,
+        q_tfidf_topterms,
+    )
+
+    fc = q_filter_cascade(spark, SF_SMOKE)
+    p = plan_string(fc, "simple")
+    assert count_exchanges(fc) == 0, p
+    assert "Join" not in p and "Window" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    bi = q_bigram_lm_score(spark, SF_SMOKE)
+    p = plan_string(bi, "simple")
+    assert count_exchanges(bi) == 0, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    cur = q_curriculum_order(spark, SF_SMOKE)
+    p = plan_string(cur, "simple")
+    assert count_exchanges(cur) == 1, p
+    assert "hashpartitioning(stage" in p, p
+    assert "rangepartitioning" not in plan_string(cur, "formatted").lower(), p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert shuffle_join_kinds(cur) == [], p
+
+    tf = q_tfidf_topterms(spark, SF_SMOKE)
+    p = plan_string(tf, "simple")
+    assert p.count("WindowGroupLimit") == 2 and "Partial" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

@@ -670,6 +670,10 @@ def test_text_oracles_agree_on_unicode_and_vt(spark, tmp_path):
         "ngram_jaccard",
         "pii_scrub",
         "contamination",
+        "tfidf_topterms",
+        "bigram_lm_score",
+        "filter_cascade",
+        "curriculum_order",
     ):
         s = normalize_frame(qs[name](spark, str(tmp_path)).toPandas())
         o = normalize_frame(con.execute(oracles[name]).fetchdf())
@@ -1232,3 +1236,199 @@ def test_unimax_sample_consumes_the_token_budget_plan_exactly(spark):
     # every planned stratum that has documents appears in the output
     langs_sources = {(r["lang"], r["source"]) for r in rows}
     assert langs_sources == set(plan)
+
+
+def test_filter_cascade_first_failing_gate_and_funnel(spark, tmp_path):
+    """The cascade reports the FIRST failing gate in evaluation order
+    (a doc that is both repetitive and low-quality reads 'dup_words',
+    never 'low_quality'), stage ordinals match the gate order, and the
+    verdicts partition the corpus (funnel accounting sums to total)."""
+    import pandas as pd
+
+    from rxtls_spark.queries_training import (
+        _CASCADE_GATES,
+        q_filter_cascade,
+    )
+
+    rows = [
+        (1, "", "en"),  # empty
+        (2, "the cat sat", "en"),  # 3 tokens -> too_short
+        (3, "12345 67890 11111 22222 33333", "en"),  # no markers -> und
+        (4, "the the the the the the the the", "en"),  # dup words
+        # distinct-enough words (dup 2/8=0.25), but 'alpha beta' twice
+        # covers >20% of chars -> top2gram; ALSO low quality is true,
+        # which must NOT win
+        (5, "the quick alpha beta gamma delta alpha beta", "en"),
+        # long enough that no single 2-gram covers >20% of chars (the
+        # top-2gram metric counts the longest 2-gram even at count 1)
+        (
+            6,
+            "the quick brown fox jumps over a lazy dog while many other "
+            "animals watch from nearby green fields today",
+            "en",
+        ),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    out = {
+        r["doc_id"]: (r["verdict"], r["stage"])
+        for r in q_filter_cascade(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == ("empty", 0)
+    assert out[2] == ("too_short", 1)
+    assert out[3] == ("lang_unknown", 2)
+    assert out[4] == ("dup_words", 3)
+    assert out[5] == ("top2gram", 4)
+    assert out[6] == ("kept", 7)
+    # stage ordinal always matches the gate list position
+    for verdict, stage in out.values():
+        want = (
+            _CASCADE_GATES.index(verdict)
+            if verdict in _CASCADE_GATES
+            else len(_CASCADE_GATES)
+        )
+        assert stage == want, (verdict, stage)
+
+    # funnel accounting over the real corpus: one verdict per doc
+    from tests.conftest import SF_SMOKE
+
+    fc = q_filter_cascade(spark, SF_SMOKE)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert fc.count() == n_docs
+    assert fc.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_bigram_lm_score_matches_python(spark):
+    """Independent pure-Python replica of the bigram-LM pipeline
+    (tokenize → bigrams → top-K conditional vocab → per-doc average)
+    over the real smoke corpus — catches vocab/tie-break/fold bugs the
+    DuckDB oracle and Spark could in principle share."""
+    import math
+    import re
+
+    from rxtls_spark.queries_training import (
+        BIGRAM_VOCAB_K,
+        q_bigram_lm_score,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    toks = {
+        d: ws.split(t.strip().lower())
+        for d, t in docs.items()
+        if t.strip() != ""
+    }
+    bigrams = {
+        d: [f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)]
+        for d, t in toks.items()
+    }
+    c2: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for t in toks.values():
+        for w in t:
+            c1[w] = c1.get(w, 0) + 1
+    for bs in bigrams.values():
+        for b in bs:
+            c2[b] = c2.get(b, 0) + 1
+    top = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:BIGRAM_VOCAB_K]
+    vocab = {b: math.log(c / c1[b.split(" ")[0]]) for b, c in top}
+
+    out = {r["doc_id"]: r for r in q_bigram_lm_score(spark, SF_SMOKE).collect()}
+    assert set(out) == set(toks)
+    for d, bs in bigrams.items():
+        lps = [vocab[b] for b in bs if b in vocab]
+        r = out[d]
+        assert r["n_bigrams"] == len(bs)
+        assert r["n_oov"] == len(bs) - len(lps)
+        if lps:
+            s = 0.0
+            for x in lps:  # sequential fold, Spark's order
+                s += x
+            want = math.floor(s / len(lps) * 1000.0 + 0.5) / 1000.0
+            assert r["avg_logprob"] == want, d
+        else:
+            assert r["avg_logprob"] is None
+
+
+def test_curriculum_order_invariants(spark):
+    """Stage thresholds hold on the emitted quality, positions are
+    dense 0..n-1 within every (stage, shard), and the order key is the
+    Knuth hash recomputed in Python."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        CURRICULUM_HI_FROM,
+        CURRICULUM_MID_FROM,
+        SHUFFLE_N_SHARDS,
+        q_curriculum_order,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_curriculum_order(spark, SF_SMOKE).collect()
+    assert rows
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        qnum = int(r["quality"] * 100000 + 0.5)
+        want_stage = (
+            0
+            if qnum >= CURRICULUM_HI_FROM
+            else (1 if qnum >= CURRICULUM_MID_FROM else 2)
+        )
+        assert r["stage"] == want_stage, r
+        key = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P
+        assert r["order_key"] == key
+        assert r["shard"] == key % SHUFFLE_N_SHARDS
+        groups.setdefault((r["stage"], r["shard"]), []).append(r)
+    for g, rs in groups.items():
+        rs.sort(key=lambda r: (r["order_key"], r["doc_id"]))
+        assert [r["pos"] for r in rs] == list(range(len(rs))), g
+
+
+def test_tfidf_topterms_matches_python(spark):
+    """Independent Python replica of reciprocal-IDF TF-IDF top-k with
+    the exact (score desc, term) tie-break over the real smoke corpus."""
+    import re
+
+    from rxtls_spark.functions.text import STOPWORDS
+    from rxtls_spark.queries_training import TFIDF_TOPK, q_tfidf_topterms
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["text"].strip() != ""
+    }
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    stop = set(STOPWORDS)
+    tf: dict[tuple, int] = {}
+    for d, t in docs.items():
+        for w in ws.split(t.strip().lower()):
+            if w not in stop:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict[str, int] = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    n = float(len(docs))
+    per_doc: dict[int, list] = {}
+    for (d, w), f_ in tf.items():
+        per_doc.setdefault(d, []).append((float(f_) * (n / float(df[w])), w, f_))
+    want = {}
+    for d, terms in per_doc.items():
+        terms.sort(key=lambda x: (-x[0], x[1]))
+        for rk, (score, w, f_) in enumerate(terms[:TFIDF_TOPK], 1):
+            want[(d, w)] = (f_, df[w], score, rk)
+
+    got = q_tfidf_topterms(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        k = (r["doc_id"], r["term"])
+        assert k in want, k
+        f_, dfv, score, rk = want[k]
+        assert (r["tf"], r["df"], r["rk"]) == (f_, dfv, rk), k
+        assert r["score"] == score, k
