@@ -225,15 +225,20 @@ def ivf_assign_expr(centroids: list[tuple], emb, metric: str = "cosine"):
     )
 
 
-def ivf_probe_expr(centroids: list[tuple], emb, n_probe: int):
+def ivf_probe_expr(
+    centroids: list[tuple], emb, n_probe: int, metric: str = "cosine"
+):
     """Column: array of the ``n_probe`` nearest cell ids for ``emb``
-    (sort by -sim with cell tiebreak, slice) — per-row JVM, no window."""
+    (sort by -sim / squared-L2 with cell tiebreak, slice) — per-row
+    JVM, no window.  The l2 ordering is monotone-equivalent to the SQL
+    oracle's list_distance (sqrt) ordering."""
+    if metric == "cosine":
+        key = lambda c: (-_cosine_cols(emb, c["centroid"])).alias("key")  # noqa: E731
+    else:
+        key = lambda c: _l2sq_cols(emb, c["centroid"]).alias("key")  # noqa: E731
     scored = F.transform(
         _cents_lit(centroids),
-        lambda c: F.struct(
-            (-_cosine_cols(emb, c["centroid"])).alias("neg_sim"),
-            c["cell"].alias("cell"),
-        ),
+        lambda c: F.struct(key(c), c["cell"].alias("cell")),
     )
     return F.transform(
         F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cell"]

@@ -2890,6 +2890,97 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 KMEANS_DIM = 64
 
+# ANN recall-eval constants — MIRRORED in `_ann_recall_sql`; change
+# together.  The quantizer spec is the kmeans one so the oracle can
+# reuse `_kmeans_cents_ctes` verbatim.
+ANN_EVAL_K = 10
+ANN_EVAL_NPROBE = 2
+
+
+def q_ann_recall_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = ANN_EVAL_NPROBE,
+    topk: int = ANN_EVAL_K,
+) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force anchor —
+    the evaluation harness an ANN deployment publishes before anyone
+    trusts its candidate generation ("measure, don't guess" applied to
+    the index itself).  Per query: how many of the true top-k cosine
+    neighbors does an ``ANN_EVAL_NPROBE``-cell probe of the
+    deterministic Lloyd's quantizer (the `kmeans` spec: K=8, L2,
+    Knuth-hash seeds, 6-dp stable means — so the oracle reuses the
+    unrolled centroid CTEs) actually return?
+
+    Scale shape: centroids are literals; corpus cell assignment is a
+    per-row JVM argmin (no join); candidates come from a cell equi-join
+    against the BROADCAST exploded query probes — the corpus is never
+    cross-joined.  The exact anchor IS a brute-force pass, which is the
+    point: it runs over the eval query SAMPLE (1% of vectors), not
+    query×corpus at serving rate.  Ranking uses floor(sim*1e5) with
+    neighbor_id tie-break — the cross-engine-stable ANN discipline."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_expr,
+        ivf_probe_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    qs = query_set(emb)
+    emb_cells = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias("cell"),
+    )
+    q_cells = qs.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            ivf_probe_expr(cents, F.col("q_emb"), n_probe, metric="l2")
+        ).alias("cell"),
+    )
+    sim_e5 = F.floor(cosine_expr("embedding", "q_emb") * 100000).cast("long")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_e5").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        emb_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), sim_e5.alias("sim_e5")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("q_id", "neighbor_id")
+    )
+    exact = brute_force_topk(emb, qs, k=topk).select(
+        "q_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(exact, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return qs.select("q_id").join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.lit(float(topk))
+        ).alias("recall"),
+    )
+
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means as a first-class operator — and the TRAINING LOOP
@@ -3019,6 +3110,73 @@ SELECT CAST(c.cell AS BIGINT) AS cell, CAST(t.i - 1 AS BIGINT) AS i,
        c.centroid[t.i] AS m, coalesce(n.n_vecs, 0) AS n_vecs
 FROM cents{iters} c
 LEFT JOIN counts n USING (cell), generate_series(1, {dim}) t(i)
+"""
+    )
+
+
+def _ann_recall_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = KMEANS_DIM,
+    topk: int = ANN_EVAL_K,
+    n_probe: int = ANN_EVAL_NPROBE,
+) -> str:
+    """Recall@k oracle: the shared unrolled-Lloyd's centroid CTEs, the
+    identical (list_distance, cell) assignment/probe ordering (sqrt is
+    monotone, so it matches Spark's squared-L2 argmin), e5-floored
+    cosine ranking with neighbor_id tie-break on BOTH the probed and
+    the exact side, then the per-query intersection count."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{iters} c)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0
+), probe AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT q.q_id, q.q_emb, c.cell,
+      row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY list_distance(q.q_emb, c.centroid), c.cell
+      ) AS rn
+    FROM q, cents{iters} c)
+  WHERE rn <= {n_probe}
+), approx AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+      row_number() OVER (PARTITION BY q_id
+                         ORDER BY sim_e5 DESC, neighbor_id) AS rn
+    FROM (
+      SELECT p.q_id, a.vec_id AS neighbor_id,
+        CAST(floor(list_cosine_similarity(a.emb, p.q_emb) * 100000)
+             AS BIGINT) AS sim_e5
+      FROM probe p JOIN asg a ON p.cell = a.cell
+      WHERE a.vec_id <> p.q_id))
+  WHERE rn <= {topk}
+), exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY CAST(floor(list_cosine_similarity(e.emb, q.q_emb) * 100000)
+                      AS BIGINT) DESC, e.vec_id) AS rn
+    FROM e, q WHERE e.vec_id <> q.q_id)
+  WHERE rn <= {topk}
+), hit AS (
+  SELECT a.q_id, count(*) AS n_hit
+  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1
+)
+SELECT q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {float(topk)} AS recall
+FROM q LEFT JOIN hit h ON q.q_id = h.q_id
 """
     )
 
@@ -3252,6 +3410,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "ann_brute_force": q_ann_brute_force,
+    "ann_recall_eval": q_ann_recall_eval,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
@@ -3889,6 +4048,7 @@ SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))
        CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc_id
 FROM docs GROUP BY 1 HAVING count(*) > 1
 """,
+        "ann_recall_eval": _ann_recall_sql(),
         "ann_brute_force": """
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0

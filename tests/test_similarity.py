@@ -422,3 +422,36 @@ def test_embedding_pca_numpy_recompute(spark):
     var_along = float(((C @ v) ** 2).mean()) / float((v @ v))
     avg_dim_var = float((C ** 2).mean(axis=0).mean())
     assert var_along > avg_dim_var
+
+
+def test_ann_recall_eval_full_probe_is_exact_and_plan(spark):
+    """Structural correctness of the recall harness: probing ALL cells
+    makes the candidate set the whole corpus, so approx == exact and
+    recall is exactly 1.0 for every query.  The default-probe output
+    must be bounded by it.  Plan: the only nested-loop join is the
+    brute-force anchor (deliberate — it IS the exact baseline), the
+    probed side rides a broadcast hash join on the cell key, and no
+    Python evaluates anywhere."""
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        KMEANS_K,
+        q_ann_recall_eval,
+    )
+    from tests.conftest import SF_SMOKE
+
+    full = q_ann_recall_eval(spark, SF_SMOKE, n_probe=KMEANS_K)
+    rows = full.collect()
+    assert rows
+    assert all(r["recall"] == 1.0 and r["n_hit"] == 10 for r in rows), rows
+
+    dflt = q_ann_recall_eval(spark, SF_SMOKE)
+    # plan asserts BEFORE execution: post-collect AQE plans print the
+    # initial plan a second time, double-counting every node
+    p = plan_string(dflt, "simple")
+    assert p.count("BroadcastNestedLoopJoin") == 1, p  # the exact anchor only
+    assert "BroadcastHashJoin" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    by_q = {r["q_id"]: r["n_hit"] for r in dflt.collect()}
+    assert set(by_q) == {r["q_id"] for r in rows}
+    assert all(0 <= v <= 10 for v in by_q.values())
