@@ -2648,26 +2648,12 @@ _CASCADE_GATES = (
 )
 
 
-def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FineWeb/RefinedWeb-style quality-filter FUNNEL as one
-    operator: every doc flows through the ordered gate cascade (empty →
-    too-short → unknown-language → Gopher repetition trio → composite
-    quality floor) and reports the FIRST gate that rejects it, or
-    'kept' — the per-stage accounting a curation pipeline publishes as
-    its data-funnel table (reference analog: the usability funnel of
-    P1/P4/P5 re-expressed over documents; thresholds adapted from
-    Rae et al. 2021 §A1.1).
-
-    Scale shape: the ENTIRE cascade is a single Catalyst projection —
-    every signal (token counts, lang-ID marker scores, repetition
-    run-length folds, composite quality) is a per-row expression, so
-    the plan is scan → project with ZERO exchanges, no UDF, no window
-    (plan-locked); at 100 TB it fuses into one whole-stage-codegen
-    pass over the corpus.  CaseWhen also short-circuits: docs failing
-    cheap early gates never evaluate the repetition folds."""
+def cascade_columns() -> tuple[F.Column, F.Column]:
+    """(verdict, stage) CaseWhen pair — the gate cascade as pure
+    per-row expressions, shared by `q_filter_cascade` (per-doc funnel)
+    and `q_source_funnel` (per-source accounting)."""
     from rxtls_spark.functions.text import repetition_features
 
-    docs = _docs(spark, sf_dir)
     r = repetition_features()
     conds = {
         "empty": F.trim(F.col("text")) == "",
@@ -2687,13 +2673,129 @@ def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(c, F.lit(name)) if verdict is None else verdict.when(c, F.lit(name))
         )
         stage = F.when(c, F.lit(i)) if stage is None else stage.when(c, F.lit(i))
-    return docs.select(
+    return (
+        verdict.otherwise(F.lit("kept")),
+        stage.otherwise(F.lit(len(_CASCADE_GATES))).cast("long"),
+    )
+
+
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb/RefinedWeb-style quality-filter FUNNEL as one
+    operator: every doc flows through the ordered gate cascade (empty →
+    too-short → unknown-language → Gopher repetition trio → composite
+    quality floor) and reports the FIRST gate that rejects it, or
+    'kept' — the per-stage accounting a curation pipeline publishes as
+    its data-funnel table (reference analog: the usability funnel of
+    P1/P4/P5 re-expressed over documents; thresholds adapted from
+    Rae et al. 2021 §A1.1).
+
+    Scale shape: the ENTIRE cascade is a single Catalyst projection —
+    every signal (token counts, lang-ID marker scores, repetition
+    run-length folds, composite quality) is a per-row expression, so
+    the plan is scan → project with ZERO exchanges, no UDF, no window
+    (plan-locked); at 100 TB it fuses into one whole-stage-codegen
+    pass over the corpus.  CaseWhen also short-circuits: docs failing
+    cheap early gates never evaluate the repetition folds."""
+    verdict, stage = cascade_columns()
+    return _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
-        verdict.otherwise(F.lit("kept")).alias("verdict"),
-        stage.otherwise(F.lit(len(_CASCADE_GATES)))
-        .cast("long")
-        .alias("stage"),
+        verdict.alias("verdict"),
+        stage.alias("stage"),
+    )
+
+
+def q_source_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE filter-funnel report — the "which crawls/feeds are
+    worth keeping" table a curation team reviews: for every (source,
+    verdict) cell, the doc count and its share of that source's docs.
+    Composes the `filter_cascade` gate expressions with the grouped
+    accounting (the reference's per-log operator tallies, A6,
+    re-expressed over document sources).
+
+    Scale shape: the cascade stays a pure projection, then ONE
+    partial-agg exchange on (source, verdict); per-source totals
+    derive from the already-bounded funnel table (n_sources × 8 rows)
+    and join back as a broadcast — the corpus is touched exactly
+    once."""
+    verdict, _ = cascade_columns()
+    docs = _docs(spark, sf_dir).select(
+        "source", verdict.alias("verdict")
+    )
+    counts = docs.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    return counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "verdict",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+# n-gram novelty constant — MIRRORED in `_ngram_novelty_sql`; change
+# together.
+NOVELTY_W = 5
+
+
+def _word_ngram_col(w: int) -> F.Column:
+    """JVM-side array of w-word shingles over `_lm_tokens()` (strict
+    concat — never concat_ws, whose null-skipping would silently
+    shorten a gram)."""
+    toks = _lm_tokens()
+    head = F.slice(toks, 1, F.greatest(F.size(toks) - (w - 1), F.lit(0)))
+    return F.transform(
+        head,
+        lambda t, i: F.concat(
+            t, *[x for j in range(1, w) for x in (F.lit(" "), F.get(toks, i + j))]
+        ),
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    ``NOVELTY_W``-word shingles that appear in NO other document — the
+    diversity/uniqueness signal data-selection pipelines use alongside
+    dedup (dedup asks "is this a copy?", novelty asks "does this add
+    anything?").  Distinct from `ngram_jaccard` (pairwise similarity
+    on candidate pairs) and `span_dedup` (first-occurrence rewrite).
+
+    Scale shape: distinct (doc, gram) pairs [exchange 1] → gram-keyed
+    doc-frequency agg [exchange 2] → gram equi-join back → per-doc agg
+    [exchange 3] — the span_dedup class of gram-keyed shuffles; at
+    100 TB the gram key is hashed (xxh3) instead of carried as text,
+    which only strengthens the equi-join.  Novelty = n_novel/n_grams
+    is an exact rational double on both engines."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(
+        F.trim("text") != ""
+    )
+    pairs = (
+        docs.select(
+            "doc_id", F.explode(_word_ngram_col(NOVELTY_W)).alias("gram")
+        )
+        .distinct()
+    )
+    dfc = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    per = (
+        pairs.join(dfc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty"
+        ),
     )
 
 
@@ -3383,6 +3485,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topterms": q_tfidf_topterms,
     "bigram_lm_score": q_bigram_lm_score,
     "filter_cascade": q_filter_cascade,
+    "source_funnel": q_source_funnel,
+    "ngram_novelty": q_ngram_novelty,
     "curriculum_order": q_curriculum_order,
     "corpus_diff": q_corpus_diff,
     "lm_score": q_lm_score,
@@ -3723,9 +3827,10 @@ FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
 """
 
 
-def _filter_cascade_sql() -> str:
-    return f"""
-WITH {_scored_feats_ctes()},
+def _cascade_v_ctes() -> str:
+    """The WITH-chain ending at ``v`` (doc_id, lang, source, verdict)
+    — shared by the `filter_cascade` and `source_funnel` oracles."""
+    return f"""WITH {_scored_feats_ctes()},
 {_REP_CTES},
 rep AS (
   SELECT b.doc_id,
@@ -3739,7 +3844,7 @@ rep AS (
   LEFT JOIN g3d ON b.doc_id = g3d.doc_id
 ),
 v AS (
-  SELECT f.doc_id, f.lang,
+  SELECT f.doc_id, f.lang, d.source,
     CASE WHEN trim(f.text) = '' THEN 'empty'
          WHEN f.n_tokens < {CASCADE_MIN_TOKENS} THEN 'too_short'
          WHEN f.lang_guess = 'und' THEN 'lang_unknown'
@@ -3748,14 +3853,67 @@ v AS (
          WHEN rep.d3f > {CASCADE_DUP3_MAX} THEN 'dup3gram'
          WHEN {_QUALITY_SQL} < {CASCADE_MIN_QUALITY} THEN 'low_quality'
          ELSE 'kept' END AS verdict
-  FROM feats f JOIN rep ON f.doc_id = rep.doc_id
-)
+  FROM feats f
+  JOIN rep ON f.doc_id = rep.doc_id
+  JOIN (SELECT doc_id, source FROM documents) d ON f.doc_id = d.doc_id
+)"""
+
+
+def _filter_cascade_sql() -> str:
+    return (
+        _cascade_v_ctes()
+        + """
 SELECT doc_id, lang, verdict,
   CAST(CASE verdict WHEN 'empty' THEN 0 WHEN 'too_short' THEN 1
        WHEN 'lang_unknown' THEN 2 WHEN 'dup_words' THEN 3
        WHEN 'top2gram' THEN 4 WHEN 'dup3gram' THEN 5
        WHEN 'low_quality' THEN 6 ELSE 7 END AS BIGINT) AS stage
 FROM v
+"""
+    )
+
+
+def _source_funnel_sql() -> str:
+    return (
+        _cascade_v_ctes()
+        + """,
+c AS (
+  SELECT source, verdict, CAST(count(*) AS BIGINT) AS n
+  FROM v GROUP BY 1, 2
+), t AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1
+)
+SELECT c.source, c.verdict, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM c JOIN t ON c.source = t.source
+"""
+    )
+
+
+def _ngram_novelty_sql(w: int = NOVELTY_W) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(w))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT doc_id, list_transform(generate_series(1, len(t) - {w - 1}),
+                                i -> {gram}) AS g
+  FROM toks
+), pairs AS (
+  SELECT DISTINCT doc_id, unnest(g) AS gram FROM grams
+), dfc AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM pairs GROUP BY 1
+), per AS (
+  SELECT p.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM pairs p JOIN dfc d ON p.gram = d.gram
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+FROM per
 """
 
 
@@ -3955,6 +4113,8 @@ WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
         "tfidf_topterms": _tfidf_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
         "filter_cascade": _filter_cascade_sql(),
+        "source_funnel": _source_funnel_sql(),
+        "ngram_novelty": _ngram_novelty_sql(),
         "curriculum_order": _curriculum_sql(),
         "corpus_diff": """
 WITH prev AS (

@@ -357,3 +357,28 @@ def test_r5_text_pipeline_plan_shapes(spark):
     assert p.count("WindowGroupLimit") == 2 and "Partial" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_source_funnel_and_novelty_plan_shapes(spark):
+    """source_funnel: the cascade stays a pure projection feeding ONE
+    corpus agg; per-source totals join back as an explicit broadcast —
+    never a shuffled join of the funnel table; no Python anywhere.
+    ngram_novelty: gram-keyed shuffles are expected (the span_dedup
+    class) but nothing may cross-join or evaluate Python."""
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        q_ngram_novelty,
+        q_source_funnel,
+    )
+    from tests.conftest import SF_SMOKE
+
+    sf = q_source_funnel(spark, SF_SMOKE)
+    p = plan_string(sf, "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    nv = q_ngram_novelty(spark, SF_SMOKE)
+    p = plan_string(nv, "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p

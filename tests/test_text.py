@@ -674,6 +674,8 @@ def test_text_oracles_agree_on_unicode_and_vt(spark, tmp_path):
         "bigram_lm_score",
         "filter_cascade",
         "curriculum_order",
+        "source_funnel",
+        "ngram_novelty",
     ):
         s = normalize_frame(qs[name](spark, str(tmp_path)).toPandas())
         o = normalize_frame(con.execute(oracles[name]).fetchdf())
@@ -1432,3 +1434,77 @@ def test_tfidf_topterms_matches_python(spark):
         f_, dfv, score, rk = want[k]
         assert (r["tf"], r["df"], r["rk"]) == (f_, dfv, rk), k
         assert r["score"] == score, k
+
+
+def test_source_funnel_accounting(spark):
+    """Funnel cells partition each source's docs exactly: per-source n
+    sums to the source's doc count, shares are the exact rationals
+    n/total, and every verdict agrees with a per-doc cascade join."""
+    from rxtls_spark.queries_training import (
+        q_filter_cascade,
+        q_source_funnel,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_source_funnel(spark, SF_SMOKE).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    per_source = {
+        r["source"]: r["n"] for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    got_totals: dict[str, int] = {}
+    for r in rows:
+        got_totals[r["source"]] = got_totals.get(r["source"], 0) + r["n"]
+        assert r["share"] == r["n"] / per_source[r["source"]]
+    assert got_totals == per_source
+
+    # cross-check cell counts against the per-doc cascade
+    fc = q_filter_cascade(spark, SF_SMOKE).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    want = {
+        (r["source"], r["verdict"]): r["n"]
+        for r in fc.groupBy("source", "verdict")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {(r["source"], r["verdict"]): r["n"] for r in rows} == want
+
+
+def test_ngram_novelty_matches_python(spark):
+    """Pure-Python replica: distinct 5-gram shingles per doc, novelty =
+    fraction appearing in no other doc, exact rational doubles."""
+    import re
+
+    from rxtls_spark.queries_training import NOVELTY_W, q_ngram_novelty
+    from tests.conftest import SF_SMOKE
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    docs = {
+        r["doc_id"]: ws.split(r["text"].strip().lower())
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["text"].strip() != ""
+    }
+    grams = {
+        d: {
+            " ".join(t[i : i + NOVELTY_W])
+            for i in range(len(t) - NOVELTY_W + 1)
+        }
+        for d, t in docs.items()
+    }
+    dfc: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            dfc[g] = dfc.get(g, 0) + 1
+
+    out = {r["doc_id"]: r for r in q_ngram_novelty(spark, SF_SMOKE).collect()}
+    want_docs = {d for d, gs in grams.items() if gs}
+    assert set(out) == want_docs
+    for d in want_docs:
+        gs = grams[d]
+        n_novel = sum(1 for g in gs if dfc[g] == 1)
+        r = out[d]
+        assert r["n_grams"] == len(gs), d
+        assert r["n_novel"] == n_novel, d
+        assert r["novelty"] == n_novel / len(gs), d
