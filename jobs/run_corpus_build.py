@@ -45,6 +45,12 @@ def main() -> int:
                     "per-lang window sort)")
     ap.add_argument("--max-dup3", type=float, default=0.3,
                     help="max repeated-3-gram char fraction to keep")
+    ap.add_argument("--gate-mode", choices=("thresholds", "cascade"),
+                    default="thresholds",
+                    help="thresholds: quality/dup3 floors (see --quality* "
+                    "and --max-dup3); cascade: the full filter_cascade "
+                    "first-failing-gate funnel (keep verdict=='kept'), "
+                    "per-verdict funnel counts recorded in the summary")
     ap.add_argument("--sample-mode", choices=("temperature", "dsir"),
                     default="temperature",
                     help="temperature: sqrt(c_min/c_lang) per-lang rates; "
@@ -101,18 +107,39 @@ def main() -> int:
     deduped = docs.join(losers, "doc_id", "left_anti").persist()
     n_deduped = deduped.count()
 
-    # 2. PII scrub + 3. quality/repetition gates (single pass)
+    # 2. PII scrub + 3. quality/repetition gates (single pass — in
+    # cascade mode the verdict is one more per-row expression in the
+    # SAME projection, so the funnel costs no extra corpus pass)
     r = repetition_features()
-    feats = deduped.select(
-        "doc_id",
-        "lang",
+    sel = [
+        F.col("doc_id"),
+        F.col("lang"),
         pii_scrub().alias("text"),
         quality_score().alias("quality"),
         r["dup3gram_char_frac"].alias("dup3"),
         lang_guess().alias("lang_guess"),
-    )
+    ]
+    if args.gate_mode == "cascade":
+        from rxtls_spark.queries_training import cascade_columns
+
+        sel.append(cascade_columns()[0].alias("verdict"))
+    feats = deduped.select(*sel)
     quality_thresholds = None
-    if args.quality_mode == "quantile":
+    funnel = None
+    if args.gate_mode == "cascade":
+        funnel = {
+            row["verdict"]: row["n"]
+            for row in feats.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        gated = (
+            feats.where(F.col("verdict") == "kept").drop("verdict").persist()
+        )
+        n_gated = gated.count()
+        assert sum(funnel.values()) == n_deduped  # funnel partitions docs
+        assert funnel.get("kept", 0) == n_gated
+    elif args.quality_mode == "quantile":
         from rxtls_spark.queries_training import (
             quality_bucket,
             quality_gate_thresholds,
@@ -127,8 +154,11 @@ def main() -> int:
         qual_ok = quality_bucket() >= thr_map[F.col("lang")]
     else:
         qual_ok = F.col("quality") >= args.quality
-    gated = feats.where(qual_ok & (F.col("dup3") <= args.max_dup3)).persist()
-    n_gated = gated.count()
+    if args.gate_mode != "cascade":
+        gated = feats.where(
+            qual_ok & (F.col("dup3") <= args.max_dup3)
+        ).persist()
+        n_gated = gated.count()
 
     # 4. corpus selection: temperature-0.5 mixture sample
     # (deterministic hash Bernoulli) or DSIR importance selection
@@ -210,6 +240,8 @@ def main() -> int:
         "n_tokens": sum(s["n_tokens"] for s in shards),
         "n_seqs": sum(s["n_seqs"] for s in shards),
         "shards": shards,
+        "gate_mode": args.gate_mode,
+        "funnel": funnel,
         "quality_mode": args.quality_mode,
         "quality": args.quality,
         "quality_thresholds": quality_thresholds,

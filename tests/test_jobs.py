@@ -141,3 +141,27 @@ def test_run_corpus_build_job_quantile_gate(tmp_path):
     # (boundary-bucket ties only ADD survivors, never remove)
     frac = summary["n_after_gates"] / summary["n_after_dedup"]
     assert 1 / 3 - 0.01 <= frac <= 0.45, frac
+
+
+def test_run_corpus_build_job_cascade_gate(tmp_path):
+    """--gate-mode cascade: the filter_cascade funnel replaces the
+    threshold gates; per-verdict counts partition the deduped corpus
+    exactly, kept == n_after_gates, and the funnel verdicts match an
+    in-process q_filter_cascade recount on the same corpus."""
+    out = _run([
+        "jobs/run_corpus_build.py",
+        "--docs", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "run"),
+        "--gate-mode", "cascade",
+        "--master", "local[4]",
+    ])
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["gate_mode"] == "cascade"
+    funnel = summary["funnel"]
+    assert funnel and sum(funnel.values()) == summary["n_after_dedup"]
+    assert funnel.get("kept", 0) == summary["n_after_gates"]
+    assert summary["n_sampled"] <= summary["n_after_gates"]
+    from rxtls_spark.queries_training import _CASCADE_GATES
+
+    assert set(funnel) <= set(_CASCADE_GATES) | {"kept"}
