@@ -295,6 +295,176 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(inv, target_bytes=4096)
 
 
+# --- as-of / range / skew joins (SURVEY §2.3 "provided by Spark built-ins" --
+# row: the reference has only broadcast equi-joins; these cover the join
+# shapes a web-scale training pipeline needs beyond that).
+
+def _us(col: str):
+    """Microsecond epoch of a TIMESTAMP_NTZ column.  The session TZ is
+    pinned to UTC (session.py), so the NTZ->TZ cast is a pure
+    reinterpretation and matches DuckDB's epoch_us() on the same NTZ
+    value (unix_micros itself rejects NTZ input)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'click' event, the same user's most recent
+    'view' event at-or-before the click (and the gap in microseconds).
+
+    Scale path: the MERGE as-of — union both sides tagged, ONE shuffle
+    on user_id, then last(..., ignorenulls) over an ordered rows-frame.
+    No join node at all, so no row explosion and no skew amplification:
+    a join-then-filter as-of is O(clicks x views per user) at 10^12
+    rows; this is O(clicks + views) with a single exchange.  Ordering
+    (ts_us, side) puts the view BEFORE a click at the identical
+    timestamp, matching the oracle's `c.ts >= v.ts`; the build side is
+    deduped per (user_id, ts) -> max event_id so equal-time ties are
+    deterministic on both engines.  Oracle: DuckDB's native ASOF LEFT
+    JOIN over the identical deduped build side.
+    """
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("b_eid"))
+        .select(
+            "user_id",
+            _us("ts").alias("t_us"),
+            F.lit(0).alias("side"),
+            "b_eid",
+            _us("ts").alias("b_t_us"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("b_eid"),
+        F.lit(None).cast("long").alias("b_t_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(clicks).select(
+        "*",
+        F.last("b_eid", ignorenulls=True).over(w).alias("view_event_id"),
+        F.last("b_t_us", ignorenulls=True).over(w).alias("view_t_us"),
+    )
+    return merged.where(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t_us").alias("ts_us"),
+        "view_event_id",
+        (F.col("t_us") - F.col("view_t_us")).alias("gap_us"),
+    )
+
+
+# Price-band dimension for the range join: (band, lo, hi) half-open
+# intervals.  The last band is open-ended so out-of-range prices at
+# other SFs still land somewhere (total row count is then invariant).
+RANGE_BANDS: list[tuple[str, float, float]] = [
+    ("band_0", 0.0, 920.0),
+    ("band_1", 920.0, 940.0),
+    ("band_2", 940.0, 960.0),
+    ("band_3", 960.0, 980.0),
+    ("band_4", 980.0, 1.0e18),
+]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: parts bucketed into price bands by
+    lo <= p_retailprice < hi against a broadcast interval dimension.
+
+    Scale path: the dim side is tiny and broadcast, so the non-equi
+    predicate plans as BroadcastNestedLoopJoin — each part row scans 5
+    broadcast intervals, zero shuffle on the fact side before the
+    final agg.  (A large-large range join would instead bucket both
+    sides by floor(price/width) and equi-join the bucket key; the
+    bands here are the broadcastable case.)
+    """
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        RANGE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_retail"),
+        )
+    )
+
+
+SKEW_NSALT = 8  # mirrored in the rel_skew_salted_join pytest lock
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: orders x customer where the customer side is
+    exploded into SKEW_NSALT salted replicas and the orders side picks
+    a deterministic salt (o_orderkey % NSALT), so ONE hot c_custkey
+    spreads over NSALT shuffle partitions instead of melting a single
+    reducer.  The oracle is the PLAIN join — salting must be invisible
+    in the result (tests/test_relational_joins.py also locks salted ==
+    unsalted bit-for-bit).  At 10^12 rows this is the manual fallback
+    when AQE skew-join can't kick in (e.g. the skew is inside one
+    partition of a broadcast-ineligible dim).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    c_salted = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(SKEW_NSALT)])).alias("salt"),
+    )
+    o_salted = o.withColumn(
+        "salt", (F.col("o_orderkey") % SKEW_NSALT).cast("int")
+    )
+    return (
+        o_salted.join(
+            c_salted,
+            (o_salted.o_custkey == c_salted.c_custkey)
+            & (o_salted.salt == c_salted.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) time windows: 2-hour windows sliding every
+    hour — each event lands in exactly two windows.  Spark's window()
+    with a slide plans as a generator (explode of the window set) +
+    one hash agg; the oracle reproduces the window assignment as a
+    2-row offset cross join.  Window starts are epoch-aligned on both
+    engines (Spark aligns to 1970-01-01 by default)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_topk": q_revenue_topk,
@@ -311,6 +481,10 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_rollup_pricing": q_rollup_pricing,
     "rel_exact_median": q_exact_median,
     "rel_events_pivot": q_events_pivot,
+    "rel_asof_join": q_asof_join,
+    "rel_range_join": q_range_join,
+    "rel_skew_salted_join": q_skew_salted_join,
+    "rel_events_sliding": q_events_sliding,
     "sink_compaction": q_sink_compaction,
 }
 
@@ -469,5 +643,57 @@ FROM lineitem GROUP BY 1
 SELECT tok, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS tok FROM orders)
 GROUP BY 1
+""",
+    # Native DuckDB ASOF join over the identical deduped build side;
+    # ASOF picks the greatest v.ts <= c.ts, exactly what the Spark
+    # merge (ordered last-ignorenulls) computes.
+    "rel_asof_join": """
+WITH v AS (
+  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), c AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, user_id, ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+       v.view_event_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+    # Interval bands interpolated from RANGE_BANDS — the Python list
+    # and this VALUES clause are the same object at import time, so
+    # they cannot drift.
+    "rel_range_join": """
+WITH bands(band, lo, hi) AS (VALUES {bands})
+SELECT band, CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(p_retailprice), 2) AS sum_retail
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY 1
+""".format(
+        bands=", ".join(
+            f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in RANGE_BANDS
+        )
+    ),
+    # The PLAIN join — salting must be invisible in the result.
+    "rel_skew_salted_join": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+    # Every event belongs to the two epoch-aligned 2h/1h-slide windows
+    # starting at floor(t/3600)*3600 and that minus 3600.
+    "rel_events_sliding": """
+WITH offs(off) AS (VALUES (0), (3600)),
+e AS (SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+SELECT CAST((es // 3600) * 3600 - off AS BIGINT) AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM e CROSS JOIN offs
+GROUP BY 1, 2
 """,
 }

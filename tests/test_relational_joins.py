@@ -1,0 +1,120 @@
+"""As-of / range / skew-salted join and sliding-window coverage
+(SURVEY §2.3's "provided by Spark built-ins" row, made real).
+
+Semantics locks:
+- rel_asof_join == brute-force per-click argmax over prior views
+  (the merge pattern must equal the O(n^2) definition).
+- rel_skew_salted_join == the plain unsalted join bit-for-bit
+  (salting must be invisible in the result).
+- rel_events_sliding: every event appears in exactly 2 windows.
+
+Plan locks:
+- as-of join: NO join node at all (merge = union + one window pass).
+- range join: BroadcastNestedLoopJoin (dim is broadcast), never a
+  CartesianProduct or shuffled join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rxtls_spark.plans.checks import plan_string
+from rxtls_spark.queries_relational import (
+    SKEW_NSALT,
+    q_asof_join,
+    q_events_sliding,
+    q_range_join,
+    q_skew_salted_join,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_asof_join_matches_bruteforce(spark):
+    out = {r["event_id"]: r for r in q_asof_join(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    rows = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    ).collect()
+    views: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        if r["event_type"] == "view":
+            views.setdefault(r["user_id"], []).append((r["t"], r["event_id"]))
+    n_clicks = 0
+    for r in rows:
+        if r["event_type"] != "click":
+            continue
+        n_clicks += 1
+        got = out[r["event_id"]]
+        assert got["user_id"] == r["user_id"]
+        assert got["ts_us"] == r["t"]
+        # brute-force as-of: latest view at-or-before the click;
+        # ties on ts break to max event_id (the deduped build side).
+        cand = [(t, e) for (t, e) in views.get(r["user_id"], []) if t <= r["t"]]
+        if not cand:
+            assert got["view_event_id"] is None and got["gap_us"] is None
+        else:
+            best_t = max(t for t, _ in cand)
+            best_e = max(e for t, e in cand if t == best_t)
+            assert got["view_event_id"] == best_e, (r["event_id"], got)
+            assert got["gap_us"] == r["t"] - best_t
+    assert len(out) == n_clicks and n_clicks > 0
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    df = q_asof_join(spark, SF_SMOKE)
+    p = plan_string(df, "simple")
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    # one shuffle for the build-side dedup agg, one for the merge window
+    assert p.count("Exchange") <= 3, p
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    df = q_range_join(spark, SF_SMOKE)
+    p = plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+    rows = {r["band"]: r for r in df.collect()}
+    n_parts = spark.read.parquet(f"{SF_SMOKE}/part.parquet").count()
+    # bands are exhaustive half-open intervals: every part lands once
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+
+
+def test_skew_salted_join_equals_plain_join(spark):
+    salted = {
+        r["c_mktsegment"]: (r["n_orders"], r["sum_price"])
+        for r in q_skew_salted_join(spark, SF_SMOKE).collect()
+    }
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    plain = {
+        r["c_mktsegment"]: (r["n_orders"], r["sum_price"])
+        for r in (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .collect()
+        )
+    }
+    assert salted == plain and len(salted) > 0
+    assert SKEW_NSALT >= 2  # salting actually spreads
+
+
+def test_events_sliding_every_event_in_two_windows(spark):
+    df = q_events_sliding(spark, SF_SMOKE)
+    rows = df.collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    assert sum(r["n"] for r in rows) == 2 * n_events
+    # window starts are hour-aligned and every window length is 2h by
+    # construction; spot-check one event's two windows exist
+    one = ev.select(F.unix_timestamp("ts").alias("es")).first()["es"]
+    base = (one // 3600) * 3600
+    starts = {r["win_start"] for r in rows}
+    assert base in starts and base - 3600 in starts
