@@ -1431,6 +1431,125 @@ def q_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 two-stage pruning (Tirumala et al. 2023, "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification",
+    arXiv:2308.12284): SemDeDup first (drop semantic near-duplicates),
+    then SSL-prototypes pruning over the SURVIVORS — dedup removes the
+    redundant copies, diversification then removes the most
+    prototypical fraction of what remains.  One row per vector in the
+    (base + injected-copy) union: verdict 'semdedup' (stage-1 drop,
+    null proto/rank), 'proto' (stage-2 drop) or 'kept', with kept=1
+    only for final survivors.
+
+    Deviation from the paper, documented: the paper re-embeds and
+    re-clusters between stages; this operator keeps the stage-1
+    quantizer FROZEN for stage 2 (the streaming-ANN train-once
+    contract) so the composition is deterministic and the oracle can
+    reuse the shared unrolled-Lloyd's CTEs.  Constants are shared with
+    the component operators — `SEMDEDUP_TAU(_E5)` and
+    `PROTO_PRUNE_NUM/DEN` (mirrored in `_d4_prune_sql`; the kmeans
+    spec constants flow in via `_kmeans_cents_ctes`).  Unlike
+    `semantic_dedup`, BOTH engines gate pairs on the e5-floored cosine
+    (`sim_e5 >= SEMDEDUP_TAU_E5`) so the comparison form is identical
+    cross-engine.
+
+    Scale shape: the union of the component shapes — metadata-scale
+    training, per-row JVM cell assign, within-cell pair join for
+    stage 1 (the SemDeDup k≈N/5000 sizing bounds cells), ONE
+    hash-partition on `cell` for the stage-2 rank.  No corpus-wide
+    pair join, no global sort."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.embedding_dedup import (
+        with_injected_embedding_dups,
+    )
+    from rxtls_spark.operators.similarity import (
+        _cents_lit,
+        _cosine_cols,
+        cosine_expr,
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    uni = with_injected_embedding_dups(emb)
+    asg = uni.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias("cell"),
+    ).localCheckpoint(eager=False)  # assign once: pair join + both stages
+    a = asg.select(
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("emb_a"),
+        "cell",
+    )
+    b = asg.select("vec_id", F.col("embedding").alias("emb_b"), "cell")
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("keeper") < F.col("vec_id"))
+        .where(
+            F.floor(cosine_expr("emb_a", "emb_b") * 100000).cast("long")
+            >= SEMDEDUP_TAU_E5
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    sem_rows = asg.join(dropped, "vec_id", "left_semi").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.lit("semdedup").alias("verdict"),
+        F.lit(None).cast("long").alias("proto_e5"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.lit(0).cast("long").alias("kept"),
+    )
+    surv = asg.join(dropped, "vec_id", "left_anti")
+    sim_structs = F.transform(
+        _cents_lit(cents),
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            _cosine_cols(F.col("embedding"), c["centroid"]).alias("sim"),
+        ),
+    )
+    own = F.element_at(
+        F.filter(sim_structs, lambda s: s["cell"] == F.col("cell")), 1
+    )
+    scored = surv.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.floor(own["sim"] * 100000).cast("long").alias("proto_e5"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("proto_e5").desc(), "vec_id")
+    cw = Window.partitionBy("cell")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(cw).cast("long").alias("n_cell"),
+    )
+    prune_k = F.expr(
+        f"CAST((n_cell * {PROTO_PRUNE_NUM}) DIV {PROTO_PRUNE_DEN} AS BIGINT)"
+    )
+    proto_rows = ranked.select(
+        "vec_id",
+        "cell",
+        F.when(F.col("rnk") <= prune_k, F.lit("proto"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+        "proto_e5",
+        "rnk",
+        (F.col("rnk") > prune_k).cast("long").alias("kept"),
+    )
+    return sem_rows.unionByName(proto_rows)
+
+
 # Span-dedup constants — W mirrored in the oracle SQL; change together.
 SPAN_W = 10
 SPAN_DUP_OFFSET = 1_000_000_000
@@ -2625,6 +2744,151 @@ def q_bigram_lm_score(
     )
 
 
+# DoReMi constants — MIRRORED in `_doremi_sql`; change together.  The
+# EG update is computed on EXACT integers wherever sums cross rows
+# (per-doc logprobs enter as e3 BIGINTs, the normalizer sums e9
+# BIGINTs) so fold order cannot diverge the engines; the only floats
+# are products/quotients of identical values on both sides.  ETA is
+# large because the synthetic sources' excess-loss spread is narrow
+# (~0.33-0.35 nats); production corpora use the paper's smaller steps.
+DOREMI_ETA = 10.0
+DOREMI_ITERS = 3
+DOREMI_SMOOTH_NUM = 1
+DOREMI_SMOOTH_DEN = 5
+
+
+def q_doremi_weights(
+    spark: SparkSession, sf_dir: str, vocab_k: int = 30
+) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    exponentiated-gradient updates of per-domain mixture weights
+    proportional to each domain's EXCESS LOSS — how much worse the
+    proxy model does than the reference model on that domain — then
+    uniform smoothing.  Here the reference model is the corpus bigram
+    LM and the proxy the corpus unigram LM (the reference is strictly
+    the stronger model, the paper's setup): per-doc excess loss =
+    max(0, avg_lp_bigram − avg_lp_unigram) in e3-integer nats, using
+    the exact per-doc quantities the green `lm_score` /
+    `bigram_lm_score` oracles already prove cross-engine.  Deviation,
+    documented: the paper recomputes excess loss as the proxy trains;
+    this engine computes the data-side reweighting for a FIXED pair of
+    models, so per-domain excess is static across the unrolled
+    iterations.  Output: one row per (source, iter) for iter 0..ITERS
+    plus the final uniform-smoothed row at iter ITERS+1.
+
+    Cross-engine determinism: per-domain sums are BIGINT e3 (exact,
+    order-free); mean excess = two exact ints divided (identical
+    double); each EG step floors w·exp(η·mx)·1e9 to BIGINT before the
+    exact-integer normalizer sum, so w_t is a ratio of identical
+    integers on both engines.  exp() is the one libm call — same glibc
+    here; a portability ulp at the e9 floor boundary is the accepted
+    improbable class (CLAUDE.md rounding discipline).
+
+    Scale shape: three bounded vocab aggs (top-K unigrams/bigrams +
+    left-word counts, the lm_score/bigram shapes), ONE scoring pass
+    with a per-source hash agg, then the EG loop on the collected
+    ≤|domains|-row table driver-side (metadata-scale — the logreg
+    precedent) and a literal-scale createDataFrame."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    live = docs.where(F.trim("text") != "")
+    txt = docs.select("doc_id", "text")
+    uvocab = _lm_vocab(txt, vocab_k)
+    bvocab = _bigram_vocab(txt, vocab_k)
+
+    toks = _lm_tokens()
+    ulp_map = F.create_map(*[F.lit(x) for kv in uvocab.items() for x in kv])
+    ulp = F.filter(
+        F.transform(toks, lambda t: ulp_map[t]), lambda x: x.isNotNull()
+    )
+    un = F.size(ulp)
+    u_e3 = F.floor(
+        F.aggregate(ulp, F.lit(0.0), lambda a, x: a + x)
+        / un.cast("double")
+        * 1000.0
+        + F.lit(0.5)
+    ).cast("long")
+
+    blp_map = F.create_map(*[F.lit(x) for kv in bvocab.items() for x in kv])
+    bi = _bigrams()
+    blp = F.filter(
+        F.transform(bi, lambda b: blp_map[b]), lambda x: x.isNotNull()
+    )
+    bn = F.size(blp)
+    b_e3 = F.floor(
+        F.aggregate(blp, F.lit(0.0), lambda a, x: a + x)
+        / bn.cast("double")
+        * 1000.0
+        + F.lit(0.5)
+    ).cast("long")
+
+    dom = (
+        live.select(
+            "source",
+            u_e3.alias("u_e3"),
+            b_e3.alias("b_e3"),
+            un.alias("u_n"),
+            bn.alias("b_n"),
+        )
+        .where((F.col("u_n") > 0) & (F.col("b_n") > 0))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.greatest(F.lit(0).cast("long"), F.col("b_e3") - F.col("u_e3"))
+            )
+            .cast("long")
+            .alias("sum_excess_e3"),
+        )
+        .collect()  # metadata-scale: one row per domain
+    )
+
+    d = len(dom)
+    mx = {r["source"]: r["sum_excess_e3"] / (r["n_docs"] * 1000.0) for r in dom}
+    w = {r["source"]: 1.0 / d for r in dom}
+    info = {r["source"]: (r["n_docs"], r["sum_excess_e3"]) for r in dom}
+
+    def emit(it: int, weights: dict[str, float]) -> list[tuple]:
+        return [
+            (s, info[s][0], info[s][1], it, math.floor(x * 1e6 + 0.5) / 1e6)
+            for s, x in weights.items()
+        ]
+
+    out = emit(0, w)
+    for t in range(1, DOREMI_ITERS + 1):
+        ue = {
+            s: math.floor((w[s] * math.exp(DOREMI_ETA * mx[s])) * 1e9 + 0.5)
+            for s in w
+        }
+        z = float(sum(ue.values()))  # exact-int sum, then one conversion
+        w = {s: ue[s] / z for s in w}
+        out += emit(t, w)
+    c = DOREMI_SMOOTH_NUM / float(DOREMI_SMOOTH_DEN)
+    out += emit(
+        DOREMI_ITERS + 1, {s: (1.0 - c) * w[s] + c / d for s in w}
+    )
+
+    schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("n_docs", LongType()),
+            StructField("sum_excess_e3", LongType()),
+            StructField("iter", LongType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 # Filter-cascade gate constants — MIRRORED in `_filter_cascade_sql`;
 # change together.  Thresholds compare STABLE-ROUNDED 5-dp fractions
 # (identical doubles on both engines) against literal doubles, so the
@@ -3366,6 +3630,68 @@ FROM ranked
     )
 
 
+def _d4_prune_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
+) -> str:
+    """D4 oracle: the shared unrolled-Lloyd's centroid CTEs, the
+    `semantic_dedup` union+assignment+pair CTEs gated on the e5-floored
+    cosine (both engines compare the identical BIGINT), an anti-join to
+    the stage-1 drops, then the `proto_prune` scoring/rank CTEs over
+    the SURVIVORS with the same frozen centroids."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+uni AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 25 = 0
+), asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT u.vec_id, u.emb, c.cell,
+      row_number() OVER (PARTITION BY u.vec_id
+                         ORDER BY list_distance(u.emb, c.centroid), c.cell
+      ) AS rn
+    FROM uni u, cents{iters} c)
+  WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(floor(list_cosine_similarity(a.emb, b.emb) * 100000) AS BIGINT)
+        >= {SEMDEDUP_TAU_E5}
+), surv AS (
+  SELECT a.* FROM asg a ANTI JOIN dropped d ON a.vec_id = d.vec_id
+), scored AS (
+  SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+    CAST(floor(list_cosine_similarity(s.emb, c.centroid) * 100000)
+         AS BIGINT) AS proto_e5
+  FROM surv s JOIN cents{iters} c USING (cell)
+), ranked AS (
+  SELECT *,
+    CAST(row_number() OVER (PARTITION BY cell
+                            ORDER BY proto_e5 DESC, vec_id) AS BIGINT) AS rnk,
+    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+  FROM scored
+)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, 'semdedup' AS verdict,
+       CAST(NULL AS BIGINT) AS proto_e5, CAST(NULL AS BIGINT) AS rnk,
+       CAST(0 AS BIGINT) AS kept
+FROM asg a JOIN dropped d ON a.vec_id = d.vec_id
+UNION ALL
+SELECT vec_id, cell,
+       CASE WHEN rnk <= (n_cell * {PROTO_PRUNE_NUM}) // {PROTO_PRUNE_DEN}
+            THEN 'proto' ELSE 'kept' END AS verdict,
+       proto_e5, rnk,
+       CAST(CASE WHEN rnk > (n_cell * {PROTO_PRUNE_NUM}) // {PROTO_PRUNE_DEN}
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ranked
+"""
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding store — the standard
     4× storage cut before ANN at 100 TB: per-dimension [min, max] over
@@ -3484,6 +3810,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "bigram_lm_score": q_bigram_lm_score,
+    "doremi_weights": q_doremi_weights,
     "filter_cascade": q_filter_cascade,
     "source_funnel": q_source_funnel,
     "ngram_novelty": q_ngram_novelty,
@@ -3503,6 +3830,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "span_dedup": q_span_dedup,
     "proto_prune": q_proto_prune,
+    "d4_prune": q_d4_prune,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "embedding_pca": q_embedding_pca,
     "shuffle_shards": q_shuffle_shards,
@@ -3827,6 +4155,90 @@ FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
 """
 
 
+def _doremi_sql(vocab_k: int = 30) -> str:
+    """DoReMi oracle: the `lm_score` unigram CTEs and the
+    `bigram_lm_score` CTEs reduced to per-doc e3-BIGINT averages, a
+    per-source exact-integer excess agg, then the EG loop UNROLLED one
+    (u{{t}}, w{{t}}) CTE pair per iteration — every cross-row sum is
+    BIGINT, every float a product/quotient of identical values.  The
+    heavy CTEs are AS MATERIALIZED (the BPE precedent: DuckDB inlines
+    CTEs by default and the w-chain would re-evaluate the corpus scan
+    per reference)."""
+    base = f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), vc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok
+  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT {vocab_k}
+), v AS (
+  SELECT tok, ln(cnt / (SELECT sum(cnt) FROM vc)::DOUBLE) AS lp FROM vc
+), uscored AS (
+  SELECT tk.doc_id, count(v.lp) AS n_in, sum(v.lp) AS s
+  FROM tok tk LEFT JOIN v USING (tok) GROUP BY 1
+), uni_doc AS (
+  SELECT doc_id, CAST(floor(s / n_in * 1000.0 + 0.5) AS BIGINT) AS lp_e3
+  FROM uscored WHERE n_in > 0
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+), c2 AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM g2
+  GROUP BY 1 ORDER BY cnt DESC, bg LIMIT {vocab_k}
+), c1 AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), v2 AS (
+  SELECT c2.bg, ln(c2.cnt / CAST(c1.cnt AS DOUBLE)) AS lp
+  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.tok
+), bscored AS (
+  SELECT g2.doc_id, count(v2.lp) AS n_in, sum(v2.lp) AS s
+  FROM g2 LEFT JOIN v2 USING (bg) GROUP BY 1
+), big_doc AS (
+  SELECT doc_id, CAST(floor(s / n_in * 1000.0 + 0.5) AS BIGINT) AS lp_e3
+  FROM bscored WHERE n_in > 0
+), dom AS MATERIALIZED (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(greatest(0, b.lp_e3 - u.lp_e3)) AS BIGINT) AS sum_excess_e3
+  FROM uni_doc u JOIN big_doc b USING (doc_id)
+  JOIN documents d USING (doc_id)
+  GROUP BY 1
+), w0 AS MATERIALIZED (
+  SELECT source, n_docs, sum_excess_e3,
+         sum_excess_e3 / (n_docs * 1000.0) AS mx,
+         1.0 / (SELECT count(*) FROM dom) AS w
+  FROM dom
+)"""
+    for t in range(1, DOREMI_ITERS + 1):
+        base += f""",
+u{t} AS MATERIALIZED (
+  SELECT source, n_docs, sum_excess_e3, mx,
+         CAST(floor((w * exp({DOREMI_ETA} * mx)) * 1000000000 + 0.5)
+              AS BIGINT) AS ue
+  FROM w{t - 1}
+), w{t} AS MATERIALIZED (
+  SELECT source, n_docs, sum_excess_e3, mx,
+         ue / (SELECT CAST(sum(ue) AS DOUBLE) FROM u{t}) AS w
+  FROM u{t}
+)"""
+    selects = [
+        f"SELECT source, n_docs, sum_excess_e3, CAST({t} AS BIGINT) AS iter,"
+        f" floor(w * 1000000 + 0.5) / 1000000 AS weight FROM w{t}"
+        for t in range(DOREMI_ITERS + 1)
+    ]
+    selects.append(
+        f"""SELECT source, n_docs, sum_excess_e3,
+  CAST({DOREMI_ITERS + 1} AS BIGINT) AS iter,
+  floor(((1.0 - {DOREMI_SMOOTH_NUM}/{DOREMI_SMOOTH_DEN}.0) * w
+         + {DOREMI_SMOOTH_NUM}/{DOREMI_SMOOTH_DEN}.0
+           / (SELECT count(*) FROM dom)) * 1000000 + 0.5) / 1000000 AS weight
+FROM w{DOREMI_ITERS}"""
+    )
+    return base + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _cascade_v_ctes() -> str:
     """The WITH-chain ending at ``v`` (doc_id, lang, source, verdict)
     — shared by the `filter_cascade` and `source_funnel` oracles."""
@@ -4112,6 +4524,7 @@ WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
         "bm25_topk": _bm25_sql(),
         "tfidf_topterms": _tfidf_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
+        "doremi_weights": _doremi_sql(),
         "filter_cascade": _filter_cascade_sql(),
         "source_funnel": _source_funnel_sql(),
         "ngram_novelty": _ngram_novelty_sql(),
@@ -4227,6 +4640,7 @@ WHERE rn <= 10
         "kmeans": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "proto_prune": _proto_prune_sql(),
+        "d4_prune": _d4_prune_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),

@@ -118,3 +118,63 @@ def test_semantic_dedup_drops_copies_cluster_scoped(spark):
     }
     for v, row in got.items():
         assert row["cell"] == cell_of[v] == cell_of[row["keeper"]]
+
+
+def test_d4_prune_composes_semdedup_then_proto(spark):
+    """D4 (Tirumala et al. 2023): stage 1 must drop EXACTLY the
+    `semantic_dedup` victim set (same tau, same frozen quantizer);
+    stage 2 then rank-prunes only the survivors — one verdict per
+    vector, per-cell ranks dense 1..n, exactly floor(n*NUM/DEN)
+    'proto' drops per cell, kept flag consistent.  Plan lock: the
+    stage-1 candidate join stays an equi-join on cell."""
+    from collections import defaultdict
+
+    from rxtls_spark.operators.embedding_dedup import (
+        with_injected_embedding_dups,
+    )
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        PROTO_PRUNE_DEN,
+        PROTO_PRUNE_NUM,
+        _emb,
+        q_d4_prune,
+        q_semantic_dedup,
+    )
+
+    df = q_d4_prune(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    d4 = df.collect()
+    victims = {
+        r["vec_id"] for r in q_semantic_dedup(spark, SF_SMOKE).collect()
+    }
+    sem = {r["vec_id"] for r in d4 if r["verdict"] == "semdedup"}
+    assert sem == victims and sem
+
+    ids = [r["vec_id"] for r in d4]
+    assert len(ids) == len(set(ids)), "one verdict per vector"
+    n_uni = with_injected_embedding_dups(_emb(spark, SF_SMOKE)).count()
+    assert len(ids) == n_uni, "every vector in the union gets a verdict"
+
+    for r in d4:
+        assert (r["kept"] == 1) == (r["verdict"] == "kept")
+        if r["verdict"] == "semdedup":
+            assert r["proto_e5"] is None and r["rnk"] is None
+        else:
+            assert r["proto_e5"] is not None and r["rnk"] >= 1
+
+    by_cell = defaultdict(list)
+    for r in d4:
+        if r["verdict"] != "semdedup":
+            by_cell[r["cell"]].append(r)
+    for rows in by_cell.values():
+        n = len(rows)
+        assert sorted(r["rnk"] for r in rows) == list(range(1, n + 1))
+        n_proto = sum(r["verdict"] == "proto" for r in rows)
+        assert n_proto == (n * PROTO_PRUNE_NUM) // PROTO_PRUNE_DEN
+        # the pruned vectors are the TOP-ranked (most prototypical)
+        assert {r["rnk"] for r in rows if r["verdict"] == "proto"} == set(
+            range(1, n_proto + 1)
+        )

@@ -1508,3 +1508,51 @@ def test_ngram_novelty_matches_python(spark):
         assert r["n_grams"] == len(gs), d
         assert r["n_novel"] == n_novel, d
         assert r["novelty"] == n_novel / len(gs), d
+
+
+def test_doremi_weights_eg_invariants(spark):
+    """DoReMi (Xie et al. 2023) EG-update invariants: a weight row per
+    (source, iter 0..ITERS+1); every iteration is a distribution
+    (sums to 1 within the 6-dp floors, all positive); iter 0 is
+    uniform; with static per-domain excess the weights are MONOTONE in
+    mean excess at every EG step; the final row is the uniform-smoothed
+    mix of iter ITERS."""
+    from rxtls_spark.queries_training import (
+        DOREMI_ITERS,
+        DOREMI_SMOOTH_DEN,
+        DOREMI_SMOOTH_NUM,
+        q_doremi_weights,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_doremi_weights(spark, SF_SMOKE).collect()
+    by_iter: dict[int, dict[str, object]] = {}
+    for r in rows:
+        by_iter.setdefault(r["iter"], {})[r["source"]] = r
+    d = len(by_iter[0])
+    assert d >= 2
+    assert sorted(by_iter) == list(range(DOREMI_ITERS + 2))
+
+    for it, per_src in by_iter.items():
+        ws = [r["weight"] for r in per_src.values()]
+        assert len(ws) == d
+        assert abs(sum(ws) - 1.0) < d * 1e-6 + 1e-9
+        assert all(x > 0 for x in ws)
+
+    for r in by_iter[0].values():
+        assert abs(r["weight"] - 1.0 / d) < 1e-6
+
+    mx = {
+        s: r["sum_excess_e3"] / (r["n_docs"] * 1000.0)
+        for s, r in by_iter[0].items()
+    }
+    order = sorted(mx, key=lambda s: (mx[s], s))
+    for it in range(1, DOREMI_ITERS + 1):
+        ws = [by_iter[it][s]["weight"] for s in order]
+        assert ws == sorted(ws), f"EG weights not monotone in excess @it{it}"
+
+    c = DOREMI_SMOOTH_NUM / DOREMI_SMOOTH_DEN
+    for s in order:
+        w_t = by_iter[DOREMI_ITERS][s]["weight"]
+        w_s = by_iter[DOREMI_ITERS + 1][s]["weight"]
+        assert abs(w_s - ((1.0 - c) * w_t + c / d)) < 2e-6
