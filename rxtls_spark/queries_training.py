@@ -581,6 +581,93 @@ def q_lm_score_broadcast(
     )
 
 
+def q_ccnet_buckets(
+    spark: SparkSession, sf_dir: str, vocab_k: int = 30
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data" §4.4): within each language, split scoreable docs
+    into head / middle / tail terciles by LM score (best scores =
+    head — the slices CCNet trains on / drops).  The LM is the corpus
+    unigram model the green `lm_score` oracle already proves; the
+    per-doc score is the e3-floored BIGINT ``lp_e3`` so every bucket
+    comparison is exact-integer cross-engine (no float thresholds
+    anywhere).
+
+    Tercile rule (deterministic under ties): with n scoreable docs in
+    a language and cum(v) = #docs with lp_e3 >= v, the head cut is
+    t1 = max{v : cum(v) >= (n+2) DIV 3} and the middle cut is
+    t2 = max{v : cum(v) >= (2n+2) DIV 3}; head := lp_e3 >= t1,
+    middle := t2 <= lp_e3 < t1, tail := lp_e3 < t2.  Ties share a
+    bucket (head may exceed n/3) — the same value can never straddle a
+    boundary, so the assignment is stable under any row order.
+
+    Scale shape: the `quality_quantile_gate_approx` two-pass pattern
+    made EXACT — per-doc scoring is a zero-exchange literal-map fold;
+    pass 1 is ONE bounded (lang, lp_e3) hash agg (lp_e3 is an integer
+    with corpus-bounded range, so the agg output is metadata-scale
+    like the 1001-bucket quality histogram); thresholds come from a
+    window over that tiny agg and join back via ONE broadcast join;
+    the bucket assign is a pure map.  No per-lang sort of the corpus,
+    no global window."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    vocab = _lm_vocab(docs.select("doc_id", "text"), vocab_k)
+    toks = _lm_tokens()
+    lp_map = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    in_vocab = F.filter(
+        F.transform(toks, lambda t: lp_map[t]), lambda x: x.isNotNull()
+    )
+    n_in = F.size(in_vocab)
+    lp_e3 = F.floor(
+        F.aggregate(in_vocab, F.lit(0.0), lambda a, x: a + x)
+        / n_in.cast("double")
+        * 1000.0
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        docs.where(F.trim("text") != "")
+        .select("doc_id", "lang", n_in.alias("n_in"), lp_e3.alias("lp_e3"))
+        .where(F.col("n_in") > 0)
+        .drop("n_in")
+    )
+
+    hist = scored.groupBy("lang", "lp_e3").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("lp_e3").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang",
+        "lp_e3",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("lp_e3"))
+        ).alias("t1"),
+        F.max(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("lp_e3")
+            )
+        ).alias("t2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "lp_e3",
+        F.when(F.col("lp_e3") >= F.col("t1"), F.lit("head"))
+        .when(F.col("lp_e3") >= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 # BM25 constants (Robertson/Spärck Jones defaults) — baked into BOTH
 # the Spark expression and the SQL oracle; change together.
 BM25_K1 = 1.2
@@ -1616,6 +1703,112 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans",
         "n_kept",
         F.when(F.col("n_kept") > 0, F.md5("kept_text")).alias("kept_md5"),
+    )
+
+
+# ExactSubstr k-gram length + half-copy injection offset — MIRRORED in
+# the `exact_substr` oracle SQL; change together.
+EXSUB_K = 8
+EXSUB_HALF_OFFSET = 2_000_000_000
+
+
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-text measurement (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1): the paper marks any substring of >= 50 BPE
+    tokens that appears verbatim elsewhere in the corpus (via a suffix
+    array); here the equivalent SLIDING word ``EXSUB_K``-gram test —
+    a token position is duplicated iff some k-gram covering it occurs
+    at >= 2 distinct (doc, pos) sites corpus-wide.  (Overlapping
+    windows at stride 1 detect exactly the >= K-token shared
+    substrings a suffix array would, quantized to word boundaries —
+    the Spark-native replacement for the paper's sequential suffix
+    automaton.)  Unlike `span_dedup` (non-overlapping spans, global
+    first-occurrence REWRITE), this marks ALL occurrences and reports
+    per-doc duplicated-token coverage via exact integer interval
+    union.  Injected duplicates exercise both shapes: full copies
+    (doc_id+SPAN_DUP_OFFSET for doc_id%20==0 — original becomes 100%
+    covered) and FIRST-HALF copies (doc_id+EXSUB_HALF_OFFSET for
+    doc_id%16==3 — original is covered only on its first (n+1) DIV 2
+    tokens minus the k-gram boundary effect).
+
+    Output per doc in the union: n_tokens, n_grams, n_dup_grams, and
+    n_dup_tokens (the interval-union length — first sorted dup start
+    contributes K, each later start p after previous q contributes
+    min(K, p-q)).  Everything is BIGINT; no float leaves an engine.
+
+    Scale shape: tokenize + gram-split is a pure map (no UDF); the
+    duplicate test is ONE hash partition on the gram string (count
+    over partition — never a global sort; a pathologically hot gram
+    takes the dedup.py bucket-cap guard, same note as `span_dedup`);
+    coverage is one per-doc hash agg whose fold runs inside the group.
+    3 exchanges total, all on keys that scale with the corpus."""
+    from pyspark.sql.window import Window
+
+    k = EXSUB_K
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = _lm_tokens()
+    half_len = ((F.size(toks) + F.lit(1)) / F.lit(2)).cast("int")
+    half = F.concat_ws(" ", F.slice(toks, F.lit(1), half_len))
+    uni = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + F.lit(SPAN_DUP_OFFSET)).alias("doc_id"),
+                "text",
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 16 == 3).select(
+                (F.col("doc_id") + F.lit(EXSUB_HALF_OFFSET)).alias("doc_id"),
+                half.alias("text"),
+            )
+        )
+    )
+    t = uni.select("doc_id", _lm_tokens().alias("t"))
+    n = F.size("t")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k)),
+    )
+    base = t.select("doc_id", n.cast("long").alias("n_tokens"))
+    ex = t.where(n >= k).select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    wg = Window.partitionBy("gram")
+    dup = ex.withColumn("n_occ", F.count(F.lit(1)).over(wg))
+    per_doc = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum((F.col("n_occ") >= 2).cast("long"))
+        .cast("long")
+        .alias("n_dup_grams"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("n_occ") >= 2, F.col("pos")))
+        ).alias("dup_pos"),
+    )
+    covered = F.aggregate(
+        F.col("dup_pos"),
+        F.struct(
+            F.lit(0).cast("long").alias("cov"),
+            F.lit(-(k + 1)).cast("long").alias("prev"),
+        ),
+        lambda acc, p: F.struct(
+            (acc["cov"] + F.least(F.lit(k).cast("long"), p - acc["prev"])).alias(
+                "cov"
+            ),
+            p.cast("long").alias("prev"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias("n_dup_grams"),
+        F.coalesce(covered, F.lit(0).cast("long")).alias("n_dup_tokens"),
     )
 
 
@@ -3817,6 +4010,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order": q_curriculum_order,
     "corpus_diff": q_corpus_diff,
     "lm_score": q_lm_score,
+    "ccnet_buckets": q_ccnet_buckets,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -3829,6 +4023,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_embedding_dups_lsh,
     "semantic_dedup": q_semantic_dedup,
     "span_dedup": q_span_dedup,
+    "exact_substr": q_exact_substr,
     "proto_prune": q_proto_prune,
     "d4_prune": q_d4_prune,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4353,6 +4548,101 @@ FROM s
 """
 
 
+def _ccnet_sql(vocab_k: int = 30) -> str:
+    """CCNet-buckets oracle: the `lm_score` unigram CTEs reduced to
+    the e3-floored per-doc BIGINT, then the tercile-threshold chain in
+    exact integer arithmetic — cum(v) over a bounded (lang, lp_e3)
+    histogram, cut values via max(CASE...), bucket CASE on integer
+    compares (the identical rule as the Spark side)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), vc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok
+  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT {vocab_k}
+), v AS (
+  SELECT tok, ln(cnt / (SELECT sum(cnt) FROM vc)::DOUBLE) AS lp FROM vc
+), scored AS (
+  SELECT tk.doc_id, count(v.lp) AS n_in, sum(v.lp) AS s
+  FROM tok tk LEFT JOIN v USING (tok) GROUP BY 1
+), doc_e3 AS (
+  SELECT s.doc_id, d.lang,
+         CAST(floor(s.s / s.n_in * 1000.0 + 0.5) AS BIGINT) AS lp_e3
+  FROM scored s JOIN documents d USING (doc_id) WHERE s.n_in > 0
+), hist AS (
+  SELECT lang, lp_e3, CAST(count(*) AS BIGINT) AS cnt FROM doc_e3
+  GROUP BY 1, 2
+), cum AS (
+  SELECT lang, lp_e3,
+    sum(cnt) OVER (PARTITION BY lang ORDER BY lp_e3 DESC) AS cum,
+    sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+), cuts AS (
+  SELECT lang,
+    max(CASE WHEN cum >= (n + 2) // 3 THEN lp_e3 END) AS t1,
+    max(CASE WHEN cum >= (2 * n + 2) // 3 THEN lp_e3 END) AS t2
+  FROM cum GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.lp_e3,
+  CASE WHEN d.lp_e3 >= c.t1 THEN 'head'
+       WHEN d.lp_e3 >= c.t2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM doc_e3 d JOIN cuts c USING (lang)
+"""
+
+
+def _exsub_sql(k: int = EXSUB_K) -> str:
+    """ExactSubstr oracle: identical union (base + full copies + token
+    first-half copies), sliding k-grams via unnest(generate_series),
+    duplicate test as count() over the gram partition, coverage as the
+    lag-based interval union (first dup start contributes K via the
+    lag default pos-K) — BIGINT end to end."""
+    return f"""WITH toks0 AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), uni AS (
+  SELECT doc_id, t FROM toks0
+  UNION ALL
+  SELECT doc_id + {SPAN_DUP_OFFSET}, t FROM toks0 WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + {EXSUB_HALF_OFFSET}, t[1 : (len(t) + 1) // 2]
+  FROM toks0 WHERE doc_id % 16 = 3
+), g0 AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {k} + 1)) AS i
+  FROM uni WHERE len(t) >= {k}
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i : i + {k} - 1], ' ') AS gram
+  FROM g0
+), occ AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ FROM g
+), gstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams
+  FROM occ GROUP BY 1
+), deltas AS (
+  SELECT doc_id,
+    least({k}, pos - lag(pos, 1, pos - {k})
+                 OVER (PARTITION BY doc_id ORDER BY pos)) AS step
+  FROM occ WHERE n_occ >= 2
+), cov AS (
+  SELECT doc_id, CAST(sum(step) AS BIGINT) AS n_dup_tokens FROM deltas
+  GROUP BY 1
+)
+SELECT u.doc_id, CAST(len(u.t) AS BIGINT) AS n_tokens,
+  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(s.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+  CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+FROM uni u
+LEFT JOIN gstats s USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def oracle_sql_training() -> dict[str, str]:
     oracles = _oracle_sql_training_literal()
     # the broadcast-UDF path computes the identical result, so it
@@ -4641,6 +4931,8 @@ WHERE rn <= 10
         "semantic_dedup": _semantic_dedup_sql(),
         "proto_prune": _proto_prune_sql(),
         "d4_prune": _d4_prune_sql(),
+        "ccnet_buckets": _ccnet_sql(),
+        "exact_substr": _exsub_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),

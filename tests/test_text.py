@@ -1556,3 +1556,120 @@ def test_doremi_weights_eg_invariants(spark):
         w_t = by_iter[DOREMI_ITERS][s]["weight"]
         w_s = by_iter[DOREMI_ITERS + 1][s]["weight"]
         assert abs(w_s - ((1.0 - c) * w_t + c / d)) < 2e-6
+
+
+def test_exact_substr_matches_position_set_replica(spark):
+    """Pure-Python replica with SET-based coverage: the query computes
+    duplicated-token coverage via an interval-union fold; the replica
+    marks every covered position in an explicit set — agreement proves
+    the interval arithmetic.  Also: full injected copies leave their
+    original 100%-covered; half copies cover exactly the first
+    (n+1)//2 tokens of the original minus the k-gram boundary effect;
+    no cartesian in the plan."""
+    import re
+    from collections import Counter
+
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        EXSUB_HALF_OFFSET,
+        EXSUB_K,
+        SPAN_DUP_OFFSET,
+        q_exact_substr,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q_exact_substr(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    base = {
+        r["doc_id"]: ws.split(r["text"].strip().lower())
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["text"].strip() != ""
+    }
+    uni = dict(base)
+    for d, t in base.items():
+        if d % 20 == 0:
+            uni[d + SPAN_DUP_OFFSET] = t
+        if d % 16 == 3:
+            uni[d + EXSUB_HALF_OFFSET] = t[: (len(t) + 1) // 2]
+
+    k = EXSUB_K
+    occ = Counter(
+        " ".join(t[i : i + k])
+        for t in uni.values()
+        for i in range(len(t) - k + 1)
+    )
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert set(got) == set(uni)
+    for d, t in uni.items():
+        n = len(t)
+        starts = [
+            i
+            for i in range(n - k + 1)
+            if occ[" ".join(t[i : i + k])] >= 2
+        ]
+        covered = set()
+        for i in starts:
+            covered.update(range(i, i + k))
+        r = got[d]
+        assert r["n_tokens"] == n, d
+        assert r["n_grams"] == max(0, n - k + 1), d
+        assert r["n_dup_grams"] == len(starts), d
+        assert r["n_dup_tokens"] == len(covered), d
+
+    full_originals = [d for d in base if d % 20 == 0 and len(base[d]) >= k]
+    assert full_originals
+    for d in full_originals:
+        assert got[d]["n_dup_tokens"] == got[d]["n_tokens"], d
+
+
+def test_ccnet_buckets_tercile_rule(spark):
+    """CCNet bucketing invariants, recomputed from the query's own
+    (lang, lp_e3) pairs: with cum(v) = #docs scoring >= v, head is
+    exactly lp_e3 >= t1 = max{v : cum(v) >= ceil(n/3)} and middle is
+    t2 <= lp_e3 < t1 — ties never straddle a bucket boundary; the
+    scoreable set equals lm_score's non-null rows; per-lang head
+    count >= ceil(n/3) and head+middle >= ceil(2n/3)."""
+    from collections import defaultdict
+
+    from rxtls_spark.queries_training import q_ccnet_buckets, q_lm_score
+    from tests.conftest import SF_SMOKE
+
+    rows = q_ccnet_buckets(spark, SF_SMOKE).collect()
+    scoreable = {
+        r["doc_id"]
+        for r in q_lm_score(spark, SF_SMOKE).collect()
+        if r["avg_logprob"] is not None
+    }
+    assert {r["doc_id"] for r in rows} == scoreable
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        vals = sorted((r["lp_e3"] for r in rs), reverse=True)
+        cut1, cut2 = (n + 2) // 3, (2 * n + 2) // 3
+        t1, t2 = vals[cut1 - 1], vals[cut2 - 1]
+        n_head = n_mid = 0
+        for r in rs:
+            want = (
+                "head"
+                if r["lp_e3"] >= t1
+                else "middle"
+                if r["lp_e3"] >= t2
+                else "tail"
+            )
+            assert r["bucket"] == want, (lang, r)
+            n_head += want == "head"
+            n_mid += want == "middle"
+        assert n_head >= cut1, lang
+        assert n_head + n_mid >= cut2, lang
+        # same score -> same bucket (ties cannot straddle)
+        seen: dict[int, str] = {}
+        for r in rs:
+            assert seen.setdefault(r["lp_e3"], r["bucket"]) == r["bucket"]
