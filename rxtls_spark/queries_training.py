@@ -1812,6 +1812,92 @@ def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PageRank constants — the synthetic link-graph formula, damping
+# ratio 85/100 and iteration count are MIRRORED in the unrolled
+# `pagerank` oracle SQL; change together.
+PR_OUTDEG = 4
+PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (Page et al. 1998) over a deterministic
+    synthetic link graph — the crawl-prioritization / host-centrality
+    signal a web pipeline computes over its URL graph (the reference
+    has no graph op; this extends the dedup_clusters graph family,
+    SURVEY §2 extension).  Each doc emits ``PR_OUTDEG`` outlinks
+    dst = knuth_hash(doc_id*PR_OUTDEG + j) % N with self-loops
+    dropped, then ``PR_ITERS`` damped iterations.
+
+    Cross-engine exactness — the whole iteration is BIGINT (the
+    kmeans unrolled-loop treatment taken to its limit: no floats at
+    all): ranks are e9-scaled integers, a node's contribution is
+    r_e9 DIV outdeg (integer division), incoming mass is an exact
+    integer sum (order-free), and the update is
+    r' = 15e9 DIV (100*N)  +  (85 * incoming) DIV 100.
+    Dangling nodes (every generated dst collided with self) simply
+    leak their mass — the "lost mass" PageRank variant, identical on
+    both engines.  DIV truncation loses < 1 e-9 unit per edge/node per
+    step, which is the price of exactness.
+
+    Scale shape: the canonical distributed PageRank — edges built by
+    a pure map (outdeg computed INSIDE the array before explode: no
+    extra agg), one shuffle join edges⋈ranks on src + one dst-keyed
+    agg per iteration, ranks re-derived by a left join on the node
+    table.  At 100 TB the edge table is hash-partitioned on src once
+    (localCheckpoint) and every iteration reuses that partitioning;
+    N is a metadata-scale driver scalar."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    edges = (
+        ids.select(
+            F.col("doc_id").alias("src"),
+            F.size(dsts).cast("long").alias("outdeg"),
+            F.explode(dsts).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = 15_000_000_000 // (100 * n)
+    r = ids.select(
+        "doc_id", F.lit(1_000_000_000 // n).cast("long").alias("r_e9")
+    )
+    for _ in range(PR_ITERS):
+        inc = (
+            edges.join(r, edges["src"] == r["doc_id"])
+            .select("dst", F.expr("r_e9 DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("inc"))
+        )
+        r = ids.join(inc, ids["doc_id"] == inc["dst"], "left").select(
+            "doc_id",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")
+            ).alias("r_e9"),
+        )
+    od = edges.groupBy("src").agg(F.max("outdeg").alias("outdeg"))
+    ind = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    return (
+        r.join(od, r["doc_id"] == od["src"], "left")
+        .join(ind, r["doc_id"] == ind["dst"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("outdeg", F.lit(0).cast("long")).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0).cast("long")).alias("indeg"),
+            "r_e9",
+        )
+    )
+
+
 # PCA power-iteration count / dim — mirrored in the unrolled oracle SQL.
 PCA_ITERS = 3
 PCA_DIM = 64
@@ -4024,6 +4110,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "span_dedup": q_span_dedup,
     "exact_substr": q_exact_substr,
+    "pagerank": q_pagerank,
     "proto_prune": q_proto_prune,
     "d4_prune": q_d4_prune,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4643,6 +4730,63 @@ LEFT JOIN cov c USING (doc_id)
 """
 
 
+def _pagerank_sql(
+    outdeg: int = PR_OUTDEG, iters: int = PR_ITERS
+) -> str:
+    """PageRank oracle: identical knuth-hash edge generation, then the
+    damped iteration UNROLLED one (c{t}, r{t}) CTE pair per step —
+    pure BIGINT arithmetic end to end (e9 ranks, DIV contributions,
+    exact integer incoming sums), so the match is exact by
+    construction, not by rounding."""
+    head = f"""WITH ids AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), e0 AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, {outdeg - 1})) AS j
+  FROM ids
+), e1 AS (
+  SELECT src,
+         ((((src * {outdeg} + j) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % (SELECT n FROM nn) AS dst
+  FROM e0
+), e2 AS (
+  SELECT src, dst FROM e1 WHERE dst <> src
+), od AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e2 GROUP BY 1
+), e AS (
+  SELECT e2.src, e2.dst, od.outdeg FROM e2 JOIN od USING (src)
+), r0 AS (
+  SELECT doc_id,
+         CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM ids
+)"""
+    for t in range(1, iters + 1):
+        head += f""",
+c{t} AS (
+  SELECT e.dst, CAST(sum(r{t - 1}.r // e.outdeg) AS BIGINT) AS inc
+  FROM e JOIN r{t - 1} ON e.src = r{t - 1}.doc_id GROUP BY 1
+), r{t} AS (
+  SELECT i.doc_id,
+         CAST(15000000000 // (100 * (SELECT n FROM nn))
+              + (85 * coalesce(c{t}.inc, 0)) // 100 AS BIGINT) AS r
+  FROM ids i LEFT JOIN c{t} ON i.doc_id = c{t}.dst
+)"""
+    return head + f"""
+SELECT i.doc_id,
+  CAST(coalesce(od.outdeg, 0) AS BIGINT) AS outdeg,
+  CAST(coalesce(ind.indeg, 0) AS BIGINT) AS indeg,
+  r{iters}.r AS r_e9
+FROM ids i
+LEFT JOIN od ON i.doc_id = od.src
+LEFT JOIN (
+  SELECT dst, CAST(count(*) AS BIGINT) AS indeg FROM e2 GROUP BY 1
+) ind ON i.doc_id = ind.dst
+JOIN r{iters} ON i.doc_id = r{iters}.doc_id
+"""
+
+
 def oracle_sql_training() -> dict[str, str]:
     oracles = _oracle_sql_training_literal()
     # the broadcast-UDF path computes the identical result, so it
@@ -4933,6 +5077,7 @@ WHERE rn <= 10
         "d4_prune": _d4_prune_sql(),
         "ccnet_buckets": _ccnet_sql(),
         "exact_substr": _exsub_sql(),
+        "pagerank": _pagerank_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),

@@ -108,3 +108,56 @@ def test_cc_on_lsh_pairs_matches_union_find(spark):
     for b in base_ids:
         assert got[b + 1_000_000_000] == got[b] <= b
     pairs_df.unpersist()
+
+
+def test_pagerank_matches_exact_integer_replica(spark):
+    """The whole damped iteration is BIGINT (e9 ranks, DIV
+    contributions, exact integer sums), so a pure-Python replica must
+    match EXACTLY — no tolerance.  Also: rank mass stays <= 1e9 (DIV
+    truncation + dangling nodes only ever lose mass), every node gets
+    a row, indeg/outdeg match the generated graph, and the plan has no
+    cartesian."""
+    from collections import Counter
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import PR_ITERS, PR_OUTDEG, q_pagerank
+    from tests.conftest import SF_SMOKE
+
+    df = q_pagerank(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert set(rows) == set(ids)
+    n = len(ids)
+    edges = []
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                edges.append((s, d))
+    od = Counter(s for s, _ in edges)
+    ind = Counter(d for _, d in edges)
+    r = {i: 1_000_000_000 // n for i in ids}
+    base = 15_000_000_000 // (100 * n)
+    for _ in range(PR_ITERS):
+        inc = Counter()
+        for s, d in edges:
+            inc[d] += r[s] // od[s]
+        r = {i: base + (85 * inc[i]) // 100 for i in ids}
+
+    for i in ids:
+        got = rows[i]
+        assert got["r_e9"] == r[i], i
+        assert got["outdeg"] == od[i], i
+        assert got["indeg"] == ind[i], i
+    assert sum(v["r_e9"] for v in rows.values()) <= 1_000_000_000
+    assert max(r.values()) > min(r.values()), "graph must differentiate"
