@@ -668,6 +668,103 @@ def q_ccnet_buckets(
     )
 
 
+# Unicode-NFC injection suffix (DECOMPOSED e/i + combining mark
+# U+0301/U+0308, never the precomposed codepoint) — MIRRORED in the
+# `unicode_nfc` oracle SQL via chr(769)/chr(776); change together.
+NFC_SUFFIX = " cafe\u0301 nai\u0308ve"
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit — the canonicalization step a
+    web-text pipeline runs before hashing/dedup (decomposed and
+    precomposed accents must collide: 'cafe'+U+0301 vs 'café' are
+    different byte strings for the same text, so every downstream
+    exact-dedup hash silently misses them without this).  Docs with
+    doc_id % 7 == 2 get a deterministic DECOMPOSED suffix injected so
+    the corpus genuinely exercises recomposition; output is per doc:
+    char lengths before/after, changed flag, and the md5 of the NFC
+    text (proving the full normalized string, not just its length).
+
+    Cross-engine: Spark normalizes via Python's unicodedata.normalize
+    ('NFC') in ONE Arrow-batched pandas UDF; DuckDB via its native
+    nfc_normalize() — both implement the same Unicode standard and the
+    md5s match exactly (verified including combining-mark inputs).
+    The UDF is marked nondeterministic so Catalyst plans it ONCE (the
+    parse-UDF invariant); derived columns read the materialized
+    column, never re-invoke the UDF.
+
+    Scale shape: pure per-row map, zero exchanges, one UDF pass."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def to_nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    raw = F.when(
+        F.col("doc_id") % 7 == 2, F.concat("text", F.lit(NFC_SUFFIX))
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", raw.alias("raw")).select(
+        "doc_id", "raw", to_nfc.asNondeterministic()(F.col("raw")).alias("nfc")
+    )
+    return staged.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("n_chars_raw"),
+        F.length("nfc").cast("long").alias("n_chars_nfc"),
+        (F.md5("raw") != F.md5("nfc")).cast("long").alias("changed"),
+        F.md5("nfc").alias("nfc_md5"),
+    )
+
+
+# Inverted-index vocab size — MIRRORED in the oracle SQL.
+IDX_TOPK = 40
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build for the corpus's top
+    ``IDX_TOPK`` terms — the persisted artifact behind the BM25 /
+    TF-IDF retrieval family (those queries score with driver-literal
+    stats; this materializes the postings a search service would
+    actually serve).  One row per (term, doc) posting: tf and the
+    first/last 0-based token positions (position extraction proven,
+    not just counts).
+
+    Scale shape: vocab is one corpus token-count pass shipped back as
+    a driver literal IN-list (the lm_score pattern); postings are
+    posexplode → literal-IN filter → ONE (term, doc_id) hash agg —
+    the composite key keeps hot terms spread across docs, so no
+    single-term hotspot; no per-term collect_list (a top term's
+    posting list is corpus-sized at 100 TB — it must stay rows, never
+    an in-memory array)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = _lm_tokens()
+    top = [
+        r["tok"]
+        for r in docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(IDX_TOPK)
+        .collect()
+    ]
+    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+    return (
+        ex.where(F.col("term").isin(top))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
+    )
+
+
 # BM25 constants (Robertson/Spärck Jones defaults) — baked into BOTH
 # the Spark expression and the SQL oracle; change together.
 BM25_K1 = 1.2
@@ -4097,6 +4194,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "lm_score": q_lm_score,
     "ccnet_buckets": q_ccnet_buckets,
+    "unicode_nfc": q_unicode_nfc,
+    "inverted_index": q_inverted_index,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -4730,6 +4829,54 @@ LEFT JOIN cov c USING (doc_id)
 """
 
 
+def _unicode_nfc_sql() -> str:
+    """NFC oracle: identical decomposed-suffix injection via chr(),
+    DuckDB's native nfc_normalize vs the Spark UDF's
+    unicodedata.normalize('NFC') — same Unicode standard, md5-exact
+    (verified on combining-mark inputs)."""
+    return """WITH staged AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 2
+      THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+      ELSE text END AS raw
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+  CAST(CASE WHEN md5(raw) <> md5(nfc_normalize(raw)) THEN 1 ELSE 0 END
+       AS BIGINT) AS changed,
+  md5(nfc_normalize(raw)) AS nfc_md5
+FROM staged
+"""
+
+
+def _inverted_index_sql(topk: int = IDX_TOPK) -> str:
+    """Inverted-index oracle: top-K vocab, token positions via
+    unnest(generate_series) (0-based like posexplode), one
+    (term, doc) group — all BIGINT."""
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), vc AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM tok
+    GROUP BY 1 ORDER BY cnt DESC, tok LIMIT {topk})
+), px AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+), p AS (
+  SELECT doc_id, t[i] AS term, i - 1 AS pos FROM px
+)
+SELECT p.term, p.doc_id, CAST(count(*) AS BIGINT) AS tf,
+  CAST(min(pos) AS BIGINT) AS first_pos,
+  CAST(max(pos) AS BIGINT) AS last_pos
+FROM p JOIN vc ON p.term = vc.tok
+GROUP BY 1, 2
+"""
+
+
 def _pagerank_sql(
     outdeg: int = PR_OUTDEG, iters: int = PR_ITERS
 ) -> str:
@@ -5078,6 +5225,8 @@ WHERE rn <= 10
         "ccnet_buckets": _ccnet_sql(),
         "exact_substr": _exsub_sql(),
         "pagerank": _pagerank_sql(),
+        "unicode_nfc": _unicode_nfc_sql(),
+        "inverted_index": _inverted_index_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),

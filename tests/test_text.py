@@ -1673,3 +1673,84 @@ def test_ccnet_buckets_tercile_rule(spark):
         seen: dict[int, str] = {}
         for r in rs:
             assert seen.setdefault(r["lp_e3"], r["bucket"]) == r["bucket"]
+
+
+def test_unicode_nfc_matches_python_replica(spark):
+    """Exact-equality replica via unicodedata + hashlib: every output
+    column (char counts, changed flag, md5 of the NFC text) matches a
+    pure-Python recompute; injected docs (doc_id%7==2) lose exactly
+    the two combining marks and flag changed=1; the UDF is planned
+    ONCE (ArrowEvalPython==1 — the parse-UDF invariant)."""
+    import hashlib
+    import unicodedata
+
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import NFC_SUFFIX, q_unicode_nfc
+    from tests.conftest import SF_SMOKE
+
+    df = q_unicode_nfc(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("ArrowEvalPython") == 1
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert set(got) == set(docs)
+    n_injected = 0
+    for d, text in docs.items():
+        raw = text + NFC_SUFFIX if d % 7 == 2 else text
+        nfc = unicodedata.normalize("NFC", raw)
+        r = got[d]
+        assert r["n_chars_raw"] == len(raw), d
+        assert r["n_chars_nfc"] == len(nfc), d
+        assert r["changed"] == int(raw != nfc), d
+        assert r["nfc_md5"] == hashlib.md5(nfc.encode()).hexdigest(), d
+        if d % 7 == 2:
+            n_injected += 1
+            assert r["changed"] == 1 and (
+                r["n_chars_raw"] - r["n_chars_nfc"] == 2
+            ), d
+    assert n_injected > 0
+
+
+def test_inverted_index_matches_python_replica(spark):
+    """Full-table exact equality vs a pure-Python positional index:
+    same top-K vocab tie-break (count desc, token), same 0-based
+    positions, one posting row per (term, doc)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from rxtls_spark.queries_training import IDX_TOPK, q_inverted_index
+    from tests.conftest import SF_SMOKE
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    docs = {
+        r["doc_id"]: ws.split(r["text"].strip().lower())
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["text"].strip() != ""
+    }
+    cnt = Counter(t for toks in docs.values() for t in toks)
+    top = set(
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :IDX_TOPK
+        ]
+    )
+    want = defaultdict(lambda: [0, None, None])  # tf, first, last
+    for d, toks in docs.items():
+        for i, t in enumerate(toks):
+            if t in top:
+                e = want[(t, d)]
+                e[0] += 1
+                e[1] = i if e[1] is None else e[1]
+                e[2] = i
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["first_pos"], r["last_pos"])
+        for r in q_inverted_index(spark, SF_SMOKE).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    # the synthetic corpus vocab can be smaller than IDX_TOPK
+    assert len({t for t, _ in got}) == min(IDX_TOPK, len(cnt))
