@@ -765,6 +765,188 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom-filter sizing (bit-array size, hash count, double-hashing
+# offset) — MIRRORED in the `bloom_dedup` oracle SQL; change together.
+# M is deliberately small enough that the filter saturates at sf0.1
+# (~94% false positives) while staying informative at sf0.01 (~4%):
+# the query is the sizing audit a Dolma-style Bloom dedup needs BEFORE
+# committing to an M at corpus scale.
+BLOOM_M_BITS = 4096
+BLOOM_K = 3
+BLOOM_H2_OFFSET = 777
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup audit — the memory-bounded exact-dedup
+    alternative web-scale pipelines (Dolma's deduper) run when the
+    md5-per-doc state itself is too big: a doc is flagged duplicate
+    when ALL ``BLOOM_K`` of its bit positions were already set.  This
+    query simulates the filter deterministically over the injected-dup
+    corpus and classifies every doc against ground-truth exact dedup:
+    ``dup`` (correctly caught), ``false_positive`` (flagged unique —
+    the Bloom trade-off, REAL data loss in a dedup pipeline),
+    ``unique``, and the structurally-impossible ``missed`` branch
+    (Bloom has no false negatives — pytest asserts its count is 0).
+
+    Determinism: the sequential "was set by an EARLIER insert" race is
+    resolved by doc_id order — position p is set-before-doc-d iff
+    min(doc_id) over p's setters < d — which makes the parallel
+    formulation order-free and exactly mirrorable in SQL.
+
+    Cross-engine: key = first 13 hex chars of md5(text) as a 52-bit
+    int (Spark conv(_,16,10) == DuckDB '0x'||_ cast); positions are
+    classic double hashing (h1 + j*h2) % M with both h's from
+    ``knuth_hash`` — all BIGINT, zero floats.
+
+    Scale shape: the position table is K rows/doc, its first-setter
+    agg is bounded by M (broadcast back — at corpus scale M is sized
+    to the corpus and this becomes the standard bucket-join); exact
+    ground truth is one window over the key shuffle.  No UDF, no
+    collect, no sequential pass."""
+    from pyspark.sql.window import Window
+
+    docs = with_injected_dups(_docs(spark, sf_dir)).select("doc_id", "text")
+    key = F.conv(F.substring(F.md5("text"), 1, 13), 16, 10).cast("long")
+    keyed = docs.select("doc_id", key.alias("k"))
+    h1 = knuth_hash(F.col("k"))
+    h2 = knuth_hash(F.col("k") + F.lit(BLOOM_H2_OFFSET))
+    pos = F.array(
+        *[(h1 + F.lit(j) * h2) % F.lit(BLOOM_M_BITS) for j in range(BLOOM_K)]
+    )
+    px = keyed.select("doc_id", F.explode(pos).alias("pos"))
+    first_set = px.groupBy("pos").agg(F.min("doc_id").alias("first_setter"))
+    flagged = (
+        px.join(F.broadcast(first_set), "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                (F.col("first_setter") < F.col("doc_id")).cast("long")
+            ).alias("bloom_dup")
+        )
+    )
+    wk = Window.partitionBy("k")
+    exact = keyed.select(
+        "doc_id",
+        (F.min("doc_id").over(wk) < F.col("doc_id"))
+        .cast("long")
+        .alias("exact_dup"),
+    )
+    return exact.join(flagged, "doc_id").select(
+        "doc_id",
+        "exact_dup",
+        "bloom_dup",
+        F.when(
+            (F.col("exact_dup") == 1) & (F.col("bloom_dup") == 1), F.lit("dup")
+        )
+        .when(F.col("bloom_dup") == 1, F.lit("false_positive"))
+        .when(F.col("exact_dup") == 1, F.lit("missed"))
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+    )
+
+
+# Synthetic-URL component moduli + the variant/tracking-param injection
+# pattern — MIRRORED in the `url_canonicalize` oracle SQL's raw-URL CTE;
+# change together.  Moduli chosen so canonical groups collide from
+# sf0.01 up (lcm(5,7,11)=385 < 500 docs).
+URL_HOST_MOD = 5
+URL_PATH_MOD = 7
+URL_ID_MOD = 11
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup — the crawl-frontier
+    and post-crawl dedup step every web-text pipeline runs before
+    content dedup (the same page arrives as http-vs-HTTPS, with/without
+    :443, with tracking params in shuffled order, trailing slashes and
+    fragments — byte-level URL dedup misses all of it).  Each doc gets
+    a deterministic raw URL with injected variants (case, default
+    port, trailing slash, utm_*/param order, fragment); the query
+    canonicalizes the RAW STRING via real string/array ops — lowercase
+    scheme+host, strip default port, strip fragment, drop
+    utm_*/fbclid/gclid params, sort surviving params, collapse
+    trailing slashes — then groups by canonical URL (group size +
+    min-doc_id keeper flag).
+
+    Cross-engine: split/element_at/filter/array_sort/concat_ws map 1:1
+    to DuckDB string_split/[i]/list_filter/list_sort/array_to_string;
+    the one regex (':443$' / '/+$') is anchored and
+    Java-regex==RE2-safe (no \\s — CLAUDE.md discipline).
+
+    Scale shape: canonicalization is a pure per-row map (no UDF — all
+    JVM string ops); grouping is ONE window over the canonical-url
+    shuffle, the standard exact-dedup-by-key exchange."""
+    from pyspark.sql.window import Window
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(
+        F.lit("www.example"), s(d % URL_HOST_MOD), F.lit(".com")
+    )
+    raw = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.upper(host)).otherwise(host),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        s(d % URL_PATH_MOD),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("utm_source=feed&id="), s(d % URL_ID_MOD), F.lit("&ref=rss")
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("ref=rss&id="), s(d % URL_ID_MOD), F.lit("&utm_campaign=x")
+            )
+        ),
+        F.when(d % 6 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    staged = _docs(spark, sf_dir).select("doc_id", raw.alias("raw_url"))
+
+    nofrag = F.substring_index("raw_url", "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    query = F.when(
+        nofrag.contains("?"), F.substring_index(nofrag, "?", -1)
+    ).otherwise(F.lit(""))
+    parts = F.split(base, "/")
+    scheme = F.lower(F.element_at(parts, 1))
+    hostp = F.regexp_replace(F.lower(F.element_at(parts, 3)), ":443$", "")
+    path0 = F.regexp_replace(
+        F.concat(F.lit("/"), F.concat_ws("/", F.slice(parts, 4, F.size(parts) - 3))),
+        "/+$",
+        "",
+    )
+    cpath = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.startswith("utm_"))
+        & (~p.startswith("fbclid="))
+        & (~p.startswith("gclid="))
+        & (p != ""),
+    )
+    qs = F.concat_ws("&", F.array_sort(keep))
+    canon = F.concat(
+        scheme,
+        F.lit("//"),
+        hostp,
+        cpath,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    wc = Window.partitionBy("canon_url")
+    return staged.select("doc_id", "raw_url", canon.alias("canon_url")).select(
+        "doc_id",
+        "raw_url",
+        "canon_url",
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_variants"),
+        (F.min("doc_id").over(wc) == F.col("doc_id"))
+        .cast("long")
+        .alias("is_keeper"),
+    )
+
+
 # BM25 constants (Robertson/Spärck Jones defaults) — baked into BOTH
 # the Spark expression and the SQL oracle; change together.
 BM25_K1 = 1.2
@@ -4196,6 +4378,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "unicode_nfc": q_unicode_nfc,
     "inverted_index": q_inverted_index,
+    "bloom_dedup": q_bloom_dedup,
+    "url_canonicalize": q_url_canonicalize,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -4877,6 +5061,111 @@ GROUP BY 1, 2
 """
 
 
+def _bloom_dedup_sql(
+    m: int = BLOOM_M_BITS, k: int = BLOOM_K, off: int = BLOOM_H2_OFFSET
+) -> str:
+    """Bloom oracle: identical injected-dup corpus, 52-bit md5-prefix
+    key ('0x'||hex cast == Spark conv), identical knuth double-hashing
+    positions, first-setter min-doc_id rule — all BIGINT, exact by
+    construction."""
+    return (
+        _DUPS_CTE.rstrip()
+        + f""",
+keyed AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 13))::BIGINT AS k FROM docs
+), h AS (
+  SELECT doc_id,
+    ((k % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS h1,
+    (((k + {off}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS h2
+  FROM keyed
+), px AS (
+  SELECT doc_id, (h1 + j * h2) % {m} AS pos
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS j)
+), fs AS (
+  SELECT pos, min(doc_id) AS first_setter FROM px GROUP BY 1
+), flagged AS (
+  SELECT px.doc_id,
+    min(CASE WHEN fs.first_setter < px.doc_id THEN 1 ELSE 0 END) AS bloom_dup
+  FROM px JOIN fs USING (pos) GROUP BY 1
+), exact AS (
+  SELECT doc_id,
+    CASE WHEN min(doc_id) OVER (PARTITION BY k) < doc_id
+         THEN 1 ELSE 0 END AS exact_dup
+  FROM keyed
+)
+SELECT e.doc_id, CAST(e.exact_dup AS BIGINT) AS exact_dup,
+  CAST(f.bloom_dup AS BIGINT) AS bloom_dup,
+  CASE WHEN e.exact_dup = 1 AND f.bloom_dup = 1 THEN 'dup'
+       WHEN f.bloom_dup = 1 THEN 'false_positive'
+       WHEN e.exact_dup = 1 THEN 'missed'
+       ELSE 'unique' END AS verdict
+FROM exact e JOIN flagged f ON e.doc_id = f.doc_id
+"""
+    )
+
+
+def _url_canonicalize_sql(
+    hm: int = URL_HOST_MOD, pm: int = URL_PATH_MOD, im: int = URL_ID_MOD
+) -> str:
+    """URL oracle: identical raw-URL injection formula, then the same
+    canonicalization chain via DuckDB's string/list functions
+    (split_part/string_split/[i]/list_filter/list_sort) — the two
+    regexes are anchored and RE2==Java-regex safe."""
+    return f"""WITH staged AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0
+       THEN upper('www.example' || CAST(doc_id % {hm} AS VARCHAR) || '.com')
+       ELSE 'www.example' || CAST(doc_id % {hm} AS VARCHAR) || '.com' END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+    '/articles/' || CAST(doc_id % {pm} AS VARCHAR) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+    '?' ||
+    (CASE WHEN doc_id % 2 = 0
+       THEN 'utm_source=feed&id=' || CAST(doc_id % {im} AS VARCHAR) || '&ref=rss'
+       ELSE 'ref=rss&id=' || CAST(doc_id % {im} AS VARCHAR) || '&utm_campaign=x'
+     END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS raw_url
+  FROM documents
+), c1 AS (
+  SELECT doc_id, raw_url,
+    split_part(raw_url, '#', 1) AS nofrag
+  FROM staged
+), c2 AS (
+  SELECT doc_id, raw_url,
+    split_part(nofrag, '?', 1) AS base,
+    CASE WHEN position('?' IN nofrag) > 0
+         THEN split_part(nofrag, '?', 2) ELSE '' END AS query
+  FROM c1
+), c3 AS (
+  SELECT doc_id, raw_url, query,
+    string_split(base, '/') AS parts
+  FROM c2
+), c4 AS (
+  SELECT doc_id, raw_url,
+    lower(parts[1]) AS scheme,
+    regexp_replace(lower(parts[3]), ':443$', '') AS hostp,
+    regexp_replace('/' || array_to_string(parts[4:], '/'), '/+$', '') AS path0,
+    array_to_string(
+      list_sort(list_filter(string_split(query, '&'),
+        p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'fbclid=%'
+         AND p NOT LIKE 'gclid=%' AND p <> '')), '&') AS qs
+  FROM c3
+), canon AS (
+  SELECT doc_id, raw_url,
+    scheme || '//' || hostp ||
+    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
+  FROM c4
+)
+SELECT doc_id, raw_url, canon_url,
+  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_variants,
+  CAST(CASE WHEN min(doc_id) OVER (PARTITION BY canon_url) = doc_id
+       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM canon
+"""
+
+
 def _pagerank_sql(
     outdeg: int = PR_OUTDEG, iters: int = PR_ITERS
 ) -> str:
@@ -5227,6 +5516,8 @@ WHERE rn <= 10
         "pagerank": _pagerank_sql(),
         "unicode_nfc": _unicode_nfc_sql(),
         "inverted_index": _inverted_index_sql(),
+        "bloom_dedup": _bloom_dedup_sql(),
+        "url_canonicalize": _url_canonicalize_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),

@@ -39,11 +39,14 @@ def test_registry_order_is_least_recently_driver_proven_first():
     assert rounds == sorted(rounds), "registry not sorted by last-green round"
 
 
-def test_r4_displaced_queries_lead_the_r5_prefix():
-    """The 18 queries the r4 driver prefix displaced (last green in r3)
-    must sort ahead of every r4-green query — i.e. inside the driver's
-    50-query prefix for round 5."""
+def test_r4_displaced_queries_sort_ahead_of_r4_green_queries():
+    """The queries the r4 driver prefix displaced (last green in r3)
+    must sort ahead of EVERY r4-green query — the rotation policy.
+    (They are no longer guaranteed inside the 50-prefix itself: each
+    never-driver-checked query added since sorts ahead of them, which
+    is the same policy applied to newer code.)"""
     from __spark_entry__ import queries
+    from rxtls_spark.queries import _driver_checked_rounds
 
     names = list(queries())
     displaced = {
@@ -54,8 +57,14 @@ def test_r4_displaced_queries_lead_the_r5_prefix():
     }
     missing = displaced - set(names)
     assert missing == set(), f"displaced queries not registered: {missing}"
-    prefix = set(names[:50])
-    assert displaced <= prefix, f"not in 50-prefix: {displaced - prefix}"
+    checked = _driver_checked_rounds()
+    last_displaced = max(names.index(n) for n in displaced)
+    first_r4 = min(
+        names.index(n) for n in names if checked.get(n, -1) >= 4
+    )
+    assert last_displaced < first_r4, (
+        "a r4-green query sorts ahead of a r3-displaced one"
+    )
 
 
 def test_oracle_sql_is_static():

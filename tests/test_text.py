@@ -1754,3 +1754,51 @@ def test_inverted_index_matches_python_replica(spark):
     assert got == {k: tuple(v) for k, v in want.items()}
     # the synthetic corpus vocab can be smaller than IDX_TOPK
     assert len({t for t, _ in got}) == min(IDX_TOPK, len(cnt))
+
+
+def test_url_canonicalize_matches_urllib_replica(spark):
+    """Independent replica via urllib.parse (a REAL URL parser, not
+    the same string-op chain): canonical form, group sizes, and keeper
+    flags all match; injected variants genuinely collide (groups > 1
+    from sf0.01 moduli up when the corpus is big enough); no UDF in
+    the plan and exactly ONE shuffle exchange (the canon-url window)."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import q_url_canonicalize
+    from tests.conftest import SF_SMOKE
+
+    df = q_url_canonicalize(spark, SF_SMOKE)
+    p = plan_string(df, mode="simple")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert count_exchanges(df) == 1, p
+
+    rows = df.collect()
+    canon_want = {}
+    for r in rows:
+        u = urlsplit(r["raw_url"])
+        host = u.netloc.lower()
+        host = host[: -len(":443")] if host.endswith(":443") else host
+        path = u.path.rstrip("/") or "/"
+        params = sorted(
+            f"{k}={v}"
+            for k, v in parse_qsl(u.query)
+            if not k.startswith("utm_") and k not in ("fbclid", "gclid")
+        )
+        canon = f"{u.scheme.lower()}://{host}{path}"
+        if params:
+            canon += "?" + "&".join(params)
+        canon_want[r["doc_id"]] = canon
+        assert r["canon_url"] == canon, (r["doc_id"], r["canon_url"], canon)
+
+    from collections import Counter
+
+    sizes = Counter(canon_want.values())
+    keepers = {}
+    for d, c in canon_want.items():
+        keepers[c] = min(keepers.get(c, d), d)
+    for r in rows:
+        assert r["n_variants"] == sizes[r["canon_url"]]
+        assert r["is_keeper"] == int(keepers[r["canon_url"]] == r["doc_id"])
+    if len(canon_want) > 385:  # lcm of the component moduli
+        assert max(sizes.values()) > 1
