@@ -2177,6 +2177,88 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HITS iteration count — mirrored in the unrolled oracle SQL; the link
+# graph is the SAME knuth-hash edge set as q_pagerank (PR_OUTDEG).
+HITS_ITERS = 2
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the same
+    deterministic link graph as ``q_pagerank`` — the second classic
+    link-centrality signal a crawl pipeline computes (PageRank ranks
+    global importance; HITS separates directories/link-hubs from
+    content/authorities, useful for seed-list curation).
+
+    Cross-engine exactness — the pagerank treatment: scores are
+    e9-scaled BIGINTs that SUM to ~1e9 across the corpus (so no
+    intermediate can overflow int64 at ANY corpus size), each
+    half-step is an exact integer sum over edges, and the L1
+    normalization is (raw * 1e9) DIV total — L1 instead of the
+    textbook L2 precisely so the iteration stays float-free (raw ≤
+    1e9, raw*1e9 ≤ 1e18 < 2^63).  DIV truncation < 1e-9 unit per node
+    per step is the price of exactness.
+
+    Scale shape: per iteration ONE src-keyed join + dst agg (authority
+    half-step) and ONE dst-keyed join + src agg (hub half-step); the
+    normalizer is a 1-row agg broadcast back (scalar subquery in the
+    oracle) — never a driver action inside the loop.  Edges are built
+    by a pure map and localCheckpoint'd so every iteration reuses the
+    same partitioning; nodes without in-links (out-links) surface with
+    authority (hub) 0 via the final left joins."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    edges = ids.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    ).localCheckpoint(eager=False)
+
+    h = ids.select(
+        "doc_id", F.lit(1_000_000_000 // n).cast("long").alias("s")
+    )
+    a = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(h, edges["src"] == h["doc_id"])
+            .groupBy("dst")
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        a = araw.crossJoin(
+            F.broadcast(araw.agg(F.sum("raw").cast("long").alias("tot")))
+        ).select(
+            F.col("dst").alias("doc_id"),
+            F.expr("(raw * 1000000000) DIV tot").alias("s"),
+        )
+        hraw = (
+            edges.join(a, edges["dst"] == a["doc_id"])
+            .groupBy("src")
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        h = hraw.crossJoin(
+            F.broadcast(hraw.agg(F.sum("raw").cast("long").alias("tot")))
+        ).select(
+            F.col("src").alias("doc_id"),
+            F.expr("(raw * 1000000000) DIV tot").alias("s"),
+        )
+    auth = a.withColumnRenamed("s", "auth_e9")
+    hub = h.withColumnRenamed("s", "hub_e9")
+    return (
+        ids.join(auth, "doc_id", "left")
+        .join(hub, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("auth_e9", F.lit(0).cast("long")).alias("auth_e9"),
+            F.coalesce("hub_e9", F.lit(0).cast("long")).alias("hub_e9"),
+        )
+    )
+
+
 # PCA power-iteration count / dim — mirrored in the unrolled oracle SQL.
 PCA_ITERS = 3
 PCA_DIM = 64
@@ -4394,6 +4476,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "exact_substr": q_exact_substr,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "proto_prune": q_proto_prune,
     "d4_prune": q_d4_prune,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5223,6 +5306,59 @@ JOIN r{iters} ON i.doc_id = r{iters}.doc_id
 """
 
 
+def _hits_sql(outdeg: int = PR_OUTDEG, iters: int = HITS_ITERS) -> str:
+    """HITS oracle: the pagerank edge CTEs, then each iteration
+    UNROLLED as four CTEs (authority raw sum, L1 normalize, hub raw
+    sum, L1 normalize) — all BIGINT, exact by construction."""
+    head = f"""WITH ids AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), e0 AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, {outdeg - 1})) AS j
+  FROM ids
+), e1 AS (
+  SELECT src,
+         ((((src * {outdeg} + j) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % (SELECT n FROM nn) AS dst
+  FROM e0
+), e AS (
+  SELECT src, dst FROM e1 WHERE dst <> src
+), h0 AS (
+  SELECT doc_id,
+         CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS s
+  FROM ids
+)"""
+    for t in range(1, iters + 1):
+        head += f""",
+ar{t} AS (
+  SELECT e.dst, CAST(sum(h{t - 1}.s) AS BIGINT) AS raw
+  FROM e JOIN h{t - 1} ON e.src = h{t - 1}.doc_id GROUP BY 1
+), a{t} AS (
+  SELECT dst AS doc_id,
+         CAST((raw * 1000000000)
+              // (SELECT sum(raw) FROM ar{t}) AS BIGINT) AS s
+  FROM ar{t}
+), hr{t} AS (
+  SELECT e.src, CAST(sum(a{t}.s) AS BIGINT) AS raw
+  FROM e JOIN a{t} ON e.dst = a{t}.doc_id GROUP BY 1
+), h{t} AS (
+  SELECT src AS doc_id,
+         CAST((raw * 1000000000)
+              // (SELECT sum(raw) FROM hr{t}) AS BIGINT) AS s
+  FROM hr{t}
+)"""
+    return head + f"""
+SELECT i.doc_id,
+  CAST(coalesce(a{iters}.s, 0) AS BIGINT) AS auth_e9,
+  CAST(coalesce(h{iters}.s, 0) AS BIGINT) AS hub_e9
+FROM ids i
+LEFT JOIN a{iters} ON i.doc_id = a{iters}.doc_id
+LEFT JOIN h{iters} ON i.doc_id = h{iters}.doc_id
+"""
+
+
 def oracle_sql_training() -> dict[str, str]:
     oracles = _oracle_sql_training_literal()
     # the broadcast-UDF path computes the identical result, so it
@@ -5518,6 +5654,7 @@ WHERE rn <= 10
         "inverted_index": _inverted_index_sql(),
         "bloom_dedup": _bloom_dedup_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
+        "hits": _hits_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),

@@ -161,3 +161,67 @@ def test_pagerank_matches_exact_integer_replica(spark):
         assert got["indeg"] == ind[i], i
     assert sum(v["r_e9"] for v in rows.values()) <= 1_000_000_000
     assert max(r.values()) > min(r.values()), "graph must differentiate"
+
+
+def test_hits_matches_exact_integer_replica(spark):
+    """HITS over the same link graph: every half-step is an exact
+    BIGINT sum and the L1 normalization is (raw * 1e9) DIV total, so a
+    pure-Python replica must match EXACTLY — no tolerance.  Also:
+    score mass stays <= 1e9 per vector (truncation only loses), every
+    node gets a row, and nodes without in-links (out-links) score
+    authority (hub) 0."""
+    from collections import Counter
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import HITS_ITERS, PR_OUTDEG, q_hits
+    from tests.conftest import SF_SMOKE
+
+    df = q_hits(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert set(rows) == set(ids)
+    n = len(ids)
+    edges = []
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                edges.append((s, d))
+
+    h = {i: 1_000_000_000 // n for i in ids}
+    a = {}
+    for _ in range(HITS_ITERS):
+        araw = Counter()
+        for s, d in edges:
+            if s in h:
+                araw[d] += h[s]
+        tot = sum(araw.values())
+        a = {i: (v * 1_000_000_000) // tot for i, v in araw.items()}
+        hraw = Counter()
+        for s, d in edges:
+            if d in a:
+                hraw[s] += a[d]
+        tot = sum(hraw.values())
+        h = {i: (v * 1_000_000_000) // tot for i, v in hraw.items()}
+
+    ind = Counter(d for _, d in edges)
+    od = Counter(s for s, _ in edges)
+    assert sum(a.values()) <= 1_000_000_000
+    assert sum(h.values()) <= 1_000_000_000
+    for i in ids:
+        got = rows[i]
+        assert got["auth_e9"] == a.get(i, 0), i
+        assert got["hub_e9"] == h.get(i, 0), i
+        if ind[i] == 0:
+            assert got["auth_e9"] == 0, i
+        if od[i] == 0:
+            assert got["hub_e9"] == 0, i
