@@ -2898,6 +2898,59 @@ def q_logreg_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EL2N keep fraction (exact-integer pair) — MIRRORED in the
+# `el2n_prune` oracle SQL's k = greatest(1, n*NUM DIV DEN).
+EL2N_KEEP_NUM = 1
+EL2N_KEEP_DEN = 2
+
+
+def q_el2n_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EL2N data pruning (Paul et al. 2021, "Deep Learning on a Data
+    Diet") — keep the hardest examples by early-training error norm;
+    with the repo's logistic quality classifier the EL2N score reduces
+    to |p - y| under the trained weights.  Completes the data-pruning
+    canon alongside `semantic_dedup` (redundancy), `proto_prune`
+    (prototypicality), `d4_prune` (both) and `dsir_topfrac`
+    (distribution matching): this one prunes by LEARNING signal.
+
+    Cross-engine: weights retrain via the shared deterministic GD
+    (`_logreg_train` == the unrolled `_logreg_ctes` chain); the score
+    ships as the e3-floored BIGINT floor(|p - y|*1e3 + 0.5) — exp()
+    appears once per row and the e3 floor absorbs engine exp() ulp
+    drift (the avg_logprob/dsir_weight discipline).  Selection is the
+    hardest ``EL2N_KEEP_NUM/DEN`` fraction via the bounded-histogram
+    exact top-frac (`dsir_select_top_frac` — el2n/1000 is a stable
+    1e-3 multiple, its contract), bit-identical to
+    orderBy(desc(score), doc_id).limit(k) without a corpus-sized
+    driver merge.
+
+    Scale shape: training is the bounded per-iteration agg loop;
+    scoring is a pure map; selection is one ≤1001-bucket histogram
+    agg + a pure-map filter + a one-bucket top-up."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    e3 = F.floor(F.abs(p - F.col("y")) * F.lit(1000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    scored = fx.select("doc_id", e3.alias("el2n_e3")).localCheckpoint(
+        eager=False
+    )
+    kept = dsir_select_top_frac(
+        scored.select(
+            "doc_id", (F.col("el2n_e3") / F.lit(1000.0)).alias("dsir_weight")
+        ),
+        EL2N_KEEP_NUM / EL2N_KEEP_DEN,
+    )
+    return kept.join(scored, "doc_id").select("doc_id", "el2n_e3")
+
+
 def _logreg_ctes(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> list[str]:
     """The unrolled-GD CTE chain (fx, w0 .. w{iters}) shared by the
     `logreg_quality` and `logreg_infer` oracles — mirrors
@@ -2962,6 +3015,39 @@ SELECT doc_id,
        CAST(CASE WHEN {m} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_en,
        CAST(y AS BIGINT) AS label
 FROM fx, w{iters} w
+"""
+    )
+
+
+def _el2n_sql(
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+    num: int = EL2N_KEEP_NUM,
+    den: int = EL2N_KEEP_DEN,
+) -> str:
+    """EL2N oracle: the shared GD CTE chain to the final weights, the
+    e3-floored BIGINT |p - y| score per doc, then the top-frac
+    selection expressed as a window rank (pytest locks the Spark
+    histogram selection bit-identical to this rank)."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+el2n AS (
+  SELECT doc_id,
+         CAST(floor(abs({p} - y) * 1000 + 0.5) AS BIGINT) AS el2n_e3
+  FROM fx, w{iters} w
+), ranked AS (
+  SELECT doc_id, el2n_e3,
+         row_number() OVER (ORDER BY el2n_e3 DESC, doc_id) AS rk
+  FROM el2n
+), kn AS (
+  SELECT greatest(1, (count(*) * {num}) // {den}) AS k FROM el2n
+)
+SELECT doc_id, el2n_e3 FROM ranked, kn WHERE rk <= k
 """
     )
 
@@ -4487,6 +4573,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "holdout_split": q_holdout_split,
     "logreg_quality": q_logreg_quality,
     "logreg_infer": q_logreg_infer,
+    "el2n_prune": q_el2n_prune,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "ann_brute_force": q_ann_brute_force,
@@ -5663,6 +5750,7 @@ WHERE rn <= 10
         "holdout_split": _holdout_split_sql(),
         "logreg_quality": _logreg_sql(),
         "logreg_infer": _logreg_infer_sql(),
+        "el2n_prune": _el2n_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "span_dedup": f"""

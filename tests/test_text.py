@@ -1802,3 +1802,44 @@ def test_url_canonicalize_matches_urllib_replica(spark):
         assert r["is_keeper"] == int(keepers[r["canon_url"]] == r["doc_id"])
     if len(canon_want) > 385:  # lcm of the component moduli
         assert max(sizes.values()) > 1
+
+
+def test_el2n_prune_matches_python_and_global_topk(spark):
+    """el2n_e3 recomputed in Python (math.exp over the trained weights
+    and the engine-computed features — the e3 floor absorbs exp ulp),
+    and the kept set is bit-identical to the global
+    orderBy(desc(score), doc_id).limit(k) with k = max(1, n*NUM//DEN)."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        EL2N_KEEP_DEN,
+        EL2N_KEEP_NUM,
+        _logreg_train,
+        logreg_features,
+        q_el2n_prune,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = {
+        r["doc_id"]: (r["x1"], r["x2"], r["x3"], r["y"])
+        for r in fx.collect()
+    }
+    _, wv = _logreg_train(fx)
+    scores = {}
+    for d, (x1, x2, x3, y) in feats.items():
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p = 1.0 / (1.0 + math.exp(-m))
+        scores[d] = math.floor(abs(p - y) * 1000 + 0.5)
+    n = len(feats)
+    k = max(1, n * EL2N_KEEP_NUM // EL2N_KEEP_DEN)
+    kept = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+
+    got = {
+        r["doc_id"]: r["el2n_e3"]
+        for r in q_el2n_prune(spark, SF_SMOKE).collect()
+    }
+    assert got == {d: scores[d] for d in kept}
+    assert len(got) == k
