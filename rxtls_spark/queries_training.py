@@ -2510,6 +2510,57 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_lm_eval_holdout(
+    spark: SparkSession, sf_dir: str, vocab_k: int | None = None
+) -> DataFrame:
+    """Held-out LM evaluation — the eval-harness step a pretraining
+    pipeline runs to monitor data quality: the bigram LM is trained on
+    the TRAIN split ONLY (the `holdout_split` knuth-permille rule) and
+    then scores every document, so val/test rows carry genuinely
+    held-out fluency scores (the model never saw them) and their OOV
+    rates read the train/eval distribution gap.  Composes
+    `holdout_split` × `bigram_lm_score` into the shape of a perplexity
+    eval (Paloma-style, reduced to the repo's deterministic bigram
+    reference model).
+
+    Cross-engine: the split is the exact integer permille rule; vocab
+    counts come only from train docs (identical c2/c1 rationals both
+    engines); scoring is the bigram_lm_score contract — per-row fold
+    vs SQL group-sum, absorbed by the 3-dp stable rounding.
+
+    Scale shape: two bounded train-side hash aggs ship the vocab back
+    as a literal map; scoring + split assignment are a pure per-row
+    map — zero exchanges, no token explode (the bigram_lm_score
+    plan)."""
+    if vocab_k is None:  # BIGRAM_VOCAB_K is defined later in the module
+        vocab_k = BIGRAM_VOCAB_K
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    permille = knuth_hash(F.col("doc_id")) % 1000
+    vocab = _bigram_vocab(
+        docs.where(permille < HOLDOUT_VAL_FROM), vocab_k
+    )
+    split = (
+        F.when(permille >= HOLDOUT_TEST_FROM, F.lit("test"))
+        .when(permille >= HOLDOUT_VAL_FROM, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    lp_map = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    bi = _bigrams()
+    lp = F.transform(bi, lambda b: lp_map[b])
+    in_vocab = F.filter(lp, lambda x: x.isNotNull())
+    n_in = F.size(in_vocab)
+    avg_lp = F.aggregate(in_vocab, F.lit(0.0), lambda a, x: a + x) / n_in.cast(
+        "double"
+    )
+    return docs.where(F.trim("text") != "").select(
+        "doc_id",
+        split.alias("split"),
+        F.size(bi).cast("long").alias("n_bigrams"),
+        (F.size(bi) - n_in).cast("long").alias("n_oov"),
+        F.when(n_in > 0, round3_stable(avg_lp)).alias("avg_logprob"),
+    )
+
+
 # --- token-budget / epoch planner -----------------------------------------------
 
 # UniMax-style planner constants — MIRRORED in `_token_budget_sql`;
@@ -4571,6 +4622,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "unimax_sample": q_unimax_sample,
     "holdout_split": q_holdout_split,
+    "lm_eval_holdout": q_lm_eval_holdout,
     "logreg_quality": q_logreg_quality,
     "logreg_infer": q_logreg_infer,
     "el2n_prune": q_el2n_prune,
@@ -4882,6 +4934,48 @@ WITH toks AS (
   FROM bg LEFT JOIN v USING (bg) GROUP BY 1
 )
 SELECT t.doc_id,
+  CAST(coalesce(s.n_bg, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(s.n_bg, 0) - coalesce(s.n_in, 0) AS BIGINT) AS n_oov,
+  CASE WHEN s.n_in > 0 THEN floor(s.s / s.n_in * 1000.0 + 0.5) / 1000.0
+  END AS avg_logprob
+FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+"""
+
+
+def _lm_eval_holdout_sql(vocab_k: int = BIGRAM_VOCAB_K) -> str:
+    """lm_eval_holdout oracle: the bigram_lm_score SQL with the
+    holdout permille rule attached to each doc and the c2/c1 vocab
+    counts restricted to the train split."""
+    kh = f"((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t,
+         CASE WHEN ({kh}) % 1000 >= {HOLDOUT_TEST_FROM} THEN 'test'
+              WHEN ({kh}) % 1000 >= {HOLDOUT_VAL_FROM} THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id, split, list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM toks
+), bg AS (
+  SELECT doc_id, split, unnest(g2) AS bg FROM pairs
+), c2 AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg
+  WHERE split = 'train'
+  GROUP BY 1 ORDER BY cnt DESC, bg LIMIT {vocab_k}
+), c1 AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE split = 'train')
+  GROUP BY 1
+), v AS (
+  SELECT c2.bg, ln(c2.cnt / CAST(c1.cnt AS DOUBLE)) AS lp
+  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.tok
+), scored AS (
+  SELECT bg.doc_id, count(*) AS n_bg, count(v.lp) AS n_in, sum(v.lp) AS s
+  FROM bg LEFT JOIN v USING (bg) GROUP BY 1
+)
+SELECT t.doc_id, t.split,
   CAST(coalesce(s.n_bg, 0) AS BIGINT) AS n_bigrams,
   CAST(coalesce(s.n_bg, 0) - coalesce(s.n_in, 0) AS BIGINT) AS n_oov,
   CASE WHEN s.n_in > 0 THEN floor(s.s / s.n_in * 1000.0 + 0.5) / 1000.0
@@ -5748,6 +5842,7 @@ WHERE rn <= 10
         "token_budget": _token_budget_sql(),
         "unimax_sample": _unimax_sample_sql(),
         "holdout_split": _holdout_split_sql(),
+        "lm_eval_holdout": _lm_eval_holdout_sql(),
         "logreg_quality": _logreg_sql(),
         "logreg_infer": _logreg_infer_sql(),
         "el2n_prune": _el2n_sql(),

@@ -1843,3 +1843,80 @@ def test_el2n_prune_matches_python_and_global_topk(spark):
     }
     assert got == {d: scores[d] for d in kept}
     assert len(got) == k
+
+
+def test_lm_eval_holdout_trains_on_train_only(spark):
+    """Independent Python replica of the held-out eval: vocab counts
+    come ONLY from train-split docs (knuth permille < VAL_FROM), every
+    non-empty doc is scored with that vocab, split labels follow the
+    holdout rule, and the stable-rounded averages match exactly."""
+    import math
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        BIGRAM_VOCAB_K,
+        HOLDOUT_TEST_FROM,
+        HOLDOUT_VAL_FROM,
+        q_lm_eval_holdout,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    toks = {
+        d: ws.split(t.strip().lower())
+        for d, t in docs.items()
+        if t.strip() != ""
+    }
+
+    def split_of(d):
+        pm = ((d % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000
+        if pm >= HOLDOUT_TEST_FROM:
+            return "test"
+        if pm >= HOLDOUT_VAL_FROM:
+            return "val"
+        return "train"
+
+    bigrams = {
+        d: [f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)]
+        for d, t in toks.items()
+    }
+    c2: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for d, t in toks.items():
+        if split_of(d) != "train":
+            continue
+        for w in t:
+            c1[w] = c1.get(w, 0) + 1
+        for b in bigrams[d]:
+            c2[b] = c2.get(b, 0) + 1
+    top = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:BIGRAM_VOCAB_K]
+    vocab = {b: math.log(c / c1[b.split(" ")[0]]) for b, c in top}
+
+    out = {
+        r["doc_id"]: r for r in q_lm_eval_holdout(spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(toks)
+    n_eval = 0
+    for d, bs in bigrams.items():
+        r = out[d]
+        assert r["split"] == split_of(d), d
+        if r["split"] != "train":
+            n_eval += 1
+        lps = [vocab[b] for b in bs if b in vocab]
+        assert r["n_bigrams"] == len(bs)
+        assert r["n_oov"] == len(bs) - len(lps)
+        if lps:
+            s = 0.0
+            for x in lps:
+                s += x
+            assert r["avg_logprob"] == (
+                math.floor(s / len(lps) * 1000.0 + 0.5) / 1000.0
+            ), d
+        else:
+            assert r["avg_logprob"] is None
+    assert n_eval > 0  # the smoke corpus genuinely has held-out docs
