@@ -272,8 +272,14 @@ def test_bloom_dedup_matches_sequential_python_bloom(spark):
         q_bloom_dedup,
     )
     from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.plans.checks import plan_string
     from tests.conftest import SF_SMOKE
     import hashlib
+
+    plan = plan_string(q_bloom_dedup(spark, SF_SMOKE), mode="simple")
+    # first-setter table is bounded by M -> must come back as a broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
     docs = {
         r["doc_id"]: r["text"]
