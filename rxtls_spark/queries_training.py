@@ -1916,6 +1916,102 @@ def q_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sem_rows.unionByName(proto_rows)
 
 
+# MMR diverse-selection constants — MIRRORED in `_mmr_select_sql`;
+# change together.  λ = LAM_NUM/LAM_DEN; every selection gates on
+# e5-floored BIGINT cosines so both engines pick identical rows, and
+# the diversity penalty is clamped at 0 (greatest(0, max cos to the
+# selected set)) on BOTH sides — the SQL accumulates it incrementally
+# from a 0 seed, so an unclamped negative penalty would diverge.
+MMR_K = 8
+MMR_LAM_NUM = 7
+MMR_LAM_DEN = 10
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k selection (Carbonell &
+    Goldstein 1998, SIGIR — the standard diversity-aware selection
+    used in data curation and retrieval): greedily pick ``MMR_K``
+    vectors maximizing ``λ·rel − (1−λ)·max_sim_to_selected`` where
+    rel is cosine to a deterministic query vector (the lowest-vec_id
+    embedding) and the penalty is the max cosine to the already-picked
+    set, clamped at 0.  Every comparison is on e5-floored BIGINT
+    cosines with a vec_id tie-break, so the greedy trajectory is
+    exact cross-engine; the oracle unrolls the K iterations as a CTE
+    chain (the `kmeans` unrolled-loop pattern).  Emits one row per
+    pick: (rnk, vec_id, rel_e5, pen_e5, score_e5).
+
+    Scale shape: the relevance pass is ONE pure map scored against a
+    literal query vector (computed once, localCheckpoint), then each
+    of the K iterations is a pure map (cosine folds against ≤K-1
+    literal selected vectors — metadata, folded into the plan) plus a
+    TakeOrderedAndProject(1) — no join, no window, no corpus shuffle.
+    At 100 TB you would pre-filter to a top-M relevance pool first
+    (`brute_force_topk` / `ann_ivf_topk`) and run the K passes over
+    the pool; K and the selected set stay driver-side metadata either
+    way."""
+    from rxtls_spark.operators.similarity import _cosine_cols
+
+    emb = _emb(spark, sf_dir)
+    q_row = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    q_id = int(q_row["vec_id"])
+    q_lit = F.array(*[F.lit(float(x)) for x in q_row["embedding"]])
+    cand = (
+        emb.where(F.col("vec_id") != q_id)
+        .select(
+            "vec_id",
+            "embedding",
+            F.floor(_cosine_cols(F.col("embedding"), q_lit) * 100000)
+            .cast("long")
+            .alias("rel_e5"),
+        )
+        .localCheckpoint(eager=False)  # score rel once; K argmax passes
+    )
+    pen_w = MMR_LAM_DEN - MMR_LAM_NUM
+    picked: list[tuple] = []  # (rnk, vec_id, rel_e5, pen_e5, score_e5)
+    picked_vecs: list = []  # literal arrays of selected embeddings
+    for rnk in range(1, MMR_K + 1):
+        pen = F.greatest(
+            F.lit(0).cast("long"),
+            *[
+                F.floor(_cosine_cols(F.col("embedding"), v) * 100000).cast(
+                    "long"
+                )
+                for v in picked_vecs
+            ],
+        ) if picked_vecs else F.lit(0).cast("long")
+        pool = (
+            cand.where(~F.col("vec_id").isin([p[1] for p in picked]))
+            if picked
+            else cand
+        )
+        row = (
+            pool.select("vec_id", "embedding", "rel_e5", pen.alias("pen_e5"))
+            .withColumn(
+                "score_e5",
+                F.lit(MMR_LAM_NUM) * F.col("rel_e5")
+                - F.lit(pen_w) * F.col("pen_e5"),
+            )
+            .orderBy(F.col("score_e5").desc(), "vec_id")
+            .first()  # TakeOrderedAndProject(1): metadata-scale
+        )
+        picked.append(
+            (
+                rnk,
+                int(row["vec_id"]),
+                int(row["rel_e5"]),
+                int(row["pen_e5"]),
+                int(row["score_e5"]),
+            )
+        )
+        picked_vecs.append(
+            F.array(*[F.lit(float(x)) for x in row["embedding"]])
+        )
+    return spark.createDataFrame(
+        picked,
+        "rnk long, vec_id long, rel_e5 long, pen_e5 long, score_e5 long",
+    )
+
+
 # Span-dedup constants — W mirrored in the oracle SQL; change together.
 SPAN_W = 10
 SPAN_DUP_OFFSET = 1_000_000_000
@@ -4469,6 +4565,62 @@ FROM ranked
     )
 
 
+def _mmr_select_sql(
+    k: int = MMR_K, lam_num: int = MMR_LAM_NUM, lam_den: int = MMR_LAM_DEN
+) -> str:
+    """MMR oracle: the greedy loop unrolled as a CTE chain (the
+    `kmeans` unrolled-loop pattern).  `c0` scores e5-floored cosine
+    relevance against the lowest-vec_id query with pen_e5 seeded at 0;
+    each iteration then picks argmax(λ·rel − (1−λ)·pen) with a vec_id
+    tie-break and folds the new pick into the surviving candidates'
+    penalty via greatest() — the 0 seed makes the incremental max
+    equal Spark's one-shot greatest(0, cos…) clamp.  All comparisons
+    are BIGINT; list_cosine_similarity matches the Spark zip_with
+    fold to ~1e-10, compared e5-floored (the semantic_dedup
+    discipline)."""
+    pen_w = lam_den - lam_num
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM e ORDER BY vec_id LIMIT 1
+), c0 AS (
+  SELECT e.vec_id, e.emb,
+    CAST(floor(list_cosine_similarity(e.emb, q.q_emb) * 100000) AS BIGINT)
+      AS rel_e5,
+    CAST(0 AS BIGINT) AS pen_e5
+  FROM e, q WHERE e.vec_id <> q.q_id
+), s1 AS (
+  SELECT vec_id, emb, rel_e5, pen_e5,
+    CAST({lam_num} * rel_e5 - {pen_w} * pen_e5 AS BIGINT) AS score_e5
+  FROM c0
+  ORDER BY {lam_num} * rel_e5 - {pen_w} * pen_e5 DESC, vec_id LIMIT 1
+)"""
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""c{t - 1} AS (
+  SELECT c.vec_id, c.emb, c.rel_e5,
+    greatest(c.pen_e5,
+      CAST(floor(list_cosine_similarity(c.emb, s.emb) * 100000) AS BIGINT)
+    ) AS pen_e5
+  FROM c{t - 2} c, s{t - 1} s WHERE c.vec_id <> s.vec_id
+), s{t} AS (
+  SELECT vec_id, emb, rel_e5, pen_e5,
+    CAST({lam_num} * rel_e5 - {pen_w} * pen_e5 AS BIGINT) AS score_e5
+  FROM c{t - 1}
+  ORDER BY {lam_num} * rel_e5 - {pen_w} * pen_e5 DESC, vec_id LIMIT 1
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS rnk, vec_id, rel_e5, pen_e5,"
+        f" score_e5 FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\n"
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding store — the standard
     4× storage cut before ANN at 100 TB: per-dimension [min, max] over
@@ -4616,6 +4768,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits": q_hits,
     "proto_prune": q_proto_prune,
     "d4_prune": q_d4_prune,
+    "mmr_select": q_mmr_select,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "embedding_pca": q_embedding_pca,
     "shuffle_shards": q_shuffle_shards,
@@ -5828,6 +5981,7 @@ WHERE rn <= 10
         "semantic_dedup": _semantic_dedup_sql(),
         "proto_prune": _proto_prune_sql(),
         "d4_prune": _d4_prune_sql(),
+        "mmr_select": _mmr_select_sql(),
         "ccnet_buckets": _ccnet_sql(),
         "exact_substr": _exsub_sql(),
         "pagerank": _pagerank_sql(),

@@ -178,3 +178,74 @@ def test_d4_prune_composes_semdedup_then_proto(spark):
         assert {r["rnk"] for r in rows if r["verdict"] == "proto"} == set(
             range(1, n_proto + 1)
         )
+
+
+def test_mmr_select_matches_sequential_python_replica(spark):
+    """MMR greedy selection must match a pure-Python replica EXACTLY:
+    the replica folds dot/norm sums sequentially in index order —
+    bit-identical IEEE doubles to the Spark zip_with/aggregate fold —
+    then floors to e5 BIGINTs, so every pick, penalty, and score is
+    compared with zero tolerance.  Also locks the invariants: ranks
+    1..K, distinct vec_ids, the query vector excluded, pick 1 is the
+    relevance argmax (pen 0), and penalties never decrease a later
+    re-pick of the same candidate (clamped at 0)."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        MMR_K,
+        MMR_LAM_DEN,
+        MMR_LAM_NUM,
+        q_mmr_select,
+    )
+
+    got = {r["rnk"]: r for r in q_mmr_select(spark, SF_SMOKE).collect()}
+    assert sorted(got) == list(range(1, MMR_K + 1))
+    assert len({r["vec_id"] for r in got.values()}) == MMR_K
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+
+    def cos_e5(a, b):
+        # sequential fold in index order == the Spark aggregate fold
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        c = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        return math.floor(c * 100000)
+
+    q_id = min(vecs)
+    q_emb = vecs[q_id]
+    rel = {i: cos_e5(v, q_emb) for i, v in vecs.items() if i != q_id}
+    pen_w = MMR_LAM_DEN - MMR_LAM_NUM
+    picked = []
+    pen = {i: 0 for i in rel}
+    for rnk in range(1, MMR_K + 1):
+        if picked:
+            last = vecs[picked[-1]]
+            for i in pen:
+                if i not in picked:
+                    pen[i] = max(pen[i], cos_e5(vecs[i], last))
+        best = min(
+            (i for i in rel if i not in picked),
+            key=lambda i: (-(MMR_LAM_NUM * rel[i] - pen_w * pen[i]), i),
+        )
+        picked.append(best)
+        r = got[rnk]
+        assert r["vec_id"] == best, rnk
+        assert r["rel_e5"] == rel[best], rnk
+        assert r["pen_e5"] == pen[best], rnk
+        assert r["score_e5"] == MMR_LAM_NUM * rel[best] - pen_w * pen[best]
+        assert r["pen_e5"] >= 0
+    assert got[1]["pen_e5"] == 0
+    assert got[1]["vec_id"] == min(rel, key=lambda i: (-rel[i], i))
