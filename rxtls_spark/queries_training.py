@@ -3098,6 +3098,66 @@ def q_el2n_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(scored, "doc_id").select("doc_id", "el2n_e3")
 
 
+# Calibration histogram bin count — MIRRORED in `_calibration_sql`;
+# change together.  Bins are least(p_e3 DIV 100, BINS-1) on the
+# e3-floored BIGINT probability, so bin edges are exact cross-engine.
+CALIB_BINS = 10
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit (Guo et al. 2017, "On Calibration
+    of Modern Neural Networks") — the reliability-diagram /
+    expected-calibration-error input for the trained quality
+    classifier: bin every document by predicted probability and emit
+    per bin the count, the positive-label count, and the exact
+    integer sums needed to compute confidence, accuracy and ECE
+    downstream.  Completes the classifier lifecycle: `logreg_quality`
+    trains, `logreg_infer` serves, `el2n_prune` selects, this audits.
+
+    Cross-engine: weights retrain via the shared deterministic GD
+    (`_logreg_train` == the unrolled `_logreg_ctes` chain); p and
+    |p - y| ship as e3-floored BIGINTs (the el2n discipline — exp()
+    once per row, the floor absorbs engine exp() ulp drift); the bin
+    is least(p_e3 DIV 100, CALIB_BINS-1) and every output column is a
+    BIGINT count or sum — exact, no float aggregate anywhere.
+
+    Scale shape: training is the bounded per-iteration agg loop;
+    scoring is a pure map; the audit is ONE ≤CALIB_BINS-row hash agg."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    scored = fx.select(
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.floor(F.abs(p - F.col("y")) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("err_e3"),
+        F.col("y").cast("long").alias("y_l"),
+    )
+    return (
+        scored.select(
+            F.least(F.expr("p_e3 DIV 100"), F.lit(CALIB_BINS - 1))
+            .cast("long")
+            .alias("bin"),
+            "p_e3",
+            "err_e3",
+            "y_l",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y_l").cast("long").alias("n_pos"),
+            F.sum("p_e3").cast("long").alias("sum_p_e3"),
+            F.sum("err_e3").cast("long").alias("sum_err_e3"),
+        )
+    )
+
+
 def _logreg_ctes(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> list[str]:
     """The unrolled-GD CTE chain (fx, w0 .. w{iters}) shared by the
     `logreg_quality` and `logreg_infer` oracles — mirrors
@@ -3195,6 +3255,37 @@ el2n AS (
   SELECT greatest(1, (count(*) * {num}) // {den}) AS k FROM el2n
 )
 SELECT doc_id, el2n_e3 FROM ranked, kn WHERE rk <= k
+"""
+    )
+
+
+def _calibration_sql(
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+    bins: int = CALIB_BINS,
+) -> str:
+    """Calibration oracle: the shared GD CTE chain to the final
+    weights, e3-floored BIGINT p and |p - y| per doc, then the
+    least(p_e3 // 100, BINS-1) bin and pure-BIGINT per-bin sums."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+calib AS (
+  SELECT CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(floor(abs({p} - y) * 1000 + 0.5) AS BIGINT) AS err_e3,
+         CAST(y AS BIGINT) AS y_l
+  FROM fx, w{iters} w
+)
+SELECT CAST(least(p_e3 // 100, {bins - 1}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y_l) AS BIGINT) AS n_pos,
+       CAST(sum(p_e3) AS BIGINT) AS sum_p_e3,
+       CAST(sum(err_e3) AS BIGINT) AS sum_err_e3
+FROM calib GROUP BY 1
 """
     )
 
@@ -4279,6 +4370,65 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation — per-cell label purity of the
+    `kmeans` quantizer against the embeddings table's ground-truth
+    `label` column (the standard purity metric: majority-label
+    fraction per cluster).  Completes the evaluation-harness family
+    (`ann_recall_eval` for index quality, `lm_eval_holdout` for LM
+    quality, this for clustering quality).  Majority = max count with
+    a smallest-label tie-break; purity_e5 = (n_top*1e5) DIV n_vecs is
+    exact BIGINT, so beyond the shared (proven) kmeans training spec
+    the query is exact-by-construction cross-engine.
+
+    Scale shape: training is metadata-scale (the shared
+    train_ivf_centroids), assignment a per-row JVM argmin map, then
+    TWO bounded hash aggs — (cell,label) counts (≤ k·|labels| rows)
+    and the per-cell majority via ONE struct-max agg (no window, no
+    second shuffle of data rows)."""
+    from rxtls_spark.operators.similarity import (
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    asg = emb.select(
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias(
+            "cell"
+        ),
+        F.col("label").cast("long").alias("label"),
+    )
+    bycl = asg.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_cell = bycl.groupBy("cell").agg(
+        F.sum("cnt").cast("long").alias("n_vecs"),
+        F.max(
+            F.struct(
+                F.col("cnt").alias("cnt"),
+                (-F.col("label")).alias("neg_label"),
+            )
+        ).alias("best"),
+    )
+    return per_cell.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vecs",
+        (-F.col("best.neg_label")).cast("long").alias("top_label"),
+        F.col("best.cnt").cast("long").alias("n_top"),
+        F.expr("CAST((best.cnt * 100000) DIV n_vecs AS BIGINT)").alias(
+            "purity_e5"
+        ),
+    )
+
+
 def _kmeans_cents_ctes(
     k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
 ) -> list[str]:
@@ -4349,6 +4499,48 @@ SELECT CAST(c.cell AS BIGINT) AS cell, CAST(t.i - 1 AS BIGINT) AS i,
        c.centroid[t.i] AS m, coalesce(n.n_vecs, 0) AS n_vecs
 FROM cents{iters} c
 LEFT JOIN counts n USING (cell), generate_series(1, {dim}) t(i)
+"""
+    )
+
+
+def _cluster_purity_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
+) -> str:
+    """Purity oracle: the shared unrolled-Lloyd's centroid CTEs, the
+    identical (list_distance, cell) argmin assignment, labels joined
+    back by vec_id, then pure-BIGINT counts with the (cnt DESC, label)
+    majority rule and the (n_top*1e5) DIV n_vecs purity — exact, no
+    rounding anywhere past the shared kmeans spec."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{iters} c)
+  WHERE rn = 1
+), cnts AS (
+  SELECT a.cell, CAST(b.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM asg a JOIN embeddings b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+), tot AS (
+  SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs FROM cnts GROUP BY 1
+), best AS (
+  SELECT cell, label AS top_label, cnt AS n_top FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell
+                                 ORDER BY cnt DESC, label) AS rn
+    FROM cnts)
+  WHERE rn = 1
+)
+SELECT CAST(t.cell AS BIGINT) AS cell, t.n_vecs, b.top_label, b.n_top,
+       CAST((b.n_top * 100000) // t.n_vecs AS BIGINT) AS purity_e5
+FROM tot t JOIN best b USING (cell)
 """
     )
 
@@ -4779,6 +4971,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logreg_quality": q_logreg_quality,
     "logreg_infer": q_logreg_infer,
     "el2n_prune": q_el2n_prune,
+    "calibration_bins": q_calibration_bins,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "ann_brute_force": q_ann_brute_force,
@@ -4786,6 +4979,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
+    "cluster_purity": q_cluster_purity,
     "embedding_quantize": q_embedding_quantize,
     "ann_ivf_pq": q_ann_ivf_pq,
     "embedding_stats": q_embedding_stats,
@@ -5978,6 +6172,7 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= 10
 """,
         "kmeans": _kmeans_sql(),
+        "cluster_purity": _cluster_purity_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "proto_prune": _proto_prune_sql(),
         "d4_prune": _d4_prune_sql(),
@@ -6000,6 +6195,7 @@ WHERE rn <= 10
         "logreg_quality": _logreg_sql(),
         "logreg_infer": _logreg_infer_sql(),
         "el2n_prune": _el2n_sql(),
+        "calibration_bins": _calibration_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "span_dedup": f"""

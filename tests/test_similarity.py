@@ -455,3 +455,60 @@ def test_ann_recall_eval_full_probe_is_exact_and_plan(spark):
     by_q = {r["q_id"]: r["n_hit"] for r in dflt.collect()}
     assert set(by_q) == {r["q_id"] for r in rows}
     assert all(0 <= v <= 10 for v in by_q.values())
+
+
+def test_cluster_purity_matches_python_majority_rule(spark):
+    """Purity over the Spark-side cell assignment must match a pure
+    Python recomputation of the (cnt DESC, label ASC) majority rule
+    and the exact (n_top*1e5) DIV n_vecs purity — the novel logic here
+    is the majority/purity arithmetic (the training + assignment spec
+    is already locked by the kmeans tests and oracle).  Also: cells
+    partition the corpus (n_vecs sums to the table count), n_top <=
+    n_vecs, and purity_e5 is in [0, 100000]."""
+    from collections import Counter, defaultdict
+
+    from rxtls_spark.functions.hashing import knuth_hash
+    from rxtls_spark.operators.similarity import (
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+    from rxtls_spark.queries_training import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        q_cluster_purity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r["cell"]: r for r in q_cluster_purity(spark, SF_SMOKE).collect()}
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    pairs = emb.select(
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias(
+            "cell"
+        ),
+        "label",
+    ).collect()
+
+    by_cell = defaultdict(Counter)
+    for r in pairs:
+        by_cell[r["cell"]][int(r["label"])] += 1
+    assert set(got) == set(by_cell)
+    assert sum(r["n_vecs"] for r in got.values()) == len(pairs)
+    for cell, hist in by_cell.items():
+        n_vecs = sum(hist.values())
+        top_label = min(hist, key=lambda l: (-hist[l], l))
+        r = got[cell]
+        assert r["n_vecs"] == n_vecs
+        assert r["top_label"] == top_label
+        assert r["n_top"] == hist[top_label]
+        assert r["purity_e5"] == (hist[top_label] * 100000) // n_vecs
+        assert 0 <= r["purity_e5"] <= 100000
+        assert r["n_top"] <= r["n_vecs"]

@@ -1920,3 +1920,54 @@ def test_lm_eval_holdout_trains_on_train_only(spark):
         else:
             assert r["avg_logprob"] is None
     assert n_eval > 0  # the smoke corpus genuinely has held-out docs
+
+
+def test_calibration_bins_matches_python_replica(spark):
+    """Per-bin counts and BIGINT sums recomputed in Python (math.exp
+    over the trained weights and the engine-computed features — the
+    e3 floor absorbs exp ulp, the replica is exact past it).  Also
+    locks the invariants: bins within [0, CALIB_BINS-1], counts sum
+    to the corpus size, n_pos <= n, and sum_p_e3 <= 1000*n."""
+    import math
+    from collections import defaultdict
+
+    from rxtls_spark.queries_training import (
+        CALIB_BINS,
+        _logreg_train,
+        logreg_features,
+        q_calibration_bins,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = [
+        (r["x1"], r["x2"], r["x3"], r["y"]) for r in fx.collect()
+    ]
+    _, wv = _logreg_train(fx)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, n_pos, sum_p, sum_err
+    for x1, x2, x3, y in feats:
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p = 1.0 / (1.0 + math.exp(-m))
+        p_e3 = math.floor(p * 1000 + 0.5)
+        err_e3 = math.floor(abs(p - y) * 1000 + 0.5)
+        b = min(p_e3 // 100, CALIB_BINS - 1)
+        agg[b][0] += 1
+        agg[b][1] += int(y)
+        agg[b][2] += p_e3
+        agg[b][3] += err_e3
+
+    got = {r["bin"]: r for r in q_calibration_bins(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    assert sum(r["n"] for r in got.values()) == len(feats)
+    for b, (n, n_pos, sum_p, sum_err) in agg.items():
+        r = got[b]
+        assert 0 <= b <= CALIB_BINS - 1
+        assert (r["n"], r["n_pos"], r["sum_p_e3"], r["sum_err_e3"]) == (
+            n,
+            n_pos,
+            sum_p,
+            sum_err,
+        ), b
+        assert r["n_pos"] <= r["n"] and r["sum_p_e3"] <= 1000 * r["n"]
