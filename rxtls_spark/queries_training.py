@@ -368,6 +368,78 @@ def q_quality_quantile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between sources: the two-sample
+    Kolmogorov-Smirnov distance on the quality-score distribution for
+    every source pair — the standard data-quality alarm a production
+    pipeline runs when a crawl snapshot, scraper version, or upstream
+    source changes (a large KS between the old and new distribution
+    of the SAME source gates the ingest).
+
+    Computed on the bounded quality histogram (`quality_bucket`, the
+    proven exact-integer bucketing): per-source bucket counts → dense
+    (source × observed-buckets) grid → cumulative counts → e9-scaled
+    BIGINT CDFs cdf = (cum*1e9) DIV n → ks_e9 = max |cdf_a - cdf_b|
+    per pair.  Everything past the quality score is BIGINT, and the
+    e9 CDF keeps every operand < 2^63 at ANY corpus size (cum*n_b
+    cross-products would overflow at 10^10 rows/source).
+
+    Scale shape: ONE corpus-scale hash agg (the bounded histogram —
+    sources × ≤1001 rows, the quality_gate_thresholds trick); the
+    grid/CDF/pair stages are metadata-scale (the bucket set is
+    broadcast), so all-pairs over sources is sources²×buckets tiny
+    rows, never a corpus join."""
+    from pyspark.sql.window import Window
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score().alias("quality")
+    )
+    hist = scored.groupBy("source", quality_bucket().alias("qb")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    bks = hist.select("qb").distinct()
+    grid = tot.crossJoin(F.broadcast(bks))  # bounded: sources × ≤1001
+    cum = (
+        grid.join(hist, ["source", "qb"], "left")
+        .select(
+            "source",
+            "n",
+            "qb",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c0"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("c0")
+            .over(Window.partitionBy("source").orderBy("qb"))
+            .cast("long"),
+        )
+    )
+    cdf = cum.select(
+        "source", "n", "qb", F.expr("(cum * 1000000000) DIV n").alias("cdf")
+    )
+    a = cdf.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        "qb",
+        F.col("cdf").alias("cdf_a"),
+    )
+    b = cdf.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        "qb",
+        F.col("cdf").alias("cdf_b"),
+    )
+    pairs = a.join(b, "qb").where(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b")))
+        .cast("long")
+        .alias("ks_e9"),
+    )
+
+
 def q_stratified_sample(
     spark: SparkSession, sf_dir: str, k: int = 20
 ) -> DataFrame:
@@ -2355,6 +2427,138 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Label-propagation iteration count — mirrored in the unrolled
+# `label_propagation` oracle SQL; the link graph is the SAME
+# knuth-hash edge set as q_pagerank (PR_OUTDEG), made undirected.
+LPA_ITERS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the undirected version of the `pagerank` link graph — the
+    host/community clustering signal a crawl pipeline uses for
+    domain-level dedup scoping and crawl-frontier partitioning
+    (completes the graph family: pagerank = importance, hits =
+    hubs/authorities, dedup_clusters = components, this = communities).
+
+    Deterministic synchronous LPA: l0(v) = v; each step counts
+    neighbor labels over the undirected multi-edge set (src→dst union
+    dst→src — parallel edges weight the vote, deterministically) and
+    takes the majority with the (count DESC, label ASC) rule;
+    isolated nodes keep their label.  Everything is BIGINT counts and
+    ids — exact cross-engine by construction, no floats anywhere.
+
+    Scale shape: the canonical distributed LPA — edges built by a
+    pure map and localCheckpoint'd once (every iteration reuses the
+    partitioning); per step ONE src-keyed join + (node,label) agg +
+    ONE struct-max majority agg (no window over data rows), then a
+    node-table left join.  Output is (doc_id, label, comm size)."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    de = ids.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+    und = (
+        de.select("src", "dst")
+        .unionAll(
+            de.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    lab = ids.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(LPA_ITERS):
+        cnts = (
+            und.join(lab, und["src"] == lab["doc_id"])
+            .groupBy(und["dst"].alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        maj = (
+            cnts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("cnt"),
+                        (-F.col("lbl")).alias("neg_lbl"),
+                    )
+                ).alias("b")
+            )
+            .select("node", (-F.col("b.neg_lbl")).alias("maj"))
+        )
+        lab = lab.join(maj, lab["doc_id"] == maj["node"], "left").select(
+            "doc_id", F.coalesce("maj", "lbl").cast("long").alias("lbl")
+        )
+    sizes = lab.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("comm_size")
+    )
+    return lab.join(sizes, "lbl").select(
+        "doc_id", F.col("lbl").alias("label"), "comm_size"
+    )
+
+
+def _label_propagation_sql(
+    outdeg: int = PR_OUTDEG, iters: int = LPA_ITERS
+) -> str:
+    """LPA oracle: the pagerank edge CTEs made undirected (UNION ALL
+    both directions — parallel edges kept), then each iteration
+    UNROLLED as (counts, majority-by-window, relabel) CTE triples —
+    all BIGINT, the (cnt DESC, lbl) rule, exact by construction."""
+    head = f"""WITH ids AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), e0 AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, {outdeg - 1})) AS j
+  FROM ids
+), e1 AS (
+  SELECT src,
+         ((((src * {outdeg} + j) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % (SELECT n FROM nn) AS dst
+  FROM e0
+), e2 AS (
+  SELECT src, dst FROM e1 WHERE dst <> src
+), u AS (
+  SELECT src, dst FROM e2
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e2
+), l0 AS (
+  SELECT doc_id, CAST(doc_id AS BIGINT) AS lbl FROM ids
+)"""
+    for t in range(1, iters + 1):
+        head += f""",
+c{t} AS (
+  SELECT u.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+  FROM u JOIN l{t - 1} l ON u.src = l.doc_id GROUP BY 1, 2
+), m{t} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+    FROM c{t})
+  WHERE rn = 1
+), l{t} AS (
+  SELECT i.doc_id, CAST(coalesce(m.lbl, p.lbl) AS BIGINT) AS lbl
+  FROM ids i JOIN l{t - 1} p USING (doc_id)
+  LEFT JOIN m{t} m ON i.doc_id = m.node
+)"""
+    return head + f"""
+SELECT l.doc_id, l.lbl AS label, s.comm_size
+FROM l{iters} l JOIN (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
+  FROM l{iters} GROUP BY 1
+) s USING (lbl)
+"""
+
+
 # PCA power-iteration count / dim — mirrored in the unrolled oracle SQL.
 PCA_ITERS = 3
 PCA_DIM = 64
@@ -3405,6 +3609,29 @@ def bpe_train(docs: DataFrame) -> list[tuple[int, str, str, int]]:
     return rows
 
 
+def bpe_encode_word_expr(w, merges):
+    """Column expression encoding ONE ``[a-z]+`` word column with the
+    learned merge list: char-split + ' </w>' seeding, then the
+    ``BPE_ITERS`` merges applied in training order via
+    `bpe_apply_merge` — pure Catalyst string work (the merge table
+    rides along as string literals).  Shared by `q_bpe_encode` and
+    `q_tokenizer_fertility` so both encode identically."""
+    s = F.concat(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: w.substr(i, F.lit(1)),
+            ),
+            " ",
+        ),
+        F.lit(" " + BPE_EOW),
+    )
+    for _it, pair, _merged, _total in merges:
+        left, right = pair.split(" ")
+        s = bpe_apply_merge(s, left, right)
+    return s
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY — the other half of the BPE story: encode every
     document with the merge table `bpe_train` just learned and emit
@@ -3427,25 +3654,8 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-joined stream matches byte-for-byte."""
     docs = _docs(spark, sf_dir)
     merges = bpe_train(docs)
-
-    def encode_word(w):
-        s = F.concat(
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(w)),
-                    lambda i: w.substr(i, F.lit(1)),
-                ),
-                " ",
-            ),
-            F.lit(" " + BPE_EOW),
-        )
-        for _it, pair, _merged, _total in merges:
-            left, right = pair.split(" ")
-            s = bpe_apply_merge(s, left, right)
-        return s
-
     ws = F.expr("regexp_extract_all(text, '[a-z]+', 0)")
-    syms = F.transform(ws, encode_word)
+    syms = F.transform(ws, lambda w: bpe_encode_word_expr(w, merges))
     joined = F.array_join(syms, " ")
     n_words = F.size(ws)
     n_toks = F.size(F.split(joined, " "))
@@ -3508,6 +3718,114 @@ SELECT doc_id,
   END AS chars_per_token,
   CASE WHEN len(ws) > 0 THEN md5(array_to_string(syms, ' ')) END AS enc_md5
 FROM enc
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility audit — the standard
+    multilingual tokenizer-equity metric (Rust et al. 2021, "How Good
+    is Your Tokenizer?"): pooled tokens-per-word (fertility) and
+    ascii-chars-per-token (compression) of the learned BPE, grouped
+    by document language.  This is how real pipelines detect that a
+    tokenizer trained on skewed data over-fragments some languages —
+    the per-lang twin of `bpe_encode` (which audits per doc).
+
+    Cross-engine exact: encoding reuses `bpe_encode_word_expr` (the
+    proven doubled-space merge chain); every per-doc count is BIGINT;
+    the pooled ratios ship as (sum*1e5) DIV sum integer division —
+    exact on both engines, no float aggregate anywhere.  Languages
+    with zero ``[a-z]+`` words are dropped on both sides (the ratio
+    is undefined there).
+
+    Scale shape: train once (bounded, `bpe_train`), then ONE pure-map
+    encoding pass over the corpus and ONE <=|langs|-row hash agg —
+    the same embarrassingly-parallel shape as `bpe_encode`."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs)
+    ws = F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+    syms = F.transform(ws, lambda w: bpe_encode_word_expr(w, merges))
+    joined = F.array_join(syms, " ")
+    n_words = F.size(ws)
+    n_toks = (
+        F.when(n_words > 0, F.size(F.split(joined, " ")))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    per = docs.select(
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        n_toks.alias("n_toks"),
+        F.length(F.array_join(ws, "")).cast("long").alias("az_chars"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        F.sum("az_chars").cast("long").alias("az_chars"),
+    )
+    return agg.where(F.col("n_words") > 0).select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "az_chars",
+        F.expr("CAST((n_bpe_tokens * 100000) DIV n_words AS BIGINT)").alias(
+            "fertility_e5"
+        ),
+        F.expr(
+            "CAST((az_chars * 100000) DIV n_bpe_tokens AS BIGINT)"
+        ).alias("chars_per_token_e5"),
+    )
+
+
+def _tokenizer_fertility_sql(iters: int = BPE_ITERS) -> str:
+    """Fertility oracle: the unrolled BPE training CTEs feed the same
+    1-row merge table and doubled-space replace chain as
+    `_bpe_encode_sql`, then per-lang BIGINT sums and the (sum*1e5)
+    DIV sum pooled ratios — exact past the shared BPE spec."""
+    train = _bpe_merges_sql(iters)
+    ctes = train[len("WITH ") : train.rindex("\nSELECT CAST(1")]
+    mcols = ", ".join(
+        f"(SELECT pair FROM b{it}) AS p{it}, "
+        f"(SELECT merged FROM b{it}) AS m{it}"
+        for it in range(1, iters + 1)
+    )
+    expr = (
+        "array_to_string(list_transform(generate_series(1, length(w)),"
+        " i -> w[i:i]), ' ') || ' " + BPE_EOW + "'"
+    )
+    for it in range(1, iters + 1):
+        expr = (
+            "trim(replace(replace("
+            f"' ' || replace({expr}, ' ', '  ') || ' ', "
+            f"' ' || replace(p{it}, ' ', '  ') || ' ', "
+            f"' ' || m{it} || ' '), '  ', ' '))"
+        )
+    return f"""WITH {ctes},
+m AS MATERIALIZED (SELECT {mcols}),
+enc AS (
+  SELECT lang, regexp_extract_all(text, '[a-z]+') AS ws,
+         list_transform(regexp_extract_all(text, '[a-z]+'),
+                        w -> {expr}) AS syms
+  FROM documents, m
+), per AS (
+  SELECT lang,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(CASE WHEN len(ws) > 0
+         THEN len(string_split(array_to_string(syms, ' '), ' '))
+         ELSE 0 END AS BIGINT) AS n_toks,
+    CAST(length(array_to_string(ws, '')) AS BIGINT) AS az_chars
+  FROM enc
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_words) AS BIGINT) AS n_words,
+  CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(az_chars) AS BIGINT) AS az_chars,
+  CAST((sum(n_toks) * 100000) // sum(n_words) AS BIGINT) AS fertility_e5,
+  CAST((sum(az_chars) * 100000) // sum(n_toks) AS BIGINT)
+    AS chars_per_token_e5
+FROM per GROUP BY lang HAVING sum(n_words) > 0
 """
 
 
@@ -4545,6 +4863,145 @@ FROM tot t JOIN best b USING (cell)
     )
 
 
+# kNN-graph neighbor count — MIRRORED in `_knn_graph_sql`; change
+# together.  Candidates come from the kmeans cells, so the kmeans spec
+# constants flow into this query too.
+KNN_K = 5
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor graph construction over the embedding
+    space — the shared substrate of SemDeDup-style clustering,
+    graph-based dedup, and kNN-classifier data auditing: for every
+    vector, its top-``KNN_K`` in-cell neighbors by cosine, with a
+    `mutual` flag marking edges whose reverse edge also made the
+    other endpoint's top-k (mutual-kNN edges are the high-precision
+    ones real pipelines keep).
+
+    Candidates come from the SAME deterministic kmeans quantizer as
+    `semantic_dedup` / `cluster_purity` (cell equi-join — the
+    production shape: never an all-pairs corpus join; k grows with
+    the corpus per the SemDeDup sizing argument).  Ranking is the
+    e5-floored cosine with the (cos_e5 DESC, nbr) tie-break, so both
+    engines pick identical edges; the mutual flag is a left self-join
+    on the reversed edge — every output column BIGINT.
+
+    Scale shape: training metadata-scale; assignment a pure map; ONE
+    cell equi-join for candidates; the per-src top-k plans as
+    WindowGroupLimit (rank<=k pushed map-side, no full per-cell
+    sort); the mutual join is kNN-output-sized (N*k rows)."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    asg = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias(
+            "cell"
+        ),
+    ).localCheckpoint(eager=False)  # assign once for both join sides
+    a = asg.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        "cell",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("emb_b"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("src") != F.col("nbr"))
+        .select(
+            "src",
+            "nbr",
+            F.floor(cosine_expr("emb_a", "emb_b") * 100000)
+            .cast("long")
+            .alias("cos_e5"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_e5").desc(), "nbr")
+    knn = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= KNN_K
+    )
+    rev = knn.select(
+        F.col("nbr").alias("r_src"), F.col("src").alias("r_nbr")
+    )
+    return knn.join(
+        rev,
+        (knn["src"] == rev["r_src"]) & (knn["nbr"] == rev["r_nbr"]),
+        "left",
+    ).select(
+        F.col("src").alias("vec_id"),
+        F.col("rn").cast("long").alias("rank"),
+        F.col("nbr").alias("nbr_id"),
+        "cos_e5",
+        F.when(F.col("r_src").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mutual"),
+    )
+
+
+def _knn_graph_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = KMEANS_DIM,
+    knn_k: int = KNN_K,
+) -> str:
+    """kNN-graph oracle: the shared unrolled-Lloyd's centroid CTEs,
+    the identical argmin assignment, in-cell pairs with e5-floored
+    cosine, the (cos_e5 DESC, nbr) window top-k, and the reversed-edge
+    left join for the mutual flag — all BIGINT."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{iters} c)
+  WHERE rn = 1
+), p AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         CAST(floor(list_cosine_similarity(a.emb, b.emb) * 100000)
+              AS BIGINT) AS cos_e5
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT src, nbr, cos_e5, rn FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_e5 DESC, nbr) AS rn
+    FROM p)
+  WHERE rn <= {knn_k}
+)
+SELECT k.src AS vec_id, CAST(k.rn AS BIGINT) AS rank, k.nbr AS nbr_id,
+       k.cos_e5,
+       CAST(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS mutual
+FROM knn k LEFT JOIN knn m ON k.src = m.nbr AND k.nbr = m.src
+"""
+    )
+
+
 def _ann_recall_sql(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
@@ -4925,6 +5382,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "quality_quantile_gate": q_quality_quantile_gate,
     "quality_quantile_gate_approx": q_quality_quantile_gate_approx,
+    "source_ks_drift": q_source_ks_drift,
     "lm_score_broadcast": q_lm_score_broadcast,
     "dsir_weights": q_dsir_weights,
     "dsir_topfrac": q_dsir_topfrac,
@@ -4958,6 +5416,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substr": q_exact_substr,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "label_propagation": q_label_propagation,
     "proto_prune": q_proto_prune,
     "d4_prune": q_d4_prune,
     "mmr_select": q_mmr_select,
@@ -4974,12 +5433,14 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "ann_brute_force": q_ann_brute_force,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
     "cluster_purity": q_cluster_purity,
+    "knn_graph": q_knn_graph,
     "embedding_quantize": q_embedding_quantize,
     "ann_ivf_pq": q_ann_ivf_pq,
     "embedding_stats": q_embedding_stats,
@@ -5990,6 +6451,36 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
 FROM ranked WHERE pr <= 1.0/3.0
 GROUP BY 1
 """,
+        "source_ks_drift": _TEXT_CTE + f"""
+, q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
+, q AS (
+  SELECT q0.doc_id, d.source, q0.quality
+  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+)
+, qbs AS (SELECT source,
+                 CAST(floor(quality * 100000 + 0.5) AS BIGINT) // 100 AS qb
+          FROM q)
+, hist AS (SELECT source, qb, CAST(count(*) AS BIGINT) AS c
+           FROM qbs GROUP BY 1, 2)
+, tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1)
+, bks AS (SELECT DISTINCT qb FROM hist)
+, grid AS (SELECT t.source, t.n, b.qb FROM tot t, bks b)
+, cum AS (
+  SELECT g.source, g.n, g.qb,
+         CAST(sum(coalesce(h.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY g.qb) AS BIGINT) AS cum
+  FROM grid g LEFT JOIN hist h ON g.source = h.source AND g.qb = h.qb
+)
+, cdf AS (SELECT source, n, qb,
+                 CAST((cum * 1000000000) // n AS BIGINT) AS cdf
+          FROM cum)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(max(a.n) AS BIGINT) AS n_a,
+       CAST(max(b.n) AS BIGINT) AS n_b,
+       CAST(max(abs(a.cdf - b.cdf)) AS BIGINT) AS ks_e9
+FROM cdf a JOIN cdf b ON a.qb = b.qb AND a.source < b.source
+GROUP BY 1, 2
+""",
         "quality_quantile_gate_approx": _TEXT_CTE + f"""
 , q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM feats)
 , qb AS (SELECT *, CAST(floor(quality * 100000 + 0.5) AS BIGINT) // 100 AS qb FROM q)
@@ -6173,6 +6664,7 @@ WHERE rn <= 10
 """,
         "kmeans": _kmeans_sql(),
         "cluster_purity": _cluster_purity_sql(),
+        "knn_graph": _knn_graph_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "proto_prune": _proto_prune_sql(),
         "d4_prune": _d4_prune_sql(),
@@ -6185,6 +6677,7 @@ WHERE rn <= 10
         "bloom_dedup": _bloom_dedup_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "hits": _hits_sql(),
+        "label_propagation": _label_propagation_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
@@ -6198,6 +6691,7 @@ WHERE rn <= 10
         "calibration_bins": _calibration_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "tokenizer_fertility": _tokenizer_fertility_sql(),
         "span_dedup": f"""
 WITH base AS (
   SELECT doc_id,

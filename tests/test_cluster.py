@@ -225,3 +225,69 @@ def test_hits_matches_exact_integer_replica(spark):
             assert got["auth_e9"] == 0, i
         if od[i] == 0:
             assert got["hub_e9"] == 0, i
+
+
+def test_label_propagation_matches_exact_integer_replica(spark):
+    """LPA is pure BIGINT (labels, counts, the (cnt DESC, lbl) rule),
+    so a Python replica over the same deterministic undirected
+    multi-edge graph must match EXACTLY.  Also: every node gets a row,
+    comm_size sums to N, labels are real node ids, and the plan has
+    no cartesian."""
+    from collections import Counter
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        LPA_ITERS,
+        PR_OUTDEG,
+        q_label_propagation,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q_label_propagation(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert set(rows) == set(ids)
+    n = len(ids)
+    idset = set(ids)
+    und = []
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                und.append((s, d))
+                und.append((d, s))
+    lbl = {i: i for i in ids}
+    for _ in range(LPA_ITERS):
+        cnt = Counter()
+        for s, d in und:
+            if s in idset:  # label source must be a real node
+                cnt[(d, lbl[s])] += 1
+        best = {}
+        for (node, lb), c in cnt.items():
+            if node not in idset:
+                continue
+            cur = best.get(node)
+            if cur is None or (c, -lb) > (cur[0], -cur[1]):
+                best[node] = (c, lb)
+        lbl = {i: best[i][1] if i in best else lbl[i] for i in ids}
+    sizes = Counter(lbl.values())
+    for i in ids:
+        r = rows[i]
+        assert r["label"] == lbl[i], i
+        assert r["comm_size"] == sizes[lbl[i]], i
+    assert sum(r["comm_size"] for r in rows.values()) == sum(
+        sizes[lbl[i]] for i in ids
+    )
+    assert set(lbl.values()) <= idset
+    # propagation actually merges communities: fewer labels than nodes
+    assert len(sizes) < n

@@ -512,3 +512,87 @@ def test_cluster_purity_matches_python_majority_rule(spark):
         assert r["purity_e5"] == (hist[top_label] * 100000) // n_vecs
         assert 0 <= r["purity_e5"] <= 100000
         assert r["n_top"] <= r["n_vecs"]
+
+
+def test_knn_graph_matches_python_replica(spark):
+    """Edges, e5-floored cosines, (cos DESC, nbr) ranks and the mutual
+    flag recomputed in Python over the Spark-side cell assignment
+    (the quantizer itself is proven by the kmeans tests): exact
+    equality.  Also locks: rank in [1, KNN_K], no self-edges, and
+    mutual edges really have their reverse edge in the output."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.functions.hashing import knuth_hash
+    from rxtls_spark.operators.similarity import (
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+    from rxtls_spark.queries_training import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KNN_K,
+        _emb,
+        q_knn_graph,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = _emb(spark, SF_SMOKE)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    asg = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias(
+            "cell"
+        ),
+    ).collect()
+
+    def cos_e5(a, b):
+        # the exact sequential fold of operators/similarity._cosine_cols
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        c = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        return math.floor(c * 100000)
+
+    by_cell = {}
+    for r in asg:
+        by_cell.setdefault(r["cell"], []).append(
+            (r["vec_id"], r["embedding"])
+        )
+    want = {}
+    for members in by_cell.values():
+        for vid, e in members:
+            cand = sorted(
+                (-cos_e5(e, e2), v2)
+                for v2, e2 in members
+                if v2 != vid
+            )[:KNN_K]
+            for rk, (negc, v2) in enumerate(cand, start=1):
+                want[(vid, v2)] = (rk, -negc)
+
+    got = {
+        (r["vec_id"], r["nbr_id"]): r
+        for r in q_knn_graph(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for (vid, nbr), r in got.items():
+        rk, c = want[(vid, nbr)]
+        assert vid != nbr
+        assert 1 <= r["rank"] <= KNN_K
+        assert (r["rank"], r["cos_e5"]) == (rk, c), (vid, nbr)
+        assert r["mutual"] == (1 if (nbr, vid) in want else 0), (vid, nbr)

@@ -1971,3 +1971,103 @@ def test_calibration_bins_matches_python_replica(spark):
             sum_err,
         ), b
         assert r["n_pos"] <= r["n"] and r["sum_p_e3"] <= 1000 * r["n"]
+
+
+def test_tokenizer_fertility_matches_bpe_encode_rollup(spark):
+    """The per-lang fertility table must equal a Python rollup of the
+    (already oracle-proven) per-doc `q_bpe_encode` output joined with
+    each doc's lang: BIGINT sums, integer-DIV pooled ratios, and the
+    zero-word-language drop.  az_chars is recomputed independently
+    with Python re over the raw text."""
+    import re
+    from collections import defaultdict
+
+    from rxtls_spark.queries_training import (
+        q_bpe_encode,
+        q_tokenizer_fertility,
+    )
+    from tests.conftest import SF_SMOKE
+
+    enc = {
+        r["doc_id"]: r
+        for r in q_bpe_encode(spark, SF_SMOKE).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, toks, chars
+    for d in docs:
+        e = enc[d["doc_id"]]
+        a = agg[d["lang"]]
+        a[0] += 1
+        a[1] += e["n_words"]
+        a[2] += e["n_bpe_tokens"]
+        a[3] += sum(len(w) for w in re.findall(r"[a-z]+", d["text"]))
+
+    got = {
+        r["lang"]: r
+        for r in q_tokenizer_fertility(spark, SF_SMOKE).collect()
+    }
+    want = {lang: a for lang, a in agg.items() if a[1] > 0}
+    assert set(got) == set(want)
+    for lang, (n_docs, n_words, n_toks, az_chars) in want.items():
+        r = got[lang]
+        assert (
+            r["n_docs"],
+            r["n_words"],
+            r["n_bpe_tokens"],
+            r["az_chars"],
+        ) == (n_docs, n_words, n_toks, az_chars), lang
+        assert r["fertility_e5"] == (n_toks * 100000) // n_words
+        assert r["chars_per_token_e5"] == (az_chars * 100000) // n_toks
+        # fertility >= 1 token/word by construction (</w> per word)
+        assert r["fertility_e5"] >= 100000
+
+
+def test_source_ks_drift_matches_python_replica(spark):
+    """Per-pair KS distances recomputed in Python from the Spark
+    quality scores (the score itself is oracle-proven): exact BIGINT
+    equality on the e9 CDFs.  Also locks: all ordered pairs present,
+    ks_e9 in [0, 1e9], and KS(a,b) is symmetric by construction."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.functions.text import quality_score
+    from rxtls_spark.queries_training import _docs, q_source_ks_drift
+    from tests.conftest import SF_SMOKE
+
+    scored = (
+        _docs(spark, SF_SMOKE)
+        .select("source", quality_score().alias("quality"))
+        .collect()
+    )
+    hist = defaultdict(lambda: defaultdict(int))
+    for r in scored:
+        qb = math.floor(r["quality"] * 100000 + 0.5) // 100
+        hist[r["source"]][qb] += 1
+    buckets = sorted({qb for h in hist.values() for qb in h})
+    cdf = {}
+    n = {}
+    for src, h in hist.items():
+        n[src] = sum(h.values())
+        cum = 0
+        cdf[src] = {}
+        for qb in buckets:
+            cum += h.get(qb, 0)
+            cdf[src][qb] = (cum * 1_000_000_000) // n[src]
+
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_source_ks_drift(spark, SF_SMOKE).collect()
+    }
+    want_pairs = set(combinations(sorted(hist), 2))
+    assert set(got) == want_pairs
+    for (a, b), r in got.items():
+        ks = max(abs(cdf[a][qb] - cdf[b][qb]) for qb in buckets)
+        assert (r["n_a"], r["n_b"], r["ks_e9"]) == (n[a], n[b], ks), (a, b)
+        assert 0 <= r["ks_e9"] <= 1_000_000_000
