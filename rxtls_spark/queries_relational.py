@@ -465,7 +465,150 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Funnel stage order — MIRRORED in the `rel_event_funnel` oracle SQL;
+# change together.  Stage k's timestamp is the min event time of its
+# type AT OR AFTER stage k-1's timestamp within the same 30-min
+# session (>= not >: epochs are floor-seconds, so same-second
+# signup→click must count).
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel within 30-min sessions:
+    signup → click → purchase, the classic product-analytics query a
+    log pipeline serves.  Composes the proven sessionization (lag +
+    conditional cumsum) with CHAINED conditional-min windows — stage
+    k+1's timestamp is min(es of its type with es >= stage k's), so
+    out-of-order events can't fake a conversion, and a missing stage
+    nulls every later stage (NULL comparison propagates).
+
+    Scale shape: join-free.  The session window hash-partitions by
+    user_id; every later window and the per-session agg key on
+    (user_id, session_id) — a SUPERSET of the partitioning keys, so
+    Spark reuses the exchange (subset-satisfies-ClusteredDistribution)
+    and the whole funnel is ONE corpus shuffle + a 3-row rollup
+    (plan-locked: 0 joins)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    sess = (
+        e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("es"),
+        )
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+
+    def stage_min(stage: str, after: F.Column | None) -> F.Column:
+        cond = F.col("event_type") == stage
+        if after is not None:
+            cond = cond & (F.col("es") >= after)  # null after → null cond
+        return F.min(F.when(cond, F.col("es"))).over(ws)
+
+    staged = sess.withColumn("t1", stage_min(FUNNEL_STAGES[0], None))
+    staged = staged.withColumn(
+        "t2", stage_min(FUNNEL_STAGES[1], F.col("t1"))
+    )
+    staged = staged.withColumn(
+        "t3", stage_min(FUNNEL_STAGES[2], F.col("t2"))
+    )
+    per_session = staged.groupBy("user_id", "session_id").agg(
+        F.max("t1").alias("t1"),  # constant within the session
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    stages = (
+        per_session.where(F.col("t1").isNotNull())
+        .select("user_id", F.lit("1_" + FUNNEL_STAGES[0]).alias("stage"))
+        .unionByName(
+            per_session.where(F.col("t2").isNotNull()).select(
+                "user_id", F.lit("2_" + FUNNEL_STAGES[1]).alias("stage")
+            )
+        )
+        .unionByName(
+            per_session.where(F.col("t3").isNotNull()).select(
+                "user_id", F.lit("3_" + FUNNEL_STAGES[2]).alias("stage")
+            )
+        )
+    )
+    return stages.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly scores over hourly event rates — the monitoring
+    alarm a log pipeline runs on itself: per event type, the
+    median/MAD z-score of each hour's count (median-based so a burst
+    can't drag its own baseline, unlike mean/stddev).  Exact integers
+    throughout via the doubled-median trick: med2 = 2·median(c) is the
+    one-or-two middle values summed (row_number against (n+1)÷2 and
+    (n+2)÷2 — the middle row counts twice when n is odd), dev2 =
+    |2c − med2| = 2·|c − med|, mad4 = 2·median(dev2) = 4·MAD, and
+    z_e3 = (2c−med2)·2000 ÷ mad4 = 1000·(c−med)/MAD — both engines
+    truncate integer division toward zero, so the quotient matches.
+
+    Scale shape: ONE corpus-scale hash agg (the hourly counts); the
+    median/MAD windows run over (event_type × hours) — metadata-scale,
+    and partitioned by type so no global sort."""
+    e = _t(spark, sf_dir, "events")
+    hours = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wt = Window.partitionBy("event_type")
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("(n + 2) DIV 2")
+    mid = lambda rn: (  # noqa: E731 — middle-row indicator (1 or 2 hits)
+        (rn == lo).cast("long") + (rn == hi).cast("long")
+    )
+    r = (
+        hours.withColumn("n", F.count(F.lit(1)).over(wt).cast("long"))
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("c", "hr"))
+            .cast("long"),
+        )
+    )
+    m = r.withColumn(
+        "med2", F.sum(F.col("c") * mid(F.col("rn"))).over(wt).cast("long")
+    ).withColumn("dev2", F.abs(2 * F.col("c") - F.col("med2")))
+    m2 = m.withColumn(
+        "rn2",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("dev2", "hr"))
+        .cast("long"),
+    ).withColumn(
+        "mad4", F.sum(F.col("dev2") * mid(F.col("rn2"))).over(wt).cast("long")
+    )
+    return m2.select(
+        "event_type",
+        F.unix_timestamp("hr").cast("long").alias("hour_start"),
+        "c",
+        "med2",
+        "mad4",
+        F.expr(
+            "((2 * c - med2) * 2000) DIV greatest(mad4, 1L)"
+        ).alias("z_e3"),
+    )
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_event_funnel": q_event_funnel,
+    "rel_hourly_anomalies": q_hourly_anomalies,
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_topk": q_revenue_topk,
     "rel_supplier_by_region": q_supplier_by_region,
@@ -489,6 +632,77 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_REL: dict[str, str] = {
+    "rel_event_funnel": """
+-- floor(epoch) everywhere: Spark's unix_timestamp truncates to whole
+-- seconds, DuckDB's epoch keeps microseconds
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, es, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), s1 AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'signup' THEN es END) AS t1
+  FROM sess GROUP BY 1, 2
+), s2 AS (
+  SELECT s.user_id, s.session_id, min(s.es) AS t2
+  FROM sess s JOIN s1 ON s.user_id = s1.user_id AND s.session_id = s1.session_id
+  WHERE s1.t1 IS NOT NULL AND s.event_type = 'click' AND s.es >= s1.t1
+  GROUP BY 1, 2
+), s3 AS (
+  SELECT s.user_id, s.session_id, min(s.es) AS t3
+  FROM sess s JOIN s2 ON s.user_id = s2.user_id AND s.session_id = s2.session_id
+  WHERE s.event_type = 'purchase' AND s.es >= s2.t2
+  GROUP BY 1, 2
+), stages AS (
+  SELECT user_id, '1_signup' AS stage FROM s1 WHERE t1 IS NOT NULL
+  UNION ALL SELECT user_id, '2_click' FROM s2
+  UNION ALL SELECT user_id, '3_purchase' FROM s3
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM stages GROUP BY 1
+""",
+    "rel_hourly_anomalies": """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY c, hr) AS BIGINT) AS rn
+  FROM h
+), m AS (
+  SELECT *, CAST(sum(c * (CAST(rn = (n + 1) // 2 AS BIGINT)
+                          + CAST(rn = (n + 2) // 2 AS BIGINT)))
+    OVER (PARTITION BY event_type) AS BIGINT) AS med2
+  FROM r
+), d AS (
+  SELECT *, abs(2 * c - med2) AS dev2 FROM m
+), r2 AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY event_type ORDER BY dev2, hr) AS BIGINT) AS rn2
+  FROM d
+), m2 AS (
+  SELECT *, CAST(sum(dev2 * (CAST(rn2 = (n + 1) // 2 AS BIGINT)
+                             + CAST(rn2 = (n + 2) // 2 AS BIGINT)))
+    OVER (PARTITION BY event_type) AS BIGINT) AS mad4
+  FROM r2
+)
+SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hour_start, c, med2, mad4,
+  CAST(((2 * c - med2) * 2000) // greatest(mad4, 1) AS BIGINT) AS z_e3
+FROM m2
+""",
     "sink_compaction": """
 WITH inv AS (
   SELECT event_type AS sink_key,

@@ -5368,7 +5368,256 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- session-5 additions: canonical selection, temperature mix, -----------
+# --- Zipf fit, postings compression ----------------------------------------
+
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per duplicate cluster — the
+    production rule real pipelines use instead of keep-min-id: keep the
+    LONGEST member of each near-dup cluster (tie → min doc_id), since
+    truncated/boilerplate-stripped variants are usually the shorter
+    ones.  Composes connected components over the deterministic pair
+    graph (the `dedup_clusters` plumbing) with an argmax-by-(n_chars
+    DESC, doc_id) window per cluster, so DuckDB mirrors the whole
+    closure + selection with WITH RECURSIVE + row_number.
+
+    Scale shape: CC is the proven min-label loop (one equi-join + one
+    partial agg per round); the argmax is ONE window over cluster_root
+    — clusters are near-cliques of bounded size, so the partition sort
+    never spills.  Proves the keep rule is genuinely configurable, not
+    an accident of min-id: the near-copies (' extra!' suffix) are the
+    LONGER members, so canon differs from cluster_root on every near
+    cluster and any regression to min-id flips those rows."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.cluster import connected_components
+
+    docs = _docs(spark, sf_dir)
+    injected = with_injected_dups(docs)
+    pairs = _deterministic_pair_graph(docs, injected)
+    cc = connected_components(pairs)
+    members = cc.join(
+        injected.select("doc_id", F.length("text").alias("n_chars")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    canon = ranked.where(F.col("rk") == 1).select(
+        "cluster_root", F.col("doc_id").alias("canon_id")
+    )
+    return (
+        ranked.join(canon, "cluster_root")
+        .select(
+            "doc_id",
+            "cluster_root",
+            "canon_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("doc_id") == F.col("canon_id")).cast("long").alias("keep"),
+        )
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the mBERT /
+    XLM-R / mT5 rule): sampling share ∝ n_tokens^α with α = 0.5, which
+    up-weights low-resource languages relative to their natural share.
+    Exact cross-engine: IEEE sqrt is correctly rounded, so
+    w_e3 = floor(sqrt(n_tokens)·1e3) is the identical BIGINT on Spark
+    and DuckDB, and everything after (share, per-epoch token
+    allocation) is integer DIV on BIGINTs.
+
+    Scale shape: ONE corpus-scale hash agg (per-lang doc/token counts);
+    the weight normalization is a tiny per-lang frame joined back via a
+    1-row broadcast crossJoin — metadata-scale, the proven
+    `mixture_sample` pattern.  Completes the mix family: training_mix =
+    observed mix, mixture_sample = rate-based, unimax = epoch-capped,
+    this = temperature-smoothed target shares."""
+    agg = (
+        _docs(spark, sf_dir)
+        .select("lang", token_count().alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    # e3 weight grid: w_e3·1e9 must stay < 2^63, which holds while a
+    # language has < 8.5e13 tokens (~85T — far past the 100 TB mandate);
+    # an e5 grid would overflow at ~20T tokens/lang
+    weighted = agg.withColumn(
+        "w_e3",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000.0).cast(
+            "long"
+        ),
+    )
+    totals = weighted.agg(
+        F.sum("w_e3").cast("long").alias("tot_w"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))  # 1-row scalar join
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "w_e3",
+            F.expr("(w_e3 * 1000000000) DIV tot_w").alias("share_e9"),
+            # floor(share_e9·T/1e9) decomposed as share·q + share·r DIV 1e9
+            # (T = q·1e9 + r) — exact, and every operand stays < 2^63 even
+            # at 10^18 corpus tokens (share_e9·T directly would overflow)
+            F.expr(
+                "((w_e3 * 1000000000) DIV tot_w) * (tot_tokens DIV 1000000000)"
+                " + (((w_e3 * 1000000000) DIV tot_w)"
+                "    * (tot_tokens % 1000000000)) DIV 1000000000"
+            ).alias("alloc_tokens"),
+            F.expr("(n_tokens * 1000000000) DIV tot_tokens").alias(
+                "natural_e9"
+            ),
+        )
+    )
+
+
+# Zipf-fit spec — MIRRORED in the `zipf_alpha` oracle SQL; change
+# together.  The slope is an exact-integer OLS on e3-floored logs:
+# x = floor(ln(rank)*1e3), y = floor(ln(cnt)*1e3) (the doremi/ccnet e3
+# log discipline), num = k·Σxy − Σx·Σy, den = k·Σxx − (Σx)², and
+# slope_e6 = (num·1e6) DIV den — num is negative, and BOTH engines
+# truncate integer division toward zero, so the quotient is identical.
+ZIPF_TOPK = 32
+
+
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf-law fit — the corpus-health check a web-scale
+    ingest runs per crawl/source: the OLS slope of ln(count) vs
+    ln(rank) over the source's top-``ZIPF_TOPK`` tokens.  Natural text
+    sits near slope −1; a source drifting toward 0 (flat counts =
+    template spam) or −3 (a few tokens dominate = boilerplate) fails
+    review.  Exact cross-engine via e3-floored logs + integer OLS (see
+    ZIPF_TOPK note).
+
+    Scale shape: ONE corpus-scale (source, token) hash agg; the
+    per-source top-k is a window over sources (few and fat → per-
+    partition top-k merge, the `stratified_sample` shape); the OLS sums
+    are a sources×K metadata-scale agg."""
+    from pyspark.sql.window import Window
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("source", "text")
+        .where(F.trim("text") != "")
+    )
+    cnt = (
+        docs.select("source", F.explode(_lm_tokens()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "tok")
+    top = cnt.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= ZIPF_TOPK
+    )
+    xy = top.select(
+        "source",
+        F.floor(F.log(F.col("rk").cast("double")) * 1000.0)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    sums = xy.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        "source",
+        "k",
+        "sy",
+        F.expr(
+            "((k * sxy - sx * sy) * 1000000) DIV (k * sxx - sx * sx)"
+        ).alias("slope_e6"),
+    )
+
+
+# Varint postings spec — MIRRORED in the `postings_size` oracle SQL;
+# change together.  Gap convention: first posting stores doc_id itself
+# (gap = doc_id), later postings store doc_id − prev; LEB128 byte count
+# via an integer compare ladder (never float log — exact at any id).
+def _varint_bytes(col: F.Column) -> F.Column:
+    return (
+        F.when(col < 128, 1)
+        .when(col < 16384, 2)
+        .when(col < 2097152, 3)
+        .when(col < 268435456, 4)
+        .when(col < 34359738368, 5)
+        .when(col < 4398046511104, 6)
+        .when(col < 562949953421312, 7)
+        .when(col < 72057594037927936, 8)
+        .otherwise(9)
+        .cast("long")
+    )
+
+
+def q_postings_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-compression accounting over the `inverted_index` postings:
+    per term, the delta+LEB128-varint encoded size a real posting list
+    costs on disk vs the raw fixed-width size — the sizing audit run
+    BEFORE committing an index layout at corpus scale (the analog of
+    `bloom_dedup`'s sizing audit for the retrieval side).  All exact
+    BIGINTs: gaps from a lag window ordered by doc_id, byte counts from
+    an integer compare ladder (see _varint_bytes note).
+
+    Scale shape: the postings build is the proven `inverted_index`
+    plan (vocab literal IN + one hash agg); the delta pass is ONE
+    window per (term) — top-K terms only, each partition a single
+    term's postings, exactly how a real index writer streams them."""
+    from pyspark.sql.window import Window
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = _lm_tokens()
+    top = [
+        r["tok"]
+        for r in docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(IDX_TOPK)
+        .collect()
+    ]
+    postings = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term").isin(top))
+        .select("term", "doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = postings.select(
+        "term",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id", 1).over(w), F.lit(0))
+        ).alias("gap"),
+    )
+    return gaps.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("raw_bytes"),
+        F.sum(_varint_bytes(F.col("gap"))).cast("long").alias("varint_bytes"),
+    )
+
+
 QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cluster_canonical": q_cluster_canonical,
+    "temperature_mix": q_temperature_mix,
+    "zipf_alpha": q_zipf_alpha,
+    "postings_size": q_postings_size,
     "text_features": q_text_features,
     "token_stats": q_token_stats,
     "lang_confusion": q_lang_confusion,
@@ -6358,6 +6607,151 @@ def oracle_sql_training() -> dict[str, str]:
 
 def _oracle_sql_training_literal() -> dict[str, str]:
     return {
+        "cluster_canonical": """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, text || ' extra!' FROM documents WHERE doc_id % 20 = 0
+), groups AS (
+  SELECT md5(text) AS h, min(doc_id) AS root, count(*) AS n
+  FROM docs GROUP BY 1
+), exact_pairs AS (
+  SELECT g.root AS a, d.doc_id AS b
+  FROM docs d JOIN groups g ON md5(d.text) = g.h
+  WHERE g.n > 1 AND d.doc_id <> g.root
+), nearj AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
+    END AS sa,
+    CASE WHEN len(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
+      THEN list_transform(
+        generate_series(1, len(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+')[i:i+2], ' '))
+      ELSE [array_to_string(regexp_split_to_array(lower(trim(text || ' extra!')), '[ \\t\\n\\x0B\\f\\r]+'), ' ')]
+    END AS sb
+  FROM documents WHERE doc_id % 20 = 0
+), near_pairs AS (
+  SELECT doc_id AS a, doc_id + 2000000000 AS b
+  FROM nearj
+  WHERE round(
+      len(list_filter(list_distinct(sa), x -> list_contains(sb, x)))::DOUBLE
+      / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 5) >= 0.7
+), edges AS (
+  SELECT a, b FROM exact_pairs UNION SELECT a, b FROM near_pairs
+  UNION SELECT b, a FROM exact_pairs UNION SELECT b, a FROM near_pairs
+), nodes AS (
+  SELECT DISTINCT a AS doc_id FROM edges
+), reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.doc_id
+), cc AS (
+  SELECT doc_id, min(label) AS cluster_root FROM reach GROUP BY 1
+), members AS (
+  SELECT c.doc_id, c.cluster_root, length(d.text) AS n_chars
+  FROM cc c JOIN docs d USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_root ORDER BY n_chars DESC, doc_id) AS rk
+  FROM members
+), canon AS (
+  SELECT cluster_root, doc_id AS canon_id FROM ranked WHERE rk = 1
+)
+SELECT r.doc_id, r.cluster_root, c.canon_id,
+       CAST(r.n_chars AS BIGINT) AS n_chars,
+       CAST(r.doc_id = c.canon_id AS BIGINT) AS keep
+FROM ranked r JOIN canon c USING (cluster_root)
+""",
+        "temperature_mix": """
+WITH d AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1
+), wtd AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS w_e3
+  FROM agg
+), tot AS (
+  SELECT CAST(sum(w_e3) AS BIGINT) AS tot_w,
+         CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM wtd
+)
+SELECT lang, n_docs, n_tokens, w_e3,
+  CAST((w_e3 * 1000000000) // tot_w AS BIGINT) AS share_e9,
+  CAST(((w_e3 * 1000000000) // tot_w) * (tot_tokens // 1000000000)
+    + (((w_e3 * 1000000000) // tot_w) * (tot_tokens % 1000000000)) // 1000000000
+    AS BIGINT) AS alloc_tokens,
+  CAST((n_tokens * 1000000000) // tot_tokens AS BIGINT) AS natural_e9
+FROM wtd, tot
+""",
+        "zipf_alpha": f"""
+WITH d AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT source, unnest(t) AS tok FROM d
+), cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY cnt DESC, tok) AS rk
+    FROM cnt)
+  WHERE rk <= {ZIPF_TOPK}
+), xy AS (
+  SELECT source,
+    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+  FROM top
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS k,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT source, k, sy,
+  CAST(((k * sxy - sx * sy) * 1000000) // (k * sxx - sx * sx) AS BIGINT)
+    AS slope_e6
+FROM s
+""",
+        "postings_size": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), vc AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM tok
+    GROUP BY 1 ORDER BY cnt DESC, tok LIMIT {IDX_TOPK})
+), p AS (
+  SELECT DISTINCT tok AS term, doc_id FROM tok JOIN vc USING (tok)
+), g AS (
+  SELECT term,
+         doc_id - coalesce(lag(doc_id) OVER (
+           PARTITION BY term ORDER BY doc_id), 0) AS gap
+  FROM p
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+  CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                WHEN gap < 34359738368 THEN 5
+                WHEN gap < 4398046511104 THEN 6
+                WHEN gap < 562949953421312 THEN 7
+                WHEN gap < 72057594037927936 THEN 8
+                ELSE 9 END) AS BIGINT) AS varint_bytes
+FROM g GROUP BY 1
+""",
         "text_features": _TEXT_CTE + """
 SELECT doc_id, n_chars, n_tokens, round(alpha_ratio, 5) AS alpha_ratio,
   round(greatest(0.0, least(1.0,

@@ -382,3 +382,56 @@ def test_source_funnel_and_novelty_plan_shapes(spark):
     p = plan_string(nv, "simple")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_session5_query_plan_shapes(spark):
+    """Session-5 scale locks.  zipf_alpha / postings_size: windows are
+    hash-partitioned (source / term) — never a global range sort — the
+    vocab filter is a literal IN (no join), and nothing evaluates
+    Python.  temperature_mix: the scalar totals ride a broadcast
+    (1-row crossJoin), no shuffled join, no window.  rel_event_funnel:
+    join-FREE — the chained stage windows and the per-session agg
+    reuse the session window's user_id hash partitioning.
+    rel_hourly_anomalies: ONE corpus-scale agg; the median/MAD windows
+    are per-type hash partitions, no global sort, no join."""
+    from rxtls_spark.plans.checks import plan_string, shuffle_join_kinds
+    from rxtls_spark.queries_relational import (
+        q_event_funnel,
+        q_hourly_anomalies,
+    )
+    from rxtls_spark.queries_training import (
+        q_postings_size,
+        q_temperature_mix,
+        q_zipf_alpha,
+    )
+    from tests.conftest import SF_SMOKE
+
+    za = q_zipf_alpha(spark, SF_SMOKE)
+    p = plan_string(za, "simple")
+    assert "Join" not in p, p  # vocab/topk all window+agg, no join node
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "rangepartitioning" not in plan_string(za, "formatted").lower(), p
+
+    ps = q_postings_size(spark, SF_SMOKE)
+    p = plan_string(ps, "simple")
+    assert "Join" not in p, p  # top-k vocab is a literal IN filter
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "rangepartitioning" not in plan_string(ps, "formatted").lower(), p
+
+    tm = q_temperature_mix(spark, SF_SMOKE)
+    p = plan_string(tm, "simple")
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row scalar join
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "Window" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    fu = q_event_funnel(spark, SF_SMOKE)
+    p = plan_string(fu, "simple")
+    assert "Join" not in p, p  # chained windows, not stage self-joins
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    ha = q_hourly_anomalies(spark, SF_SMOKE)
+    p = plan_string(ha, "simple")
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "rangepartitioning" not in plan_string(ha, "formatted").lower(), p

@@ -118,3 +118,127 @@ def test_events_sliding_every_event_in_two_windows(spark):
     base = (one // 3600) * 3600
     starts = {r["win_start"] for r in rows}
     assert base in starts and base - 3600 in starts
+
+
+def test_event_funnel_matches_sequential_replica(spark):
+    """Python replica of sessionize → staged conditional mins, plus the
+    funnel monotonicity law (sessions can only drop out stage to
+    stage, never appear)."""
+    from collections import defaultdict
+
+    from rxtls_spark.queries_relational import q_event_funnel
+
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("es"),
+            "ts",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r["user_id"]].append(r)
+    n1 = n2 = n3 = 0
+    u1, u2, u3 = set(), set(), set()
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        sessions = []
+        prev = None
+        for r in rows:
+            if prev is None or r["es"] - prev > 1800:
+                sessions.append([])
+            sessions[-1].append(r)
+            prev = r["es"]
+        for sess in sessions:
+            t1 = min(
+                (r["es"] for r in sess if r["event_type"] == "signup"),
+                default=None,
+            )
+            if t1 is None:
+                continue
+            n1 += 1
+            u1.add(uid)
+            t2 = min(
+                (
+                    r["es"]
+                    for r in sess
+                    if r["event_type"] == "click" and r["es"] >= t1
+                ),
+                default=None,
+            )
+            if t2 is None:
+                continue
+            n2 += 1
+            u2.add(uid)
+            t3 = min(
+                (
+                    r["es"]
+                    for r in sess
+                    if r["event_type"] == "purchase" and r["es"] >= t2
+                ),
+                default=None,
+            )
+            if t3 is None:
+                continue
+            n3 += 1
+            u3.add(uid)
+
+    got = {r["stage"]: r for r in q_event_funnel(spark, SF_SMOKE).collect()}
+    want = {
+        "1_signup": (n1, len(u1)),
+        "2_click": (n2, len(u2)),
+        "3_purchase": (n3, len(u3)),
+    }
+    want = {k: v for k, v in want.items() if v[0] > 0}
+    assert {k: (r["n_sessions"], r["n_users"]) for k, r in got.items()} == want
+    assert n1 >= n2 >= n3
+    assert n1 > 0, "smoke data must produce at least one signup session"
+
+
+def test_hourly_anomalies_median_mad_replica(spark):
+    """med2/mad4 must equal 2*median and 4*MAD computed by sorting in
+    Python, and z_e3 the truncating-division formula — per event type."""
+    from collections import defaultdict
+
+    from rxtls_spark.queries_relational import q_hourly_anomalies
+
+    def trunc_div(num: int, den: int) -> int:
+        q = abs(num) // abs(den)
+        return q if (num >= 0) == (den > 0) else -q
+
+    def med2_of(vals):
+        s = sorted(vals)
+        n = len(s)
+        return s[(n - 1) // 2] + s[n // 2]  # 2*median, exact ints
+
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .collect()
+    )
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in events:
+        counts[r["event_type"]][r["hr"]] += 1
+
+    got = defaultdict(dict)
+    for r in q_hourly_anomalies(spark, SF_SMOKE).collect():
+        got[r["event_type"]][r["hour_start"]] = r
+    assert set(got) == set(counts)
+    for et, hours in counts.items():
+        med2 = med2_of(hours.values())
+        dev2 = {h: abs(2 * c - med2) for h, c in hours.items()}
+        mad4 = med2_of(dev2.values())
+        assert len(got[et]) == len(hours)
+        for h, c in hours.items():
+            import calendar
+
+            hs = calendar.timegm(h.timetuple())
+            r = got[et][hs]
+            z = trunc_div((2 * c - med2) * 2000, max(mad4, 1))
+            assert (r["c"], r["med2"], r["mad4"], r["z_e3"]) == (
+                c, med2, mad4, z,
+            ), (et, h)

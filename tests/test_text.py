@@ -2071,3 +2071,172 @@ def test_source_ks_drift_matches_python_replica(spark):
         ks = max(abs(cdf[a][qb] - cdf[b][qb]) for qb in buckets)
         assert (r["n_a"], r["n_b"], r["ks_e9"]) == (n[a], n[b], ks), (a, b)
         assert 0 <= r["ks_e9"] <= 1_000_000_000
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — Spark DIV and DuckDB //
+    semantics (Python // floors toward -inf, which differs for negative
+    numerators)."""
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den > 0) else -q
+
+
+def _ws_tokens(text: str) -> list[str]:
+    import re
+
+    t = text.strip()
+    return re.split("[ \t\n\x0B\f\r]+", t) if t else []
+
+
+def test_cluster_canonical_keeps_longest_member(spark):
+    """Keep-longest selection: exactly one canon per cluster, canon =
+    argmax(n_chars DESC, doc_id), and every near cluster's canon is the
+    ' extra!' variant (LONGER than the root) — proving the rule is
+    genuinely length-based, not min-id in disguise."""
+    from collections import defaultdict
+
+    from rxtls_spark.queries_training import q_cluster_canonical
+    from tests.conftest import SF_SMOKE
+
+    rows = q_cluster_canonical(spark, SF_SMOKE).collect()
+    assert rows
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_root"]].append(r)
+    for root, members in by_cluster.items():
+        keeps = [r for r in members if r["keep"] == 1]
+        assert len(keeps) == 1, root
+        best = min(members, key=lambda r: (-r["n_chars"], r["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"] == keeps[0]["canon_id"]
+        # every member agrees on canon_id
+        assert {r["canon_id"] for r in members} == {best["doc_id"]}
+    near_clusters = [
+        ms for ms in by_cluster.values()
+        if any(r["doc_id"] >= 2_000_000_000 for r in ms)
+    ]
+    assert near_clusters, "injected near-dups must form clusters"
+    for ms in near_clusters:
+        canon = ms[0]["canon_id"]
+        assert canon >= 2_000_000_000, "longest member is the ' extra!' copy"
+
+
+def test_temperature_mix_matches_replica_and_damps(spark):
+    """Exact replica of the alpha=0.5 temperature weights from the raw
+    docs, plus the semantic property: temperature sampling moves every
+    language's share toward uniform (dominant lang down, rare lang up)."""
+    import math
+    from collections import Counter
+
+    from rxtls_spark.queries_training import _docs, q_temperature_mix
+    from tests.conftest import SF_SMOKE
+
+    docs = _docs(spark, SF_SMOKE).select("lang", "text").collect()
+    n_tok = Counter()
+    n_doc = Counter()
+    for r in docs:
+        n_doc[r["lang"]] += 1
+        n_tok[r["lang"]] += len(_ws_tokens(r["text"]))
+    w = {lg: math.floor(math.sqrt(n) * 1000) for lg, n in n_tok.items()}
+    tot_w, tot_t = sum(w.values()), sum(n_tok.values())
+
+    got = {r["lang"]: r for r in q_temperature_mix(spark, SF_SMOKE).collect()}
+    assert set(got) == set(n_tok)
+    for lg, r in got.items():
+        share = (w[lg] * 10**9) // tot_w
+        natural = (n_tok[lg] * 10**9) // tot_t
+        alloc = share * (tot_t // 10**9) + (share * (tot_t % 10**9)) // 10**9
+        assert (
+            r["n_docs"], r["n_tokens"], r["w_e3"],
+            r["share_e9"], r["alloc_tokens"], r["natural_e9"],
+        ) == (n_doc[lg], n_tok[lg], w[lg], share, alloc, natural), lg
+    # damping: the most natural-dominant lang loses share, the rarest gains
+    hi = max(got.values(), key=lambda r: r["natural_e9"])
+    lo = min(got.values(), key=lambda r: r["natural_e9"])
+    assert hi["share_e9"] <= hi["natural_e9"]
+    assert lo["share_e9"] >= lo["natural_e9"]
+
+
+def test_zipf_alpha_matches_python_ols(spark):
+    """Exact-integer OLS replica (e3-floored logs, truncating division)
+    and the semantic check: every source's fitted slope is negative
+    (counts decrease with rank)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from rxtls_spark.queries_training import ZIPF_TOPK, _docs, q_zipf_alpha
+    from tests.conftest import SF_SMOKE
+
+    docs = _docs(spark, SF_SMOKE).select("source", "text").collect()
+    cnt = defaultdict(Counter)
+    for r in docs:
+        toks = _ws_tokens(r["text"].lower())
+        if toks:
+            cnt[r["source"]].update(toks)
+
+    got = {r["source"]: r for r in q_zipf_alpha(spark, SF_SMOKE).collect()}
+    assert set(got) == set(cnt)
+    for src, c in cnt.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOPK]
+        pts = [
+            (math.floor(math.log(rk) * 1000), math.floor(math.log(n) * 1000))
+            for rk, (_, n) in enumerate(top, start=1)
+        ]
+        k = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = _trunc_div((k * sxy - sx * sy) * 10**6, k * sxx - sx * sx)
+        r = got[src]
+        assert (r["k"], r["sy"], r["slope_e6"]) == (k, sy, slope), src
+        assert r["slope_e6"] < 0, src
+
+
+def test_postings_size_matches_leb128_reference(spark):
+    """The compare-ladder byte counts must equal a real LEB128 encoder's
+    output length on every gap, and delta+varint must never exceed the
+    raw fixed-width size."""
+    from collections import Counter, defaultdict
+
+    from rxtls_spark.queries_training import (
+        IDX_TOPK,
+        _docs,
+        q_postings_size,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def leb128_len(v: int) -> int:
+        n = 1
+        while v >= 0x80:
+            v >>= 7
+            n += 1
+        return n
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+    tok_cnt = Counter()
+    per_doc = {}
+    for r in docs:
+        toks = _ws_tokens(r["text"].lower())
+        if toks:
+            per_doc[r["doc_id"]] = set(toks)
+            tok_cnt.update(toks)
+    vocab = {
+        t for t, _ in sorted(tok_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :IDX_TOPK
+        ]
+    }
+    postings = defaultdict(list)
+    for doc_id in sorted(per_doc):
+        for t in per_doc[doc_id] & vocab:
+            postings[t].append(doc_id)
+
+    got = {r["term"]: r for r in q_postings_size(spark, SF_SMOKE).collect()}
+    assert set(got) == set(postings)
+    for term, ids in postings.items():
+        gaps = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+        vb = sum(leb128_len(g) for g in gaps)
+        r = got[term]
+        assert (r["n_docs"], r["raw_bytes"], r["varint_bytes"]) == (
+            len(ids), 8 * len(ids), vb,
+        ), term
+        assert r["varint_bytes"] <= r["raw_bytes"]
