@@ -5613,7 +5613,50 @@ def q_postings_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Head-shingle width for the cross-source overlap matrix — MIRRORED in
+# the `source_overlap` oracle SQL; change together.  Head-of-document
+# (first OVERLAP_W tokens) rather than all shingles: it catches the
+# mirrored-page/syndicated-content class a cross-crawl audit hunts for,
+# and keeps the per-key source set bounded without a hot-shingle cap.
+OVERLAP_W = 8
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — for every source pair, how
+    many distinct document HEADS (first ``OVERLAP_W`` whitespace
+    tokens, lowercased) they share.  The audit a pipeline ingesting
+    multiple crawls/mirrors runs before mixing them: a hot pair means
+    one source is (partially) a mirror of the other and double-counts
+    its content in the training mix.
+
+    Scale shape: ONE distinct pass over (source, head) — corpus-scale
+    hash agg; the pair join is an equi-join ON the head key whose
+    per-key multiplicity is bounded by #sources (heads are distinct
+    per source), so the join output is ≤ |heads|·sources²  and the
+    final agg is a sources² frame — no all-pairs doc join anywhere."""
+    heads = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select(
+            "source",
+            F.concat_ws(
+                " ", F.slice(_lm_tokens(), 1, OVERLAP_W)
+            ).alias("head"),
+        )
+        .distinct()
+    )
+    a = heads.select(F.col("source").alias("source_a"), "head")
+    b = heads.select(F.col("source").alias("source_b"), "head")
+    return (
+        a.join(b, "head")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_heads"))
+    )
+
+
 QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
     "temperature_mix": q_temperature_mix,
     "zipf_alpha": q_zipf_alpha,
@@ -6607,6 +6650,19 @@ def oracle_sql_training() -> dict[str, str]:
 
 def _oracle_sql_training_literal() -> dict[str, str]:
     return {
+        "source_overlap": f"""
+WITH heads AS (
+  SELECT DISTINCT source,
+    array_to_string(
+      regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')[1:{OVERLAP_W}],
+      ' ') AS head
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_heads
+FROM heads a JOIN heads b ON a.head = b.head AND a.source < b.source
+GROUP BY 1, 2
+""",
         "cluster_canonical": """
 WITH RECURSIVE docs AS (
   SELECT doc_id, text FROM documents

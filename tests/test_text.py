@@ -2240,3 +2240,39 @@ def test_postings_size_matches_leb128_reference(spark):
             len(ids), 8 * len(ids), vb,
         ), term
         assert r["varint_bytes"] <= r["raw_bytes"]
+
+
+def test_source_overlap_matches_python_replica(spark):
+    """Pair counts recomputed from raw docs (distinct heads per source,
+    all unordered pairs), plus: no self-pairs, counts bounded by the
+    smaller side's head count."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from rxtls_spark.queries_training import (
+        OVERLAP_W,
+        _docs,
+        q_source_overlap,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = _docs(spark, SF_SMOKE).select("source", "text").collect()
+    heads = defaultdict(set)
+    for r in docs:
+        toks = _ws_tokens(r["text"].lower())
+        if toks:
+            heads[r["source"]].add(" ".join(toks[:OVERLAP_W]))
+    want = {}
+    for a, b in combinations(sorted(heads), 2):
+        n = len(heads[a] & heads[b])
+        if n:
+            want[(a, b)] = n
+
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_heads"]
+        for r in q_source_overlap(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for (a, b), n in got.items():
+        assert a < b
+        assert n <= min(len(heads[a]), len(heads[b]))
