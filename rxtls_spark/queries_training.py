@@ -5371,6 +5371,69 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- session-5 additions: canonical selection, temperature mix, -----------
 # --- Zipf fit, postings compression ----------------------------------------
 
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-match audit: KL(source ‖ corpus) over
+    the DSIR 64-bucket hashed-unigram feature space — the
+    content-drift twin of `source_ks_drift` (which watches the quality
+    score): a source whose token distribution diverges from the corpus
+    gets flagged before it skews the mix.  Laplace-smoothed
+    probabilities; exact cross-engine integers via the doremi/ccnet e3
+    log discipline: kl_ne3 = Σ_b (c_b+1)·(⌊ln p_b·1e3⌋ − ⌊ln q_b·1e3⌋)
+    — a pure BIGINT sum (order-free), bounded by n_s·max|Δln|·1e3
+    (< 2^63 to ~200T tokens/source); kl_e3 normalizes by truncating
+    DIV.  Floored-log noise bounds the result below by −(n_s+64), so
+    true-KL ≥ 0 survives as kl_ne3 ≥ −(n_s+64) (pytest-locked).
+
+    Scale shape: ONE corpus-scale hash agg to the (source × 64) grid;
+    the dense fill, totals, and KL fold are all metadata-scale
+    (sources × 64 rows), with the corpus bucket table a 64-row
+    broadcast."""
+    hexmap = _hex_digit_map()
+    cnts = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("source", F.explode(_lm_tokens()).alias("tok"))
+        .select("source", _token_bucket(F.col("tok"), hexmap).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    srcs = cnts.select("source").distinct()
+    buckets = spark.range(64).select(F.col("id").cast("int").alias("bucket"))
+    sb = (
+        srcs.crossJoin(F.broadcast(buckets))  # bounded: sources × 64
+        .join(cnts, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+    )
+    ns = sb.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    qb = sb.groupBy("bucket").agg(F.sum("c").cast("long").alias("cb"))
+    nn = sb.agg(F.sum("c").cast("long").alias("n"))
+    joined = (
+        sb.join(ns, "source")
+        .join(F.broadcast(qb), "bucket")
+        .crossJoin(F.broadcast(nn))
+    )
+    lp = F.floor(
+        F.log((F.col("c") + 1) / (F.col("n_s") + F.lit(64.0))) * 1000.0
+    ).cast("long")
+    lq = F.floor(
+        F.log((F.col("cb") + 1) / (F.col("n") + F.lit(64.0))) * 1000.0
+    ).cast("long")
+    kl = joined.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.sum((F.col("c") + 1) * (lp - lq)).cast("long").alias("kl_ne3"),
+    )
+    return kl.select(
+        "source",
+        "n_tokens",
+        "kl_ne3",
+        F.expr("kl_ne3 DIV (n_tokens + 64)").alias("kl_e3"),
+    )
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection per duplicate cluster — the
     production rule real pipelines use instead of keep-min-id: keep the
@@ -5656,6 +5719,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
     "temperature_mix": q_temperature_mix,
@@ -6650,6 +6714,44 @@ def oracle_sql_training() -> dict[str, str]:
 
 def _oracle_sql_training_literal() -> dict[str, str]:
     return {
+        "source_kl": """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT source,
+         ((strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)) % 64 AS bucket
+  FROM (SELECT source, unnest(t) AS tk FROM toks)
+), counts AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), srcs AS (
+  SELECT DISTINCT source FROM counts
+), grid AS (
+  SELECT s.source, g.b AS bucket FROM srcs s, generate_series(0, 63) g(b)
+), sb AS (
+  SELECT g.source, g.bucket, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON g.source = c.source AND g.bucket = c.bucket
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sb GROUP BY 1
+), qb AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS cb FROM sb GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM sb
+), kl AS (
+  SELECT sb.source, CAST(max(ns.n_s) AS BIGINT) AS n_tokens,
+    CAST(sum((sb.c + 1) * (
+        CAST(floor(ln((sb.c + 1) / (ns.n_s + 64.0)) * 1000.0) AS BIGINT)
+      - CAST(floor(ln((qb.cb + 1) / (nn.n + 64.0)) * 1000.0) AS BIGINT)
+    )) AS BIGINT) AS kl_ne3
+  FROM sb JOIN ns ON sb.source = ns.source
+          JOIN qb ON sb.bucket = qb.bucket, nn
+  GROUP BY 1
+)
+SELECT source, n_tokens, kl_ne3,
+       CAST(kl_ne3 // (n_tokens + 64) AS BIGINT) AS kl_e3
+FROM kl
+""",
         "source_overlap": f"""
 WITH heads AS (
   SELECT DISTINCT source,

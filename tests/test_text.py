@@ -2276,3 +2276,43 @@ def test_source_overlap_matches_python_replica(spark):
     for (a, b), n in got.items():
         assert a < b
         assert n <= min(len(heads[a]), len(heads[b]))
+
+
+def test_source_kl_matches_python_replica(spark):
+    """Exact-integer KL replica over the hashed-bucket space, plus the
+    floored-log lower bound: true KL >= 0 survives flooring as
+    kl_ne3 >= -(n_s + 64)."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from rxtls_spark.queries_training import _docs, q_source_kl
+    from tests.conftest import SF_SMOKE
+
+    docs = _docs(spark, SF_SMOKE).select("source", "text").collect()
+    cnt = defaultdict(Counter)
+    for r in docs:
+        for tok in _ws_tokens(r["text"].lower()):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            cnt[r["source"]][(int(h[0], 16) * 16 + int(h[1], 16)) % 64] += 1
+    cb = Counter()
+    for c in cnt.values():
+        cb.update(c)
+    n_total = sum(cb.values())
+
+    got = {r["source"]: r for r in q_source_kl(spark, SF_SMOKE).collect()}
+    assert set(got) == set(cnt)
+    for src, c in cnt.items():
+        n_s = sum(c.values())
+        kl = 0
+        for b in range(64):
+            lp = math.floor(math.log((c[b] + 1) / (n_s + 64.0)) * 1000)
+            lq = math.floor(
+                math.log((cb[b] + 1) / (n_total + 64.0)) * 1000
+            )
+            kl += (c[b] + 1) * (lp - lq)
+        r = got[src]
+        assert (r["n_tokens"], r["kl_ne3"]) == (n_s, kl), src
+        assert r["kl_ne3"] >= -(n_s + 64), src
+        tq = abs(kl) // (n_s + 64)
+        assert r["kl_e3"] == (tq if kl >= 0 else -tq), src
