@@ -606,7 +606,52 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the other classic product-analytics
+    query (beside the funnel) a log pipeline serves: users grouped by
+    first-activity day, then for each day-offset the count still
+    active and the retention rate vs the cohort's size.  Day = epoch
+    seconds DIV 86400 (Spark unix_timestamp floors to seconds; the
+    oracle floors DuckDB's microsecond epoch to match).  All exact
+    BIGINTs: n_cohort comes from the offset-0 row itself (every user
+    is active on their own cohort day), pulled across the cohort with
+    a metadata-scale window, and ret_permille is integer division.
+
+    Scale shape: distinct (user, day) is ONE corpus-scale hash agg;
+    the cohort-day window partitions by user_id (second exchange);
+    the (cohort, offset) agg and the n_cohort window run over
+    cohorts × offsets — metadata-scale.  No joins."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id")
+    coh = days.withColumn("cohort_day", F.min("day").over(wu))
+    agg = coh.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    wc = Window.partitionBy("cohort_day")
+    return agg.select(
+        "cohort_day",
+        "offset_d",
+        "n_active",
+        F.max(
+            F.when(F.col("offset_d") == 0, F.col("n_active"))
+        )
+        .over(wc)
+        .cast("long")
+        .alias("n_cohort"),
+    ).withColumn(
+        "ret_permille", F.expr("(n_active * 1000) DIV n_cohort")
+    )
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_retention_cohorts": q_retention_cohorts,
     "rel_event_funnel": q_event_funnel,
     "rel_hourly_anomalies": q_hourly_anomalies,
     "rel_pricing_summary": q_pricing_summary,
@@ -632,6 +677,29 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_REL: dict[str, str] = {
+    "rel_retention_cohorts": """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), coh AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM days
+), agg AS (
+  SELECT cohort_day, day - cohort_day AS offset_d,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM coh GROUP BY 1, 2
+), sized AS (
+  SELECT cohort_day, offset_d, n_active,
+         CAST(max(CASE WHEN offset_d = 0 THEN n_active END)
+              OVER (PARTITION BY cohort_day) AS BIGINT) AS n_cohort
+  FROM agg
+)
+SELECT cohort_day, offset_d, n_active, n_cohort,
+       CAST((n_active * 1000) // n_cohort AS BIGINT) AS ret_permille
+FROM sized
+""",
     "rel_event_funnel": """
 -- floor(epoch) everywhere: Spark's unix_timestamp truncates to whole
 -- seconds, DuckDB's epoch keeps microseconds

@@ -5718,7 +5718,100 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document IDF rarity score — the boilerplate-downweighting
+    signal (SoftDedup-family, Xia et al. 2024: common text contributes
+    less) complementary to DSIR (which scores toward a TARGET
+    distribution; rarity scores against the corpus itself): the mean
+    inverse-document-frequency of the doc's token INSTANCES.  A doc of
+    ubiquitous tokens scores ~0; one full of corpus-rare tokens scores
+    high.  idf_e3 = floor(ln(N / df) * 1000) per instance (e3-floored
+    ln — the zipf/source_kl discipline), rarity_e3 = sum DIV count,
+    all BIGINT past the floor.
+
+    Scale shape: one explode + hash agg for the df table (token →
+    distinct-doc count, via per-doc array_distinct so the agg is a
+    plain count), then a corpus-scale equi-join of token instances ON
+    the token key — Spark co-partitions both sides; no broadcast
+    needed and no driver-side vocab.  N (corpus doc count) is the only
+    driver scalar."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+    )
+    n_docs = docs.count()
+    df_tbl = (
+        docs.select(F.explode(F.array_distinct("t")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    inst = docs.select("doc_id", F.explode("t").alias("tok"))
+    idf_e3 = F.floor(
+        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) * 1000.0
+    ).cast("long")
+    return (
+        inst.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum(idf_e3).cast("long").alias("sum_idf_e3"),
+        )
+        .withColumn("rarity_e3", F.expr("sum_idf_e3 DIV n_toks"))
+    )
+
+
+# Weighted-sample size + the key formula — MIRRORED in the
+# `weighted_sample` oracle SQL; change together.  The key is the
+# Efraimidis–Spirakis priority ln(u)/w (equivalent to ranking by
+# u^(1/w)): u from the knuth hash mapped into (0,1], w from the
+# stable e5 quality numerator (+1 so zero-quality docs stay
+# sampleable).  Exact-int form: lnu_e6 = floor(ln((h+1)/(P+1)) · 1e6)
+# ≤ 0, key_e = (lnu_e6 · 100000) DIV w_e5 — both engines truncate
+# integer division toward zero, so the quotient (and hence the whole
+# ranking) matches exactly.
+WSAMPLE_K = 200
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the one-pass weighted-reservoir trick): every doc
+    draws a deterministic priority key ln(u)/w and the global top-K
+    keys are the sample — inclusion probability ∝ quality weight, no
+    two-pass normalization, trivially distributed.  This is the
+    missing third sampling mode beside `mixture_sample` (per-group
+    rates) and `corpus_sample` (uniform): proportional-to-weight.
+
+    Scale shape: pure per-row key computation (0 exchanges) + global
+    top-K — TakeOrderedAndProject, the `corpus_sample` plan; K is
+    metadata-scale so the driver merge is bounded."""
+    docs = _docs(spark, sf_dir)
+    qnum = F.floor(quality_score() * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    keyed = docs.select(
+        "doc_id",
+        (qnum + F.lit(1)).alias("w_e5"),
+        F.floor(
+            F.log(
+                (knuth_hash(F.col("doc_id")) + F.lit(1)).cast("double")
+                / F.lit(float(KNUTH_P + 1))
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("lnu_e6"),
+    ).withColumn("key_e", F.expr("(lnu_e6 * 100000) DIV w_e5"))
+    return (
+        keyed.select("doc_id", "w_e5", "key_e")
+        .orderBy(F.col("key_e").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
 QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_rarity": q_doc_rarity,
+    "weighted_sample": q_weighted_sample,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -6714,6 +6807,41 @@ def oracle_sql_training() -> dict[str, str]:
 
 def _oracle_sql_training_literal() -> dict[str, str]:
     return {
+        "doc_rarity": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), inst AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM inst GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+), scored AS (
+  SELECT i.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(CAST(floor(ln(n.n / CAST(d.df AS DOUBLE)) * 1000.0) AS BIGINT)) AS BIGINT) AS sum_idf_e3
+  FROM inst i JOIN dfreq d USING (tok), n
+  GROUP BY 1
+)
+SELECT doc_id, n_toks, sum_idf_e3,
+       CAST(sum_idf_e3 // n_toks AS BIGINT) AS rarity_e3
+FROM scored
+""",
+        "weighted_sample": _TEXT_CTE + f"""
+, q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
+, keyed AS (
+  SELECT doc_id,
+    CAST(floor(quality * 100000 + 0.5) AS BIGINT) + 1 AS w_e5,
+    CAST(floor(ln((((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} + 1)
+                  / {float(KNUTH_P + 1)}) * 1000000.0) AS BIGINT) AS lnu_e6
+  FROM q
+)
+SELECT doc_id, w_e5, CAST((lnu_e6 * 100000) // w_e5 AS BIGINT) AS key_e
+FROM keyed
+ORDER BY key_e DESC, doc_id
+LIMIT {WSAMPLE_K}
+""",
         "source_kl": """
 WITH toks AS (
   SELECT source, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

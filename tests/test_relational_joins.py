@@ -242,3 +242,36 @@ def test_hourly_anomalies_median_mad_replica(spark):
             assert (r["c"], r["med2"], r["mad4"], r["z_e3"]) == (
                 c, med2, mad4, z,
             ), (et, h)
+
+
+def test_retention_cohorts_matches_python_replica(spark):
+    """Cohort-matrix replica from raw (user, epoch-second) pairs plus
+    the structural invariants: offset-0 rows carry the full cohort
+    (n_active == n_cohort, ret_permille == 1000), retention never
+    exceeds the cohort size, and offsets are non-negative."""
+    from collections import defaultdict
+
+    from rxtls_spark.queries_relational import q_retention_cohorts
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    days = defaultdict(set)
+    for r in ev.collect():
+        days[r["user_id"]].add(r["es"] // 86400)
+    agg = defaultdict(int)
+    for _, ds in days.items():
+        first = min(ds)
+        for d in ds:
+            agg[(first, d - first)] += 1
+
+    rows = q_retention_cohorts(spark, SF_SMOKE).collect()
+    got = {(r["cohort_day"], r["offset_d"]): r for r in rows}
+    assert {(c, o): r["n_active"] for (c, o), r in got.items()} == dict(agg)
+    for (c, o), r in got.items():
+        assert r["n_cohort"] == agg[(c, 0)]
+        assert 0 <= r["n_active"] <= r["n_cohort"]
+        assert r["ret_permille"] == r["n_active"] * 1000 // r["n_cohort"]
+        assert o >= 0
+        if o == 0:
+            assert r["ret_permille"] == 1000

@@ -2316,3 +2316,73 @@ def test_source_kl_matches_python_replica(spark):
         assert r["kl_ne3"] >= -(n_s + 64), src
         tq = abs(kl) // (n_s + 64)
         assert r["kl_e3"] == (tq if kl >= 0 else -tq), src
+
+
+def test_doc_rarity_matches_python_replica(spark):
+    """Exact-integer replica of the IDF-rarity fold (e3-floored ln,
+    truncating division) plus the semantic floor: idf terms are never
+    negative (df <= N always), so every rarity is >= 0."""
+    import math
+    from collections import Counter
+
+    from rxtls_spark.queries_training import _docs, q_doc_rarity
+    from tests.conftest import SF_SMOKE
+
+    docs = [
+        (r["doc_id"], _ws_tokens(r["text"].lower()))
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+        if r["text"].strip()
+    ]
+    n_docs = len(docs)
+    df = Counter()
+    for _, toks in docs:
+        df.update(set(toks))
+
+    got = {r["doc_id"]: r for r in q_doc_rarity(spark, SF_SMOKE).collect()}
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, toks in docs:
+        s = sum(
+            math.floor(math.log(n_docs / df[t]) * 1000.0) for t in toks
+        )
+        r = got[doc_id]
+        assert (r["n_toks"], r["sum_idf_e3"], r["rarity_e3"]) == (
+            len(toks), s, _trunc_div(s, len(toks)),
+        ), doc_id
+        assert r["rarity_e3"] >= 0, doc_id
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    """Efraimidis–Spirakis selection replica: recompute every doc's
+    priority key from the oracle-checked quality (q_text_features) and
+    the knuth-hash uniform, take the top-K by (key DESC, doc_id), and
+    require the IDENTICAL sample.  Also locks the key invariants:
+    keys are <= 0 (u in (0,1] so ln(u) <= 0) and the returned rows are
+    in selection order."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        WSAMPLE_K,
+        q_text_features,
+        q_weighted_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    keyed = []
+    for r in q_text_features(spark, SF_SMOKE).select(
+        "doc_id", "quality"
+    ).collect():
+        w_e5 = math.floor(r["quality"] * 100000 + 0.5) + 1
+        h = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P
+        lnu_e6 = math.floor(
+            math.log((h + 1) / float(KNUTH_P + 1)) * 1000000.0
+        )
+        keyed.append(
+            (r["doc_id"], w_e5, _trunc_div(lnu_e6 * 100000, w_e5))
+        )
+    expect = sorted(keyed, key=lambda t: (-t[2], t[0]))[:WSAMPLE_K]
+
+    rows = q_weighted_sample(spark, SF_SMOKE).collect()
+    got = [(r["doc_id"], r["w_e5"], r["key_e"]) for r in rows]
+    assert got == expect
+    assert all(k <= 0 for _, _, k in got)
