@@ -5761,6 +5761,93 @@ def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Kneser–Ney discount d = KN_D_NUM/KN_D_DEN = 3/4 — MIRRORED in the
+# `kn_bigram_score` oracle SQL; change together.  The probability is
+# kept as ONE explicitly-ordered float expression
+#   (CAST(greatest(4·c12 − 3, 0) AS DOUBLE) · B + 3.0·N1post·N1pre)
+#     / (4.0 · c1 · B)
+# — multiplying through by 4·c1·B avoids fraction addition; every
+# product/quotient is an IEEE-correctly-rounded op over identical
+# operands in the identical order on both engines, so the double (and
+# its e3-floored ln) matches exactly.  Int products of two
+# corpus-scale counts (c12·B ~ 10^25) would overflow BIGINT, which is
+# why the numerator casts to DOUBLE before multiplying by B.
+KN_D_NUM = 3
+KN_D_DEN = 4
+
+
+def q_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing production n-gram LMs actually ship):
+      P(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1,·)/c1 · N1+(·,w2)/B
+    with d = 3/4 — the CONTINUATION-count backoff that makes "san
+    francisco"-style collocations score right where raw-frequency
+    backoff fails.  Unlike `bigram_lm_score` (top-K literal vocab, OOV
+    dropped), this scores EVERY bigram: the model is the full corpus
+    table and smoothing guarantees P > 0 whenever w1 has a successor
+    and w2 a predecessor — both true by construction for in-corpus
+    pairs, so there is no OOV class at all.
+
+    Scale shape: the c12/c1/N1post/N1pre tables are hash aggs over the
+    bigram TYPE table (vocab²-bounded, far below the instance count);
+    per-type lp_e3 is computed once per TYPE with two equi-joins on
+    w1/w2, and instances join the scored type table ON the bigram key
+    — all distributed equi-joins that co-partition, no driver-side
+    vocab, no broadcast needed.  B is the one driver scalar."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("doc_id", F.col("text"))
+    )
+    inst = docs.select("doc_id", F.explode(_bigrams()).alias("bg"))
+    sp = (
+        inst.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+    )
+    c1 = sp.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1post"),
+    )
+    pre = sp.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1pre")
+    )
+    n_types = sp.count()
+    b = F.lit(float(n_types))
+    num = (
+        F.greatest(4 * F.col("c12") - 3, F.lit(0)).cast("double") * b
+        + F.lit(3.0) * F.col("n1post") * F.col("n1pre")
+    )
+    den = F.lit(4.0) * F.col("c1") * b
+    typ = (
+        sp.join(c1, "w1")
+        .join(pre, "w2")
+        .select(
+            "bg",
+            F.floor(F.log(num / den) * 1000.0).cast("long").alias("lp_e3"),
+        )
+    )
+    scored = (
+        inst.join(typ, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("lp_e3").cast("long").alias("sum_lp_e3"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            "sum_lp_e3",
+            F.expr("sum_lp_e3 DIV n_pairs").alias("avg_lp_e3"),
+        )
+    )
+
+
 # Weighted-sample size + the key formula — MIRRORED in the
 # `weighted_sample` oracle SQL; change together.  The key is the
 # Efraimidis–Spirakis priority ln(u)/w (equivalent to ranking by
@@ -5812,6 +5899,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rarity": q_doc_rarity,
     "weighted_sample": q_weighted_sample,
+    "kn_bigram_score": q_kn_bigram_score,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -6807,6 +6895,45 @@ def oracle_sql_training() -> dict[str, str]:
 
 def _oracle_sql_training_literal() -> dict[str, str]:
     return {
+        "kn_bigram_score": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+), sp AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+         split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM pairs GROUP BY 1
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1post
+  FROM sp GROUP BY 1
+), pre AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1pre FROM sp GROUP BY 1
+), b AS (
+  SELECT CAST(count(*) AS BIGINT) AS b FROM sp
+), typ AS (
+  SELECT sp.bg,
+         CAST(floor(ln(
+           (CAST(greatest(4 * sp.c12 - 3, 0) AS DOUBLE) * b.b
+            + 3.0 * c1.n1post * pre.n1pre)
+           / (4.0 * c1.c1 * b.b)
+         ) * 1000.0) AS BIGINT) AS lp_e3
+  FROM sp JOIN c1 ON sp.w1 = c1.w1 JOIN pre ON sp.w2 = pre.w2, b
+), scored AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(t.lp_e3) AS BIGINT) AS sum_lp_e3
+  FROM pairs p JOIN typ t USING (bg) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+       s.sum_lp_e3,
+       CAST(s.sum_lp_e3 // s.n_pairs AS BIGINT) AS avg_lp_e3
+FROM toks t LEFT JOIN scored s USING (doc_id)
+""",
         "doc_rarity": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

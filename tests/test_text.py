@@ -2386,3 +2386,70 @@ def test_weighted_sample_matches_python_replica(spark):
     got = [(r["doc_id"], r["w_e5"], r["key_e"]) for r in rows]
     assert got == expect
     assert all(k <= 0 for _, _, k in got)
+
+
+def test_kn_bigram_score_matches_python_replica(spark):
+    """Kneser–Ney replica: recompute c12/c1/N1post/N1pre/B in Python,
+    reproduce the exact float expression (same operand order) and the
+    e3-floored lp per bigram type, fold per doc.  Also locks the
+    smoothing guarantees: every observed bigram gets lp < = 0 (P <= 1),
+    and for each left word the discounted+backoff mass over its
+    OBSERVED successors stays strictly within (0, 1]."""
+    import math
+    from collections import Counter, defaultdict
+
+    from rxtls_spark.queries_training import _docs, q_kn_bigram_score
+    from tests.conftest import SF_SMOKE
+
+    docs = [
+        (r["doc_id"], _ws_tokens(r["text"].lower()))
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+        if r["text"].strip()
+    ]
+    c12 = Counter()
+    for _, toks in docs:
+        for a, bword in zip(toks, toks[1:]):
+            c12[(a, bword)] += 1
+    c1 = Counter()
+    n1post = Counter()
+    n1pre = Counter()
+    for (a, bword), c in c12.items():
+        c1[a] += c
+        n1post[a] += 1
+        n1pre[bword] += 1
+    bb = float(len(c12))
+
+    def lp(a, bword):
+        num = float(max(4 * c12[(a, bword)] - 3, 0)) * bb + (
+            3.0 * n1post[a]
+        ) * n1pre[bword]
+        return math.floor(math.log(num / (4.0 * c1[a] * bb)) * 1000.0)
+
+    got = {r["doc_id"]: r for r in q_kn_bigram_score(spark, SF_SMOKE).collect()}
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, toks in docs:
+        pairs = list(zip(toks, toks[1:]))
+        r = got[doc_id]
+        if not pairs:
+            assert (r["n_pairs"], r["sum_lp_e3"], r["avg_lp_e3"]) == (
+                0, None, None,
+            )
+            continue
+        s = sum(lp(a, bword) for a, bword in pairs)
+        assert (r["n_pairs"], r["sum_lp_e3"], r["avg_lp_e3"]) == (
+            len(pairs), s, _trunc_div(s, len(pairs)),
+        ), doc_id
+        assert r["sum_lp_e3"] <= 0
+
+    # probability-mass sanity on the un-floored model: for each w1,
+    # sum over observed w2 of P_KN(w2|w1) must be in (0, 1]
+    succ = defaultdict(list)
+    for (a, bword), c in c12.items():
+        succ[a].append(bword)
+    for a, ws in list(succ.items())[:200]:
+        mass = sum(
+            (max(c12[(a, w)] - 0.75, 0.0) / c1[a])
+            + (0.75 * n1post[a] / c1[a]) * (n1pre[w] / bb)
+            for w in ws
+        )
+        assert 0.0 < mass <= 1.0 + 1e-9, a
