@@ -5848,6 +5848,133 @@ def q_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Minhash-calibration spec — MIRRORED in the `minhash_calibration`
+# oracle SQL; change together.  CAL_PERMS permutation hashes
+#   h_k(x) = (((x + k·CAL_STEP) % P) · A) % P,   x = first 13 md5 hex
+# chars as BIGINT (the bloom_dedup key pairing: Spark conv(_,16,10)
+# == DuckDB '0x'||_ cast; 52 bits so x + 15·CAL_STEP < 2^53 and the
+# knuth product stays under 2^63).  Pair classes per probe doc d
+# (d % CAL_EVERY == 0, partner d+1 present): 'near' = d vs d+' extra!',
+# 'half' = d vs first-half(d) ++ last-half(d+1), 'far' = d vs d+1.
+CAL_PERMS = 16
+CAL_STEP = 1000003
+CAL_EVERY = 5
+
+# Shared shingle expression over a token-array column named `{t}`:
+# 3-token shingles, whole-text fallback for short docs — the
+# dedup_minhash_lsh convention.
+_SHINGLES_EXPR = (
+    "CASE WHEN size({t}) >= 3 THEN transform(sequence(0, size({t}) - 3),"
+    " i -> concat({t}[i], ' ', {t}[i+1], ' ', {t}[i+2]))"
+    " ELSE array(array_join({t}, ' ')) END"
+)
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-estimator calibration — the eval harness that answers
+    'is the near-dup threshold trustworthy?' BEFORE a corpus-scale
+    dedup run (the `ann_recall_eval` analog for the dedup side): for
+    constructed pairs at three similarity levels (near-copy, half
+    overlap, unrelated), compare the CAL_PERMS-permutation minhash
+    match fraction against the exact shingle Jaccard.  The estimator
+    is unbiased with sd ≈ sqrt(J(1-J)/16) ≈ 0.12 — err_e5 quantifies
+    it per pair, exact BIGINTs everywhere (matches·1e5 DIV perms vs
+    inter·1e5 DIV union).
+
+    The production dedup path keeps its numpy/xxh3 signatures
+    (operators/dedup.py); this harness uses the SQL-expressible
+    md5+knuth permutation family so the whole computation is
+    oracle-checkable end to end.
+
+    Scale shape: ONE co-partitioned self-equi-join (d, d+1) builds the
+    pair table; everything after is a per-row fold — signatures via
+    array_min over transform (no shingle explode, no shuffle), exact
+    Jaccard via array_intersect on deduped shingle arrays."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("doc_id", F.lower(F.trim("text")).alias("txt"))
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("txt").alias("ta")
+    ).where(F.col("doc_a") % CAL_EVERY == 0)
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_a"), F.col("txt").alias("tb")
+    )
+    pairs = (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            F.split(F.col("ta"), "[ \\t\\n\\x0B\\f\\r]+").alias("wa"),
+            F.split(F.col("tb"), "[ \\t\\n\\x0B\\f\\r]+").alias("wb"),
+        )
+        .select(
+            "doc_a",
+            F.explode(
+                F.expr(
+                    "array("
+                    "struct('near' AS pair_kind,"
+                    " wa AS ka,"
+                    " concat(wa, array('extra!')) AS kb),"
+                    "struct('half' AS pair_kind,"
+                    " wa AS ka,"
+                    " concat(slice(wa, 1, (size(wa) + 1) DIV 2),"
+                    "        slice(wb, size(wb) DIV 2 + 1,"
+                    "              size(wb) - size(wb) DIV 2)) AS kb),"
+                    "struct('far' AS pair_kind, wa AS ka, wb AS kb))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_a", "p.pair_kind", "p.ka", "p.kb")
+    )
+    sh = pairs.select(
+        "doc_a",
+        "pair_kind",
+        F.expr(_SHINGLES_EXPR.format(t="ka")).alias("sa"),
+        F.expr(_SHINGLES_EXPR.format(t="kb")).alias("sb"),
+    )
+    perm = (
+        f"transform(sequence(0, {CAL_PERMS - 1}), k -> "
+        f"array_min(transform({{s}}, g -> "
+        f"(((cast(conv(substring(md5(g), 1, 13), 16, 10) AS bigint)"
+        f" + k * {CAL_STEP}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})))"
+    )
+    sig = sh.select(
+        "doc_a",
+        "pair_kind",
+        F.size(F.array_distinct("sa")).cast("long").alias("n_sh_a"),
+        F.size(F.array_distinct("sb")).cast("long").alias("n_sh_b"),
+        F.size(
+            F.array_intersect(F.array_distinct("sa"), F.array_distinct("sb"))
+        )
+        .cast("long")
+        .alias("n_inter"),
+        F.size(F.array_union("sa", "sb")).cast("long").alias("n_union"),
+        F.expr(
+            "size(filter(zip_with("
+            + perm.format(s="sa")
+            + ", "
+            + perm.format(s="sb")
+            + ", (x, y) -> x = y), v -> v))"
+        )
+        .cast("long")
+        .alias("est_matches"),
+    )
+    return sig.select(
+        "doc_a",
+        "pair_kind",
+        "n_sh_a",
+        "n_sh_b",
+        F.expr("(n_inter * 100000) DIV n_union").alias("exact_e5"),
+        "est_matches",
+        F.expr(f"(est_matches * 100000) DIV {CAL_PERMS}").alias("est_e5"),
+        F.expr(
+            f"(est_matches * 100000) DIV {CAL_PERMS}"
+            " - (n_inter * 100000) DIV n_union"
+        ).alias("err_e5"),
+    )
+
+
 # Weighted-sample size + the key formula — MIRRORED in the
 # `weighted_sample` oracle SQL; change together.  The key is the
 # Efraimidis–Spirakis priority ln(u)/w (equivalent to ranking by
@@ -5900,6 +6027,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rarity": q_doc_rarity,
     "weighted_sample": q_weighted_sample,
     "kn_bigram_score": q_kn_bigram_score,
+    "minhash_calibration": q_minhash_calibration,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -6895,6 +7023,59 @@ def oracle_sql_training() -> dict[str, str]:
 
 def _oracle_sql_training_literal() -> dict[str, str]:
     return {
+        "minhash_calibration": f"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+  FROM documents WHERE trim(text) <> ''
+), pairs0 AS (
+  SELECT a.doc_id AS doc_a, a.w AS wa, b.w AS wb
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % {CAL_EVERY} = 0
+), pairs AS (
+  SELECT doc_a, 'near' AS pair_kind, wa AS ka,
+         list_concat(wa, ['extra!']) AS kb FROM pairs0
+  UNION ALL
+  SELECT doc_a, 'half', wa,
+         list_concat(wa[1:(len(wa) + 1) // 2],
+                     wb[len(wb) // 2 + 1:]) FROM pairs0
+  UNION ALL
+  SELECT doc_a, 'far', wa, wb FROM pairs0
+), sh AS (
+  SELECT doc_a, pair_kind,
+    CASE WHEN len(ka) >= 3 THEN list_transform(generate_series(1, len(ka) - 2),
+          i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2])
+         ELSE [array_to_string(ka, ' ')] END AS sa,
+    CASE WHEN len(kb) >= 3 THEN list_transform(generate_series(1, len(kb) - 2),
+          i -> kb[i] || ' ' || kb[i+1] || ' ' || kb[i+2])
+         ELSE [array_to_string(kb, ' ')] END AS sb
+  FROM pairs
+), sig AS (
+  SELECT doc_a, pair_kind,
+    CAST(len(list_distinct(sa)) AS BIGINT) AS n_sh_a,
+    CAST(len(list_distinct(sb)) AS BIGINT) AS n_sh_b,
+    CAST(len(list_filter(list_distinct(sa),
+                         x -> list_contains(sb, x))) AS BIGINT) AS n_inter,
+    CAST(len(list_distinct(list_concat(sa, sb))) AS BIGINT) AS n_union,
+    CAST(len(list_filter(
+      list_transform(generate_series(0, {CAL_PERMS - 1}), k ->
+        list_min(list_transform(sa, g ->
+          (((('0x' || substr(md5(g), 1, 13))::BIGINT + k * {CAL_STEP})
+            % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}))
+        = list_min(list_transform(sb, g ->
+          (((('0x' || substr(md5(g), 1, 13))::BIGINT + k * {CAL_STEP})
+            % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}))),
+      v -> v)) AS BIGINT) AS est_matches
+  FROM sh
+)
+SELECT doc_a, pair_kind, n_sh_a, n_sh_b,
+  CAST((n_inter * 100000) // n_union AS BIGINT) AS exact_e5,
+  est_matches,
+  CAST((est_matches * 100000) // {CAL_PERMS} AS BIGINT) AS est_e5,
+  CAST((est_matches * 100000) // {CAL_PERMS}
+       - (n_inter * 100000) // n_union AS BIGINT) AS err_e5
+FROM sig
+""",
         "kn_bigram_score": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

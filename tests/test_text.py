@@ -2453,3 +2453,96 @@ def test_kn_bigram_score_matches_python_replica(spark):
             for w in ws
         )
         assert 0.0 < mass <= 1.0 + 1e-9, a
+
+
+def test_minhash_calibration_matches_python_replica(spark):
+    """Full replica of the calibration harness — md5-prefix keys, the
+    knuth permutation family, signature match counts, exact shingle
+    Jaccard — plus the semantic ordering the harness exists to show:
+    near pairs are more similar than half pairs than far pairs on BOTH
+    the exact and the estimated scale, and the 16-perm estimator's
+    mean error is within 3 estimator-sd of zero."""
+    import hashlib
+    import statistics
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        CAL_EVERY,
+        CAL_PERMS,
+        CAL_STEP,
+        _docs,
+        q_minhash_calibration,
+    )
+    from tests.conftest import SF_SMOKE
+
+    toks = {
+        r["doc_id"]: _ws_tokens(r["text"].lower().strip())
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+        if r["text"].strip()
+    }
+
+    def shingles(ws):
+        if len(ws) >= 3:
+            return [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        return [" ".join(ws)]
+
+    def key(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:13], 16)
+
+    def sig(sh):
+        ks = [key(g) for g in sh]
+        return [
+            min((((x + k * CAL_STEP) % KNUTH_P) * KNUTH_A) % KNUTH_P for x in ks)
+            for k in range(CAL_PERMS)
+        ]
+
+    expect = {}
+    for d, wa in toks.items():
+        if d % CAL_EVERY != 0 or (d + 1) not in toks:
+            continue
+        wb = toks[d + 1]
+        variants = {
+            "near": wa + ["extra!"],
+            "half": wa[: (len(wa) + 1) // 2] + wb[len(wb) // 2 :],
+            "far": wb,
+        }
+        sa = shingles(wa)
+        for kind, kb in variants.items():
+            sb = shingles(kb)
+            inter = len([x for x in dict.fromkeys(sa) if x in sb])
+            union = len(set(sa) | set(sb))
+            m = sum(x == y for x, y in zip(sig(sa), sig(sb)))
+            expect[(d, kind)] = (
+                len(set(sa)), len(set(sb)),
+                inter * 100000 // union, m, m * 100000 // CAL_PERMS,
+            )
+
+    rows = q_minhash_calibration(spark, SF_SMOKE).collect()
+    got = {(r["doc_a"], r["pair_kind"]): r for r in rows}
+    assert set(got) == set(expect)
+    for k, (na, nb, ex, m, est) in expect.items():
+        r = got[k]
+        assert (
+            r["n_sh_a"], r["n_sh_b"], r["exact_e5"], r["est_matches"],
+            r["est_e5"], r["err_e5"],
+        ) == (na, nb, ex, m, est, est - ex), k
+
+    by_kind = {
+        kind: [r for (d, kk), r in got.items() if kk == kind]
+        for kind in ("near", "half", "far")
+    }
+    mean_ex = {
+        k: statistics.mean(r["exact_e5"] for r in v)
+        for k, v in by_kind.items()
+    }
+    mean_est = {
+        k: statistics.mean(r["est_e5"] for r in v) for k, v in by_kind.items()
+    }
+    assert mean_ex["near"] > mean_ex["half"] > mean_ex["far"]
+    assert mean_est["near"] > mean_est["half"] > mean_est["far"]
+    for kind, v in by_kind.items():
+        n = len(v)
+        j = mean_ex[kind] / 100000.0
+        sd = (max(j * (1 - j), 1e-4) / CAL_PERMS) ** 0.5 * 100000
+        mean_err = statistics.mean(r["err_e5"] for r in v)
+        assert abs(mean_err) <= 3 * sd / (n ** 0.5) + 100000 / CAL_PERMS, kind
