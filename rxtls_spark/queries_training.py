@@ -5975,6 +5975,120 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Blocklist spec — MIRRORED in the `blocklist_filter` oracle SQL;
+# change together.  Substring (not token) matching by design — the
+# UT1/wordlist convention, catches phrases across token boundaries;
+# occurrence count = (len(t) − len(replace(t, p, ''))) / len(p), and
+# replace() scans left-to-right non-overlapping on Spark, DuckDB and
+# Python alike (the bpe_apply_merge guarantee), so counts match.
+# Severity is the weighted occurrence sum; CASE order IS the verdict
+# semantics (the filter_cascade discipline).
+BLOCK_PHRASES = (
+    ("slow query", 5),
+    ("slow hash", 3),
+    ("fast key", 2),
+    ("spark", 1),
+)
+BLOCK_T_BLOCK = 5
+BLOCK_T_REVIEW = 2
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-blocklist screening — the UT1-style wordlist gate every
+    web-scale corpus runs (NSFW/spam/boilerplate phrase lists):
+    per-doc occurrence counts for each listed phrase, a weighted
+    severity score, and a block/review/clean verdict.  The list is a
+    LITERAL (broadcast-free: it compiles into the row expression —
+    the lm_score literal-map pattern), counts are exact integers from
+    the length-delta trick, and the verdict CASE is ordered
+    block-first so a high-severity doc can't land in 'review'.
+
+    Scale shape: pure per-row JVM expressions, zero exchanges, no UDF
+    — at 10^12 rows this is a map-only scan, the cheapest possible
+    plan.  A real deployment swaps the literal tuple for a generated
+    one (thousands of phrases still compile fine; beyond that,
+    contains-join against a broadcast list)."""
+    occs = {
+        p: F.expr(
+            f"(length(lower(text))"
+            f" - length(replace(lower(text), '{p}', ''))) DIV {len(p)}"
+        )
+        for p, _ in BLOCK_PHRASES
+    }
+    sev = None
+    for p, w in BLOCK_PHRASES:
+        term = occs[p] * F.lit(w)
+        sev = term if sev is None else sev + term
+    cols = [
+        occs[p].alias(f"n_{p.replace(' ', '_')}") for p, _ in BLOCK_PHRASES
+    ]
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *cols,
+        sev.alias("severity"),
+        F.when(sev >= BLOCK_T_BLOCK, F.lit("block"))
+        .when(sev >= BLOCK_T_REVIEW, F.lit("review"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    )
+
+
+# Char-entropy alphabet — MIRRORED in the `char_entropy` oracle SQL;
+# change together.  Buckets: 'a'..'z', '0'..'9', space, plus one
+# catch-all 'other' bucket (n − counted), over lower(text).  The
+# entropy fold is exact-int: H_e3 = Σ cnt·(ln_e3(n) − ln_e3(cnt))
+# DIV n with ln_e3(x) = floor(ln(x)·1000) — gibberish/binary-noise
+# detection, the char-level complement of the token-level quality
+# features.
+ENTROPY_CHARS = tuple("abcdefghijklmnopqrstuvwxyz0123456789 ")
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy over a bounded
+    alphabet — low entropy flags repeated-char spam ('aaaa…'),
+    high entropy flags base64/binary noise; natural prose sits in a
+    band.  Counts per bucket come from the length-delta trick (37
+    literal replace() terms — whole-stage-codegen JVM, no histogram
+    map), so the plan is a ZERO-exchange map-only scan like
+    `blocklist_filter`.
+
+    Exactness: every bucket count is an exact BIGINT; the entropy sum
+    uses e3-floored ln on both engines and one truncating division at
+    the end — bit-identical cross-engine, no float accumulation."""
+    t = F.lower(F.col("text"))
+    n = F.length(t).cast("long")
+    counted = None
+    terms = []
+    for c in ENTROPY_CHARS:
+        lit = c.replace("'", "''")
+        cnt = (
+            F.length(t) - F.length(F.expr(f"replace(lower(text), '{lit}', '')"))
+        ).cast("long")
+        terms.append(cnt)
+        counted = cnt if counted is None else counted + cnt
+    other = n - counted
+    ln_e3 = lambda col: F.floor(  # noqa: E731 — shared fold atom
+        F.log(col.cast("double")) * 1000.0
+    ).cast("long")
+    h = None
+    for cnt in [*terms, other]:
+        term = F.when(cnt > 0, cnt * (ln_e3(n) - ln_e3(cnt))).otherwise(
+            F.lit(0)
+        )
+        h = term if h is None else h + term
+    return (
+        _docs(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            n.alias("n_chars_l"),
+            other.alias("n_other"),
+            h.alias("h_sum_e3"),
+        )
+        .withColumn("entropy_e3", F.expr("h_sum_e3 DIV n_chars_l"))
+    )
+
+
 # Weighted-sample size + the key formula — MIRRORED in the
 # `weighted_sample` oracle SQL; change together.  The key is the
 # Efraimidis–Spirakis priority ln(u)/w (equivalent to ranking by
@@ -6028,6 +6142,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "kn_bigram_score": q_kn_bigram_score,
     "minhash_calibration": q_minhash_calibration,
+    "blocklist_filter": q_blocklist_filter,
+    "char_entropy": q_char_entropy,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -7013,6 +7129,65 @@ LEFT JOIN h{iters} ON i.doc_id = h{iters}.doc_id
 """
 
 
+def _blocklist_sql() -> str:
+    """blocklist_filter oracle: the identical length-delta occurrence
+    counts, weighted severity, and ordered verdict CASE."""
+    occ = {
+        p: (
+            f"(length(lower(text)) - length(replace(lower(text),"
+            f" '{p}', ''))) // {len(p)}"
+        )
+        for p, _ in BLOCK_PHRASES
+    }
+    cols = ",\n  ".join(
+        f"CAST({occ[p]} AS BIGINT) AS n_{p.replace(' ', '_')}"
+        for p, _ in BLOCK_PHRASES
+    )
+    sev = " + ".join(f"({occ[p]}) * {w}" for p, w in BLOCK_PHRASES)
+    return f"""
+SELECT doc_id,
+  {cols},
+  CAST({sev} AS BIGINT) AS severity,
+  CASE WHEN {sev} >= {BLOCK_T_BLOCK} THEN 'block'
+       WHEN {sev} >= {BLOCK_T_REVIEW} THEN 'review'
+       ELSE 'clean' END AS verdict
+FROM documents
+"""
+
+
+def _char_entropy_sql() -> str:
+    """char_entropy oracle: identical bucket counts (length-delta per
+    literal char), the e3-floored ln fold over the count list, and one
+    truncating division."""
+    cols = ", ".join(
+        f"CAST(length(t) - length(replace(t, '{c}', '')) AS BIGINT)"
+        for c in ENTROPY_CHARS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) > 0
+), cn AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS n, [{cols}] AS cs
+  FROM base
+), witho AS (
+  SELECT doc_id, n,
+         CAST(n - list_sum(cs) AS BIGINT) AS n_other,
+         list_append(cs, CAST(n - list_sum(cs) AS BIGINT)) AS cs2
+  FROM cn
+), hh AS (
+  SELECT doc_id, n, n_other,
+    CAST(list_sum(list_transform(cs2, c -> CASE WHEN c > 0
+      THEN c * (CAST(floor(ln(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT)
+                - CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0) AS BIGINT))
+      ELSE 0 END)) AS BIGINT) AS h_sum_e3
+  FROM witho
+)
+SELECT doc_id, n AS n_chars_l, n_other, h_sum_e3,
+       CAST(h_sum_e3 // n AS BIGINT) AS entropy_e3
+FROM hh
+"""
+
+
 def oracle_sql_training() -> dict[str, str]:
     oracles = _oracle_sql_training_literal()
     # the broadcast-UDF path computes the identical result, so it
@@ -7023,6 +7198,8 @@ def oracle_sql_training() -> dict[str, str]:
 
 def _oracle_sql_training_literal() -> dict[str, str]:
     return {
+        "blocklist_filter": _blocklist_sql(),
+        "char_entropy": _char_entropy_sql(),
         "minhash_calibration": f"""
 WITH docs AS (
   SELECT doc_id,

@@ -435,3 +435,19 @@ def test_session5_query_plan_shapes(spark):
     assert "Join" not in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "rangepartitioning" not in plan_string(ha, "formatted").lower(), p
+
+
+def test_blocklist_and_entropy_are_map_only(spark):
+    """blocklist_filter / char_entropy scale locks: pure per-row JVM
+    expressions — zero exchanges, no join, no window, no Python."""
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import q_blocklist_filter, q_char_entropy
+    from tests.conftest import SF_SMOKE
+
+    for q in (q_blocklist_filter, q_char_entropy):
+        df = q(spark, SF_SMOKE)
+        p = plan_string(df, "simple")
+        assert count_exchanges(df) == 0, p
+        assert "Join" not in p, p
+        assert "Window" not in p, p
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p

@@ -2546,3 +2546,89 @@ def test_minhash_calibration_matches_python_replica(spark):
         sd = (max(j * (1 - j), 1e-4) / CAL_PERMS) ** 0.5 * 100000
         mean_err = statistics.mean(r["err_e5"] for r in v)
         assert abs(mean_err) <= 3 * sd / (n ** 0.5) + 100000 / CAL_PERMS, kind
+
+
+def test_blocklist_filter_matches_python_replica(spark):
+    """Occurrence counts equal Python's non-overlapping str.count, the
+    severity is their weighted sum, and the verdict CASE is ordered
+    block-first.  Also requires all three verdict classes to actually
+    occur at SF_SMOKE — a blocklist whose corpus never trips it tests
+    nothing."""
+    from rxtls_spark.queries_training import (
+        BLOCK_PHRASES,
+        BLOCK_T_BLOCK,
+        BLOCK_T_REVIEW,
+        _docs,
+        q_blocklist_filter,
+    )
+    from tests.conftest import SF_SMOKE
+
+    texts = {
+        r["doc_id"]: r["text"].lower()
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+    }
+    got = {r["doc_id"]: r for r in q_blocklist_filter(spark, SF_SMOKE).collect()}
+    assert set(got) == set(texts)
+    seen = set()
+    for doc_id, t in texts.items():
+        r = got[doc_id]
+        sev = 0
+        for p, w in BLOCK_PHRASES:
+            n = t.count(p)
+            assert r[f"n_{p.replace(' ', '_')}"] == n, (doc_id, p)
+            sev += n * w
+        assert r["severity"] == sev
+        want = (
+            "block"
+            if sev >= BLOCK_T_BLOCK
+            else "review" if sev >= BLOCK_T_REVIEW else "clean"
+        )
+        assert r["verdict"] == want, doc_id
+        seen.add(want)
+    assert seen == {"block", "review", "clean"}
+
+
+def test_char_entropy_matches_python_replica(spark):
+    """Exact-integer entropy replica (e3-floored ln per bucket,
+    truncating division) plus the semantic bounds: 0 <= H <= ln(38)
+    nats, and a repeated-single-char doc would score ~0 (verified on
+    the fold directly)."""
+    import math
+    from collections import Counter
+
+    from rxtls_spark.queries_training import (
+        ENTROPY_CHARS,
+        _docs,
+        q_char_entropy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def replica(text):
+        t = text.lower()
+        n = len(t)
+        cnts = [t.count(c) for c in ENTROPY_CHARS]
+        cnts.append(n - sum(cnts))
+        lnn = math.floor(math.log(n) * 1000.0)
+        h = sum(
+            c * (lnn - math.floor(math.log(c) * 1000.0))
+            for c in cnts
+            if c > 0
+        )
+        return n, cnts[-1], h, _trunc_div(h, n)
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+        if len(r["text"]) > 0
+    }
+    got = {r["doc_id"]: r for r in q_char_entropy(spark, SF_SMOKE).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        n, other, h, e = replica(text)
+        r = got[doc_id]
+        assert (
+            r["n_chars_l"], r["n_other"], r["h_sum_e3"], r["entropy_e3"],
+        ) == (n, other, h, e), doc_id
+        assert 0 <= r["entropy_e3"] <= math.ceil(math.log(38) * 1000)
+
+    assert replica("aaaaaaaaaa")[3] == 0  # degenerate doc scores zero
