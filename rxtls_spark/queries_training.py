@@ -6089,6 +6089,80 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scorer-agreement sample size — MIRRORED in the `scorer_agreement`
+# oracle SQL; change together.  Spearman is computed on a
+# deterministic knuth-hash sample of ≤ AGREE_K docs per source
+# because the n·(n²−1) denominator overflows BIGINT near n = 2·10^6 —
+# the bounded sample keeps the formula exact at ANY corpus size (and
+# is how you'd estimate rank agreement at 10^12 rows anyway).  Ranks
+# use the deterministic (score, doc_id) tie-break instead of the
+# classical midrank — a documented deviation, mirrored on both
+# engines, that keeps every quantity an exact integer.
+AGREE_K = 500
+
+
+def q_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank agreement between two INDEPENDENT
+    quality signals — the heuristic quality score (alpha/length/punct)
+    and the corpus-IDF rarity score — the meta-eval a pipeline runs
+    before trusting any single filter: sources where cheap signals
+    rank documents consistently can be gated by either; sources where
+    they disagree need the expensive model-based scorer.
+    rho_e6 = 1e6 − (6·Σd²·1e6) DIV (n(n²−1)) over per-source sampled
+    ranks — every term an exact BIGINT.
+
+    Scale shape: the rarity half is the proven `doc_rarity` chain
+    (distributed df equi-join); the quality half is per-row.  The
+    sample window + two rank windows all partition by source (the
+    zipf/stratified few-fat-partitions shape, one exchange reused);
+    the final agg is sources-scale."""
+    from pyspark.sql.window import Window
+
+    rar = q_doc_rarity(spark, sf_dir).select("doc_id", "rarity_e3")
+    qnum = F.floor(quality_score() * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    uni = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            "doc_id",
+            qnum.alias("qnum"),
+            knuth_hash(F.col("doc_id")).alias("h"),
+        )
+        .join(rar, "doc_id")
+    )
+    ws = Window.partitionBy("source")
+    keep = uni.withColumn(
+        "srk", F.row_number().over(ws.orderBy("h", "doc_id"))
+    ).where(F.col("srk") <= AGREE_K)
+    ranked = keep.select(
+        "source",
+        F.row_number()
+        .over(ws.orderBy("qnum", "doc_id"))
+        .cast("long")
+        .alias("ra"),
+        F.row_number()
+        .over(ws.orderBy("rarity_e3", "doc_id"))
+        .cast("long")
+        .alias("rb"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    return agg.where(F.col("n") >= 2).select(
+        "source",
+        "n",
+        "sum_d2",
+        F.expr(
+            "1000000 - (6 * sum_d2 * 1000000) DIV (n * (n * n - 1))"
+        ).alias("rho_e6"),
+    )
+
+
 # Weighted-sample size + the key formula — MIRRORED in the
 # `weighted_sample` oracle SQL; change together.  The key is the
 # Efraimidis–Spirakis priority ln(u)/w (equivalent to ranking by
@@ -6144,6 +6218,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_calibration": q_minhash_calibration,
     "blocklist_filter": q_blocklist_filter,
     "char_entropy": q_char_entropy,
+    "scorer_agreement": q_scorer_agreement,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -7200,6 +7275,48 @@ def _oracle_sql_training_literal() -> dict[str, str]:
     return {
         "blocklist_filter": _blocklist_sql(),
         "char_entropy": _char_entropy_sql(),
+        "scorer_agreement": _TEXT_CTE + f"""
+, rtoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), rinst AS (
+  SELECT doc_id, unnest(t) AS tok FROM rtoks
+), rdf AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM rinst GROUP BY 1
+), rn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM rtoks
+), rsc AS (
+  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(CAST(floor(ln(rn.n / CAST(d.df AS DOUBLE)) * 1000.0) AS BIGINT)) AS BIGINT) AS s
+  FROM rinst i JOIN rdf d USING (tok), rn GROUP BY 1
+), rar AS (
+  SELECT doc_id, CAST(s // n_toks AS BIGINT) AS rarity_e3 FROM rsc
+), qq AS (
+  SELECT doc_id, CAST(floor(({_QUALITY_SQL}) * 100000 + 0.5) AS BIGINT) AS qnum
+  FROM feats
+), uni AS (
+  SELECT d.source, q.doc_id, q.qnum, r.rarity_e3,
+         ((d.doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS h
+  FROM qq q JOIN rar r USING (doc_id) JOIN documents d ON q.doc_id = d.doc_id
+), keep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS srk
+    FROM uni
+  ) WHERE srk <= {AGREE_K}
+), ranked AS (
+  SELECT source,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY qnum, doc_id) AS BIGINT) AS ra,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY rarity_e3, doc_id) AS BIGINT) AS rb
+  FROM keep
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+  FROM ranked GROUP BY 1
+)
+SELECT source, n, sum_d2,
+       CAST(1000000 - (6 * sum_d2 * 1000000) // (n * (n * n - 1)) AS BIGINT) AS rho_e6
+FROM agg WHERE n >= 2
+""",
         "minhash_calibration": f"""
 WITH docs AS (
   SELECT doc_id,

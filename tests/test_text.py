@@ -2632,3 +2632,66 @@ def test_char_entropy_matches_python_replica(spark):
         assert 0 <= r["entropy_e3"] <= math.ceil(math.log(38) * 1000)
 
     assert replica("aaaaaaaaaa")[3] == 0  # degenerate doc scores zero
+
+
+def test_scorer_agreement_matches_python_replica(spark):
+    """Spearman replica over the deterministic per-source sample:
+    recompute both scores' (score, doc_id)-tie-broken ranks in Python
+    and the exact-integer rho; also lock the formula's range
+    (|rho_e6| <= 1e6 + rounding) and the n >= 2 guard."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        AGREE_K,
+        q_doc_rarity,
+        q_scorer_agreement,
+        q_text_features,
+    )
+    from tests.conftest import SF_SMOKE
+    import math
+
+    rar = {
+        r["doc_id"]: r["rarity_e3"]
+        for r in q_doc_rarity(spark, SF_SMOKE).collect()
+    }
+    feats = {
+        r["doc_id"]: math.floor(r["quality"] * 100000 + 0.5)
+        for r in q_text_features(spark, SF_SMOKE).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    by_src = {}
+    for d, rscore in rar.items():
+        h = ((d % KNUTH_P) * KNUTH_A) % KNUTH_P
+        by_src.setdefault(src[d], []).append((h, d, feats[d], rscore))
+    expect = {}
+    for s, rows in by_src.items():
+        kept = sorted(rows)[:AGREE_K]
+        n = len(kept)
+        if n < 2:
+            continue
+        ra = {
+            d: i + 1
+            for i, (_, d, q, _r) in enumerate(
+                sorted(kept, key=lambda t: (t[2], t[1]))
+            )
+        }
+        rb = {
+            d: i + 1
+            for i, (_, d, _q, r) in enumerate(
+                sorted(kept, key=lambda t: (t[3], t[1]))
+            )
+        }
+        sum_d2 = sum((ra[d] - rb[d]) ** 2 for _, d, _q, _r in kept)
+        rho = 1000000 - _trunc_div(6 * sum_d2 * 1000000, n * (n * n - 1))
+        expect[s] = (n, sum_d2, rho)
+
+    got = {r["source"]: r for r in q_scorer_agreement(spark, SF_SMOKE).collect()}
+    assert set(got) == set(expect)
+    for s, (n, sum_d2, rho) in expect.items():
+        r = got[s]
+        assert (r["n"], r["sum_d2"], r["rho_e6"]) == (n, sum_d2, rho), s
+        assert -1000004 <= r["rho_e6"] <= 1000000
