@@ -6163,6 +6163,92 @@ def q_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RAKE top-k — MIRRORED in the `rake_keywords` oracle SQL; change
+# together.  Word score = (deg·1000) DIV freq (deg = Σ phrase length
+# over the word's phrase occurrences, freq = occurrence count — the
+# classic degree/frequency ratio favoring words that live in long
+# phrases); phrase score = Σ word scores over the phrase's token
+# OCCURRENCES.  Stoplist = functions.text.STOPWORDS (already frozen +
+# SQL-mirrored).  Candidate phrases are maximal non-stopword runs via
+# gaps-and-islands (pos − row_number), identical grouping on both
+# engines regardless of 0- vs 1-based positions (a uniform shift
+# cancels in the difference).
+RAKE_TOPK = 3
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — per-document
+    co-occurrence-degree keywords, the UNSUPERVISED complement of
+    `tfidf_topterms` (which needs corpus df stats): candidate phrases
+    are maximal stopword-free token runs, scored by the sum of their
+    words' degree/frequency ratios, top-``RAKE_TOPK`` per doc.  All
+    stats are WITHIN-doc, so the operator needs no corpus pass at all.
+
+    Scale shape: every window, groupBy and join keys on doc_id (or
+    (doc_id, grp)/(doc_id, tok)) — high-cardinality hash partitions
+    that co-locate, no broadcast, no skew risk; the per-doc window
+    frames are bounded by document length.  Exact BIGINTs after the
+    integer word-score division."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.functions.text import STOPWORDS
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+    )
+    tok = docs.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    nonstop = tok.where(~F.col("tok").isin(*STOPWORDS))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grp = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wd)
+    )
+    phr = grp.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    ptok = grp.select("doc_id", "grp", "tok").join(
+        phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"]
+    )
+    wsc = (
+        ptok.groupBy("doc_id", "tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn("wscore", F.expr("(deg * 1000) DIV freq"))
+    )
+    psc = (
+        ptok.join(wsc.select("doc_id", "tok", "wscore"), ["doc_id", "tok"])
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("wscore").cast("long").alias("score_e3"))
+    )
+    ph2 = (
+        phr.join(psc, ["doc_id", "grp"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_words"),
+            F.max("score_e3").cast("long").alias("score_e3"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e3").desc(), "phrase"
+    )
+    return (
+        ph2.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rk") <= RAKE_TOPK)
+        .select("doc_id", "phrase", "n_words", "score_e3", "n_occ", "rk")
+    )
+
+
 # Weighted-sample size + the key formula — MIRRORED in the
 # `weighted_sample` oracle SQL; change together.  The key is the
 # Efraimidis–Spirakis priority ln(u)/w (equivalent to ranking by
@@ -6219,6 +6305,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_filter": q_blocklist_filter,
     "char_entropy": q_char_entropy,
     "scorer_agreement": q_scorer_agreement,
+    "rake_keywords": q_rake_keywords,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -7204,6 +7291,61 @@ LEFT JOIN h{iters} ON i.doc_id = h{iters}.doc_id
 """
 
 
+def _rake_sql() -> str:
+    """rake_keywords oracle: identical stoplist, gaps-and-islands
+    phrase grouping, degree/frequency word scores and the top-k
+    window."""
+    from rxtls_spark.functions.text import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM toks
+), nonstop AS (
+  SELECT * FROM tok WHERE tok NOT IN ({stoplist})
+), grp AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM nonstop
+), phr AS (
+  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM grp GROUP BY 1, 2
+), ptok AS (
+  SELECT g.doc_id, g.grp, g.tok, p.plen
+  FROM grp g JOIN phr p USING (doc_id, grp)
+), wsc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM ptok GROUP BY 1, 2
+), wsc2 AS (
+  SELECT doc_id, tok, (deg * 1000) // freq AS wscore FROM wsc
+), psc AS (
+  SELECT t.doc_id, t.grp, CAST(sum(w.wscore) AS BIGINT) AS score_e3
+  FROM ptok t JOIN wsc2 w ON t.doc_id = w.doc_id AND t.tok = w.tok
+  GROUP BY 1, 2
+), ph2 AS (
+  SELECT p.doc_id, p.phrase,
+         CAST(max(p.plen) AS BIGINT) AS n_words,
+         CAST(max(s.score_e3) AS BIGINT) AS score_e3,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM phr p JOIN psc s USING (doc_id, grp)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_e3 DESC, phrase) AS rk
+  FROM ph2
+)
+SELECT doc_id, phrase, n_words, score_e3, n_occ, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {RAKE_TOPK}
+"""
+
+
 def _blocklist_sql() -> str:
     """blocklist_filter oracle: the identical length-delta occurrence
     counts, weighted severity, and ordered verdict CASE."""
@@ -7275,6 +7417,7 @@ def _oracle_sql_training_literal() -> dict[str, str]:
     return {
         "blocklist_filter": _blocklist_sql(),
         "char_entropy": _char_entropy_sql(),
+        "rake_keywords": _rake_sql(),
         "scorer_agreement": _TEXT_CTE + f"""
 , rtoks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

@@ -2695,3 +2695,73 @@ def test_scorer_agreement_matches_python_replica(spark):
         r = got[s]
         assert (r["n"], r["sum_d2"], r["rho_e6"]) == (n, sum_d2, rho), s
         assert -1000004 <= r["rho_e6"] <= 1000000
+
+
+def test_rake_keywords_matches_python_replica(spark):
+    """Full RAKE replica — stoplist islands, degree/frequency word
+    scores, occurrence-summed phrase scores, (score DESC, phrase)
+    top-k — plus the structural facts: phrases contain no stopwords,
+    n_words == token count of the phrase, and ranks are 1..k dense per
+    doc."""
+    from collections import Counter, defaultdict
+
+    from rxtls_spark.functions.text import STOPWORDS
+    from rxtls_spark.queries_training import (
+        RAKE_TOPK,
+        _docs,
+        q_rake_keywords,
+    )
+    from tests.conftest import SF_SMOKE
+
+    stop = set(STOPWORDS)
+    expect = {}
+    for r in _docs(spark, SF_SMOKE).select("doc_id", "text").collect():
+        toks = _ws_tokens(r["text"].lower())
+        if not toks:
+            continue
+        phrases, cur = [], []
+        for t in toks:
+            if t in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            continue
+        freq, deg = Counter(), Counter()
+        for ph in phrases:
+            for t in ph:
+                freq[t] += 1
+                deg[t] += len(ph)
+        wscore = {t: deg[t] * 1000 // freq[t] for t in freq}
+        by_phrase = defaultdict(lambda: [0, 0, 0])  # n_words, score, n_occ
+        for ph in phrases:
+            key = " ".join(ph)
+            s = sum(wscore[t] for t in ph)
+            by_phrase[key] = [
+                len(ph), s, by_phrase[key][2] + 1,
+            ]
+        ranked = sorted(
+            by_phrase.items(), key=lambda kv: (-kv[1][1], kv[0])
+        )[:RAKE_TOPK]
+        expect[r["doc_id"]] = [
+            (ph, v[0], v[1], v[2], i + 1) for i, (ph, v) in enumerate(ranked)
+        ]
+
+    rows = q_rake_keywords(spark, SF_SMOKE).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r["doc_id"]].append(
+            (r["phrase"], r["n_words"], r["score_e3"], r["n_occ"], r["rk"])
+        )
+    for d in got:
+        got[d].sort(key=lambda t: t[4])
+    assert dict(got) == expect
+    for d, lst in got.items():
+        for ph, nw, _s, _o, rk in lst:
+            ws = ph.split(" ")
+            assert len(ws) == nw and not (set(ws) & stop), (d, ph)
+        assert [t[4] for t in lst] == list(range(1, len(lst) + 1)), d
