@@ -6163,6 +6163,63 @@ def q_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OOV-curve vocab grid — MIRRORED in the `oov_curve` oracle SQL;
+# change together.  Token rank order is (cnt DESC, tok) — the
+# deterministic vocab-building order every tokenizer op in this repo
+# uses.
+OOV_GRID = (16, 64, 256, 1024, 4096)
+
+
+def q_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing OOV curve — for each candidate vocab size K,
+    the out-of-vocabulary rate a top-K unigram vocab would leave on
+    the corpus: the coverage sweep run BEFORE committing a vocab size
+    (the unigram complement of `tokenizer_fertility`, which evaluates
+    ONE trained BPE vocab).  oov_permille = ((T − cov)·1000) DIV T,
+    exact BIGINTs.
+
+    Scale shape: ONE corpus-scale (token) hash agg; the top-max(K)
+    ranking is TakeOrderedAndProject (bounded driver merge, the
+    corpus_sample plan) and the cumulative sweep runs driver-side over
+    ≤ 4096 metadata rows — never a global rank window over the whole
+    vocab."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    cnt = (
+        docs.select(F.explode(_lm_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total, n_types = cnt.select(
+        F.sum("cnt").cast("long"), F.count(F.lit(1)).cast("long")
+    ).first()
+    top = [
+        r["cnt"]
+        for r in cnt.orderBy(F.col("cnt").desc(), "tok")
+        .limit(max(OOV_GRID))
+        .collect()
+    ]
+    rows = []
+    cum = 0
+    k_iter = iter(sorted(OOV_GRID))
+    k_next = next(k_iter)
+    for i, c in enumerate(top, start=1):
+        cum += c
+        if i == k_next:
+            rows.append((k_next, min(k_next, n_types), cum))
+            k_next = next(k_iter, -1)
+    for k in sorted(OOV_GRID):
+        if k > len(top):
+            rows.append((k, min(k, n_types), cum))
+    out = spark.createDataFrame(
+        [
+            (k, nt, cov, (total - cov) * 1000 // total)
+            for k, nt, cov in rows
+        ],
+        "vocab_k long, n_types long, cov_tokens long, oov_permille long",
+    )
+    return out
+
+
 # RAKE top-k — MIRRORED in the `rake_keywords` oracle SQL; change
 # together.  Word score = (deg·1000) DIV freq (deg = Σ phrase length
 # over the word's phrase occurrences, freq = occurrence count — the
@@ -6306,6 +6363,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "scorer_agreement": q_scorer_agreement,
     "rake_keywords": q_rake_keywords,
+    "oov_curve": q_oov_curve,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -7418,6 +7476,32 @@ def _oracle_sql_training_literal() -> dict[str, str]:
         "blocklist_filter": _blocklist_sql(),
         "char_entropy": _char_entropy_sql(),
         "rake_keywords": _rake_sql(),
+        "oov_curve": f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM cnt
+), grid AS (
+  SELECT CAST(unnest([{', '.join(str(k) for k in OOV_GRID)}]) AS BIGINT) AS vocab_k
+), cov AS (
+  SELECT g.vocab_k, CAST(coalesce(sum(r.cnt), 0) AS BIGINT) AS cov_tokens
+  FROM grid g LEFT JOIN ranked r ON r.rk <= g.vocab_k
+  GROUP BY 1
+)
+SELECT c.vocab_k,
+       CAST(least(c.vocab_k, tot.n_types) AS BIGINT) AS n_types,
+       c.cov_tokens,
+       CAST(((tot.t - c.cov_tokens) * 1000) // tot.t AS BIGINT) AS oov_permille
+FROM cov c, tot
+""",
         "scorer_agreement": _TEXT_CTE + f"""
 , rtoks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

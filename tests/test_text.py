@@ -2765,3 +2765,36 @@ def test_rake_keywords_matches_python_replica(spark):
             ws = ph.split(" ")
             assert len(ws) == nw and not (set(ws) & stop), (d, ph)
         assert [t[4] for t in lst] == list(range(1, len(lst) + 1)), d
+
+
+def test_oov_curve_matches_python_replica(spark):
+    """Replica of the coverage sweep from raw token counts, plus the
+    curve's structural guarantees: oov is non-increasing in K,
+    coverage non-decreasing, and K >= n_types means full coverage."""
+    from collections import Counter
+
+    from rxtls_spark.queries_training import OOV_GRID, _docs, q_oov_curve
+    from tests.conftest import SF_SMOKE
+
+    cnt = Counter()
+    for r in _docs(spark, SF_SMOKE).select("text").collect():
+        cnt.update(_ws_tokens(r["text"].lower()))
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    got = {
+        r["vocab_k"]: r
+        for r in q_oov_curve(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(OOV_GRID)
+    prev_cov, prev_oov = -1, 1001
+    for k in sorted(OOV_GRID):
+        cov = sum(c for _, c in ranked[:k])
+        r = got[k]
+        assert (r["n_types"], r["cov_tokens"], r["oov_permille"]) == (
+            min(k, len(ranked)), cov, (total - cov) * 1000 // total,
+        ), k
+        assert r["cov_tokens"] >= prev_cov and r["oov_permille"] <= prev_oov
+        prev_cov, prev_oov = r["cov_tokens"], r["oov_permille"]
+        if k >= len(ranked):
+            assert r["oov_permille"] == 0
