@@ -5002,6 +5002,54 @@ FROM knn k LEFT JOIN knn m ON k.src = m.nbr AND k.nbr = m.src
     )
 
 
+def _hard_negatives_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
+) -> str:
+    """hard_negatives oracle: the shared unrolled-Lloyd's centroid
+    CTEs (another `_kmeans_cents_ctes` consumer — kmeans constants
+    flow in), identical assignment, in-cell pairs with e5-floored
+    cosine, the per-(anchor, is_pos) top-1 window and the inner
+    pos×neg join."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+lab AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+), asg AS (
+  SELECT a.vec_id, a.emb, a.cell, l.label FROM (
+    SELECT vec_id, emb, cell FROM (
+      SELECT e.vec_id, e.emb, c.cell,
+        row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.emb, c.centroid), c.cell
+        ) AS rn
+      FROM e, cents{iters} c)
+    WHERE rn = 1
+  ) a JOIN lab l USING (vec_id)
+), p AS (
+  SELECT a.vec_id AS anchor, a.label AS lab_a, b.vec_id AS cand,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS is_pos,
+         CAST(floor(list_cosine_similarity(a.emb, b.emb) * 100000)
+              AS BIGINT) AS cos_e5
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+), top1 AS (
+  SELECT anchor, lab_a, cand, is_pos, cos_e5 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY anchor, is_pos ORDER BY cos_e5 DESC, cand) AS rn
+    FROM p)
+  WHERE rn = 1
+)
+SELECT pos.anchor, pos.lab_a AS label,
+       pos.cand AS pos_id, pos.cos_e5 AS pos_cos_e5,
+       neg.cand AS neg_id, neg.cos_e5 AS neg_cos_e5,
+       CAST(pos.cos_e5 - neg.cos_e5 AS BIGINT) AS margin_e5
+FROM top1 pos JOIN top1 neg
+  ON pos.anchor = neg.anchor AND pos.is_pos = 1 AND neg.is_pos = 0
+"""
+    )
+
+
 def _ann_recall_sql(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
@@ -6163,6 +6211,103 @@ def q_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive embedding training — per anchor
+    vector, the most-similar SAME-label neighbor (the positive) and
+    the most-similar DIFFERENT-label neighbor (the hard negative),
+    with the triplet margin — the table a contrastive trainer consumes
+    directly, and the audit that finds label noise (negative margins =
+    an other-label vector closer than any same-label one).
+
+    Candidates come from the shared deterministic kmeans quantizer
+    (`_kmeans_cents_ctes` consumer — kmeans spec constants flow in),
+    exactly the `knn_graph` cell equi-join; ranking is the e5-floored
+    cosine with the (cos_e5 DESC, cand) tie-break, the positive/
+    negative split is a (anchor, is_pos) window, and anchors missing
+    either side (no in-cell same/other-label candidate) drop via the
+    inner join — all mirrored.
+
+    Scale shape: identical to `knn_graph` — metadata-scale training,
+    map-side assignment, ONE cell equi-join, WindowGroupLimit top-1
+    per (anchor, is_pos), then a kNN-output-sized self-join."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    asg = emb.select(
+        "vec_id",
+        "embedding",
+        F.col("label").cast("long").alias("label"),
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias(
+            "cell"
+        ),
+    ).localCheckpoint(eager=False)
+    a = asg.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("lab_a"),
+        "cell",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("lab_b"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("anchor") != F.col("cand"))
+        .select(
+            "anchor",
+            "lab_a",
+            "cand",
+            (F.col("lab_a") == F.col("lab_b")).cast("int").alias("is_pos"),
+            F.floor(cosine_expr("emb_a", "emb_b") * 100000)
+            .cast("long")
+            .alias("cos_e5"),
+        )
+    )
+    w = Window.partitionBy("anchor", "is_pos").orderBy(
+        F.col("cos_e5").desc(), "cand"
+    )
+    top = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    pos = top.where(F.col("is_pos") == 1).select(
+        "anchor",
+        F.col("lab_a").alias("label"),
+        F.col("cand").alias("pos_id"),
+        F.col("cos_e5").alias("pos_cos_e5"),
+    )
+    neg = top.where(F.col("is_pos") == 0).select(
+        "anchor",
+        F.col("cand").alias("neg_id"),
+        F.col("cos_e5").alias("neg_cos_e5"),
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor",
+        "label",
+        "pos_id",
+        "pos_cos_e5",
+        "neg_id",
+        "neg_cos_e5",
+        (F.col("pos_cos_e5") - F.col("neg_cos_e5")).alias("margin_e5"),
+    )
+
+
 # OOV-curve vocab grid — MIRRORED in the `oov_curve` oracle SQL;
 # change together.  Token rank order is (cnt DESC, tok) — the
 # deterministic vocab-building order every tokenizer op in this repo
@@ -6364,6 +6509,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scorer_agreement": q_scorer_agreement,
     "rake_keywords": q_rake_keywords,
     "oov_curve": q_oov_curve,
+    "hard_negatives": q_hard_negatives,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -8174,6 +8320,7 @@ WHERE rn <= 10
         "kmeans": _kmeans_sql(),
         "cluster_purity": _cluster_purity_sql(),
         "knn_graph": _knn_graph_sql(),
+        "hard_negatives": _hard_negatives_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "proto_prune": _proto_prune_sql(),
         "d4_prune": _d4_prune_sql(),

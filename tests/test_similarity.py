@@ -596,3 +596,72 @@ def test_knn_graph_matches_python_replica(spark):
         assert 1 <= r["rank"] <= KNN_K
         assert (r["rank"], r["cos_e5"]) == (rk, c), (vid, nbr)
         assert r["mutual"] == (1 if (nbr, vid) in want else 0), (vid, nbr)
+
+
+def test_hard_negatives_semantics(spark):
+    """Triplet-mining locks: pos shares the anchor's label, neg does
+    not, margin == pos − neg, anchors are unique, and the output
+    agrees with a brute-force in-cell replica built from the SAME
+    trained quantizer (cells recomputed via train/assign, cosine via
+    the proven list ops on driver)."""
+    import math
+
+    from rxtls_spark.functions.hashing import knuth_hash
+    from rxtls_spark.operators.similarity import (
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+    from rxtls_spark.queries_training import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _emb,
+        q_hard_negatives,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    emb = _emb(spark, SF_SMOKE)
+    cents = train_ivf_centroids(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")), round_dp=6,
+    )
+    rows = emb.select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label"),
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias("cell"),
+    ).collect()
+    vecs = {r["vec_id"]: (list(r["embedding"]), r["label"], r["cell"]) for r in rows}
+
+    def cos_e5(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return math.floor(dot / (nu * nv) * 100000)
+
+    by_cell = {}
+    for vid, (e, lab, cell) in vecs.items():
+        by_cell.setdefault(cell, []).append(vid)
+
+    expect = {}
+    for vid, (e, lab, cell) in vecs.items():
+        pos = neg = None
+        for other in by_cell[cell]:
+            if other == vid:
+                continue
+            oe, olab, _ = vecs[other]
+            key = (-cos_e5(e, oe), other)
+            if olab == lab:
+                pos = min(pos, key) if pos else key
+            else:
+                neg = min(neg, key) if neg else key
+        if pos and neg:
+            expect[vid] = (lab, pos[1], -pos[0], neg[1], -neg[0])
+
+    got = {r["anchor"]: r for r in q_hard_negatives(spark, SF_SMOKE).collect()}
+    assert set(got) == set(expect)
+    for a, (lab, pid, pcos, nid, ncos) in expect.items():
+        r = got[a]
+        assert (
+            r["label"], r["pos_id"], r["pos_cos_e5"],
+            r["neg_id"], r["neg_cos_e5"], r["margin_e5"],
+        ) == (lab, pid, pcos, nid, ncos, pcos - ncos), a
+        assert vecs[r["pos_id"]][1] == lab and vecs[r["neg_id"]][1] != lab
