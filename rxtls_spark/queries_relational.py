@@ -650,7 +650,47 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction — the Kafka-compaction / CDC
+    "current state" view of an event log: for every user, the most
+    recent event's attributes (by ts, event_id tie-break) plus the
+    history depth being compacted away.  The struct-max trick does it
+    in ONE hash agg — max over (es, event_id, ...) structs picks the
+    lexicographically-latest record with NO window and NO self-join,
+    the shape that survives 10^12-event logs (a window would sort
+    every user's history; the agg is a map-side-combinable max).
+
+    Exactness: epochs are floor-seconds BIGINTs; value rides the
+    struct as its exact double and is emitted stable-rounded at 2 dp
+    only for display parity with the other event queries."""
+    e = _t(spark, sf_dir, "events")
+    latest = F.max(
+        F.struct(
+            F.unix_timestamp("ts").cast("long").alias("es"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            F.col("value").alias("value"),
+        )
+    ).alias("last")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            latest,
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("last.es").alias("last_es"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+            "n_events",
+        )
+    )
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
     "rel_event_funnel": q_event_funnel,
     "rel_hourly_anomalies": q_hourly_anomalies,
@@ -677,6 +717,23 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_REL: dict[str, str] = {
+    "rel_log_compaction": """
+WITH ranked AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC
+         ) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+  FROM events
+)
+SELECT user_id, es AS last_es, CAST(event_id AS BIGINT) AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value, n_events
+FROM ranked WHERE rn = 1
+""",
     "rel_retention_cohorts": """
 WITH days AS (
   SELECT DISTINCT user_id,

@@ -6211,6 +6211,69 @@ def q_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary — the one-table corpus datasheet (Gebru et
+    al. 2021's 'datasheets for datasets' reduced to its quantitative
+    rows) a release pipeline publishes next to the data: corpus size,
+    source/language breadth, token and character volume, emptiness,
+    exact-duplicate mass, and embedding coverage — every value an
+    exact BIGINT, every metric a named row so downstream tooling reads
+    it as key/value.
+
+    Scale shape: three bounded passes — ONE documents agg (counts +
+    distincts + token sum), ONE duplicate-text agg (the dedup_exact
+    hash-agg shape), ONE embeddings agg — unioned at metadata scale.
+    countDistinct over sources/langs is enum-small; text dups use the
+    md5 groupBy, never a self-join."""
+    docs = _docs(spark, sf_dir)
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(
+            F.when(F.trim("text") == "", 0).otherwise(
+                F.size(F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum((F.trim("text") == "").cast("long"))
+        .cast("long")
+        .alias("n_empty"),
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c") - 1).cast("long").alias("n_exact_dup_docs"),
+            F.sum((F.col("c") > 1).cast("long"))
+            .cast("long")
+            .alias("n_dup_groups"),
+        )
+    )
+    emb = _emb(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+    row = base.crossJoin(dups).crossJoin(emb).first()
+    order = [
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "n_chars",
+        "n_tokens",
+        "n_empty",
+        "n_exact_dup_docs",
+        "n_dup_groups",
+        "n_vectors",
+        "n_labels",
+    ]
+    return spark.createDataFrame(
+        [(m, int(row[m])) for m in order], "metric string, value long"
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triplet mining for contrastive embedding training — per anchor
     vector, the most-similar SAME-label neighbor (the positive) and
@@ -6510,6 +6573,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keywords": q_rake_keywords,
     "oov_curve": q_oov_curve,
     "hard_negatives": q_hard_negatives,
+    "dataset_card": q_dataset_card,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -7622,6 +7686,42 @@ def _oracle_sql_training_literal() -> dict[str, str]:
         "blocklist_filter": _blocklist_sql(),
         "char_entropy": _char_entropy_sql(),
         "rake_keywords": _rake_sql(),
+        "dataset_card": """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'))
+              END) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+  FROM documents
+), dups AS (
+  SELECT CAST(sum(c - 1) AS BIGINT) AS n_exact_dup_docs,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+), emb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+  FROM embeddings
+)
+SELECT m.metric, CASE m.metric
+  WHEN 'n_docs' THEN base.n_docs
+  WHEN 'n_sources' THEN base.n_sources
+  WHEN 'n_langs' THEN base.n_langs
+  WHEN 'n_chars' THEN base.n_chars
+  WHEN 'n_tokens' THEN base.n_tokens
+  WHEN 'n_empty' THEN base.n_empty
+  WHEN 'n_exact_dup_docs' THEN dups.n_exact_dup_docs
+  WHEN 'n_dup_groups' THEN dups.n_dup_groups
+  WHEN 'n_vectors' THEN emb.n_vectors
+  WHEN 'n_labels' THEN emb.n_labels
+  END AS value
+FROM (SELECT unnest(['n_docs','n_sources','n_langs','n_chars','n_tokens',
+                     'n_empty','n_exact_dup_docs','n_dup_groups',
+                     'n_vectors','n_labels']) AS metric) m, base, dups, emb
+""",
         "oov_curve": f"""
 WITH toks AS (
   SELECT regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

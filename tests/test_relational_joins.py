@@ -275,3 +275,34 @@ def test_retention_cohorts_matches_python_replica(spark):
         assert o >= 0
         if o == 0:
             assert r["ret_permille"] == 1000
+
+
+def test_log_compaction_matches_python_replica(spark):
+    """Latest-record-per-key replica: per user the (es, event_id)-max
+    event's attributes and the exact history depth; the struct-max agg
+    must equal the window-rank definition."""
+    from rxtls_spark.queries_relational import q_log_compaction
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    best, depth = {}, {}
+    for r in ev.collect():
+        k = r["user_id"]
+        depth[k] = depth.get(k, 0) + 1
+        key = (r["es"], r["event_id"])
+        if k not in best or key > best[k][0]:
+            best[k] = (key, r["event_type"], r["value"])
+
+    got = {r["user_id"]: r for r in q_log_compaction(spark, SF_SMOKE).collect()}
+    assert set(got) == set(best)
+    for k, ((es, eid), etype, val) in best.items():
+        r = got[k]
+        assert (
+            r["last_es"], r["last_event_id"], r["last_event_type"],
+            r["last_value"], r["n_events"],
+        ) == (es, eid, etype, val, depth[k]), k

