@@ -650,6 +650,46 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-table join-reordering showcase: revenue
+    per nation from lineitems where the customer and the supplier sit
+    in the SAME nation of one region.  The fact-table chain
+    (customer→orders→lineitem→supplier) shuffles on its keys while
+    nation/region ride broadcasts; the c_nationkey = s_nationkey
+    equality is part of the supplier join condition (not a post-hoc
+    filter), so Catalyst prunes supplier rows during the join.  This
+    is the query class where declarative planning pays: the engine
+    (CBO/AQE), not the author, picks the join order at 100 TB.
+
+    Aggregate revenue rounds 2 dp — the aggregate-rounding class
+    (sum-order ulp noise), never per-row."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 def q_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-per-key compaction — the Kafka-compaction / CDC
     "current state" view of an event log: for every user, the most
@@ -692,6 +732,7 @@ def q_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
+    "rel_local_supplier_volume": q_local_supplier_volume,
     "rel_event_funnel": q_event_funnel,
     "rel_hourly_anomalies": q_hourly_anomalies,
     "rel_pricing_summary": q_pricing_summary,
@@ -717,6 +758,19 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_REL: dict[str, str] = {
+    "rel_local_supplier_volume": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
     "rel_log_compaction": """
 WITH ranked AS (
   SELECT user_id,

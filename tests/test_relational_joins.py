@@ -306,3 +306,53 @@ def test_log_compaction_matches_python_replica(spark):
             r["last_es"], r["last_event_id"], r["last_event_type"],
             r["last_value"], r["n_events"],
         ) == (es, eid, etype, val, depth[k]), k
+
+
+def test_local_supplier_volume_replica_and_plan(spark):
+    """Q5-shape replica in Python (same-nation customer/supplier rule)
+    plus the plan locks: nation/region ride broadcasts, no cartesian
+    product, no sort-merge join at this scale."""
+    from collections import defaultdict
+
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_relational import q_local_supplier_volume
+
+    def rows(t):
+        return spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").collect()
+
+    nat = {r["n_nationkey"]: r for r in rows("nation")}
+    asia = {
+        k: v["n_name"]
+        for k, v in nat.items()
+        if next(
+            rg["r_name"]
+            for rg in rows("region")
+            if rg["r_regionkey"] == v["n_regionkey"]
+        )
+        == "ASIA"
+    }
+    cust = {r["c_custkey"]: r["c_nationkey"] for r in rows("customer")}
+    supp = {r["s_suppkey"]: r["s_nationkey"] for r in rows("supplier")}
+    cust_of_order = {r["o_orderkey"]: r["o_custkey"] for r in rows("orders")}
+    agg = defaultdict(lambda: [0.0, 0])
+    for li in rows("lineitem"):
+        ck = cust_of_order.get(li["l_orderkey"])
+        if ck is None:
+            continue
+        cn = cust[ck]
+        sn = supp[li["l_suppkey"]]
+        if cn == sn and cn in asia:
+            a = agg[asia[cn]]
+            a[0] += li["l_extendedprice"] * (1 - li["l_discount"])
+            a[1] += 1
+
+    df = q_local_supplier_volume(spark, SF_SMOKE)
+    got = {r["n_name"]: r for r in df.collect()}
+    assert set(got) == set(agg)
+    for name, (rev, n) in agg.items():
+        assert got[name]["n_lineitems"] == n, name
+        assert abs(got[name]["revenue"] - rev) < 0.02, name
+
+    p = plan_string(df, "simple")
+    assert p.count("BroadcastHashJoin") >= 2, p  # nation + region
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
