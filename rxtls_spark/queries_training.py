@@ -2559,6 +2559,173 @@ FROM l{iters} l JOIN (
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the simple undirected version of the `pagerank` link graph — the
+    fourth classic graph signal a crawl pipeline computes (pagerank =
+    importance, hits = hubs/authorities, label_propagation =
+    communities, this = local density: link-farm rings and
+    boilerplate navigation cliques light up as high-clustering
+    neighborhoods).
+
+    Semantics: directed knuth-hash edges → DISTINCT undirected pairs
+    (a < b, self-loops dropped); degree = simple-graph degree; each
+    triangle is counted ONCE at its minimum-(degree, id) corner via
+    degree orientation, then credited to all three corners.
+    lcc_e5 = (2·n_tri·1e5) DIV (deg·(deg−1)) for deg ≥ 2 else 0 —
+    all-BIGINT, exact cross-engine by construction (the pagerank
+    treatment: no floats anywhere).
+
+    Scale shape: the compact-forward / degree-orientation algorithm —
+    orienting every edge from its lower-(deg, id) endpoint bounds each
+    node's out-neighborhood by O(sqrt(m)) on ANY degree distribution,
+    so the wedge self-join (the only superlinear step) generates
+    Σ d_out(v)² = O(m^1.5) candidates worst-case instead of the
+    Σ deg(v)² a naive neighbor join pays on skewed web graphs; wedges
+    close via one equi-join on the (v1, v2) pair key.  Edges are a
+    pure map, `und`/`orient` are localCheckpoint'd and reused, and
+    every join is a plain hash equi-join on node/pair keys."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    de = ids.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+    und = (
+        de.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient low-(deg, id) → high; a < b already, so the tuple rule
+    # (deg_a, a) <= (deg_b, b) reduces to deg_a <= deg_b — mirrored.
+    low = F.col("deg_a") <= F.col("deg_b")
+    orient = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(low, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wedges = (
+        orient.select("u", F.col("v").alias("v1"))
+        .join(orient.select("u", F.col("v").alias("v2")), "u")
+        .where(F.col("v1") < F.col("v2"))
+    )
+    tri = wedges.join(
+        und,
+        (wedges["v1"] == und["a"]) & (wedges["v2"] == und["b"]),
+    ).select("u", "v1", "v2")
+    ntri = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        ids.join(deg, ids["doc_id"] == deg["node"], "left")
+        .drop("node")
+        .join(ntri, ids["doc_id"] == ntri["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0).cast("long")).alias("degree"),
+            F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"),
+        )
+        .select(
+            "doc_id",
+            "degree",
+            "n_tri",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * n_tri * 100000) DIV (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_e5"),
+        )
+    )
+
+
+def _triangle_count_sql(outdeg: int = PR_OUTDEG) -> str:
+    """triangle_count oracle: the pagerank edge CTEs → distinct
+    undirected pairs → simple degrees → degree orientation (deg_a <=
+    deg_b rule, mirrored) → wedge self-join closed against the pair
+    set → per-corner credit — all BIGINT, exact by construction."""
+    return f"""WITH ids AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), e0 AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, {outdeg - 1})) AS j
+  FROM ids
+), e1 AS (
+  SELECT src,
+         ((((src * {outdeg} + j) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % (SELECT n FROM nn) AS dst
+  FROM e0
+), e2 AS (
+  SELECT src, dst FROM e1 WHERE dst <> src
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e2
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY 1
+), orient AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg <= db.deg THEN u.b ELSE u.a END AS v
+  FROM und u
+  JOIN deg da ON u.a = da.node
+  JOIN deg db ON u.b = db.node
+), tri AS (
+  SELECT o1.u, o1.v AS v1, o2.v AS v2
+  FROM orient o1
+  JOIN orient o2 ON o1.u = o2.u AND o1.v < o2.v
+  JOIN und ON und.a = o1.v AND und.b = o2.v
+), ntri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v1 AS node FROM tri
+    UNION ALL SELECT v2 AS node FROM tri)
+  GROUP BY 1
+)
+SELECT i.doc_id,
+  CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree,
+  CAST(coalesce(ntri.n_tri, 0) AS BIGINT) AS n_tri,
+  CAST(CASE WHEN coalesce(deg.deg, 0) >= 2
+       THEN (2 * coalesce(ntri.n_tri, 0) * 100000)
+            // (deg.deg * (deg.deg - 1))
+       ELSE 0 END AS BIGINT) AS lcc_e5
+FROM ids i
+LEFT JOIN deg ON i.doc_id = deg.node
+LEFT JOIN ntri ON i.doc_id = ntri.node
+"""
+
+
 # PCA power-iteration count / dim — mirrored in the unrolled oracle SQL.
 PCA_ITERS = 3
 PCA_DIM = 64
@@ -5050,6 +5217,63 @@ FROM top1 pos JOIN top1 neg
     )
 
 
+def _knn_components_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = KMEANS_DIM,
+    knn_k: int = KNN_K,
+) -> str:
+    """knn_components oracle: the knn_graph SQL chain (kmeans
+    centroids → in-cell pairs → top-k → mutual flag) feeding the
+    dedup_clusters WITH RECURSIVE min-label closure over the mutual
+    undirected edge set."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{iters} c)
+  WHERE rn = 1
+), p AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         CAST(floor(list_cosine_similarity(a.emb, b.emb) * 100000)
+              AS BIGINT) AS cos_e5
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT src, nbr FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_e5 DESC, nbr) AS rn
+    FROM p)
+  WHERE rn <= {knn_k}
+), mutual AS (
+  SELECT k.src AS a, k.nbr AS b
+  FROM knn k JOIN knn m ON k.src = m.nbr AND k.nbr = m.src
+), edges AS (
+  SELECT a, b FROM mutual UNION SELECT b, a FROM mutual
+), nodes AS (
+  SELECT DISTINCT a AS vec_id FROM edges
+), reach(vec_id, label) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.vec_id
+), cc AS (
+  SELECT vec_id, min(label) AS cluster_root FROM reach GROUP BY 1
+), sized AS (
+  SELECT cluster_root, CAST(count(*) AS BIGINT) AS comp_size
+  FROM cc GROUP BY 1
+)
+SELECT cc.vec_id, cc.cluster_root, s.comp_size
+FROM cc JOIN sized s USING (cluster_root)
+"""
+    )
+
+
 def _ann_recall_sql(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
@@ -6211,6 +6435,40 @@ def q_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding clusters END TO END: connected
+    components over the MUTUAL kNN edges (`knn_graph`'s high-precision
+    subset) — the graph-clustering composition real pipelines run to
+    group near-duplicate content semantically, reusing the proven
+    min-label propagation from `dedup_clusters` on a different edge
+    source.  Output: every vector on a mutual edge with its component
+    root and the component size (isolated vectors — no mutual edge —
+    are by definition singletons and excluded, mirrored).
+
+    Scale shape: the knn stage is the proven `knn_graph` plan; the
+    mutual edge set is N·k-bounded; components run min-label
+    propagation with localCheckpoint lineage cuts (iteration count ~
+    graph diameter, components here are near-cliques)."""
+    from rxtls_spark.operators.cluster import connected_components
+
+    knn = q_knn_graph(spark, sf_dir)
+    mutual = (
+        knn.where(F.col("mutual") == 1)
+        .where(F.col("vec_id") < F.col("nbr_id"))
+        .select(
+            F.col("vec_id").alias("doc_a"), F.col("nbr_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    comp = connected_components(mutual)
+    sized = comp.groupBy("cluster_root").agg(
+        F.count(F.lit(1)).cast("long").alias("comp_size")
+    )
+    return comp.join(sized, "cluster_root").select(
+        F.col("doc_id").alias("vec_id"), "cluster_root", "comp_size"
+    )
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card summary — the one-table corpus datasheet (Gebru et
     al. 2021's 'datasheets for datasets' reduced to its quantitative
@@ -6574,6 +6832,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_curve": q_oov_curve,
     "hard_negatives": q_hard_negatives,
     "dataset_card": q_dataset_card,
+    "knn_components": q_knn_components,
+    "triangle_count": q_triangle_count,
     "source_kl": q_source_kl,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
@@ -8421,6 +8681,8 @@ WHERE rn <= 10
         "cluster_purity": _cluster_purity_sql(),
         "knn_graph": _knn_graph_sql(),
         "hard_negatives": _hard_negatives_sql(),
+        "knn_components": _knn_components_sql(),
+        "triangle_count": _triangle_count_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "proto_prune": _proto_prune_sql(),
         "d4_prune": _d4_prune_sql(),

@@ -291,3 +291,64 @@ def test_label_propagation_matches_exact_integer_replica(spark):
     assert set(lbl.values()) <= idset
     # propagation actually merges communities: fewer labels than nodes
     assert len(sizes) < n
+
+
+def test_triangle_count_matches_exact_replica(spark):
+    """Triangle counts via a brute-force Python enumeration over the
+    SAME generated graph (distinct undirected pairs, a < b): every
+    node's degree, triangle count and all-BIGINT lcc_e5 must match
+    EXACTLY — the degree-orientation trick is an algorithmic
+    optimization, not a semantics change.  Also: no cartesian in the
+    plan, Σ n_tri == 3 · |triangles|, and lcc_e5 ∈ [0, 1e5]."""
+    from itertools import combinations
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import PR_OUTDEG, q_triangle_count
+    from tests.conftest import SF_SMOKE
+
+    df = q_triangle_count(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert set(rows) == set(ids)
+    n = len(ids)
+    und = set()
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                und.add((min(s, d), max(s, d)))
+    adj = {i: set() for i in ids}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    n_tri = dict.fromkeys(ids, 0)
+    total_tri = 0
+    for v in ids:
+        for x, y in combinations(sorted(adj[v]), 2):
+            if (x, y) in und:
+                n_tri[v] += 1
+        total_tri += n_tri[v]
+    assert total_tri % 3 == 0
+    assert total_tri > 0, "smoke graph must contain triangles"
+
+    for i in ids:
+        got = rows[i]
+        deg = len(adj[i])
+        assert got["degree"] == deg, i
+        assert got["n_tri"] == n_tri[i], i
+        want_lcc = (
+            (2 * n_tri[i] * 100000) // (deg * (deg - 1)) if deg >= 2 else 0
+        )
+        assert got["lcc_e5"] == want_lcc, i
+        assert 0 <= got["lcc_e5"] <= 100000
+    assert sum(r["n_tri"] for r in rows.values()) == total_tri

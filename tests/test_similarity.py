@@ -665,3 +665,54 @@ def test_hard_negatives_semantics(spark):
             r["neg_id"], r["neg_cos_e5"], r["margin_e5"],
         ) == (lab, pid, pcos, nid, ncos, pcos - ncos), a
         assert vecs[r["pos_id"]][1] == lab and vecs[r["neg_id"]][1] != lab
+
+
+def test_knn_components_matches_union_find(spark):
+    """Connected components over the MUTUAL kNN edges recomputed with a
+    driver-side union-find built from q_knn_graph's own output (the
+    graph itself is locked by test_knn_graph_matches_python_replica):
+    exact membership, min-id roots, and component sizes.  Also locks
+    the singleton rule — vectors with no mutual edge do not appear."""
+    from rxtls_spark.queries_training import (
+        q_knn_components,
+        q_knn_graph,
+    )
+    from tests.conftest import SF_SMOKE
+
+    edges = [
+        (r["vec_id"], r["nbr_id"])
+        for r in q_knn_graph(spark, SF_SMOKE).collect()
+        if r["mutual"] == 1
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    members = {}
+    for v in parent:
+        members.setdefault(find(v), set()).add(v)
+    # min-label roots: re-key every component by its smallest member
+    want = {}
+    for root, vs in members.items():
+        lo = min(vs)
+        for v in vs:
+            want[v] = (lo, len(vs))
+
+    got = {
+        r["vec_id"]: (r["cluster_root"], r["comp_size"])
+        for r in q_knn_components(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert want, "smoke data must produce at least one mutual edge"
+    for v, (root, size) in got.items():
+        assert root <= v and size >= 2
