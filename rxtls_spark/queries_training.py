@@ -3529,6 +3529,86 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + exact tie-aware AUC building blocks for the trained
+    quality classifier — the threshold-selection audit that pairs with
+    `calibration_bins` (calibration asks "are the probabilities
+    honest?", this asks "how well does the score rank?", which is what
+    a data-filtering threshold actually consumes).  One row per
+    DISTINCT e3-floored predicted probability: the positive/negative
+    count at that score, the cumulative true/false positives at the
+    `p_e3 >= s` operating point, and the doubled trapezoid area slice
+    area2 = n_neg·(2·cum_tp − n_pos); Σ area2 == 2·U (Mann-Whitney
+    with midrank ties — the trapezoid over a tied block IS the
+    midrank correction), so AUC = Σ area2 / (2·n_pos_total·
+    n_neg_total) exactly, and TPR/FPR at every threshold fall out of
+    the cum columns.
+
+    Cross-engine: weights retrain via the shared deterministic GD
+    (`_logreg_train` == the unrolled `_logreg_ctes` chain); p ships as
+    the e3-floored BIGINT (the el2n/calibration discipline — exp()
+    once per row, the floor absorbs engine exp() ulp drift); every
+    output column is a BIGINT count or product — exact, no float
+    aggregate anywhere.  The cumulative window runs over the ≤1001-row
+    DISTINCT-score table (metadata scale — the histogram discipline,
+    never a window over data rows); keys are distinct so the default
+    RANGE frame agrees across engines.  area2's product is exact to
+    ~10^9 positives × negatives per score row; past that the cum
+    counts stay exact and the AUC consumer should use the e-scaled
+    ratio form (the scorer_agreement bounded-product precedent).
+
+    Scale shape: training is the bounded per-iteration agg loop;
+    scoring is a pure map; the curve is ONE ≤1001-row hash agg plus a
+    metadata-scale window."""
+    from pyspark.sql.window import Window
+
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    scored = fx.select(
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.col("y").cast("long").alias("y_l"),
+    )
+    b = scored.groupBy("p_e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_l").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy(F.desc("p_e3"))
+    return (
+        b.select(
+            "p_e3",
+            "n_pos",
+            (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        )
+        .select(
+            "p_e3",
+            "n_pos",
+            "n_neg",
+            F.sum("n_pos").over(w).cast("long").alias("cum_tp"),
+            F.sum("n_neg").over(w).cast("long").alias("cum_fp"),
+        )
+        .select(
+            "p_e3",
+            "n_pos",
+            "n_neg",
+            "cum_tp",
+            "cum_fp",
+            (
+                F.col("n_neg")
+                * (F.lit(2) * F.col("cum_tp") - F.col("n_pos"))
+            )
+            .cast("long")
+            .alias("area2"),
+        )
+    )
+
+
 def _logreg_ctes(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> list[str]:
     """The unrolled-GD CTE chain (fx, w0 .. w{iters}) shared by the
     `logreg_quality` and `logreg_infer` oracles — mirrors
@@ -3657,6 +3737,40 @@ SELECT CAST(least(p_e3 // 100, {bins - 1}) AS BIGINT) AS bin,
        CAST(sum(p_e3) AS BIGINT) AS sum_p_e3,
        CAST(sum(err_e3) AS BIGINT) AS sum_err_e3
 FROM calib GROUP BY 1
+"""
+    )
+
+
+def _roc_auc_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """ROC/AUC oracle: the shared GD CTE chain to the final weights,
+    e3-floored BIGINT p per doc, then the distinct-score curve with
+    cumulative TP/FP (ORDER BY p_e3 DESC — keys distinct, default
+    RANGE frame agrees cross-engine) and the doubled trapezoid slice
+    n_neg·(2·cum_tp − n_pos) — all BIGINT."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(y AS BIGINT) AS y_l
+  FROM fx, w{iters} w
+), b AS (
+  SELECT p_e3, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y_l) AS BIGINT) AS n_pos
+  FROM sc GROUP BY 1
+), c AS (
+  SELECT p_e3, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+         CAST(sum(n_pos) OVER (ORDER BY p_e3 DESC) AS BIGINT) AS cum_tp,
+         CAST(sum(n - n_pos) OVER (ORDER BY p_e3 DESC) AS BIGINT) AS cum_fp
+  FROM b
+)
+SELECT p_e3, n_pos, n_neg, cum_tp, cum_fp,
+       CAST(n_neg * (2 * cum_tp - n_pos) AS BIGINT) AS area2
+FROM c
 """
     )
 
@@ -6902,6 +7016,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logreg_infer": q_logreg_infer,
     "el2n_prune": q_el2n_prune,
     "calibration_bins": q_calibration_bins,
+    "roc_auc": q_roc_auc,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -8707,6 +8822,7 @@ WHERE rn <= 10
         "logreg_infer": _logreg_infer_sql(),
         "el2n_prune": _el2n_sql(),
         "calibration_bins": _calibration_sql(),
+        "roc_auc": _roc_auc_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

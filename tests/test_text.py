@@ -2830,3 +2830,65 @@ def test_dataset_card_matches_python_replica(spark):
     assert got == want
     assert got["n_exact_dup_docs"] >= got["n_dup_groups"] * 0
     assert got["n_docs"] > 0 and got["n_tokens"] > 0
+
+
+def test_roc_auc_matches_pairwise_mann_whitney(spark):
+    """Σ area2 over the curve must equal the brute-force doubled
+    Mann-Whitney statistic 2·#(p_pos > p_neg) + #(p_pos == p_neg)
+    computed over ALL pos×neg pairs in Python (math.exp over the
+    trained weights and the engine-computed features — the e3 floor
+    absorbs exp ulp).  Also locks: per-score counts, cumulative
+    monotonicity, the terminal cum_tp/cum_fp == corpus totals, and
+    every area2 slice == n_neg·(2·cum_tp − n_pos)."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        _logreg_train,
+        logreg_features,
+        q_roc_auc,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = [(r["x1"], r["x2"], r["x3"], r["y"]) for r in fx.collect()]
+    _, wv = _logreg_train(fx)
+    scores = []
+    for x1, x2, x3, y in feats:
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p = 1.0 / (1.0 + math.exp(-m))
+        scores.append((math.floor(p * 1000 + 0.5), int(y)))
+    pos = sorted(s for s, y in scores if y == 1)
+    neg = sorted(s for s, y in scores if y == 0)
+    assert pos and neg, "smoke corpus must have both classes"
+    u2 = sum(
+        2 * sum(1 for sn in neg if sp > sn)
+        + sum(1 for sn in neg if sp == sn)
+        for sp in pos
+    )
+
+    rows = sorted(
+        q_roc_auc(spark, SF_SMOKE).collect(),
+        key=lambda r: -r["p_e3"],
+    )
+    # per-score counts match the replica's histogram
+    from collections import Counter
+
+    want_pos = Counter(s for s, y in scores if y == 1)
+    want_neg = Counter(s for s, y in scores if y == 0)
+    assert {r["p_e3"] for r in rows} == set(want_pos) | set(want_neg)
+    tp = fp = 0
+    total_area2 = 0
+    for r in rows:
+        assert r["n_pos"] == want_pos.get(r["p_e3"], 0)
+        assert r["n_neg"] == want_neg.get(r["p_e3"], 0)
+        tp += r["n_pos"]
+        fp += r["n_neg"]
+        assert (r["cum_tp"], r["cum_fp"]) == (tp, fp), r["p_e3"]
+        assert r["area2"] == r["n_neg"] * (2 * r["cum_tp"] - r["n_pos"])
+        total_area2 += r["area2"]
+    assert (tp, fp) == (len(pos), len(neg))
+    assert total_area2 == u2
+    # AUC sanity: the trained classifier must rank better than chance
+    assert total_area2 > len(pos) * len(neg)
