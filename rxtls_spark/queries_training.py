@@ -39,6 +39,7 @@ from rxtls_spark.operators.multimodal import (
     sample_frames,
 )
 from rxtls_spark.operators.similarity import (
+    _cosine_cols,
     ann_lsh_topk,
     brute_force_topk,
     embedding_stats,
@@ -1109,6 +1110,95 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(
                 Window.orderBy(F.col("bm25_e3").desc(), "doc_id")
             )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+# RRF constants — MIRRORED in `_rrf_fusion_sql`; change together.
+# The doc_id == vec_id row correspondence between documents and
+# embeddings is part of the spec (first query to consume it).
+RRF_K = 60
+RRF_TOPK = 20
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009) — the standard way a RAG/search pipeline combines the sparse
+    and dense rankers this repo already ships: the lexical list is
+    `bm25_topk`'s top-``BM25_TOPK``; the dense list is a
+    pseudo-relevance-feedback expansion — cosine top-``RRF_TOPK`` to
+    the EMBEDDING OF THE TOP-1 BM25 HIT (deterministic, so the whole
+    hybrid query is oracle-mirrorable); fused score per doc over the
+    union: rrf_e6 = Σ_lists 1e6 DIV (RRF_K + rank), absent list → 0.
+
+    Cross-engine exactness: the lexical ranks are the proven
+    `bm25_topk` output; dense ranks order by the e5-floored cosine
+    (`_cosine_cols` index-order fold ↔ DuckDB list_cosine_similarity
+    ::DOUBLE[], the knn_graph discipline) with (cos_e5 DESC, doc_id)
+    tie-break; 1e6 DIV (K + r) truncates identically on both engines
+    (Spark DIV == DuckDB // toward zero on positives); doc_id ==
+    vec_id is the documents↔embeddings correspondence.
+
+    Scale shape: both input lists are top-k bounded (the lexical side
+    is the bm25 pure-row-fold + TakeOrderedAndProject; the dense side
+    is ONE literal-query pure map + TakeOrderedAndProject — the
+    single-query brute-force shape, no join against the corpus); the
+    fusion itself is a ≤2k-row full outer join + top-k — metadata
+    scale end to end past the two scans."""
+    from pyspark.sql.window import Window
+
+    lex = q_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    qid = lex.where(F.col("r_lex") == 1).collect()[0]["doc_id"]
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    cos_e5 = F.floor(
+        _cosine_cols(F.col("embedding"), qlit) * F.lit(100000.0)
+    ).cast("long")
+    dense = (
+        emb.select(F.col("vec_id").alias("doc_id"), cos_e5.alias("cos_e5"))
+        .orderBy(F.col("cos_e5").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_e5").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("r_dense"),
+        )
+    )
+    u = lex.join(dense, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("r_lex", F.lit(0)).cast("long").alias("r_lex"),
+        F.coalesce("r_dense", F.lit(0)).cast("long").alias("r_dense"),
+    )
+    rrf = (
+        F.when(
+            F.col("r_lex") > 0,
+            F.expr(f"1000000 DIV ({RRF_K} + r_lex)"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("r_dense") > 0,
+            F.expr(f"1000000 DIV ({RRF_K} + r_dense)"),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        u.select(
+            "doc_id", "r_lex", "r_dense", rrf.cast("long").alias("rrf_e6")
+        )
+        .orderBy(F.col("rrf_e6").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_dense",
+            "rrf_e6",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_e6").desc(), F.col("doc_id")))
             .cast("long")
             .alias("rank"),
         )
@@ -6972,6 +7062,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "dsir_topfrac": q_dsir_topfrac,
     "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
     "tfidf_topterms": q_tfidf_topterms,
     "bigram_lm_score": q_bigram_lm_score,
     "doremi_weights": q_doremi_weights,
@@ -7210,6 +7301,50 @@ SELECT doc_id, bm25_e3,
          AS rank
 FROM ranked
 ORDER BY bm25_e3 DESC, doc_id
+LIMIT {topk}
+"""
+
+
+def _rrf_fusion_sql(k: int = RRF_K, topk: int = RRF_TOPK) -> str:
+    """RRF oracle: the full `_bm25_sql` ranking as a subquery CTE
+    (lexical list), the dense list as cosine-to-the-top-1-hit's
+    embedding (list_cosine_similarity ::DOUBLE[] e5-floored — the
+    knn_graph discipline, doc_id == vec_id), then the union fused by
+    1e6 // (K + rank) with absent-list 0 — all-BIGINT fusion."""
+    return f"""WITH lex AS (
+  SELECT doc_id, rank AS r_lex FROM ({_bm25_sql()})
+), q AS (
+  SELECT embedding AS qe FROM embeddings
+  WHERE vec_id = (SELECT doc_id FROM lex WHERE r_lex = 1)
+), dense AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_e5 DESC, doc_id) AS BIGINT)
+           AS r_dense
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           CAST(floor(list_cosine_similarity(
+                 e.embedding::DOUBLE[], q.qe::DOUBLE[]) * 100000)
+                AS BIGINT) AS cos_e5
+    FROM embeddings e, q)
+  ORDER BY cos_e5 DESC, doc_id
+  LIMIT {topk}
+), u AS (
+  SELECT doc_id,
+         CAST(coalesce(l.r_lex, 0) AS BIGINT) AS r_lex,
+         CAST(coalesce(d.r_dense, 0) AS BIGINT) AS r_dense
+  FROM lex l FULL JOIN dense d USING (doc_id)
+), scored AS (
+  SELECT doc_id, r_lex, r_dense,
+         CAST(CASE WHEN r_lex > 0 THEN 1000000 // ({k} + r_lex) ELSE 0 END
+            + CASE WHEN r_dense > 0 THEN 1000000 // ({k} + r_dense) ELSE 0 END
+            AS BIGINT) AS rrf_e6
+  FROM u
+)
+SELECT doc_id, r_lex, r_dense, rrf_e6,
+       CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY rrf_e6 DESC, doc_id
 LIMIT {topk}
 """
 
@@ -8677,6 +8812,7 @@ FROM ranked
 WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
 """,
         "bm25_topk": _bm25_sql(),
+        "rrf_fusion": _rrf_fusion_sql(),
         "tfidf_topterms": _tfidf_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
         "doremi_weights": _doremi_sql(),

@@ -716,3 +716,77 @@ def test_knn_components_matches_union_find(spark):
     assert want, "smoke data must produce at least one mutual edge"
     for v, (root, size) in got.items():
         assert root <= v and size >= 2
+
+
+def test_rrf_fusion_matches_python_replica(spark):
+    """Fused ranking recomputed in Python from q_bm25_topk's own
+    output (already oracle-proven) plus an exact-fold cosine dense
+    ranking to the top-1 hit's embedding: doc set, component ranks,
+    1e6 // (K + r) scores and fused ranks all exact.  Also locks:
+    ranks are 1..RRF_TOPK unique, absent-list ranks are 0, and the
+    dense seed really is the lexical top-1."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        RRF_K,
+        RRF_TOPK,
+        _emb,
+        q_bm25_topk,
+        q_rrf_fusion,
+    )
+    from tests.conftest import SF_SMOKE
+
+    lex = {
+        r["doc_id"]: r["rank"]
+        for r in q_bm25_topk(spark, SF_SMOKE).collect()
+    }
+    qid = next(d for d, rk in lex.items() if rk == 1)
+    embs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in _emb(spark, SF_SMOKE).collect()
+    }
+    qe = embs[qid]
+
+    def cos_e5(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        c = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        return math.floor(c * 100000)
+
+    dense_sorted = sorted(
+        ((-cos_e5(e, qe), v) for v, e in embs.items())
+    )[:RRF_TOPK]
+    dense = {v: rk for rk, (_, v) in enumerate(dense_sorted, start=1)}
+
+    fused = {}
+    for d in set(lex) | set(dense):
+        s = 0
+        if d in lex:
+            s += 1000000 // (RRF_K + lex[d])
+        if d in dense:
+            s += 1000000 // (RRF_K + dense[d])
+        fused[d] = s
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+    want = {
+        d: (lex.get(d, 0), dense.get(d, 0), s, rk)
+        for rk, (d, s) in enumerate(order, start=1)
+    }
+
+    got = {r["doc_id"]: r for r in q_rrf_fusion(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for d, (rl, rd, s, rk) in want.items():
+        r = got[d]
+        assert (r["r_lex"], r["r_dense"], r["rrf_e6"], r["rank"]) == (
+            rl,
+            rd,
+            s,
+            rk,
+        ), d
+    assert sorted(r["rank"] for r in got.values()) == list(
+        range(1, RRF_TOPK + 1)
+    )
+    assert got[qid]["r_lex"] == 1 and got[qid]["r_dense"] == 1
