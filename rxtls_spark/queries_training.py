@@ -5001,6 +5001,125 @@ def q_ann_recall_eval(
     )
 
 
+def _ndcg_weights(topk: int = ANN_EVAL_K) -> list[int]:
+    """Integer DCG rank-discount weights w_r = floor(1e6 / log2(r+1)),
+    computed ONCE in Python and spliced as literals into BOTH engines
+    (the bm25 idf-literal precedent taken further: no cross-engine
+    log() at all — the whole NDCG chain is BIGINT)."""
+    import math
+
+    return [math.floor(1e6 / math.log2(r + 1)) for r in range(1, topk + 1)]
+
+
+def q_ndcg_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = ANN_EVAL_NPROBE,
+    topk: int = ANN_EVAL_K,
+) -> DataFrame:
+    """NDCG@k of the IVF index — the GRADED companion to
+    `ann_recall_eval` (recall asks "did the right ids come back?";
+    NDCG asks "did the most similar ones come back FIRST?", which is
+    what a retrieval consumer actually experiences).  Per query: the
+    probed list's discounted cumulative gain over the exact
+    brute-force ideal, gain = the neighbor's true e5-floored cosine
+    clamped at 0 (the mmr greatest(0,·) precedent — negative cosines
+    must not reward ranking).
+
+    Cross-engine exactness: rank discounts are the INTEGER literals
+    ``_ndcg_weights`` (floor(1e6/log2(r+1)) — computed once in
+    Python, spliced into both engines, so no engine log anywhere);
+    dcg_num = Σ gain·w_r ≤ k·1e11 and ndcg_e6 = (dcg_num·1e6) DIV
+    idcg_num stay exact BIGINTs (products < 2^63 at any corpus size —
+    per-query lists are k-bounded); candidate ranking is the
+    recall-eval (sim_e5 DESC, neighbor_id) discipline.
+
+    Scale shape: identical to `ann_recall_eval` — literal centroids,
+    per-row JVM argmin assignment, broadcast probe equi-join, exact
+    anchor over the 1% query sample only; the NDCG fold adds one
+    k-row-per-query agg on each side."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_expr,
+        ivf_probe_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    qs = query_set(emb)
+    emb_cells = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias("cell"),
+    )
+    q_cells = qs.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            ivf_probe_expr(cents, F.col("q_emb"), n_probe, metric="l2")
+        ).alias("cell"),
+    )
+    sim_e5 = F.floor(cosine_expr("embedding", "q_emb") * 100000).cast("long")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_e5").desc(), F.col("neighbor_id").asc()
+    )
+    warr = F.array(*[F.lit(x) for x in _ndcg_weights(topk)])
+    contrib = (
+        F.greatest(F.col("sim_e5"), F.lit(0))
+        * F.element_at(warr, F.col("rn").cast("int"))
+    ).cast("long")
+    approx = (
+        emb_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), sim_e5.alias("sim_e5")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+    )
+    dcg = approx.select("q_id", contrib.alias("c")).groupBy("q_id").agg(
+        F.sum("c").cast("long").alias("dcg_num")
+    )
+    exact = brute_force_topk(emb, qs, k=topk).select(
+        "q_id", "sim_e5", F.col("rank").alias("rn")
+    )
+    idcg = exact.select("q_id", contrib.alias("c")).groupBy("q_id").agg(
+        F.sum("c").cast("long").alias("idcg_num")
+    )
+    return (
+        qs.select("q_id")
+        .join(dcg, "q_id", "left")
+        .join(idcg, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("dcg_num", F.lit(0).cast("long")).alias("dcg_num"),
+            F.coalesce("idcg_num", F.lit(0).cast("long")).alias("idcg_num"),
+        )
+        .select(
+            "q_id",
+            "dcg_num",
+            "idcg_num",
+            F.when(
+                F.col("idcg_num") > 0,
+                F.expr("(dcg_num * 1000000) DIV idcg_num"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ndcg_e6"),
+        )
+    )
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means as a first-class operator — and the TRAINING LOOP
     itself is value-hash-checked: deterministic Lloyd's (Knuth-hash
@@ -5541,6 +5660,87 @@ asg AS (
 SELECT q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
        CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {float(topk)} AS recall
 FROM q LEFT JOIN hit h ON q.q_id = h.q_id
+"""
+    )
+
+
+def _ndcg_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = KMEANS_DIM,
+    topk: int = ANN_EVAL_K,
+    n_probe: int = ANN_EVAL_NPROBE,
+) -> str:
+    """NDCG@k oracle: the recall-eval CTEs carrying (rn, sim_e5) on
+    both the probed and exact lists, then Σ greatest(sim_e5,0)·w[rn]
+    with the SAME integer `_ndcg_weights` literals (1-based DuckDB
+    list indexing) and the BIGINT (dcg·1e6) DIV idcg ratio."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    wlist = "[" + ", ".join(str(x) for x in _ndcg_weights(topk)) + "]"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{iters} c)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0
+), probe AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT q.q_id, q.q_emb, c.cell,
+      row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY list_distance(q.q_emb, c.centroid), c.cell
+      ) AS rn
+    FROM q, cents{iters} c)
+  WHERE rn <= {n_probe}
+), approx AS (
+  SELECT q_id, sim_e5, rn FROM (
+    SELECT q_id, neighbor_id, sim_e5,
+      row_number() OVER (PARTITION BY q_id
+                         ORDER BY sim_e5 DESC, neighbor_id) AS rn
+    FROM (
+      SELECT p.q_id, a.vec_id AS neighbor_id,
+        CAST(floor(list_cosine_similarity(a.emb, p.q_emb) * 100000)
+             AS BIGINT) AS sim_e5
+      FROM probe p JOIN asg a ON p.cell = a.cell
+      WHERE a.vec_id <> p.q_id))
+  WHERE rn <= {topk}
+), exact AS (
+  SELECT q_id, sim_e5, rn FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+      CAST(floor(list_cosine_similarity(e.emb, q.q_emb) * 100000)
+           AS BIGINT) AS sim_e5,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY CAST(floor(list_cosine_similarity(e.emb, q.q_emb) * 100000)
+                      AS BIGINT) DESC, e.vec_id) AS rn
+    FROM e, q WHERE e.vec_id <> q.q_id)
+  WHERE rn <= {topk}
+), dcg AS (
+  SELECT q_id,
+         CAST(sum(greatest(sim_e5, 0) * ({wlist}[rn])) AS BIGINT)
+           AS dcg_num
+  FROM approx GROUP BY 1
+), idcg AS (
+  SELECT q_id,
+         CAST(sum(greatest(sim_e5, 0) * ({wlist}[rn])) AS BIGINT)
+           AS idcg_num
+  FROM exact GROUP BY 1
+)
+SELECT q.q_id,
+  CAST(coalesce(d.dcg_num, 0) AS BIGINT) AS dcg_num,
+  CAST(coalesce(i.idcg_num, 0) AS BIGINT) AS idcg_num,
+  CAST(CASE WHEN coalesce(i.idcg_num, 0) > 0
+       THEN (coalesce(d.dcg_num, 0) * 1000000) // i.idcg_num
+       ELSE 0 END AS BIGINT) AS ndcg_e6
+FROM q
+LEFT JOIN dcg d ON q.q_id = d.q_id
+LEFT JOIN idcg i ON q.q_id = i.q_id
 """
     )
 
@@ -7113,6 +7313,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "ann_brute_force": q_ann_brute_force,
     "ann_recall_eval": q_ann_recall_eval,
+    "ndcg_eval": q_ndcg_eval,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
@@ -8913,6 +9114,7 @@ SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))
 FROM docs GROUP BY 1 HAVING count(*) > 1
 """,
         "ann_recall_eval": _ann_recall_sql(),
+        "ndcg_eval": _ndcg_sql(),
         "ann_brute_force": """
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0

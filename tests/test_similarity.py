@@ -790,3 +790,53 @@ def test_rrf_fusion_matches_python_replica(spark):
         range(1, RRF_TOPK + 1)
     )
     assert got[qid]["r_lex"] == 1 and got[qid]["r_dense"] == 1
+
+
+def test_ndcg_eval_bounds_and_full_probe_is_perfect(spark):
+    """Structural NDCG locks: (1) idcg_num recomputed in Python from
+    brute_force_topk's own (rank, sim_e5) output with the shared
+    integer weights — exact; (2) dcg_num <= idcg_num and ndcg_e6 in
+    [0, 1e6] (rearrangement bound: the ideal list maximizes the
+    discounted sum); (3) probing ALL cells makes the candidate list
+    the exact list, so every query scores ndcg_e6 == 1e6 — the
+    recall-eval full-probe proof, graded."""
+    from rxtls_spark.operators.similarity import brute_force_topk
+    from rxtls_spark.queries_training import (
+        ANN_EVAL_K,
+        KMEANS_K,
+        _emb,
+        _ndcg_weights,
+        q_ndcg_eval,
+    )
+    from rxtls_spark.operators.similarity import query_set
+    from tests.conftest import SF_SMOKE
+
+    wts = _ndcg_weights(ANN_EVAL_K)
+    assert wts[0] == 1_000_000 and all(
+        a > b for a, b in zip(wts, wts[1:])
+    )
+
+    emb = _emb(spark, SF_SMOKE)
+    ideal = {}
+    for r in brute_force_topk(emb, query_set(emb), k=ANN_EVAL_K).collect():
+        ideal.setdefault(r["q_id"], 0)
+        ideal[r["q_id"]] += max(r["sim_e5"], 0) * wts[r["rank"] - 1]
+
+    got = {r["q_id"]: r for r in q_ndcg_eval(spark, SF_SMOKE).collect()}
+    assert set(got) >= set(ideal) and got
+    for q, r in got.items():
+        assert r["idcg_num"] == ideal.get(q, 0), q
+        assert 0 <= r["dcg_num"] <= r["idcg_num"], q
+        assert 0 <= r["ndcg_e6"] <= 1_000_000
+        if r["idcg_num"] > 0:
+            assert (
+                r["ndcg_e6"]
+                == (r["dcg_num"] * 1_000_000) // r["idcg_num"]
+            )
+
+    full = q_ndcg_eval(spark, SF_SMOKE, n_probe=KMEANS_K).collect()
+    assert full
+    for r in full:
+        assert r["dcg_num"] == r["idcg_num"]
+        if r["idcg_num"] > 0:
+            assert r["ndcg_e6"] == 1_000_000
