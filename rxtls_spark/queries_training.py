@@ -3118,6 +3118,93 @@ def q_lm_eval_holdout(
     )
 
 
+# Data-scaling-curve constants — MIRRORED in `_data_scaling_sql`;
+# change together.  Nested train subsets are sel-permille < thr with
+# sel = knuth_hash(doc_id + SCALE_SALT) % 1000, so selection is
+# independent of the holdout split permille and 25% ⊂ 50% ⊂ 100%.
+SCALE_FRACS = (250, 500, 1000)
+SCALE_SALT = 13
+
+
+def q_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-scaling probe (the datablations-/Hoffmann-style
+    question applied to curation: WHICH source still improves when you
+    give the model more data?): train the bigram reference LM on
+    nested 25% / 50% / 100% subsets of the train split, score the
+    SAME held-out eval docs each time, and emit the per-(source,
+    fraction) held-out loss curve.  A source whose held-out logprob
+    keeps climbing from 25%→100% earns more budget in the mixture
+    (`temperature_mix` / `doremi_weights` consume exactly this kind of
+    evidence); a flat curve says the source is saturated.
+
+    Cross-engine: subsets by the exact integer sel-permille rule (a
+    SALTED knuth hash so selection ⊥ the holdout split); each vocab is
+    the `_bigram_vocab` contract on its subset; per-doc scores ship as
+    the e3-floored BIGINT avg logprob (the ccnet/doremi e3-LM-floor
+    discipline — division before floor absorbs fold-vs-group-sum
+    order noise) and every per-source output is a BIGINT count or sum.
+
+    Scale shape: per fraction, TWO bounded vocab hash aggs (literal
+    map back) + one pure-map scoring pass over the eval split only
+    (2% of the corpus) ending in a ≤|sources|-row agg — the
+    lm_eval_holdout plan, three times; output is |sources|×3 rows."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    pm = knuth_hash(F.col("doc_id")) % 1000
+    sel = knuth_hash(F.col("doc_id") + SCALE_SALT) % 1000
+    train = docs.where(pm < HOLDOUT_VAL_FROM)
+    eval_docs = docs.where(pm >= HOLDOUT_VAL_FROM).where(
+        F.trim("text") != ""
+    )
+    bi = _bigrams()
+    parts = []
+    for thr in SCALE_FRACS:
+        vocab = _bigram_vocab(train.where(sel < thr), BIGRAM_VOCAB_K)
+        lp_map = F.create_map(
+            *[F.lit(x) for kv in vocab.items() for x in kv]
+        )
+        lp = F.transform(bi, lambda b: lp_map[b])
+        in_vocab = F.filter(lp, lambda x: x.isNotNull())
+        n_in = F.size(in_vocab)
+        avg_lp = F.aggregate(
+            in_vocab, F.lit(0.0), lambda a, x: a + x
+        ) / n_in.cast("double")
+        lp_e3 = F.floor(avg_lp * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        per_doc = eval_docs.select(
+            "source",
+            F.size(bi).cast("long").alias("n_bg"),
+            n_in.cast("long").alias("n_in"),
+            F.when(n_in > 0, lp_e3).alias("lp_e3"),
+        )
+        parts.append(
+            per_doc.groupBy("source").agg(
+                F.lit(thr).cast("long").alias("frac_permille"),
+                F.count(F.lit(1)).cast("long").alias("n_eval"),
+                F.sum((F.col("n_in") > 0).cast("long"))
+                .cast("long")
+                .alias("n_scored"),
+                F.coalesce(F.sum("lp_e3"), F.lit(0))
+                .cast("long")
+                .alias("sum_lp_e3"),
+                F.sum(F.col("n_bg") - F.col("n_in"))
+                .cast("long")
+                .alias("sum_oov"),
+                F.sum("n_bg").cast("long").alias("sum_bigrams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "source",
+        "frac_permille",
+        "n_eval",
+        "n_scored",
+        "sum_lp_e3",
+        "sum_oov",
+        "sum_bigrams",
+    )
+
+
 # --- token-budget / epoch planner -----------------------------------------------
 
 # UniMax-style planner constants — MIRRORED in `_token_budget_sql`;
@@ -7303,6 +7390,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_sample": q_unimax_sample,
     "holdout_split": q_holdout_split,
     "lm_eval_holdout": q_lm_eval_holdout,
+    "data_scaling_curve": q_data_scaling_curve,
     "logreg_quality": q_logreg_quality,
     "logreg_infer": q_logreg_infer,
     "el2n_prune": q_el2n_prune,
@@ -7712,6 +7800,66 @@ SELECT t.doc_id, t.split,
   END AS avg_logprob
 FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
 """
+
+
+def _data_scaling_sql(vocab_k: int = BIGRAM_VOCAB_K) -> str:
+    """data_scaling_curve oracle: the lm_eval_holdout CTE shape with
+    the salted sel-permille attached, one (c2, c1, v, sc, agg) CTE
+    group per nested fraction, UNION ALL of the per-source BIGINT
+    rows.  toks/bg are AS MATERIALIZED (the doremi precedent — three
+    vocab builds reuse them)."""
+    kh = f"((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"
+    khs = f"(((doc_id + {SCALE_SALT}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"
+    head = f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t,
+         ({kh}) % 1000 AS pm,
+         ({khs}) % 1000 AS sel
+  FROM documents WHERE trim(text) <> ''
+), bg AS MATERIALIZED (
+  SELECT doc_id, pm, sel, unnest(g2) AS bg FROM (
+    SELECT doc_id, pm, sel,
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1]) AS g2
+    FROM toks)
+)"""
+    for thr in SCALE_FRACS:
+        head += f""",
+c2_{thr} AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg
+  WHERE pm < {HOLDOUT_VAL_FROM} AND sel < {thr}
+  GROUP BY 1 ORDER BY cnt DESC, bg LIMIT {vocab_k}
+), c1_{thr} AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks
+        WHERE pm < {HOLDOUT_VAL_FROM} AND sel < {thr})
+  GROUP BY 1
+), v_{thr} AS (
+  SELECT c2.bg, ln(c2.cnt / CAST(c1.cnt AS DOUBLE)) AS lp
+  FROM c2_{thr} c2 JOIN c1_{thr} c1
+    ON split_part(c2.bg, ' ', 1) = c1.tok
+), sc_{thr} AS (
+  SELECT bg.doc_id, count(*) AS n_bg, count(v.lp) AS n_in, sum(v.lp) AS s
+  FROM bg LEFT JOIN v_{thr} v USING (bg)
+  WHERE bg.pm >= {HOLDOUT_VAL_FROM} GROUP BY 1
+), agg_{thr} AS (
+  SELECT t.source, CAST({thr} AS BIGINT) AS frac_permille,
+    CAST(count(*) AS BIGINT) AS n_eval,
+    CAST(count(CASE WHEN s.n_in > 0 THEN 1 END) AS BIGINT) AS n_scored,
+    CAST(coalesce(sum(CASE WHEN s.n_in > 0
+         THEN CAST(floor(s.s / s.n_in * 1000.0 + 0.5) AS BIGINT) END), 0)
+         AS BIGINT) AS sum_lp_e3,
+    CAST(sum(coalesce(s.n_bg, 0) - coalesce(s.n_in, 0)) AS BIGINT)
+      AS sum_oov,
+    CAST(sum(coalesce(s.n_bg, 0)) AS BIGINT) AS sum_bigrams
+  FROM toks t LEFT JOIN sc_{thr} s USING (doc_id)
+  WHERE t.pm >= {HOLDOUT_VAL_FROM}
+  GROUP BY 1
+)"""
+    sel_sql = "\nUNION ALL\n".join(
+        f"SELECT * FROM agg_{thr}" for thr in SCALE_FRACS
+    )
+    return head + "\n" + sel_sql
 
 
 def _doremi_sql(vocab_k: int = 30) -> str:
@@ -9156,6 +9304,7 @@ WHERE rn <= 10
         "unimax_sample": _unimax_sample_sql(),
         "holdout_split": _holdout_split_sql(),
         "lm_eval_holdout": _lm_eval_holdout_sql(),
+        "data_scaling_curve": _data_scaling_sql(),
         "logreg_quality": _logreg_sql(),
         "logreg_infer": _logreg_infer_sql(),
         "el2n_prune": _el2n_sql(),

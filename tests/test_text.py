@@ -2892,3 +2892,63 @@ def test_roc_auc_matches_pairwise_mann_whitney(spark):
     assert total_area2 == u2
     # AUC sanity: the trained classifier must rank better than chance
     assert total_area2 > len(pos) * len(neg)
+
+
+def test_data_scaling_curve_full_fraction_equals_holdout_rollup(spark):
+    """The frac=1000 rows must equal a per-source rollup of
+    q_lm_eval_holdout's own val+test output (same train set, same
+    vocab, same eval docs — the full fraction IS the holdout eval),
+    and the eval-set columns (n_eval, sum_bigrams) must be IDENTICAL
+    across all three fractions per source — the 'same eval docs, more
+    training data' contract that makes the curve readable."""
+    from collections import defaultdict
+
+    from rxtls_spark.queries_training import (
+        SCALE_FRACS,
+        q_data_scaling_curve,
+        q_lm_eval_holdout,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, scored, lp, oov, bg
+    for r in q_lm_eval_holdout(spark, SF_SMOKE).collect():
+        if r["split"] == "train":
+            continue
+        w = want[src[r["doc_id"]]]
+        w[0] += 1
+        if r["avg_logprob"] is not None:
+            w[1] += 1
+            w[2] += round(r["avg_logprob"] * 1000)
+        w[3] += r["n_oov"]
+        w[4] += r["n_bigrams"]
+
+    rows = q_data_scaling_curve(spark, SF_SMOKE).collect()
+    assert {r["frac_permille"] for r in rows} == set(SCALE_FRACS)
+    by_frac = defaultdict(dict)
+    for r in rows:
+        by_frac[r["frac_permille"]][r["source"]] = r
+    full = by_frac[1000]
+    assert set(full) == set(want)
+    for s, (n, scored, lp, oov, bg) in want.items():
+        r = full[s]
+        assert (
+            r["n_eval"],
+            r["n_scored"],
+            r["sum_lp_e3"],
+            r["sum_oov"],
+            r["sum_bigrams"],
+        ) == (n, scored, lp, oov, bg), s
+    # eval set is FIXED across fractions: only the model moves
+    for thr in SCALE_FRACS:
+        assert set(by_frac[thr]) == set(full)
+        for s, r in by_frac[thr].items():
+            assert r["n_eval"] == full[s]["n_eval"]
+            assert r["sum_bigrams"] == full[s]["sum_bigrams"]
+            assert 0 <= r["n_scored"] <= r["n_eval"]
+            assert 0 <= r["sum_oov"] <= r["sum_bigrams"]
