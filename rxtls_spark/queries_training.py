@@ -1523,6 +1523,52 @@ def q_normalized_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dup_groups(with_injected_dups(_docs(spark, sf_dir)))
 
 
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup frequency-based down-weighting (He et al., ACL
+    2024 — reweight duplicated text instead of dropping it): every
+    doc keeps a sampling weight 1/dup_count of its
+    exact-text group, so a page crawled 40 times contributes one
+    page of gradient mass, not 40, while its text stays in the
+    corpus.  Runs on the injected-dup corpus (the dedup_exact
+    convention) so the group structure is deterministic; outputs the
+    per-doc weight and the effective (down-weighted) token mass —
+    all exact BIGINTs: weight_e6 = 1e6 DIV dup_count,
+    eff_tokens_e6 = n_tokens * weight_e6 (MIRRORED in the
+    `soft_dedup` oracle SQL; change together).
+
+    Scale shape: ONE whole-partition window over md5(text) — the
+    same single shuffle exact dedup already pays, with no join-back
+    second pass; the weight/mass arithmetic is a pure map.
+    Reference analog: P8 dedup-preserve-order semantics
+    (/root/reference/internal/core/domain_extractor.go) extended
+    with a retention policy instead of a drop."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.functions.text import token_count
+
+    docs = with_injected_dups(_docs(spark, sf_dir))
+    w = Window.partitionBy("h")
+    hashed = docs.select(
+        "doc_id", token_count().alias("n_tokens"), F.md5("text").alias("h")
+    )
+    grouped = hashed.select(
+        "doc_id",
+        "n_tokens",
+        F.min("doc_id").over(w).alias("group_root"),
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_count"),
+    )
+    return grouped.select(
+        "doc_id",
+        "group_root",
+        "dup_count",
+        F.expr("CAST(1000000 DIV dup_count AS BIGINT)").alias("weight_e6"),
+        "n_tokens",
+        F.expr(
+            "CAST(n_tokens * (1000000 DIV dup_count) AS BIGINT)"
+        ).alias("eff_tokens_e6"),
+    )
+
+
 def _word_shingles(col):
     """Word-3-gram array — pure JVM (split/transform/slice), mirrored
     1:1 by the DuckDB regexp_split_to_array/list_transform SQL."""
@@ -7331,6 +7377,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "zipf_alpha": q_zipf_alpha,
     "postings_size": q_postings_size,
+    "soft_dedup": q_soft_dedup,
     "text_features": q_text_features,
     "token_stats": q_token_stats,
     "lang_confusion": q_lang_confusion,
@@ -9255,6 +9302,26 @@ FROM documents
 SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS keep_doc_id
 FROM docs GROUP BY 1 HAVING count(*) > 1
+""",
+        "soft_dedup": _DUPS_CTE + """
+, g AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+         END AS n_tokens,
+         md5(text) AS h
+  FROM docs
+), w AS (
+  SELECT doc_id, n_tokens,
+         min(doc_id) OVER (PARTITION BY h) AS group_root,
+         CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS dup_count
+  FROM g
+)
+SELECT doc_id, group_root, dup_count,
+       CAST(1000000 // dup_count AS BIGINT) AS weight_e6,
+       n_tokens,
+       CAST(n_tokens * (1000000 // dup_count) AS BIGINT) AS eff_tokens_e6
+FROM w
 """,
         "dedup_normalized": _DUPS_CTE + """
 SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS norm_md5,

@@ -451,3 +451,21 @@ def test_blocklist_and_entropy_are_map_only(spark):
         assert "Join" not in p, p
         assert "Window" not in p, p
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_soft_dedup_plan_shape(spark):
+    """soft_dedup scale lock: ONE whole-partition window over the md5
+    hash — no join-back pass, no global sort, nothing evaluates
+    Python.  The weight arithmetic must stay a pure map over the
+    window output."""
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import q_soft_dedup
+    from tests.conftest import SF_SMOKE
+
+    sd = q_soft_dedup(spark, SF_SMOKE)
+    p = plan_string(sd, "simple")
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    f = plan_string(sd, "formatted").lower()
+    assert "rangepartitioning" not in f, f
+    assert count_exchanges(sd) == 1, f

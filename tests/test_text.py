@@ -2952,3 +2952,52 @@ def test_data_scaling_curve_full_fraction_equals_holdout_rollup(spark):
             assert r["sum_bigrams"] == full[s]["sum_bigrams"]
             assert 0 <= r["n_scored"] <= r["n_eval"]
             assert 0 <= r["sum_oov"] <= r["sum_bigrams"]
+
+
+def test_soft_dedup_matches_python_replica(spark):
+    """Every doc's weight must be exactly 1e6 DIV its exact-text group
+    size (full md5-group replica over the injected-dup corpus), and a
+    duplicated group's total effective mass must collapse to ~one
+    copy's token count (exact whenever dup_count divides 1e6)."""
+    import hashlib
+    from collections import defaultdict
+
+    from rxtls_spark.operators.dedup import with_injected_dups
+    from rxtls_spark.queries_training import _docs, q_soft_dedup
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        with_injected_dups(_docs(spark, SF_SMOKE))
+        .select("doc_id", "text")
+        .collect()
+    )
+    groups = defaultdict(list)
+    n_toks = {}
+    for r in rows:
+        h = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+        groups[h].append(r["doc_id"])
+        n_toks[r["doc_id"]] = len(_ws_tokens(r["text"]))
+    expected = {}
+    for ids in groups.values():
+        root, cnt = min(ids), len(ids)
+        w = 1_000_000 // cnt
+        for d in ids:
+            expected[d] = (root, cnt, w, n_toks[d], n_toks[d] * w)
+
+    got = {
+        r["doc_id"]: (
+            r["group_root"],
+            r["dup_count"],
+            r["weight_e6"],
+            r["n_tokens"],
+            r["eff_tokens_e6"],
+        )
+        for r in q_soft_dedup(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # the SoftDeDup property: dup groups exist and are down-weighted
+    dup_groups = [ids for ids in groups.values() if len(ids) > 1]
+    assert dup_groups
+    for ids in dup_groups:
+        d = ids[0]
+        assert got[d][2] == 1_000_000 // len(ids) < 1_000_000
