@@ -3251,6 +3251,74 @@ def q_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RHO-loss selection constant — MIRRORED in `_rho_loss_sql`; change
+# together.  Top-k of the reducible-holdout-loss score.
+RHO_TOPK = 100
+
+
+def q_rho_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al., ICML 2022 —
+    "prioritize points that are learnable, worth learning, and not
+    yet learnt"): score every TRAIN doc under two reference models —
+    one trained on the train split (the "current model" loss) and
+    one trained on the held-out val split (the irreducible-loss
+    model) — and keep the top-k by reducible holdout loss
+    loss_train − loss_holdout = lp_holdout_e3 − lp_train_e3.  A doc
+    the current model finds hard but the holdout model finds easy is
+    learnable signal; hard under BOTH is noise and scores ~0.
+    Completes the selection family next to DSIR (distribution match),
+    EL2N (gradient magnitude) and D4 (redundancy).
+
+    Cross-engine: the split is the holdout knuth-permille rule; both
+    vocabs are the `_bigram_vocab` contract on their split; per-doc
+    scores are the e3-floored BIGINT avg logprob (the data_scaling /
+    ccnet e3-LM-floor discipline), so rho is an exact BIGINT
+    difference; only docs scoreable under BOTH models rank
+    (deterministic rule, mirrored), tie-break (rho DESC, doc_id).
+
+    Scale shape: four bounded vocab hash aggs ship two literal maps;
+    scoring is a pure per-row map over the train split and the
+    selection is orderBy+limit at fixed k=RHO_TOPK — plans as
+    TakeOrderedAndProject (per-partition top-k + driver merge of
+    k-row slices), never a global sort."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pm = knuth_hash(F.col("doc_id")) % 1000
+    train = docs.where(pm < HOLDOUT_VAL_FROM)
+    val = docs.where(
+        (pm >= HOLDOUT_VAL_FROM) & (pm < HOLDOUT_TEST_FROM)
+    )
+    bi = _bigrams()
+    per_model = {}
+    for name, subset in (("train", train), ("holdout", val)):
+        vocab = _bigram_vocab(subset, BIGRAM_VOCAB_K)
+        lp_map = F.create_map(
+            *[F.lit(x) for kv in vocab.items() for x in kv]
+        )
+        lp = F.transform(bi, lambda b: lp_map[b])
+        in_vocab = F.filter(lp, lambda x: x.isNotNull())
+        n_in = F.size(in_vocab)
+        avg_lp = F.aggregate(
+            in_vocab, F.lit(0.0), lambda a, x: a + x
+        ) / n_in.cast("double")
+        lp_e3 = F.floor(avg_lp * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        per_model[name] = (n_in, lp_e3)
+    n_t, lp_t = per_model["train"]
+    n_h, lp_h = per_model["holdout"]
+    scored = (
+        train.where(F.trim("text") != "")
+        .where((n_t > 0) & (n_h > 0))
+        .select(
+            "doc_id",
+            lp_t.alias("lp_train_e3"),
+            lp_h.alias("lp_holdout_e3"),
+        )
+        .withColumn(
+            "rho_e3", F.col("lp_holdout_e3") - F.col("lp_train_e3")
+        )
+    )
+    return scored.orderBy(F.col("rho_e3").desc(), "doc_id").limit(RHO_TOPK)
+
+
 # --- token-budget / epoch planner -----------------------------------------------
 
 # UniMax-style planner constants — MIRRORED in `_token_budget_sql`;
@@ -7378,6 +7446,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_alpha": q_zipf_alpha,
     "postings_size": q_postings_size,
     "soft_dedup": q_soft_dedup,
+    "rho_loss_select": q_rho_loss_select,
     "text_features": q_text_features,
     "token_stats": q_token_stats,
     "lang_confusion": q_lang_confusion,
@@ -7846,6 +7915,61 @@ SELECT t.doc_id, t.split,
   CASE WHEN s.n_in > 0 THEN floor(s.s / s.n_in * 1000.0 + 0.5) / 1000.0
   END AS avg_logprob
 FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+"""
+
+
+def _rho_loss_sql(vocab_k: int = BIGRAM_VOCAB_K) -> str:
+    """rho_loss_select oracle: two lm_eval_holdout-shape vocab chains
+    (train-split model and val-split model), train docs scored under
+    both as e3-floored BIGINTs, top-RHO_TOPK by (rho DESC, doc_id).
+    toks/bg are AS MATERIALIZED (the data_scaling precedent — both
+    vocab builds reuse them)."""
+    kh = f"((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"
+    head = f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t,
+         ({kh}) % 1000 AS pm
+  FROM documents WHERE trim(text) <> ''
+), bg AS MATERIALIZED (
+  SELECT doc_id, pm, unnest(g2) AS bg FROM (
+    SELECT doc_id, pm,
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1]) AS g2
+    FROM toks)
+)"""
+    conds = {
+        "t": f"pm < {HOLDOUT_VAL_FROM}",
+        "h": f"pm >= {HOLDOUT_VAL_FROM} AND pm < {HOLDOUT_TEST_FROM}",
+    }
+    for m, cond in conds.items():
+        head += f""",
+c2_{m} AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg
+  WHERE {cond}
+  GROUP BY 1 ORDER BY cnt DESC, bg LIMIT {vocab_k}
+), c1_{m} AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE {cond})
+  GROUP BY 1
+), v_{m} AS (
+  SELECT c2.bg, ln(c2.cnt / CAST(c1.cnt AS DOUBLE)) AS lp
+  FROM c2_{m} c2 JOIN c1_{m} c1
+    ON split_part(c2.bg, ' ', 1) = c1.tok
+), sc_{m} AS (
+  SELECT bg.doc_id, count(v.lp) AS n_in, sum(v.lp) AS s
+  FROM bg LEFT JOIN v_{m} v USING (bg)
+  WHERE bg.pm < {HOLDOUT_VAL_FROM}
+  GROUP BY 1
+)"""
+    return head + f"""
+SELECT t.doc_id,
+       CAST(floor(t.s / t.n_in * 1000.0 + 0.5) AS BIGINT) AS lp_train_e3,
+       CAST(floor(h.s / h.n_in * 1000.0 + 0.5) AS BIGINT) AS lp_holdout_e3,
+       CAST(floor(h.s / h.n_in * 1000.0 + 0.5)
+            - floor(t.s / t.n_in * 1000.0 + 0.5) AS BIGINT) AS rho_e3
+FROM sc_t t JOIN sc_h h USING (doc_id)
+WHERE t.n_in > 0 AND h.n_in > 0
+ORDER BY rho_e3 DESC, doc_id LIMIT {RHO_TOPK}
 """
 
 
@@ -9371,6 +9495,7 @@ WHERE rn <= 10
         "unimax_sample": _unimax_sample_sql(),
         "holdout_split": _holdout_split_sql(),
         "lm_eval_holdout": _lm_eval_holdout_sql(),
+        "rho_loss_select": _rho_loss_sql(),
         "data_scaling_curve": _data_scaling_sql(),
         "logreg_quality": _logreg_sql(),
         "logreg_infer": _logreg_infer_sql(),

@@ -469,3 +469,19 @@ def test_soft_dedup_plan_shape(spark):
     f = plan_string(sd, "formatted").lower()
     assert "rangepartitioning" not in f, f
     assert count_exchanges(sd) == 1, f
+
+
+def test_rho_loss_select_plan_shape(spark):
+    """rho_loss_select scale lock: both vocabs ride as literal maps
+    (no join node anywhere), scoring is a pure map, and the top-k is
+    TakeOrderedAndProject — never a global sort."""
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import q_rho_loss_select
+    from tests.conftest import SF_SMOKE
+
+    rl = q_rho_loss_select(spark, SF_SMOKE)
+    p = plan_string(rl, "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "Window" not in p, p

@@ -3001,3 +3001,91 @@ def test_soft_dedup_matches_python_replica(spark):
     for ids in dup_groups:
         d = ids[0]
         assert got[d][2] == 1_000_000 // len(ids) < 1_000_000
+
+
+def test_rho_loss_select_matches_python_replica(spark):
+    """Full independent replica of the RHO-loss selection: both bigram
+    vocabs rebuilt in Python (train-split model + val-split model),
+    every scoreable train doc scored under both with the e3 floor,
+    and the exact top-RHO_TOPK by (rho DESC, doc_id) must match row
+    for row."""
+    import math
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        BIGRAM_VOCAB_K,
+        HOLDOUT_TEST_FROM,
+        HOLDOUT_VAL_FROM,
+        RHO_TOPK,
+        q_rho_loss_select,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    toks = {
+        d: ws.split(t.strip().lower())
+        for d, t in docs.items()
+        if t.strip() != ""
+    }
+    bigrams = {
+        d: [f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)]
+        for d, t in toks.items()
+    }
+
+    def pm(d):
+        return ((d % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000
+
+    def vocab_for(member):
+        c2: dict[str, int] = {}
+        c1: dict[str, int] = {}
+        for d, t in toks.items():
+            if not member(pm(d)):
+                continue
+            for w in t:
+                c1[w] = c1.get(w, 0) + 1
+            for b in bigrams[d]:
+                c2[b] = c2.get(b, 0) + 1
+        top = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BIGRAM_VOCAB_K
+        ]
+        return {b: math.log(c / c1[b.split(" ")[0]]) for b, c in top}
+
+    v_t = vocab_for(lambda p: p < HOLDOUT_VAL_FROM)
+    v_h = vocab_for(
+        lambda p: HOLDOUT_VAL_FROM <= p < HOLDOUT_TEST_FROM
+    )
+    assert v_t and v_h  # both models genuinely trained
+
+    def score(bs, vocab):
+        lps = [vocab[b] for b in bs if b in vocab]
+        if not lps:
+            return None
+        s = 0.0
+        for x in lps:
+            s += x
+        return math.floor(s / len(lps) * 1000.0 + 0.5)
+
+    scored = []
+    for d, bs in bigrams.items():
+        if pm(d) >= HOLDOUT_VAL_FROM:
+            continue  # only train docs are selection candidates
+        lt, lh = score(bs, v_t), score(bs, v_h)
+        if lt is None or lh is None:
+            continue
+        scored.append((d, int(lt), int(lh), int(lh - lt)))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    expected = scored[:RHO_TOPK]
+
+    got = [
+        (r["doc_id"], r["lp_train_e3"], r["lp_holdout_e3"], r["rho_e3"])
+        for r in q_rho_loss_select(spark, SF_SMOKE)
+        .orderBy("rho_e3", "doc_id")
+        .collect()
+    ]
+    got.sort(key=lambda r: (-r[3], r[0]))
+    assert got == expected
