@@ -2867,6 +2867,105 @@ PCA_ITERS = 3
 PCA_DIM = 64
 
 
+def q_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cross-source similarity matrix — the audit that
+    catches near-mirror SOURCES (not docs): for every source pair, the
+    cosine between the sources' mean embeddings.  Token-space twins
+    `source_kl` (unigram KL) and `source_overlap` (shared heads) read
+    surface vocabulary; this reads the dense representation — two
+    sources can share no head-shingles yet sit on top of each other in
+    embedding space (same content, different boilerplate), and that is
+    exactly the pair a mixture planner should not double-budget.
+    doc_id == vec_id is the documents↔embeddings correspondence (the
+    rrf_fusion convention).
+
+    Cross-engine: per-(source, dim) means are e6-floor-rounded (the
+    kmeans/PCA centroid discipline — floor(x*1e6+0.5)/1e6 on BOTH
+    engines absorbs cross-row sum-order ulp); the pairwise cosine is
+    computed over those identical rounded doubles with the dot/norm
+    folds in index order on BOTH engines (the _embedding_pca textual
+    expansion rule), shipped as the signed-safe e5 floor.  MIRRORED in
+    the `source_centroid_sim` oracle SQL; change together.
+
+    Scale shape: ONE PK equi-join (documents ⋈ embeddings on the id
+    correspondence — co-partitioned/bucketed at corpus scale, the
+    corpus_diff convention) into ONE 64-column partial agg ending at
+    #sources rows; the pairwise sweep runs driver-side over that
+    metadata-scale result (the oov_curve convention) — never a
+    corpus-side cross join."""
+    import math
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    emb = _emb(spark, sf_dir)
+    dim = PCA_DIM
+    x = [F.element_at("embedding", k + 1).cast("double") for k in range(dim)]
+    rows = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[F.avg(x[k]).alias(f"m{k}") for k in range(dim)],
+        )
+        .collect()
+    )
+    cents = {
+        r["source"]: (
+            r["n"],
+            [math.floor(r[f"m{k}"] * 1e6 + 0.5) / 1e6 for k in range(dim)],
+        )
+        for r in rows
+    }
+    out = []
+    for sa in sorted(cents):
+        for sb in sorted(cents):
+            if sa >= sb:
+                continue
+            na, va = cents[sa]
+            nb, vb = cents[sb]
+            dot = aa = bb = 0.0
+            for k in range(dim):
+                dot += va[k] * vb[k]
+                aa += va[k] * va[k]
+                bb += vb[k] * vb[k]
+            cos = dot / (math.sqrt(aa) * math.sqrt(bb))
+            out.append(
+                (sa, sb, int(na), int(nb), int(math.floor(cos * 1e5 + 0.5)))
+            )
+    return spark.createDataFrame(
+        out,
+        "source_a string, source_b string, n_a long, n_b long, cos_e5 long",
+    )
+
+
+def _source_centroid_sim_sql(dim: int = PCA_DIM) -> str:
+    """source_centroid_sim oracle: per-source e6-floored per-dim means
+    (the PCA mu discipline), pairwise cosine with every dot/norm sum
+    expanded textually in index order so the FP addition order matches
+    the Spark-side driver fold exactly."""
+    mu_cols = ", ".join(
+        f"floor(avg(emb[{k + 1}]) * 1000000 + 0.5) / 1000000 AS m{k}"
+        for k in range(dim)
+    )
+    dot = " + ".join(f"a.m{k} * b.m{k}" for k in range(dim))
+    aa = " + ".join(f"a.m{k} * a.m{k}" for k in range(dim))
+    bb = " + ".join(f"b.m{k} * b.m{k}" for k in range(dim))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), c AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n, {mu_cols}
+  FROM documents d JOIN e ON d.doc_id = e.vec_id
+  GROUP BY d.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n AS n_a, b.n AS n_b,
+       CAST(floor(({dot}) / (sqrt({aa}) * sqrt({bb})) * 100000 + 0.5)
+            AS BIGINT) AS cos_e5
+FROM c a JOIN c b ON a.source < b.source
+"""
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-principal-component projection of the embedding store —
     the dimensionality-reduction step a curation pipeline runs before
@@ -7447,6 +7546,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "postings_size": q_postings_size,
     "soft_dedup": q_soft_dedup,
     "rho_loss_select": q_rho_loss_select,
+    "source_centroid_sim": q_source_centroid_sim,
     "text_features": q_text_features,
     "token_stats": q_token_stats,
     "lang_confusion": q_lang_confusion,
@@ -9496,6 +9596,7 @@ WHERE rn <= 10
         "holdout_split": _holdout_split_sql(),
         "lm_eval_holdout": _lm_eval_holdout_sql(),
         "rho_loss_select": _rho_loss_sql(),
+        "source_centroid_sim": _source_centroid_sim_sql(),
         "data_scaling_curve": _data_scaling_sql(),
         "logreg_quality": _logreg_sql(),
         "logreg_infer": _logreg_infer_sql(),

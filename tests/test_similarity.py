@@ -840,3 +840,67 @@ def test_ndcg_eval_bounds_and_full_probe_is_perfect(spark):
         assert r["dcg_num"] == r["idcg_num"]
         if r["idcg_num"] > 0:
             assert r["ndcg_e6"] == 1_000_000
+
+
+def test_source_centroid_sim_matches_python_replica(spark):
+    """Independent replica: per-source per-dim means recomputed with
+    math.fsum (exact summation) then e6-floored, pairwise cosine with
+    the identical index-order fold — every pair row must match
+    exactly, and the matrix must cover exactly C(#sources, 2) ordered
+    pairs with symmetric-free source_a < source_b."""
+    import math
+    from collections import defaultdict
+
+    from rxtls_spark.queries_training import (
+        PCA_DIM,
+        q_source_centroid_sim,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    vecs = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect():
+        if r["vec_id"] in src:
+            vecs[src[r["vec_id"]]].append(
+                [float(x) for x in r["embedding"]]
+            )
+    cents = {}
+    for s, vs in vecs.items():
+        cents[s] = (
+            len(vs),
+            [
+                math.floor(
+                    math.fsum(v[k] for v in vs) / len(vs) * 1e6 + 0.5
+                )
+                / 1e6
+                for k in range(PCA_DIM)
+            ],
+        )
+    expected = {}
+    for sa in sorted(cents):
+        for sb in sorted(cents):
+            if sa >= sb:
+                continue
+            na, va = cents[sa]
+            nb, vb = cents[sb]
+            dot = aa = bb = 0.0
+            for k in range(PCA_DIM):
+                dot += va[k] * vb[k]
+                aa += va[k] * va[k]
+                bb += vb[k] * vb[k]
+            cos = dot / (math.sqrt(aa) * math.sqrt(bb))
+            expected[(sa, sb)] = (na, nb, int(math.floor(cos * 1e5 + 0.5)))
+
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_a"], r["n_b"], r["cos_e5"])
+        for r in q_source_centroid_sim(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    n_src = len(cents)
+    assert len(got) == n_src * (n_src - 1) // 2
+    assert all(-100000 <= v[2] <= 100000 for v in got.values())
