@@ -232,6 +232,56 @@ def q_sequence_pack(
     )
 
 
+# Context-length grid for the packing-efficiency audit — MIRRORED in
+# the `packing_efficiency` oracle SQL; change together.
+PACK_CTX_GRID = (128, 256, 512)
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit across a context-length grid — the sizing
+    study a pipeline runs BEFORE committing a context length and a
+    packing policy (`sequence_pack` implements the chosen policy; this
+    query chooses it): for each candidate ctx, the number of training
+    sequences and padding tokens under (a) doc-boundary packing
+    (every doc padded up to its own ceil(n/ctx) sequences — no
+    cross-doc attention contamination) and (b) concat-stream packing
+    (the GPT-style sequence_pack policy — only the stream tail pads).
+    The gap between the two IS the price of document isolation at
+    that context length.  All exact BIGINTs (ceil-division identities,
+    no floats anywhere); constants in PACK_CTX_GRID.
+
+    Scale shape: one pure per-row map (token count) fanned out over a
+    |grid|-element literal explode (map-side, partial-agg absorbed)
+    into a |grid|-row agg — no window, no join; the concat-stream
+    numbers derive from the same agg's token total."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select(token_count().alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            "n",
+            F.explode(
+                F.array(*[F.lit(c).cast("long") for c in PACK_CTX_GRID])
+            ).alias("ctx"),
+        )
+    )
+    seqs_doc = F.expr("(n + ctx - 1) DIV ctx")
+    return docs.groupBy("ctx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(seqs_doc).cast("long").alias("n_seqs_doc_bound"),
+        F.sum(seqs_doc * F.col("ctx") - F.col("n"))
+        .cast("long")
+        .alias("pad_doc_bound"),
+        F.expr("CAST((sum(n) + ctx - 1) DIV ctx AS BIGINT)").alias(
+            "n_seqs_concat"
+        ),
+        F.expr("CAST((ctx - sum(n) % ctx) % ctx AS BIGINT)").alias(
+            "pad_concat"
+        ),
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-0.5 mixture sampling: per-language keep rate
     sqrt(c_min/c_lang), so the sampled corpus is distributed
@@ -7555,6 +7605,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "repetition": q_repetition,
     "sequence_pack": q_sequence_pack,
+    "packing_efficiency": q_packing_efficiency,
     "mixture_sample": q_mixture_sample,
     "corpus_sample": q_corpus_sample,
     "stratified_sample": q_stratified_sample,
@@ -9322,6 +9373,25 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
   CAST((e - 1) // 256 AS BIGINT) AS seq_last,
   CAST((e - 1) // 256 - (e - n_tokens) // 256 + 1 AS BIGINT) AS n_seqs
 FROM c
+""",
+        "packing_efficiency": f"""
+WITH n AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+         END AS n
+  FROM documents
+), x AS (
+  SELECT g.ctx, n.n
+  FROM n CROSS JOIN (SELECT unnest([{", ".join(str(c) for c in PACK_CTX_GRID)}]) AS ctx) g
+  WHERE n.n > 0
+)
+SELECT CAST(ctx AS BIGINT) AS ctx, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS total_tokens,
+  CAST(sum((n + ctx - 1) // ctx) AS BIGINT) AS n_seqs_doc_bound,
+  CAST(sum(((n + ctx - 1) // ctx) * ctx - n) AS BIGINT) AS pad_doc_bound,
+  CAST((sum(n) + ctx - 1) // ctx AS BIGINT) AS n_seqs_concat,
+  CAST((ctx - sum(n) % ctx) % ctx AS BIGINT) AS pad_concat
+FROM x GROUP BY ctx
 """,
         "quality_quantile_gate": _TEXT_CTE + f"""
 , q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM feats)

@@ -485,3 +485,19 @@ def test_rho_loss_select_plan_shape(spark):
     assert "Join" not in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "Window" not in p, p
+
+
+def test_packing_efficiency_plan_shape(spark):
+    """packing_efficiency scale lock: a pure map + literal-grid
+    explode into ONE partial-agg exchange — no window, no join,
+    nothing evaluates Python."""
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import q_packing_efficiency
+    from tests.conftest import SF_SMOKE
+
+    pe = q_packing_efficiency(spark, SF_SMOKE)
+    p = plan_string(pe, "simple")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert count_exchanges(pe) == 1, p

@@ -3089,3 +3089,54 @@ def test_rho_loss_select_matches_python_replica(spark):
     ]
     got.sort(key=lambda r: (-r[3], r[0]))
     assert got == expected
+
+
+def test_packing_efficiency_matches_python_replica(spark):
+    """Exact-integer replica over the raw parquet: per-ctx doc-bound
+    sequence/padding counts from the ceil-division identity, concat
+    counts from the token total; also locks the policy-gap invariants
+    (doc-bound never beats concat on padding, both shrink as ctx
+    shrinks relative to doc length)."""
+    from rxtls_spark.queries_training import (
+        PACK_CTX_GRID,
+        q_packing_efficiency,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ns = [
+        len(_ws_tokens(r["text"]))
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    ]
+    ns = [n for n in ns if n > 0]
+    expected = {}
+    for ctx in PACK_CTX_GRID:
+        seqs_doc = sum((n + ctx - 1) // ctx for n in ns)
+        pad_doc = sum(((n + ctx - 1) // ctx) * ctx - n for n in ns)
+        total = sum(ns)
+        expected[ctx] = (
+            len(ns),
+            total,
+            seqs_doc,
+            pad_doc,
+            (total + ctx - 1) // ctx,
+            (ctx - total % ctx) % ctx,
+        )
+
+    got = {
+        r["ctx"]: (
+            r["n_docs"],
+            r["total_tokens"],
+            r["n_seqs_doc_bound"],
+            r["pad_doc_bound"],
+            r["n_seqs_concat"],
+            r["pad_concat"],
+        )
+        for r in q_packing_efficiency(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    for ctx, (nd, tot, sd, pd, sc, pc) in got.items():
+        assert pd >= pc  # doc isolation never pads LESS than concat
+        assert sd * ctx == tot + pd
+        assert sc * ctx == tot + pc
