@@ -57,6 +57,13 @@ def main() -> int:
                     "dsir: keep the top --dsir-frac of gated docs by "
                     "DSIR importance weight toward --dsir-target "
                     "(hashed-unigram log-likelihood ratio)")
+    ap.add_argument("--dedup-mode", choices=("drop", "soft"),
+                    default="drop",
+                    help="drop: keep each exact-dup group's keeper and "
+                    "drop the rest; soft: keep EVERY doc and attach a "
+                    "SoftDeDup sampling weight weight_e6 = 1e6 DIV "
+                    "dup_count of its exact-text group (duplicated text "
+                    "stays in the corpus with shrunken gradient mass)")
     ap.add_argument("--dsir-target", default="en")
     ap.add_argument("--dsir-frac", type=float, default=0.5)
     ap.add_argument("--seq-len", type=int, default=256)
@@ -89,23 +96,50 @@ def main() -> int:
     docs = spark.read.parquet(path).select("doc_id", "text", "lang")
     n_docs = docs.count()
 
-    # 1. exact dedup: keep each group's keeper, drop the rest
-    losers = (
-        docs.select(F.md5("text").alias("h"), "doc_id")
-        .join(
-            exact_dup_groups(docs).select(
-                F.col("text_md5").alias("h"),
-                F.col("keep_doc_id").alias("root"),
-            ),
-            "h",
+    # 1. exact dedup: either keep each group's keeper and drop the
+    # rest (drop mode), or keep everything with a SoftDeDup
+    # 1/dup_count sampling weight (soft mode — the q_soft_dedup
+    # single-shuffle window, no join-back)
+    n_soft_weighted = None
+    if args.dedup_mode == "soft":
+        wdw = Window.partitionBy("h")
+        deduped = (
+            docs.withColumn("h", F.md5("text"))
+            .withColumn(
+                "dup_count", F.count(F.lit(1)).over(wdw).cast("long")
+            )
+            .withColumn(
+                "weight_e6",
+                F.expr("CAST(1000000 DIV dup_count AS BIGINT)"),
+            )
+            .drop("h", "dup_count")
+            .persist()
         )
-        .where(F.col("doc_id") != F.col("root"))
-        .select("doc_id")
-    )
-    # persisted: six downstream actions (counts, aggs, the write)
-    # would otherwise re-run the dedup join + scrub + fold chain
-    deduped = docs.join(losers, "doc_id", "left_anti").persist()
-    n_deduped = deduped.count()
+        n_deduped = deduped.count()
+        n_soft_weighted = deduped.where(
+            F.col("weight_e6") < 1_000_000
+        ).count()
+    else:
+        losers = (
+            docs.select(F.md5("text").alias("h"), "doc_id")
+            .join(
+                exact_dup_groups(docs).select(
+                    F.col("text_md5").alias("h"),
+                    F.col("keep_doc_id").alias("root"),
+                ),
+                "h",
+            )
+            .where(F.col("doc_id") != F.col("root"))
+            .select("doc_id")
+        )
+        # persisted: six downstream actions (counts, aggs, the write)
+        # would otherwise re-run the dedup join + scrub + fold chain
+        deduped = (
+            docs.join(losers, "doc_id", "left_anti")
+            .withColumn("weight_e6", F.lit(1_000_000).cast("long"))
+            .persist()
+        )
+        n_deduped = deduped.count()
 
     # 2. PII scrub + 3. quality/repetition gates (single pass — in
     # cascade mode the verdict is one more per-row expression in the
@@ -114,6 +148,7 @@ def main() -> int:
     sel = [
         F.col("doc_id"),
         F.col("lang"),
+        F.col("weight_e6"),
         pii_scrub().alias("text"),
         quality_score().alias("quality"),
         r["dup3gram_char_frac"].alias("dup3"),
@@ -223,15 +258,23 @@ def main() -> int:
 
     out_corpus = os.path.join(args.output, "corpus")
     (
-        with_tokens.select("doc_id", "lang", "text", "n_tokens", "shard")
+        with_tokens.select(
+            "doc_id", "lang", "text", "weight_e6", "n_tokens", "shard"
+        )
         .repartition(args.shards, "shard")
         .write.mode("overwrite")
         .partitionBy("lang")
         .parquet(out_corpus)
     )
 
+    eff_docs_e6 = with_tokens.agg(
+        F.sum("weight_e6").cast("long").alias("s")
+    ).collect()[0]["s"]
     summary = {
         "n_docs": n_docs,
+        "dedup_mode": args.dedup_mode,
+        "n_soft_weighted": n_soft_weighted,
+        "eff_docs_e6": eff_docs_e6,
         "n_after_dedup": n_deduped,
         "n_after_gates": n_gated,
         "n_sampled": sum(per_lang.values()),

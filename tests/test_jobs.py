@@ -165,3 +165,42 @@ def test_run_corpus_build_job_cascade_gate(tmp_path):
     from rxtls_spark.queries_training import _CASCADE_GATES
 
     assert set(funnel) <= set(_CASCADE_GATES) | {"kept"}
+
+
+def test_run_corpus_build_job_soft_dedup(tmp_path):
+    """--dedup-mode soft keeps EVERY doc and attaches the SoftDeDup
+    1/dup_count weight: on a corpus where every text appears exactly
+    twice, nothing is dropped, every weight is 500000, and the written
+    corpus carries the weight column."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    ids = src.column("doc_id").to_pylist()
+    copy = src.set_column(
+        src.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([i + 10_000_000 for i in ids], type=pa.int64()),
+    )
+    docs_path = tmp_path / "docs.parquet"
+    pq.write_table(pa.concat_tables([src, copy]), docs_path)
+
+    out = _run([
+        "jobs/run_corpus_build.py",
+        "--docs", str(docs_path),
+        "--output", str(tmp_path / "run"),
+        "--dedup-mode", "soft",
+        "--quality", "-1", "--max-dup3", "1.0",  # neutralize gates
+        "--master", "local[4]",
+    ])
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["dedup_mode"] == "soft"
+    # soft mode never drops: dedup stage is a weight attach
+    assert summary["n_after_dedup"] == summary["n_docs"]
+    assert summary["n_soft_weighted"] == summary["n_docs"]  # all dup'd
+    # every doc weighs exactly half
+    assert summary["eff_docs_e6"] == summary["n_sampled"] * 500_000
+    corpus = pq.read_table(str(tmp_path / "run" / "corpus"))
+    assert set(corpus.column("weight_e6").to_pylist()) == {500_000}
+    assert corpus.num_rows == summary["n_sampled"]
