@@ -5129,6 +5129,115 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, query_set(emb), k=10)
 
 
+# Margin-based bitext mining: neighborhood size + source-pool sampling
+# modulus — MIRRORED in the `bitext_mine` oracle SQL; change together.
+BITEXT_K = 4
+BITEXT_SRC_MOD = 5
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER alignment rule): for every English source doc in
+    the deterministic query pool (lang='en' AND doc_id %
+    ``BITEXT_SRC_MOD`` == 0), score every non-English candidate by
+    the RATIO margin — cos(x,y) normalized by the mean of the two
+    directions' ``BITEXT_K``-nearest-neighborhood cosines — and emit
+    the top-1 candidate per source.  Margin beats raw cosine because
+    it cancels hubness: a y that is everyone's neighbor has a high
+    denominator and stops winning.
+
+    Exact-integer discipline: cosines are the e5 floor (the
+    ann_brute_force convention; doc_id==vec_id is the
+    documents↔embeddings correspondence), neighborhood means are
+    sum(cos_e5) DIV K (truncation toward zero agrees between Spark
+    DIV and DuckDB //), margin_e6 = (2*cos_e5*1e6) DIV
+    (ax_e5+ay_e5) with non-positive denominators excluded on both
+    engines — every ranked quantity is a BIGINT.
+
+    Scale shape: the x-pool is the metadata-scale query set, so the
+    pair matrix is ONE BroadcastNestedLoopJoin (no shuffle to build
+    it); the two rank windows + the top-1 window partition by
+    x_id/y_id — keys that scale with the corpus.  At 100 TB the same
+    margin arithmetic feeds from ann_ivf_topk candidate lists
+    instead of the dense matrix (the documented IVF scale path).
+    Reference analog: A8 min/max summaries + O3 deterministic top-k
+    (/root/reference/internal/core/domain_extractor.go) composed
+    into a retrieval scorer."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.similarity import cosine_expr
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    emb = _emb(spark, sf_dir)
+    de = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"]
+    ).select("doc_id", "lang", "embedding")
+    x = de.where(
+        (F.col("lang") == "en")
+        & (F.col("doc_id") % BITEXT_SRC_MOD == 0)
+    ).select(
+        F.col("doc_id").alias("x_id"), F.col("embedding").alias("x_emb")
+    )
+    y = de.where(F.col("lang") != "en").select(
+        F.col("doc_id").alias("y_id"),
+        F.col("lang").alias("y_lang"),
+        F.col("embedding").alias("y_emb"),
+    )
+    pairs = (
+        y.crossJoin(F.broadcast(x))
+        .select(
+            "x_id",
+            "y_id",
+            "y_lang",
+            F.floor(cosine_expr("x_emb", "y_emb") * 100000)
+            .cast("long")
+            .alias("cos_e5"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cos_e5"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cos_e5"), "x_id")
+    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    ax = (
+        ranked.where(F.col("rx") <= BITEXT_K)
+        .groupBy("x_id")
+        .agg(
+            F.expr(f"CAST(sum(cos_e5) DIV {BITEXT_K} AS BIGINT)").alias(
+                "ax_e5"
+            )
+        )
+    )
+    ay = (
+        ranked.where(F.col("ry") <= BITEXT_K)
+        .groupBy("y_id")
+        .agg(
+            F.expr(f"CAST(sum(cos_e5) DIV {BITEXT_K} AS BIGINT)").alias(
+                "ay_e5"
+            )
+        )
+    )
+    m = (
+        pairs.join(F.broadcast(ax), "x_id")
+        .join(F.broadcast(ay), "y_id")
+        .where(F.col("ax_e5") + F.col("ay_e5") > 0)
+        .withColumn(
+            "margin_e6",
+            F.expr(
+                "CAST((2 * cos_e5 * 1000000) DIV (ax_e5 + ay_e5)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    wtop = Window.partitionBy("x_id").orderBy(F.desc("margin_e6"), "y_id")
+    return (
+        m.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .select("x_id", "y_id", "y_lang", "cos_e5", "margin_e6")
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Injected-copy retrieval through the LSH index: every query
     vector's exact copy (vec_id+1e6) shares all its buckets and has the
@@ -7597,6 +7706,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft_dedup": q_soft_dedup,
     "rho_loss_select": q_rho_loss_select,
     "source_centroid_sim": q_source_centroid_sim,
+    "bitext_mine": q_bitext_mine,
     "text_features": q_text_features,
     "token_stats": q_token_stats,
     "lang_confusion": q_lang_confusion,
@@ -9624,6 +9734,46 @@ FROM docs GROUP BY 1 HAVING count(*) > 1
 """,
         "ann_recall_eval": _ann_recall_sql(),
         "ndcg_eval": _ndcg_sql(),
+        "bitext_mine": f"""
+WITH de AS (
+  SELECT d.doc_id, d.lang,
+         list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), x AS (
+  SELECT doc_id AS x_id, emb AS x_emb FROM de
+  WHERE lang = 'en' AND doc_id % {BITEXT_SRC_MOD} = 0
+), y AS (
+  SELECT doc_id AS y_id, lang AS y_lang, emb AS y_emb FROM de
+  WHERE lang <> 'en'
+), pairs AS (
+  SELECT x_id, y_id, y_lang,
+         CAST(floor(list_cosine_similarity(x_emb, y_emb) * 100000)
+              AS BIGINT) AS cos_e5
+  FROM x, y
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY x_id ORDER BY cos_e5 DESC, y_id) AS rx,
+    row_number() OVER (PARTITION BY y_id ORDER BY cos_e5 DESC, x_id) AS ry
+  FROM pairs
+), ax AS (
+  SELECT x_id, CAST(sum(cos_e5) // {BITEXT_K} AS BIGINT) AS ax_e5
+  FROM ranked WHERE rx <= {BITEXT_K} GROUP BY 1
+), ay AS (
+  SELECT y_id, CAST(sum(cos_e5) // {BITEXT_K} AS BIGINT) AS ay_e5
+  FROM ranked WHERE ry <= {BITEXT_K} GROUP BY 1
+), m AS (
+  SELECT p.x_id, p.y_id, p.y_lang, p.cos_e5,
+         CAST((2 * p.cos_e5 * 1000000) // (ax_e5 + ay_e5) AS BIGINT)
+           AS margin_e6
+  FROM pairs p JOIN ax USING (x_id) JOIN ay USING (y_id)
+  WHERE ax_e5 + ay_e5 > 0
+)
+SELECT x_id, y_id, y_lang, cos_e5, margin_e6
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY x_id ORDER BY margin_e6 DESC, y_id) AS rn
+      FROM m)
+WHERE rn = 1
+""",
         "ann_brute_force": """
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0

@@ -904,3 +904,168 @@ def test_source_centroid_sim_matches_python_replica(spark):
     n_src = len(cents)
     assert len(got) == n_src * (n_src - 1) // 2
     assert all(-100000 <= v[2] <= 100000 for v in got.values())
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Spark DIV and
+    DuckDB // semantics; Python // floors, so signed values need
+    this helper (the zipf_alpha replica convention)."""
+    q = a // b
+    return q + 1 if q < 0 and q * b != a else q
+
+
+def test_bitext_mine_matches_python_replica(spark):
+    """Exact replica of the whole margin-mining chain at SF_SMOKE:
+    e5-floored cosines (index-order fold), top-K neighborhood sums
+    DIV K in both directions, the margin ratio and the (margin DESC,
+    y_id) winner — every output row bit-identical."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        BITEXT_K,
+        BITEXT_SRC_MOD,
+        _docs,
+        _emb,
+        q_bitext_mine,
+    )
+    from tests.conftest import SF_SMOKE
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "lang").collect()
+    }
+    embs = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in _emb(spark, SF_SMOKE).collect()
+    }
+
+    def cos_e5(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 100000)
+
+    xs = sorted(
+        d
+        for d, lg in langs.items()
+        if lg == "en" and d % BITEXT_SRC_MOD == 0 and d in embs
+    )
+    ys = sorted(d for d, lg in langs.items() if lg != "en" and d in embs)
+    assert len(xs) >= BITEXT_K and len(ys) >= BITEXT_K
+
+    cos = {
+        (x, y): cos_e5(embs[x], embs[y]) for x in xs for y in ys
+    }
+    ax = {
+        x: _tdiv(
+            sum(
+                c
+                for c, _ in sorted(
+                    ((cos[(x, y)], y) for y in ys),
+                    key=lambda t: (-t[0], t[1]),
+                )[:BITEXT_K]
+            ),
+            BITEXT_K,
+        )
+        for x in xs
+    }
+    ay = {
+        y: _tdiv(
+            sum(
+                c
+                for c, _ in sorted(
+                    ((cos[(x, y)], x) for x in xs),
+                    key=lambda t: (-t[0], t[1]),
+                )[:BITEXT_K]
+            ),
+            BITEXT_K,
+        )
+        for y in ys
+    }
+    want = {}
+    for x in xs:
+        cands = []
+        for y in ys:
+            den = ax[x] + ay[y]
+            if den > 0:
+                m = _tdiv(2 * cos[(x, y)] * 1000000, den)
+                cands.append((-m, y))
+        if cands:
+            neg_m, y = min(cands)
+            want[x] = (y, langs[y], cos[(x, y)], -neg_m)
+
+    got = {
+        r["x_id"]: (r["y_id"], r["y_lang"], r["cos_e5"], r["margin_e6"])
+        for r in q_bitext_mine(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) >= 10  # the smoke pool is non-trivial
+
+
+def test_bitext_mine_margin_cancels_hubness(spark, tmp_path):
+    """The reason margin beats raw cosine (Artetxe & Schwenk 2019):
+    a hub vector that is EVERY source's nearest raw-cosine neighbor
+    pays its own high neighborhood mean in the denominator, so the
+    true pair wins the margin ranking.  Constructed corpus: two en
+    sources, one shared hub (raw-cos argmax of both), one true pair
+    each — margin must pick the true pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rxtls_spark.queries_training import q_bitext_mine
+
+    vecs = {
+        0: [1.0, 0, 0, 0, 0, 0],        # en source a  (doc_id%5==0)
+        5: [0, 1.0, 0, 0, 0, 0],        # en source b  (doc_id%5==0)
+        1: [0.65, 0, 0, 0.7599, 0, 0],  # true pair of 0
+        6: [0, 0.65, 0, 0, 0.7599, 0],  # true pair of 5
+        2: [0.9, 0.9, 0.1, 0, 0, 0],    # the hub: cos≈0.706 to BOTH
+        3: [0.1, 0.1, 0, 0, 0, 0.99],   # filler
+        4: [0.1, 0.1, 0.99, 0, 0, 0],   # filler
+    }
+    langs = {0: "en", 5: "en", 1: "fr", 6: "fr", 2: "de", 3: "es", 4: "es"}
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "lang": pa.array([langs[i] for i in ids]),
+                "text": pa.array(["t"] * len(ids)),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i] for i in ids], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(ids), type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+    # premise guard: the hub IS the raw-cosine argmax for both sources
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb)
+
+    for src in (0, 5):
+        raw_best = max(
+            (i for i in ids if langs[i] != "en"),
+            key=lambda i: cos(vecs[src], vecs[i]),
+        )
+        assert raw_best == 2, "test premise: hub must win raw cosine"
+
+    got = {
+        r["x_id"]: r["y_id"]
+        for r in q_bitext_mine(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 5: 6}, got
