@@ -3969,6 +3969,81 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Uncertainty-sampling batch size — MIRRORED in the
+# `uncertainty_sample` oracle SQL; change together.
+UNC_K = 100
+
+
+def q_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning uncertainty sampling (Lewis & Gale 1994;
+    Settles 2009 survey) — the labeling-budget allocator for the
+    quality classifier: pick the ``UNC_K`` documents whose predicted
+    probability sits closest to the decision boundary, i.e. the docs
+    whose human label would teach the model the most.  Closes the
+    classifier lifecycle loop: `logreg_quality` trains,
+    `logreg_infer` serves, `calibration_bins`/`roc_auc` audit, this
+    decides what to label NEXT.
+
+    Cross-engine: weights retrain via the shared deterministic GD
+    (`_logreg_train` == the unrolled `_logreg_ctes` chain — logreg
+    constants flow in); p ships as the e3-floored BIGINT (the
+    el2n/calibration discipline), and the boundary distance
+    dist_e3 = |2*p_e3 - 1000| is pure BIGINT arithmetic on it, so
+    the (dist ASC, doc_id) selection order is exact on both engines.
+
+    Scale shape: training is the bounded per-iteration agg loop;
+    scoring is a pure map; selection is TakeOrderedAndProject with
+    FIXED k=UNC_K (a labeling batch, not a corpus fraction — the
+    driver merge is k rows per partition, safe at any corpus size,
+    unlike the corpus-frac top-k ADVICE banned for DSIR)."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    p_e3 = F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    scored = fx.select(
+        "doc_id",
+        p_e3.alias("p_e3"),
+        F.abs(F.lit(2) * p_e3 - F.lit(1000)).cast("long").alias("dist_e3"),
+        F.col("y").cast("long").alias("label"),
+    )
+    return scored.orderBy("dist_e3", "doc_id").limit(UNC_K)
+
+
+def _uncertainty_sql(
+    iters: int = LOGREG_ITERS, lr: float = LOGREG_LR, k: int = UNC_K
+) -> str:
+    """uncertainty_sample oracle: the shared GD CTE chain to the final
+    weights, the e3-floored probability, the BIGINT boundary distance,
+    and the (dist ASC, doc_id) top-k as a window rank."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT doc_id,
+         CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(y AS BIGINT) AS label
+  FROM fx, w{iters} w
+)
+SELECT doc_id, p_e3, dist_e3, label
+FROM (SELECT doc_id, p_e3, abs(2 * p_e3 - 1000) AS dist_e3, label,
+             row_number() OVER (
+               ORDER BY abs(2 * p_e3 - 1000), doc_id) AS rn
+      FROM sc)
+WHERE rn <= {k}
+"""
+    )
+
+
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC curve + exact tie-aware AUC building blocks for the trained
     quality classifier — the threshold-selection audit that pairs with
@@ -7773,6 +7848,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "el2n_prune": q_el2n_prune,
     "calibration_bins": q_calibration_bins,
     "roc_auc": q_roc_auc,
+    "uncertainty_sample": q_uncertainty_sample,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -9823,6 +9899,7 @@ WHERE rn <= 10
         "el2n_prune": _el2n_sql(),
         "calibration_bins": _calibration_sql(),
         "roc_auc": _roc_auc_sql(),
+        "uncertainty_sample": _uncertainty_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

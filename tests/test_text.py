@@ -3140,3 +3140,49 @@ def test_packing_efficiency_matches_python_replica(spark):
         assert pd >= pc  # doc isolation never pads LESS than concat
         assert sd * ctx == tot + pd
         assert sc * ctx == tot + pc
+
+
+def test_uncertainty_sample_matches_python_replica(spark):
+    """The labeling batch recomputed in Python: e3-floored probability
+    under the trained weights (engine-computed features; the floor
+    absorbs exp ulp), BIGINT boundary distance |2*p_e3 - 1000|, and
+    the (dist ASC, doc_id) top-UNC_K — rows bit-identical.  Also
+    locks the semantics: every selected doc is no farther from the
+    boundary than every unselected doc."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        UNC_K,
+        _logreg_train,
+        logreg_features,
+        q_uncertainty_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = {
+        r["doc_id"]: (r["x1"], r["x2"], r["x3"], r["y"])
+        for r in fx.collect()
+    }
+    _, wv = _logreg_train(fx)
+    rows = {}
+    for d, (x1, x2, x3, y) in feats.items():
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p_e3 = math.floor(1.0 / (1.0 + math.exp(-m)) * 1000 + 0.5)
+        rows[d] = (p_e3, abs(2 * p_e3 - 1000), int(y))
+    picked = sorted(rows, key=lambda d: (rows[d][1], d))[:UNC_K]
+    want = {d: rows[d] for d in picked}
+
+    got = {
+        r["doc_id"]: (r["p_e3"], r["dist_e3"], r["label"])
+        for r in q_uncertainty_sample(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) == UNC_K
+    worst_in = max(v[1] for v in got.values())
+    best_out = min(
+        (rows[d][1] for d in rows if d not in got), default=None
+    )
+    assert best_out is None or worst_in <= best_out
