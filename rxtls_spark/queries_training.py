@@ -4822,6 +4822,54 @@ def q_bigram_lm_score(
     )
 
 
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency spectrum over the corpus bigrams (Good
+    1953; Gale & Sampson 1995 "simple Good-Turing") — the
+    count-of-counts table N_r every smoothing estimator starts from,
+    and the discounted counts r* = (r+1)·N_{r+1}/N_r that give the
+    unseen-mass estimate (N_1/N is the probability mass of bigrams
+    never observed).  Pairs with `kn_bigram_score`: KN is the "what
+    discount" answer, this is the raw evidence table; a corpus-health
+    reviewer reads a bumpy spectrum as duplication or templating.
+
+    Cross-engine: counts and the spectrum are exact BIGINTs; r* ships
+    as rstar_e6 = ((r+1)·N_{r+1}·1e6) DIV N_r (0 when the r+1 class
+    is empty — the LEFT JOIN convention), mass = r·N_r.  The bigram
+    chain is `_bigrams()`/`_lm_tokens()`, shared with `bigram_lm_score`
+    — changing the tokenizer moves both oracles.
+
+    Scale shape: token explode → ONE bigram hash agg (the corpus-sized
+    shuffle every n-gram LM pays anyway) → ONE spectrum agg whose key
+    count is the number of DISTINCT count values — O(hundreds) at any
+    corpus size, so the shifted self-join for N_{r+1} is a broadcast
+    over metadata."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    bg = docs.select(F.explode(_bigrams()).alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    spec = counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nxt = spec.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        spec.join(F.broadcast(nxt), "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.expr(
+                "CAST(coalesce(((r + 1) * n_r1 * 1000000) DIV n_r, 0)"
+                " AS BIGINT)"
+            ).alias("rstar_e6"),
+            F.expr("CAST(r * n_r AS BIGINT)").alias("mass"),
+        )
+    )
+
+
 # DoReMi constants — MIRRORED in `_doremi_sql`; change together.  The
 # EG update is computed on EXACT integers wherever sums cross rows
 # (per-doc logprobs enter as e3 BIGINTs, the normalizer sums e9
@@ -7849,6 +7897,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "roc_auc": q_roc_auc,
     "uncertainty_sample": q_uncertainty_sample,
+    "good_turing": q_good_turing,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -9900,6 +9949,27 @@ WHERE rn <= 10
         "calibration_bins": _calibration_sql(),
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),
+        "good_turing": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM toks
+), bg AS (
+  SELECT doc_id, unnest(g2) AS bg FROM pairs
+), c AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS r FROM bg GROUP BY 1
+), spec AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM c GROUP BY 1
+)
+SELECT s.r, s.n_r,
+       CAST(coalesce(((s.r + 1) * s2.n_r * 1000000) // s.n_r, 0)
+            AS BIGINT) AS rstar_e6,
+       CAST(s.r * s.n_r AS BIGINT) AS mass
+FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
+""",
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

