@@ -4870,6 +4870,80 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Min-K% Prob fraction denominator (k = ceil(n_in / MINK_DEN), i.e.
+# the lowest 20% of token log-probs) — MIRRORED in the `min_k_prob`
+# oracle SQL; change together.
+MINK_DEN = 5
+
+
+def q_min_k_prob(
+    spark: SparkSession, sf_dir: str, vocab_k: int = BIGRAM_VOCAB_K
+) -> DataFrame:
+    """Min-K% Prob membership-inference audit (Shi et al., ICLR 2024
+    "Detecting Pretraining Data from Large Language Models"): score a
+    document by the MEAN of its k% LOWEST token log-probabilities
+    under the reference LM — memorized/member text has no deep
+    low-probability valleys, so a high min-k score flags likely
+    training-set membership.  The probability-based complement of the
+    n-gram-overlap `contamination` query: overlap catches verbatim
+    leakage, min-k catches memorization where the surface form
+    drifted.
+
+    Cross-engine: the per-bigram log-probs are the `_bigram_vocab`
+    top-K conditionals (Python math.log literals vs DuckDB ln() are
+    only ulp-close, the bigram_lm_score precedent); sorting is safe
+    because distinct (c2, c1) count pairs give ratios separated far
+    above ln() ulp, and equal ratios give byte-identical doubles —
+    interchangeable under the sum.  k_used = ceil(n_in / MINK_DEN)
+    is exact-int ((n_in + MINK_DEN-1) DIV MINK_DEN), and the mean is
+    3-dp STABLE rounded (the avg_logprob discipline).
+
+    Scale shape: vocab is the two bounded hash aggs shipped as a
+    LITERAL map; per-doc scoring is a pure map over the JVM-built
+    bigram array (array_sort + slice + in-order fold) — zero
+    exchanges, no token explode (the lm_score_broadcast family)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    vocab = _bigram_vocab(docs, vocab_k)
+    lp_map = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    bi = _bigrams()
+    lps = F.array_sort(
+        F.filter(
+            F.transform(bi, lambda b: lp_map[b]), lambda x: x.isNotNull()
+        )
+    )
+    base = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.size(bi).cast("long").alias("n_bigrams"),
+            lps.alias("lps"),
+        )
+        .withColumn("n_in", F.size("lps").cast("long"))
+        .withColumn(
+            "k_used",
+            F.expr(
+                "CAST(CASE WHEN n_in > 0 THEN"
+                f" (n_in + {MINK_DEN - 1}) DIV {MINK_DEN}"
+                " ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+    mean_low = F.aggregate(
+        F.expr("slice(lps, 1, k_used)"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.col("k_used").cast("double")
+    return base.select(
+        "doc_id",
+        "n_bigrams",
+        "n_in",
+        "k_used",
+        F.when(F.col("n_in") > 0, round3_stable(mean_low)).alias(
+            "mink_score"
+        ),
+    )
+
+
 # DoReMi constants — MIRRORED in `_doremi_sql`; change together.  The
 # EG update is computed on EXACT integers wherever sums cross rows
 # (per-doc logprobs enter as e3 BIGINTs, the normalizer sums e9
@@ -7898,6 +7972,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "roc_auc": q_roc_auc,
     "uncertainty_sample": q_uncertainty_sample,
     "good_turing": q_good_turing,
+    "min_k_prob": q_min_k_prob,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -9949,6 +10024,45 @@ WHERE rn <= 10
         "calibration_bins": _calibration_sql(),
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),
+        "min_k_prob": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM toks
+), bg AS (
+  SELECT doc_id, unnest(g2) AS bg FROM pairs
+), c2 AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg
+  GROUP BY 1 ORDER BY cnt DESC, bg LIMIT {BIGRAM_VOCAB_K}
+), c1 AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), v AS (
+  SELECT c2.bg, ln(c2.cnt / CAST(c1.cnt AS DOUBLE)) AS lp
+  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.tok
+), d AS (
+  SELECT bg.doc_id, count(*) AS n_bg, count(v.lp) AS n_in,
+         list_sort(list(v.lp) FILTER (WHERE v.lp IS NOT NULL)) AS lps
+  FROM bg LEFT JOIN v USING (bg) GROUP BY 1
+), k AS (
+  SELECT doc_id, n_bg, n_in, lps,
+         CASE WHEN n_in > 0
+              THEN (n_in + {MINK_DEN - 1}) // {MINK_DEN} ELSE 0 END AS k_used
+  FROM d
+)
+SELECT t.doc_id,
+  CAST(coalesce(k.n_bg, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(k.n_in, 0) AS BIGINT) AS n_in,
+  CAST(coalesce(k.k_used, 0) AS BIGINT) AS k_used,
+  CASE WHEN k.n_in > 0
+       THEN floor(list_sum(k.lps[1:k.k_used]) / k.k_used * 1000.0 + 0.5)
+            / 1000.0
+  END AS mink_score
+FROM toks t LEFT JOIN k USING (doc_id)
+""",
         "good_turing": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

@@ -3228,3 +3228,69 @@ def test_good_turing_matches_brute_force_spectrum(spark):
     assert got == want
     assert sum(v[2] for v in got.values()) == total
     assert 1 in got and got[1][0] > 0  # singletons exist -> unseen mass
+
+
+def test_min_k_prob_matches_python_replica(spark):
+    """Independent pure-Python replica of the Min-K% Prob audit:
+    tokenize → bigrams → the shared top-K conditional vocab → per-doc
+    ASCENDING sort of in-vocab log-probs → mean of the lowest
+    ceil(n_in/MINK_DEN), 3-dp stable — every row bit-identical.  Also
+    locks the membership-signal direction: mink_score <= the doc's
+    overall in-vocab mean (the low tail can never beat the mean)."""
+    import math
+    import re
+
+    from rxtls_spark.queries_training import (
+        BIGRAM_VOCAB_K,
+        MINK_DEN,
+        q_min_k_prob,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    toks = {
+        d: ws.split(t.strip().lower())
+        for d, t in docs.items()
+        if t.strip() != ""
+    }
+    bigrams = {
+        d: [f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)]
+        for d, t in toks.items()
+    }
+    c2: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for t in toks.values():
+        for w in t:
+            c1[w] = c1.get(w, 0) + 1
+    for bs in bigrams.values():
+        for b in bs:
+            c2[b] = c2.get(b, 0) + 1
+    top = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:BIGRAM_VOCAB_K]
+    vocab = {b: math.log(c / c1[b.split(" ")[0]]) for b, c in top}
+
+    out = {r["doc_id"]: r for r in q_min_k_prob(spark, SF_SMOKE).collect()}
+    assert set(out) == set(toks)
+    for d, bs in bigrams.items():
+        lps = sorted(vocab[b] for b in bs if b in vocab)
+        r = out[d]
+        assert r["n_bigrams"] == len(bs)
+        assert r["n_in"] == len(lps)
+        if lps:
+            k = (len(lps) + MINK_DEN - 1) // MINK_DEN
+            assert r["k_used"] == k
+            s = 0.0
+            for x in lps[:k]:  # sequential fold, Spark's order
+                s += x
+            want = math.floor(s / k * 1000.0 + 0.5) / 1000.0
+            assert r["mink_score"] == want, d
+            full = 0.0
+            for x in lps:
+                full += x
+            assert s / k <= full / len(lps) + 1e-12
+        else:
+            assert r["k_used"] == 0
+            assert r["mink_score"] is None
