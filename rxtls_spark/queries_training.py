@@ -5893,6 +5893,127 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERNAL clustering evaluation — per-cell simplified silhouette
+    (Vendramin et al. 2010; the centroid-based variant Hamerly-style
+    pipelines use because the exact silhouette's all-pairs distances
+    don't exist at scale): per vector a = L2 distance to its OWN
+    final centroid, b = the min distance to any OTHER centroid,
+    s = (b - a)/max(a, b) in [-1, 1].  The internal twin of
+    `cluster_purity` (external, needs labels): purity asks "do
+    clusters match ground truth?", silhouette asks "are clusters
+    tight and separated?" with no labels needed — the k-picker's
+    metric.
+
+    Cross-engine: the quantizer is the shared proven kmeans spec
+    (train_ivf_centroids == `_kmeans_cents_ctes` — kmeans constants
+    flow in); assignment is the identical (distance, cell) argmin;
+    per-row s ships as the e5 floor (engines' sqrt/fold agree to ulp,
+    the cos_e5 acceptance), per-cell sums are exact BIGINTs and the
+    mean is sum DIV n (signed truncation agrees).
+
+    Scale shape: training is metadata-scale; a/b/s is a pure per-row
+    map against the k-row literal centroid array (no explode, no
+    join); the audit is ONE ≤k-row hash agg."""
+    from rxtls_spark.operators.similarity import (
+        _cents_lit,
+        _l2sq_cols,
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    darr = F.transform(
+        _cents_lit(cents),
+        lambda c: F.sqrt(_l2sq_cols(F.col("embedding"), c["centroid"])),
+    )
+    base = emb.select(
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias(
+            "cell"
+        ),
+        darr.alias("d"),
+    ).select(
+        "cell",
+        F.expr("get(d, CAST(cell AS INT))").alias("a"),
+        F.array_min(
+            F.filter(
+                F.transform(
+                    "d",
+                    lambda x, i: F.when(
+                        i != F.col("cell").cast("int"), x
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("b"),
+    )
+    s_e5 = F.when(
+        F.greatest("a", "b") > 0,
+        F.floor((F.col("b") - F.col("a")) / F.greatest("a", "b") * 100000),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        base.select(F.col("cell").cast("long").alias("cell"), s_e5.alias("s_e5"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("s_e5").cast("long").alias("sum_s_e5"),
+            F.expr("CAST(sum(s_e5) DIV count(1) AS BIGINT)").alias(
+                "mean_s_e5"
+            ),
+        )
+    )
+
+
+def _silhouette_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
+) -> str:
+    """Silhouette oracle: the shared unrolled-Lloyd's centroid CTEs,
+    the identical (list_distance, cell) argmin, own/other distances
+    from the same k×n distance relation, the e5-floored simplified
+    silhouette, and pure-BIGINT per-cell sums."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+d AS (
+  SELECT e.vec_id, c.cell, list_distance(e.emb, c.centroid) AS dist
+  FROM e, cents{iters} c
+), asg AS (
+  SELECT vec_id, cell AS own_cell, dist AS a FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) AS rn
+    FROM d)
+  WHERE rn = 1
+), bmin AS (
+  SELECT d.vec_id, min(d.dist) AS b
+  FROM d JOIN asg USING (vec_id)
+  WHERE d.cell <> asg.own_cell GROUP BY 1
+), s AS (
+  SELECT a.vec_id, a.own_cell AS cell,
+         CASE WHEN greatest(a.a, b.b) > 0
+              THEN CAST(floor((b.b - a.a) / greatest(a.a, b.b) * 100000)
+                        AS BIGINT)
+              ELSE 0 END AS s_e5
+  FROM asg a JOIN bmin b USING (vec_id)
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(s_e5) AS BIGINT) AS sum_s_e5,
+       CAST(sum(s_e5) // count(*) AS BIGINT) AS mean_s_e5
+FROM s GROUP BY 1
+"""
+    )
+
+
 def _kmeans_cents_ctes(
     k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM
 ) -> list[str]:
@@ -7973,6 +8094,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uncertainty_sample": q_uncertainty_sample,
     "good_turing": q_good_turing,
     "min_k_prob": q_min_k_prob,
+    "silhouette": q_silhouette,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -10022,6 +10144,7 @@ WHERE rn <= 10
         "logreg_infer": _logreg_infer_sql(),
         "el2n_prune": _el2n_sql(),
         "calibration_bins": _calibration_sql(),
+        "silhouette": _silhouette_sql(),
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "min_k_prob": f"""

@@ -1069,3 +1069,69 @@ def test_bitext_mine_margin_cancels_hubness(spark, tmp_path):
         for r in q_bitext_mine(spark, str(tmp_path)).collect()
     }
     assert got == {0: 1, 5: 6}, got
+
+
+def test_silhouette_matches_python_replica(spark):
+    """Per-cell simplified silhouette recomputed in Python from the
+    SAME trained centroids: (distance, cell) argmin assignment, own/
+    min-other L2 distances, e5-floored s, BIGINT sums and the
+    truncating mean — rows bit-identical.  Plus range/coverage
+    invariants."""
+    import math
+
+    from rxtls_spark.functions.hashing import knuth_hash
+    from rxtls_spark.operators.similarity import train_ivf_centroids
+    from rxtls_spark.queries_training import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _emb,
+        q_silhouette,
+    )
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    emb = _emb(spark, SF_SMOKE)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    vecs = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def l2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return math.sqrt(s)
+
+    agg = {}
+    for v, e in vecs.items():
+        ds = [(l2(e, c), cell) for cell, c in cents]
+        a, own = min(ds)
+        b = min(d for d, cell in ds if cell != own)
+        mx = max(a, b)
+        s_e5 = math.floor((b - a) / mx * 100000) if mx > 0 else 0
+        assert -100000 <= s_e5 <= 100000
+        n, tot = agg.get(own, (0, 0))
+        agg[own] = (n + 1, tot + s_e5)
+
+    def tdiv(a, b):
+        q = a // b
+        return q + 1 if q < 0 and q * b != a else q
+
+    want = {
+        cell: (n, tot, tdiv(tot, n)) for cell, (n, tot) in agg.items()
+    }
+    got = {
+        r["cell"]: (r["n_vecs"], r["sum_s_e5"], r["mean_s_e5"])
+        for r in q_silhouette(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(vecs)
