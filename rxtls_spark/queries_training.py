@@ -7059,6 +7059,170 @@ def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Heaps-law checkpoint grid (knuth-hash permille prefixes) — MIRRORED
+# in the `heaps_law` oracle SQL; change together.  The prefix rule is
+# the holdout_split permille convention, so prefixes are stable under
+# re-runs and incremental growth.
+HEAPS_GRID = (125, 250, 375, 500, 625, 750, 875, 1000)
+
+
+def _heaps_ols_exprs(col_n: str, col_v: str) -> dict[str, str]:
+    """The unrolled e3-floored-log integer-OLS sum expressions over the
+    HEAPS_GRID checkpoints — identical SQL text on both engines (the
+    zipf_alpha discipline: ln → e3 floor → exact BIGINT sums)."""
+    tk, tsx, tsy, tsxy, tsxx = [], [], [], [], []
+    for g in HEAPS_GRID:
+        ok = f"({col_n}{g} > 0 AND {col_v}{g} > 0)"
+        x = f"CAST(floor(ln(CAST({col_n}{g} AS DOUBLE)) * 1000.0) AS BIGINT)"
+        y = f"CAST(floor(ln(CAST({col_v}{g} AS DOUBLE)) * 1000.0) AS BIGINT)"
+        tk.append(f"(CASE WHEN {ok} THEN 1 ELSE 0 END)")
+        tsx.append(f"(CASE WHEN {ok} THEN {x} ELSE 0 END)")
+        tsy.append(f"(CASE WHEN {ok} THEN {y} ELSE 0 END)")
+        tsxy.append(f"(CASE WHEN {ok} THEN {x} * {y} ELSE 0 END)")
+        tsxx.append(f"(CASE WHEN {ok} THEN {x} * {x} ELSE 0 END)")
+    return {
+        "k": " + ".join(tk),
+        "sx": " + ".join(tsx),
+        "sy": " + ".join(tsy),
+        "sxy": " + ".join(tsxy),
+        "sxx": " + ".join(tsxx),
+    }
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Heaps-law fit — the vocabulary-growth twin of
+    `zipf_alpha`: V(N) ≈ K·N^β over nested corpus prefixes, β from
+    the OLS slope of ln(V) vs ln(N) at the ``HEAPS_GRID`` permille
+    checkpoints.  Natural text sits near β ≈ 0.5-0.8; β → 1 means
+    unbounded novel types (OCR noise, random ids), β → 0 means a
+    closed template vocabulary — both fail source review, and β is
+    what a tokenizer-sizing plan extrapolates vocabulary from.
+
+    Prefixes are knuth-hash permille sets (the holdout_split rule):
+    stable under re-runs and incremental growth, and random-order
+    growth curves are the smooth ones Heaps fitting wants.  V at
+    checkpoint g counts the types whose FIRST occurrence (min pm over
+    the type's docs) lands before g — exactly |vocab(prefix_g)|
+    because prefixes are nested.
+
+    Cross-engine: counts/sums are exact BIGINTs; the fit is the
+    zipf_alpha e3-floored-log integer OLS (identical unrolled SQL
+    text on both engines via `_heaps_ols_exprs`); beta_e6 is a SIGNED
+    truncating DIV (Spark DIV == DuckDB //).
+
+    Scale shape: ONE (source, token) hash agg (the zipf shuffle) into
+    a per-source min, then TWO bounded per-source aggs with
+    |HEAPS_GRID| conditional counters each — no explode of the grid
+    over data rows, no window; the OLS is a pure map on
+    #sources rows."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("source", "doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    base = docs.select(
+        "source",
+        (knuth_hash(F.col("doc_id")) % 1000).alias("pm"),
+        _lm_tokens().alias("t"),
+    )
+    nrow = (
+        base.select(
+            "source", "pm", F.size("t").cast("long").alias("n")
+        )
+        .groupBy("source")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("pm") < g, F.col("n")).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"n{g}")
+                for g in HEAPS_GRID
+            ]
+        )
+    )
+    vrow = (
+        base.select("source", "pm", F.explode("t").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.min("pm").alias("mpm"))
+        .groupBy("source")
+        .agg(
+            *[
+                F.sum(F.when(F.col("mpm") < g, 1).otherwise(0))
+                .cast("long")
+                .alias(f"v{g}")
+                for g in HEAPS_GRID
+            ]
+        )
+    )
+    ols = _heaps_ols_exprs("n", "v")
+    sums = nrow.join(vrow, "source").select(
+        "source",
+        F.col(f"n{HEAPS_GRID[-1]}").alias("n_full"),
+        F.col(f"v{HEAPS_GRID[-1]}").alias("v_full"),
+        F.expr(ols["k"]).cast("long").alias("k"),
+        F.expr(ols["sx"]).cast("long").alias("sx"),
+        F.expr(ols["sy"]).cast("long").alias("sy"),
+        F.expr(ols["sxy"]).cast("long").alias("sxy"),
+        F.expr(ols["sxx"]).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        "source",
+        "k",
+        "n_full",
+        "v_full",
+        F.expr(
+            "CASE WHEN (k * sxx - sx * sx) <> 0 THEN"
+            " ((k * sxy - sx * sy) * 1000000) DIV (k * sxx - sx * sx)"
+            " ELSE 0 END"
+        ).alias("beta_e6"),
+    )
+
+
+def _heaps_sql() -> str:
+    """heaps_law oracle: identical permille prefixes, conditional
+    BIGINT counters per checkpoint, and the same unrolled OLS text."""
+    kh = f"(((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}) % 1000"
+    n_cols = ", ".join(
+        f"CAST(sum(CASE WHEN pm < {g} THEN len(t) ELSE 0 END) AS BIGINT)"
+        f" AS n{g}"
+        for g in HEAPS_GRID
+    )
+    v_cols = ", ".join(
+        f"CAST(sum(CASE WHEN mpm < {g} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS v{g}"
+        for g in HEAPS_GRID
+    )
+    ols = _heaps_ols_exprs("n", "v")
+    return f"""
+WITH toks AS (
+  SELECT source, {kh} AS pm,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), n AS (
+  SELECT source, {n_cols} FROM toks GROUP BY 1
+), tokmin AS (
+  SELECT source, tok, min(pm) AS mpm
+  FROM (SELECT source, pm, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+), v AS (
+  SELECT source, {v_cols} FROM tokmin GROUP BY 1
+), sums AS (
+  SELECT source, n1000 AS n_full, v1000 AS v_full,
+         CAST({ols["k"]} AS BIGINT) AS k,
+         CAST({ols["sx"]} AS BIGINT) AS sx,
+         CAST({ols["sy"]} AS BIGINT) AS sy,
+         CAST({ols["sxy"]} AS BIGINT) AS sxy,
+         CAST({ols["sxx"]} AS BIGINT) AS sxx
+  FROM n JOIN v USING (source)
+)
+SELECT source, k, n_full, v_full,
+       CASE WHEN (k * sxx - sx * sx) <> 0 THEN
+         ((k * sxy - sx * sy) * 1000000) // (k * sxx - sx * sx)
+       ELSE 0 END AS beta_e6
+FROM sums
+"""
+
+
 # Varint postings spec — MIRRORED in the `postings_size` oracle SQL;
 # change together.  Gap convention: first posting stores doc_id itself
 # (gap = doc_id), later postings store doc_id − prev; LEB128 byte count
@@ -8095,6 +8259,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "good_turing": q_good_turing,
     "min_k_prob": q_min_k_prob,
     "silhouette": q_silhouette,
+    "heaps_law": q_heaps_law,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -10145,6 +10310,7 @@ WHERE rn <= 10
         "el2n_prune": _el2n_sql(),
         "calibration_bins": _calibration_sql(),
         "silhouette": _silhouette_sql(),
+        "heaps_law": _heaps_sql(),
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "min_k_prob": f"""

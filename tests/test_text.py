@@ -3294,3 +3294,75 @@ def test_min_k_prob_matches_python_replica(spark):
         else:
             assert r["k_used"] == 0
             assert r["mink_score"] is None
+
+
+def test_heaps_law_matches_python_replica(spark):
+    """Independent pure-Python replica of the Heaps fit: knuth
+    permille prefixes, nested type/token counts at every grid
+    checkpoint, e3-floored-log integer OLS with truncating signed
+    division — rows bit-identical.  Plus the nestedness invariant
+    (counts non-decreasing in g) and a sanity band on beta for the
+    natural-ish smoke corpus."""
+    import math
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import HEAPS_GRID, q_heaps_law
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "doc_id", "text")
+        .collect()
+    )
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    per_src: dict[str, list] = {}
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        pm = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000
+        per_src.setdefault(r["source"], []).append(
+            (pm, ws.split(t.lower()))
+        )
+
+    def tdiv(a, b):
+        q = a // b
+        return q + 1 if q < 0 and q * b != a else q
+
+    want = {}
+    for src, docs in per_src.items():
+        first: dict[str, int] = {}
+        for pm, toks in docs:
+            for w in toks:
+                if w not in first or pm < first[w]:
+                    first[w] = pm
+        n = {g: sum(len(tk) for pm, tk in docs if pm < g)
+             for g in HEAPS_GRID}
+        v = {g: sum(1 for mpm in first.values() if mpm < g)
+             for g in HEAPS_GRID}
+        gs = sorted(HEAPS_GRID)
+        assert all(n[a] <= n[b] and v[a] <= v[b]
+                   for a, b in zip(gs, gs[1:]))
+        k = sx = sy = sxy = sxx = 0
+        for g in HEAPS_GRID:
+            if n[g] > 0 and v[g] > 0:
+                x = math.floor(math.log(float(n[g])) * 1000.0)
+                y = math.floor(math.log(float(v[g])) * 1000.0)
+                k += 1
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+        den = k * sxx - sx * sx
+        beta = tdiv((k * sxy - sx * sy) * 1000000, den) if den != 0 else 0
+        want[src] = (k, n[1000], v[1000], beta)
+
+    got = {
+        r["source"]: (r["k"], r["n_full"], r["v_full"], r["beta_e6"])
+        for r in q_heaps_law(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # the synthetic corpus draws from a closed word list, so beta must
+    # sit WELL below 1 (sublinear growth) and above 0
+    assert all(0 <= v[3] < 1_000_000 for v in got.values())
