@@ -3909,6 +3909,120 @@ def q_el2n_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(scored, "doc_id").select("doc_id", "el2n_e3")
 
 
+# Gradient-alignment selection batch size — MIRRORED in the
+# `gradient_align` oracle SQL; change together.  The val split is the
+# holdout permille rule (VAL_FROM <= pm < TEST_FROM), so the holdout
+# constants flow into this query too.
+GRAD_K = 100
+
+
+def q_gradient_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-alignment data selection (LESS, Xia et al. 2024;
+    TracIn, Pruthi et al. 2020) — pick the TRAIN documents whose
+    loss gradient points the same way as the VALIDATION set's mean
+    gradient, i.e. the examples one more training step on which most
+    reduces val loss.  The targeted-selection complement of the
+    distribution-matching selectors (DSIR matches input text, RHO
+    scores by loss difference, this aligns parameter-space
+    DIRECTIONS toward a held-out target).  With the logistic
+    surrogate the per-doc gradient is (p−y)·[1,x1,x2,x3], so
+    alignment = (p−y) · ⟨g_val, [1,x1,x2,x3]⟩ — a pure map.
+
+    Cross-engine: weights retrain via the shared deterministic GD
+    (`_logreg_train` == `_logreg_ctes`); the val-mean gradient uses
+    the SAME 6-dp floor-stable form as the training gradients (so
+    fold-order noise is absorbed exactly as in training), ships as 4
+    literal doubles, and the per-doc alignment folds in the fixed
+    g0+g1·x1+g2·x2+g3·x3 order; the score is the e3-floored BIGINT
+    (the el2n exp-ulp discipline) and selection is (score DESC,
+    doc_id) with FIXED k=GRAD_K — exact on both engines.
+
+    Scale shape: training + the val gradient are bounded agg loops
+    (val is a permille slice — metadata-scale output, corpus-scale
+    scan shared with training); scoring is a pure map over TRAIN
+    rows; selection is fixed-k TakeOrderedAndProject."""
+    fx = logreg_features(_docs(spark, sf_dir)).withColumn(
+        "pm", knuth_hash(F.col("doc_id")) % 1000
+    )
+    _, wv = _logreg_train(fx.drop("pm"))
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    r = p - F.col("y")
+    val = fx.where(
+        (F.col("pm") >= HOLDOUT_VAL_FROM) & (F.col("pm") < HOLDOUT_TEST_FROM)
+    )
+    gv_row = val.agg(
+        *[
+            (
+                F.floor(F.avg(r * xj) * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias(f"g{j}")
+            for j, xj in enumerate(
+                [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+            )
+        ]
+    ).collect()[0]
+    gv = [float(gv_row[f"g{j}"]) for j in range(4)]
+    dot = (
+        F.lit(gv[0]) * F.lit(1.0)
+        + F.lit(gv[1]) * F.col("x1")
+        + F.lit(gv[2]) * F.col("x2")
+        + F.lit(gv[3]) * F.col("x3")
+    )
+    scored = fx.where(F.col("pm") < HOLDOUT_VAL_FROM).select(
+        "doc_id",
+        F.floor(r * dot * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("align_e3"),
+        F.col("y").cast("long").alias("label"),
+    )
+    return scored.orderBy(F.desc("align_e3"), "doc_id").limit(GRAD_K)
+
+
+def _gradient_align_sql(
+    iters: int = LOGREG_ITERS, lr: float = LOGREG_LR, k: int = GRAD_K
+) -> str:
+    """gradient_align oracle: the shared GD CTE chain, the val-mean
+    gradient in the identical 6-dp floor-stable form, the fixed-order
+    alignment fold, e3-floored score, (score DESC, doc_id) top-k."""
+    parts = _logreg_ctes(iters, lr)
+    kh = f"(((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}) % 1000"
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+gv AS (
+  SELECT
+    floor(sum(({p} - y) * 1.0) / count(*) * 1000000 + 0.5) / 1000000 AS g0,
+    floor(sum(({p} - y) * x1) / count(*) * 1000000 + 0.5) / 1000000 AS g1,
+    floor(sum(({p} - y) * x2) / count(*) * 1000000 + 0.5) / 1000000 AS g2,
+    floor(sum(({p} - y) * x3) / count(*) * 1000000 + 0.5) / 1000000 AS g3
+  FROM fx, w{iters} w
+  WHERE {kh} >= {HOLDOUT_VAL_FROM} AND {kh} < {HOLDOUT_TEST_FROM}
+), sc AS (
+  SELECT doc_id,
+    CAST(floor(({p} - y)
+               * (g.g0 * 1.0 + g.g1 * x1 + g.g2 * x2 + g.g3 * x3)
+               * 1000 + 0.5) AS BIGINT) AS align_e3,
+    CAST(y AS BIGINT) AS label
+  FROM fx, w{iters} w, gv g
+  WHERE {kh} < {HOLDOUT_VAL_FROM}
+)
+SELECT doc_id, align_e3, label
+FROM (SELECT *, row_number() OVER (
+        ORDER BY align_e3 DESC, doc_id) AS rn FROM sc)
+WHERE rn <= {k}
+"""
+    )
+
+
 # Calibration histogram bin count — MIRRORED in `_calibration_sql`;
 # change together.  Bins are least(p_e3 DIV 100, BINS-1) on the
 # e3-floored BIGINT probability, so bin edges are exact cross-engine.
@@ -8260,6 +8374,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_k_prob": q_min_k_prob,
     "silhouette": q_silhouette,
     "heaps_law": q_heaps_law,
+    "gradient_align": q_gradient_align,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -10311,6 +10426,7 @@ WHERE rn <= 10
         "calibration_bins": _calibration_sql(),
         "silhouette": _silhouette_sql(),
         "heaps_law": _heaps_sql(),
+        "gradient_align": _gradient_align_sql(),
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "min_k_prob": f"""

@@ -3366,3 +3366,74 @@ def test_heaps_law_matches_python_replica(spark):
     # the synthetic corpus draws from a closed word list, so beta must
     # sit WELL below 1 (sublinear growth) and above 0
     assert all(0 <= v[3] < 1_000_000 for v in got.values())
+
+
+def test_gradient_align_matches_python_replica(spark):
+    """The full LESS-style chain recomputed in Python: permille
+    splits, the val-mean gradient with the exact 6-dp floor, the
+    fixed-order alignment fold, e3-floored scores and the (score
+    DESC, doc_id) top-GRAD_K — rows bit-identical.  Plus the
+    direction invariant: every selected alignment >= every
+    unselected one."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        GRAD_K,
+        HOLDOUT_TEST_FROM,
+        HOLDOUT_VAL_FROM,
+        _logreg_train,
+        logreg_features,
+        q_gradient_align,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = {
+        r["doc_id"]: (r["x1"], r["x2"], r["x3"], r["y"])
+        for r in fx.collect()
+    }
+    _, wv = _logreg_train(fx)
+
+    def resid(x1, x2, x3, y):
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        return 1.0 / (1.0 + math.exp(-m)) - y
+
+    def pm(d):
+        return ((d % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000
+
+    val = [d for d in feats
+           if HOLDOUT_VAL_FROM <= pm(d) < HOLDOUT_TEST_FROM]
+    assert val, "smoke corpus must have val docs"
+    gv = []
+    for j in range(4):
+        s = 0.0
+        for d in sorted(val):
+            x1, x2, x3, y = feats[d]
+            xj = (1.0, x1, x2, x3)[j]
+            s += resid(x1, x2, x3, y) * xj
+        gv.append(math.floor(s / len(val) * 1000000 + 0.5) / 1000000)
+
+    scores = {}
+    for d, (x1, x2, x3, y) in feats.items():
+        if pm(d) >= HOLDOUT_VAL_FROM:
+            continue
+        dot = gv[0] * 1.0 + gv[1] * x1 + gv[2] * x2 + gv[3] * x3
+        scores[d] = (
+            math.floor(resid(x1, x2, x3, y) * dot * 1000 + 0.5),
+            int(y),
+        )
+    picked = sorted(scores, key=lambda d: (-scores[d][0], d))[:GRAD_K]
+    want = {d: scores[d] for d in picked}
+
+    got = {
+        r["doc_id"]: (r["align_e3"], r["label"])
+        for r in q_gradient_align(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) == GRAD_K
+    worst_in = min(v[0] for v in got.values())
+    rest = [scores[d][0] for d in scores if d not in got]
+    assert not rest or worst_in >= max(rest)
