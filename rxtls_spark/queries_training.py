@@ -7173,6 +7173,134 @@ def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FIM transform constants — MIRRORED in the `fim_transform` oracle
+# SQL; change together.  FIM_RATE is the permille of docs transformed
+# (the knuth-permille gate); cut points derive from knuth hashes of
+# doc_id and 2*doc_id+1 so both are pure integer functions of the row.
+FIM_RATE = 500
+FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    for a deterministic ``FIM_RATE``-permille slice of docs, split the
+    token stream at two hash-derived cut points and emit the PSM
+    reordering ``<PRE> prefix <SUF> suffix <MID> middle`` — the
+    document-level transform code-LM pipelines apply so the model
+    learns infilling; the rest pass through untransformed.  Emits the
+    md5 of the (token-joined) output text plus the exact split sizes,
+    so the driver value-hashes the full string surgery.
+
+    Cross-engine: the gate is the knuth permille (the holdout rule);
+    cut points are knuth_hash(doc_id) % (n-1) and
+    knuth_hash(2*doc_id + 1) % (n-1) mapped to 1-based interior cuts
+    lo < hi (equal draws widen by one — every branch integer); token
+    slicing and the space-join are pure string ops both engines run
+    identically.  Docs with n < 3 tokens are never split (no interior
+    pair exists) and pass through with fim = 0.
+
+    Scale shape: a pure per-row map — zero exchanges, no UDF; the
+    output text column is written where a real pipeline writes it,
+    and the md5 keeps the oracle compare row-sized."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    t = docs.select("doc_id", _lm_tokens().alias("t")).withColumn(
+        "n", F.size("t").cast("long")
+    )
+    pm = knuth_hash(F.col("doc_id")) % 1000
+    c1 = knuth_hash(F.col("doc_id")) % (F.col("n") - 1)
+    c2 = knuth_hash(F.lit(2) * F.col("doc_id") + 1) % (F.col("n") - 1)
+    lo0 = F.least(c1, c2) + 1
+    hi0 = F.greatest(c1, c2) + 1
+    hi = F.when(hi0 == lo0, hi0 + 1).otherwise(hi0)
+    gated = t.withColumn(
+        "fim",
+        ((pm < FIM_RATE) & (F.col("n") >= 3)).cast("long"),
+    ).withColumn(
+        "lo", F.when(F.col("fim") == 1, lo0).otherwise(F.lit(0))
+    ).withColumn(
+        "hi", F.when(F.col("fim") == 1, hi).otherwise(F.lit(0))
+    )
+    pre = F.slice("t", F.lit(1), F.col("lo").cast("int"))
+    mid = F.expr("slice(t, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))")
+    suf = F.expr("slice(t, CAST(hi + 1 AS INT), CAST(n - hi AS INT))")
+    out_text = F.when(
+        F.col("fim") == 1,
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.array(F.lit(FIM_PRE)),
+                pre,
+                F.array(F.lit(FIM_SUF)),
+                suf,
+                F.array(F.lit(FIM_MID)),
+                mid,
+            ),
+        ),
+    ).otherwise(F.concat_ws(" ", F.col("t")))
+    return gated.select(
+        "doc_id",
+        "fim",
+        F.when(F.col("fim") == 1, F.col("lo")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_pre"),
+        F.when(F.col("fim") == 1, F.col("hi") - F.col("lo"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_mid"),
+        F.when(F.col("fim") == 1, F.col("n") - F.col("hi"))
+        .otherwise(F.col("n"))
+        .cast("long")
+        .alias("n_suf"),
+        F.md5(out_text).alias("out_md5"),
+    )
+
+
+def _fim_sql() -> str:
+    """fim_transform oracle: identical permille gate, knuth cut
+    points, 1-based interior cuts with the equal-draw widen rule, and
+    the same PSM space-join."""
+    kh = f"(((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})"
+    kh2 = (
+        f"((((2 * doc_id + 1) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), base AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         CASE WHEN {kh} % 1000 < {FIM_RATE} AND len(t) >= 3
+              THEN 1 ELSE 0 END AS fim,
+         {kh} % (len(t) - 1) AS c1,
+         {kh2} % (len(t) - 1) AS c2
+  FROM toks
+), cuts AS (
+  SELECT doc_id, t, n, fim,
+         least(c1, c2) + 1 AS lo0,
+         CASE WHEN greatest(c1, c2) = least(c1, c2)
+              THEN greatest(c1, c2) + 2
+              ELSE greatest(c1, c2) + 1 END AS hi
+  FROM base
+)
+SELECT doc_id, CAST(fim AS BIGINT) AS fim,
+  CAST(CASE WHEN fim = 1 THEN lo0 ELSE 0 END AS BIGINT) AS n_pre,
+  CAST(CASE WHEN fim = 1 THEN hi - lo0 ELSE 0 END AS BIGINT) AS n_mid,
+  CAST(CASE WHEN fim = 1 THEN n - hi ELSE n END AS BIGINT) AS n_suf,
+  md5(CASE WHEN fim = 1 THEN
+        array_to_string(
+          ['{FIM_PRE}'] || t[1:lo0] || ['{FIM_SUF}'] || t[hi+1:n]
+          || ['{FIM_MID}'] || t[lo0+1:hi], ' ')
+      ELSE array_to_string(t, ' ') END) AS out_md5
+FROM cuts
+"""
+
+
 # Heaps-law checkpoint grid (knuth-hash permille prefixes) — MIRRORED
 # in the `heaps_law` oracle SQL; change together.  The prefix rule is
 # the holdout_split permille convention, so prefixes are stable under
@@ -8375,6 +8503,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "silhouette": q_silhouette,
     "heaps_law": q_heaps_law,
     "gradient_align": q_gradient_align,
+    "fim_transform": q_fim_transform,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -10427,6 +10556,7 @@ WHERE rn <= 10
         "silhouette": _silhouette_sql(),
         "heaps_law": _heaps_sql(),
         "gradient_align": _gradient_align_sql(),
+        "fim_transform": _fim_sql(),
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "min_k_prob": f"""

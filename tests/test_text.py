@@ -3437,3 +3437,67 @@ def test_gradient_align_matches_python_replica(spark):
     worst_in = min(v[0] for v in got.values())
     rest = [scores[d][0] for d in scores if d not in got]
     assert not rest or worst_in >= max(rest)
+
+
+def test_fim_transform_matches_python_replica(spark):
+    """The whole FIM surgery recomputed in Python: permille gate,
+    knuth cut points with the equal-draw widen rule, PSM reorder and
+    its md5 — rows bit-identical.  Plus the reconstruction invariant:
+    the three splits partition the token stream exactly, so
+    re-assembling middle into the gap restores the original."""
+    import hashlib
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_RATE,
+        FIM_SUF,
+        q_fim_transform,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    def kh(v):
+        return ((v % KNUTH_P) * KNUTH_A) % KNUTH_P
+
+    want = {}
+    n_fim = 0
+    for r in rows:
+        txt = r["text"].strip()
+        if not txt:
+            continue
+        d = r["doc_id"]
+        t = ws.split(txt.lower())
+        n = len(t)
+        if kh(d) % 1000 < FIM_RATE and n >= 3:
+            n_fim += 1
+            c1, c2 = kh(d) % (n - 1), kh(2 * d + 1) % (n - 1)
+            lo = min(c1, c2) + 1
+            hi = max(c1, c2) + 1
+            if hi == lo:
+                hi += 1
+            pre, mid, suf = t[:lo], t[lo:hi], t[hi:]
+            assert pre + mid + suf == t  # exact partition
+            out = " ".join([FIM_PRE] + pre + [FIM_SUF] + suf
+                           + [FIM_MID] + mid)
+            want[d] = (1, lo, hi - lo, n - hi,
+                       hashlib.md5(out.encode()).hexdigest())
+        else:
+            want[d] = (0, 0, 0, n,
+                       hashlib.md5(" ".join(t).encode()).hexdigest())
+
+    got = {
+        r["doc_id"]: (r["fim"], r["n_pre"], r["n_mid"], r["n_suf"],
+                      r["out_md5"])
+        for r in q_fim_transform(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert n_fim > 0 and n_fim < len(want)  # both branches exercised
