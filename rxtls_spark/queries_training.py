@@ -1808,6 +1808,69 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance VERIFICATION of near-dup candidates — the
+    stage a production near-dup pipeline runs after LSH banding: LSH
+    proposes pairs cheaply, Levenshtein (or exact Jaccard) confirms
+    them before anything is dropped.  `ngram_jaccard` validates the
+    set-similarity verifier; this validates the sequence-similarity
+    one, which catches reorderings Jaccard is blind to.
+
+    Candidate pairs are deterministic variants of the standard query
+    pool (doc_id % 20 == 0, the injected-dup convention), each with a
+    PROVABLE distance identity the pytest locks: `append` (+' extra!',
+    d = 7), `sub` (every 'a'→'b', d = #a — substitutions only),
+    `half` (left half kept, d = n − n DIV 2 — deletions only), `rev`
+    (reversed text, d from the full DP).  Outputs are all exact
+    BIGINTs: d, both lengths, and sim_e5 = ((maxlen − d)·1e5) DIV
+    maxlen — both engines run their built-in unit-cost Levenshtein on
+    identical strings.
+
+    Scale shape: a pure per-row map over the candidate pairs (the
+    pool is the metadata-scale query set; at 100 TB the pairs come
+    from the LSH band join, which is exactly where this expression
+    drops in).  Levenshtein is O(len²) per pair — the reason real
+    pipelines LSH FIRST and verify only candidates."""
+    base = (
+        _docs(spark, sf_dir)
+        .where((F.col("doc_id") % 20 == 0) & (F.trim("text") != ""))
+        .select("doc_id", F.col("text").alias("a"))
+    )
+    variants = base.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("append"), F.lit("sub"), F.lit("half"),
+                    F.lit("rev"),
+                ),
+                F.array(
+                    F.concat(F.col("a"), F.lit(" extra!")),
+                    F.regexp_replace("a", "a", "b"),
+                    F.substring(
+                        F.col("a"), 1, (F.length("a") / 2).cast("int")
+                    ),
+                    F.reverse(F.col("a")),
+                ),
+            )
+        ).alias("variant", "b"),
+        "a",
+    )
+    d = F.levenshtein("a", "b").cast("long")
+    maxlen = F.greatest(F.length("a"), F.length("b")).cast("long")
+    return variants.select(
+        "doc_id",
+        "variant",
+        d.alias("d"),
+        F.length("a").cast("long").alias("len_a"),
+        F.length("b").cast("long").alias("len_b"),
+        F.expr(
+            "CAST(((greatest(length(a), length(b)) - levenshtein(a, b))"
+            " * 100000) DIV greatest(length(a), length(b)) AS BIGINT)"
+        ).alias("sim_e5"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard on the injected dup pairs — pure JVM array
     math (split/transform/array_intersect/array_union), SQL-mirrored.
@@ -8504,6 +8567,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heaps_law": q_heaps_law,
     "gradient_align": q_gradient_align,
     "fim_transform": q_fim_transform,
+    "edit_verify": q_edit_verify,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -10557,6 +10621,27 @@ WHERE rn <= 10
         "heaps_law": _heaps_sql(),
         "gradient_align": _gradient_align_sql(),
         "fim_transform": _fim_sql(),
+        "edit_verify": """
+WITH base AS (
+  SELECT doc_id, text AS a FROM documents
+  WHERE doc_id % 20 = 0 AND trim(text) <> ''
+), v AS (
+  SELECT doc_id, 'append' AS variant, a, a || ' extra!' AS b FROM base
+  UNION ALL
+  SELECT doc_id, 'sub', a, regexp_replace(a, 'a', 'b', 'g') FROM base
+  UNION ALL
+  SELECT doc_id, 'half', a, substring(a, 1, length(a) // 2) FROM base
+  UNION ALL
+  SELECT doc_id, 'rev', a, reverse(a) FROM base
+)
+SELECT doc_id, variant,
+  CAST(levenshtein(a, b) AS BIGINT) AS d,
+  CAST(length(a) AS BIGINT) AS len_a,
+  CAST(length(b) AS BIGINT) AS len_b,
+  CAST(((greatest(length(a), length(b)) - levenshtein(a, b)) * 100000)
+       // greatest(length(a), length(b)) AS BIGINT) AS sim_e5
+FROM v
+""",
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "min_k_prob": f"""

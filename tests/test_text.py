@@ -3501,3 +3501,48 @@ def test_fim_transform_matches_python_replica(spark):
     }
     assert got == want
     assert n_fim > 0 and n_fim < len(want)  # both branches exercised
+
+
+def test_edit_verify_distance_identities(spark):
+    """Locks the provable Levenshtein identities per variant on the
+    real smoke pool: append → d == 7 exactly; sub → d == #'a'
+    (substitutions only); half → d == n − n//2 (deletions only);
+    rev → d from a brute-force DP replica.  And sim_e5 is the exact
+    integer identity on every row."""
+    from rxtls_spark.queries_training import q_edit_verify
+    from tests.conftest import SF_SMOKE
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where("doc_id % 20 = 0 AND trim(text) <> ''")
+        .collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = q_edit_verify(spark, SF_SMOKE).collect()
+    assert len(rows) == 4 * len(texts)
+    for r in rows:
+        a = texts[r["doc_id"]]
+        assert r["len_a"] == len(a)
+        if r["variant"] == "append":
+            assert r["d"] == 7 and r["len_b"] == len(a) + 7
+        elif r["variant"] == "sub":
+            assert r["d"] == a.count("a") and r["len_b"] == len(a)
+        elif r["variant"] == "half":
+            assert r["d"] == len(a) - len(a) // 2
+            assert r["len_b"] == len(a) // 2
+        else:
+            assert r["variant"] == "rev"
+            assert r["d"] == lev(a, a[::-1])
+        mx = max(r["len_a"], r["len_b"])
+        assert r["sim_e5"] == (mx - r["d"]) * 100000 // mx
