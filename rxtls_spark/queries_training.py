@@ -145,6 +145,59 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout-split leakage audit — `contamination` pointed at the
+    pipeline's OWN train/val/test boundary: for every val/test
+    document, how many TRAIN documents share a word-3-gram shingle
+    with it, and how many of its distinct shingles are compromised.
+    The holdout_split permille rule guarantees a doc never migrates
+    between splits, but near-duplicate PAIRS straddling the boundary
+    still leak eval signal into training — the audit every eval-split
+    release runs (and the reason real pipelines dedup BEFORE
+    splitting).
+
+    Cross-engine: splits are the knuth permille rule (holdout
+    constants flow in), shingles the shared `_word_shingles` /
+    `_shingles_sql` pair, outputs pure BIGINT distinct counts.
+
+    Scale shape: the eval side is a bounded permille slice — its
+    distinct shingle set broadcasts (the contamination convention);
+    the train side is a map-side explode into the broadcast join; the
+    only shuffle is the per-eval-doc distinct agg.  A pathologically
+    hot shingle takes the dedup.py bucket-cap guard at 100 TB."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+        .withColumn("pm", knuth_hash(F.col("doc_id")) % 1000)
+    )
+    ev = docs.where(F.col("pm") >= HOLDOUT_VAL_FROM).select(
+        "doc_id",
+        F.when(F.col("pm") >= HOLDOUT_TEST_FROM, F.lit("test"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        F.explode(F.array_distinct(_word_shingles(F.col("text")))).alias(
+            "shingle"
+        ),
+    )
+    tr = docs.where(F.col("pm") < HOLDOUT_VAL_FROM).select(
+        F.col("doc_id").alias("train_doc"),
+        F.explode(F.array_distinct(_word_shingles(F.col("text")))).alias(
+            "shingle"
+        ),
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.countDistinct("train_doc").cast("long").alias("n_train_docs"),
+            F.countDistinct("shingle")
+            .cast("long")
+            .alias("n_shared_shingles"),
+        )
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str, chunk: int = 64) -> DataFrame:
     """Training-sequence prep: each document's BPE-ish token stream cut
     into fixed-length chunks (the per-document half of sequence
@@ -8568,6 +8621,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gradient_align": q_gradient_align,
     "fim_transform": q_fim_transform,
     "edit_verify": q_edit_verify,
+    "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -10641,6 +10695,26 @@ SELECT doc_id, variant,
   CAST(((greatest(length(a), length(b)) - levenshtein(a, b)) * 100000)
        // greatest(length(a), length(b)) AS BIGINT) AS sim_e5
 FROM v
+""",
+        "split_leakage": f"""
+WITH d AS (
+  SELECT doc_id, (((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}) % 1000 AS pm,
+         list_distinct({_shingles_sql('text')}) AS sh
+  FROM documents WHERE trim(text) <> ''
+), ev AS (
+  SELECT doc_id,
+         CASE WHEN pm >= {HOLDOUT_TEST_FROM} THEN 'test' ELSE 'val' END AS split,
+         unnest(sh) AS shingle
+  FROM d WHERE pm >= {HOLDOUT_VAL_FROM}
+), tr AS (
+  SELECT doc_id AS train_doc, unnest(sh) AS shingle
+  FROM d WHERE pm < {HOLDOUT_VAL_FROM}
+)
+SELECT ev.doc_id, ev.split,
+       CAST(count(DISTINCT tr.train_doc) AS BIGINT) AS n_train_docs,
+       CAST(count(DISTINCT ev.shingle) AS BIGINT) AS n_shared_shingles
+FROM ev JOIN tr USING (shingle)
+GROUP BY 1, 2
 """,
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),

@@ -3546,3 +3546,67 @@ def test_edit_verify_distance_identities(spark):
             assert r["d"] == lev(a, a[::-1])
         mx = max(r["len_a"], r["len_b"])
         assert r["sim_e5"] == (mx - r["d"]) * 100000 // mx
+
+
+def test_split_leakage_matches_python_replica(spark):
+    """Exact replica over the smoke corpus: permille splits, distinct
+    word-3-gram shingle sets, per-eval-doc distinct train-doc and
+    compromised-shingle counts — rows bit-identical.  The synthetic
+    corpus draws from a closed word list, so leakage rows MUST exist
+    (shared shingles across the boundary are guaranteed)."""
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        HOLDOUT_TEST_FROM,
+        HOLDOUT_VAL_FROM,
+        q_split_leakage,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    def shingles(t):
+        w = ws.split(t.strip().lower())
+        if len(w) >= 3:
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return {" ".join(w)}
+
+    ev, tr_by_shingle = {}, {}
+    for r in rows:
+        if r["text"].strip() == "":
+            continue
+        pm = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000
+        sh = shingles(r["text"])
+        if pm >= HOLDOUT_VAL_FROM:
+            split = "test" if pm >= HOLDOUT_TEST_FROM else "val"
+            ev[r["doc_id"]] = (split, sh)
+        else:
+            for s in sh:
+                tr_by_shingle.setdefault(s, set()).add(r["doc_id"])
+
+    want = {}
+    for d, (split, sh) in ev.items():
+        docs = set()
+        shared = set()
+        for s in sh:
+            hits = tr_by_shingle.get(s)
+            if hits:
+                docs |= hits
+                shared.add(s)
+        if shared:
+            want[(d, split)] = (len(docs), len(shared))
+
+    got = {
+        (r["doc_id"], r["split"]): (r["n_train_docs"],
+                                    r["n_shared_shingles"])
+        for r in q_split_leakage(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert got, "closed-vocab corpus must leak across the boundary"
+    assert {s for _, s in got} <= {"val", "test"}
