@@ -3028,6 +3028,162 @@ LEFT JOIN ntri ON i.doc_id = ntri.node
 """
 
 
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the simple undirected `pagerank` link graph
+    — the FIFTH consumer of the shared knuth edge set (pagerank =
+    importance, hits = hubs/authorities, label_propagation =
+    communities, triangle_count = density, this = missing-edge
+    scoring): for every distance-2 NON-edge pair, the three classic
+    neighborhood scores — common-neighbor count, Jaccard, and
+    Adamic-Adar (Liben-Nowell & Kleinberg 2003).  A crawl pipeline
+    reads these as "hosts that should link but don't" — seed
+    candidates for frontier expansion and mirror discovery.
+
+    Semantics: distinct undirected pairs a < b (the triangle_count
+    graph); candidate pairs are wedge endpoints (v1 < v2, both
+    adjacent to some z) minus existing edges.  cn = #common
+    neighbors; jac_e5 = (cn·1e5) DIV (deg_a + deg_b − cn);
+    aa_e3 = Σ_z 1e6 DIV floor(ln(deg_z)·1e3) — the e3-floored-log
+    integer discipline (zipf_alpha), and deg_z ≥ 2 ALWAYS for a wedge
+    center of a simple graph (it has two distinct neighbors), so the
+    divisor is ≥ 693 by construction, no zero guard needed.  All
+    BIGINT — exact cross-engine.
+
+    Scale shape: edges are a pure map, `und` localCheckpoint'd and
+    reused; the wedge self-join fans out Σ deg(z)² rows — bounded
+    here by the PR_OUTDEG-regular construction, and at 100 TB a hub
+    degree cap (the dedup bucket-cap discipline) bounds it the same
+    way; everything after is hash equi-joins + one (v1,v2) agg."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    de = ids.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+    und = (
+        de.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("z").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # attach the wedge-center AA weight once per adjacency row
+    adjw = adj.join(deg, adj["z"] == deg["node"]).select(
+        "z",
+        "v",
+        # deg-1 centers produce no wedge, but ANSI evaluates w on every
+        # adjacency row BEFORE the self-join prunes them — guard ln(1)=0
+        F.expr(
+            "CASE WHEN deg >= 2 THEN 1000000 DIV"
+            " CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000.0) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("w"),
+    )
+    wedges = (
+        adjw.select("z", F.col("v").alias("v1"), "w")
+        .join(adj.select("z", F.col("v").alias("v2")), "z")
+        .where(F.col("v1") < F.col("v2"))
+    )
+    cand = (
+        wedges.groupBy(F.col("v1").alias("a"), F.col("v2").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("w").cast("long").alias("aa_e3"),
+        )
+        .join(und, ["a", "b"], "left_anti")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.expr("(cn * 100000) DIV (deg_a + deg_b - cn)").alias(
+                "jac_e5"
+            ),
+            "aa_e3",
+        )
+    )
+
+
+def _link_predict_sql(outdeg: int = PR_OUTDEG) -> str:
+    """link_predict oracle: the triangle_count edge CTEs → adjacency
+    both directions → wedge self-join (v1 < v2) with the e3-floored-ln
+    AA weight attached at the wedge center → (pair) agg → anti-join
+    existing edges → degree joins — all BIGINT, exact by
+    construction."""
+    return f"""WITH ids AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), e0 AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, {outdeg - 1})) AS j
+  FROM ids
+), e1 AS (
+  SELECT src,
+         ((((src * {outdeg} + j) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % (SELECT n FROM nn) AS dst
+  FROM e0
+), e2 AS (
+  SELECT src, dst FROM e1 WHERE dst <> src
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e2
+), adj AS (
+  SELECT a AS z, b AS v FROM und
+  UNION ALL
+  SELECT b AS z, a AS v FROM und
+), deg AS (
+  SELECT z AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+), adjw AS (
+  SELECT adj.z, adj.v,
+         CASE WHEN deg.deg >= 2 THEN
+           1000000 // CAST(floor(ln(CAST(deg.deg AS DOUBLE)) * 1000.0)
+                           AS BIGINT)
+         ELSE 0 END AS w
+  FROM adj JOIN deg ON adj.z = deg.node
+), wedges AS (
+  SELECT a1.v AS v1, a2.v AS v2, a1.w
+  FROM adjw a1 JOIN adj a2 ON a1.z = a2.z AND a1.v < a2.v
+), cand AS (
+  SELECT w.v1 AS a, w.v2 AS b,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(w.w) AS BIGINT) AS aa_e3
+  FROM wedges w
+  LEFT JOIN und ON und.a = w.v1 AND und.b = w.v2
+  WHERE und.a IS NULL
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, c.cn, da.deg AS deg_a, db.deg AS deg_b,
+       CAST((c.cn * 100000) // (da.deg + db.deg - c.cn) AS BIGINT)
+         AS jac_e5,
+       c.aa_e3
+FROM cand c
+JOIN deg da ON c.a = da.node
+JOIN deg db ON c.b = db.node
+"""
+
+
 # PCA power-iteration count / dim — mirrored in the unrolled oracle SQL.
 PCA_ITERS = 3
 PCA_DIM = 64
@@ -8597,6 +8753,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "hits": q_hits,
     "label_propagation": q_label_propagation,
+    "link_predict": q_link_predict,
     "proto_prune": q_proto_prune,
     "d4_prune": q_d4_prune,
     "mmr_select": q_mmr_select,
@@ -10657,6 +10814,7 @@ WHERE rn <= 10
         "url_canonicalize": _url_canonicalize_sql(),
         "hits": _hits_sql(),
         "label_propagation": _label_propagation_sql(),
+        "link_predict": _link_predict_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),

@@ -352,3 +352,62 @@ def test_triangle_count_matches_exact_replica(spark):
         assert got["lcc_e5"] == want_lcc, i
         assert 0 <= got["lcc_e5"] <= 100000
     assert sum(r["n_tri"] for r in rows.values()) == total_tri
+
+
+def test_link_predict_matches_exact_replica(spark):
+    """Link-prediction scores via a brute-force Python enumeration over
+    the SAME generated simple graph: every candidate (distance-2
+    non-edge) pair's common-neighbor count, Jaccard e5 and integer
+    Adamic-Adar must match EXACTLY; no existing edge may appear; no
+    cartesian in the plan."""
+    import math
+    from itertools import combinations
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import PR_OUTDEG, q_link_predict
+    from tests.conftest import SF_SMOKE
+
+    df = q_link_predict(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {(r["a"], r["b"]): r for r in df.collect()}
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    und = set()
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                und.add((min(s, d), max(s, d)))
+    adj = {i: set() for i in ids}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for z in ids:
+        w = 1000000 // math.floor(math.log(len(adj[z])) * 1000.0)
+        for v1, v2 in combinations(sorted(adj[z]), 2):
+            if (v1, v2) in und:
+                continue
+            cn, aa = want.get((v1, v2), (0, 0))
+            want[(v1, v2)] = (cn + 1, aa + w)
+    assert want, "smoke graph must contain distance-2 non-edges"
+    assert set(rows) == set(want)
+    for (a, b), (cn, aa) in want.items():
+        got = rows[(a, b)]
+        assert (a, b) not in und
+        assert got["cn"] == cn, (a, b)
+        assert got["aa_e3"] == aa, (a, b)
+        assert got["deg_a"] == len(adj[a]) and got["deg_b"] == len(adj[b])
+        assert got["jac_e5"] == (cn * 100000) // (
+            len(adj[a]) + len(adj[b]) - cn
+        ), (a, b)
+        assert 0 < got["jac_e5"] <= 100000
