@@ -1672,6 +1672,150 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CDC boundary divisor (mean chunk ≈ CDC_DIV tokens) — MIRRORED in the
+# `cdc_chunk_dedup` oracle SQL; change together.  Boundary rule: AFTER
+# token i when its md5-13-hex-prefix integer key (the bloom_dedup
+# conv(_,16,10) == '0x'||_ pairing) % CDC_DIV == 0, plus a forced
+# boundary at end-of-doc.
+CDC_DIV = 8
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup accounting (the rsync/LBFS
+    boundary idea at token granularity): each document is cut into
+    variable-length chunks whose boundaries depend only on LOCAL token
+    content — so a one-token edit moves at most one boundary and every
+    OTHER chunk still hashes identically, which is exactly what
+    fixed-width `span_dedup` windows cannot give you.  The injected
+    near-copy (' extra!') proves the property: all its chunks dedup
+    against the original except the final one.
+
+    Per doc over the injected-dup corpus (the dedup_exact convention):
+    chunk count, token count, and the chunks/tokens already seen at an
+    earlier (doc_id, chunk_idx) — the storage/compute a chunk-level
+    dedup store saves.  Chunks are maximal runs between boundary
+    tokens; first-setter rule = min (doc_id, chunk_idx) per chunk
+    hash.  All BIGINT — exact cross-engine.
+
+    Scale shape: chunking is a PURE per-row array map (no explode, no
+    window — boundary positions, [0]-seeded fence array, slice+md5
+    per chunk); the only shuffles are the chunk-hash agg + join-back
+    — the exact-dedup shuffle paid at chunk granularity, which is the
+    entire point of CDC — and the final per-doc agg."""
+    docs = with_injected_dups(_docs(spark, sf_dir)).where(
+        F.trim("text") != ""
+    )
+    base = docs.select("doc_id", _lm_tokens().alias("t"))
+
+    def key(tok: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(tok), 1, 13), 16, 10).cast("long")
+
+    ends = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: (i == F.size("t"))
+        | (key(F.element_at(F.col("t"), i)) % CDC_DIV == 0),
+    )
+    # fence array [0, end_1, ..., end_m]: chunk k spans e2[k]+1 .. e2[k+1]
+    withe = base.select(
+        "doc_id", "t", F.concat(F.array(F.lit(0)), ends).alias("e2")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("e2") - 1),
+        lambda k: F.struct(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("t"),
+                        F.element_at(F.col("e2"), k) + 1,
+                        F.element_at(F.col("e2"), k + 1)
+                        - F.element_at(F.col("e2"), k),
+                    ),
+                )
+            ).alias("h"),
+            (
+                F.element_at(F.col("e2"), k + 1)
+                - F.element_at(F.col("e2"), k)
+            )
+            .cast("long")
+            .alias("ntok"),
+        ),
+    )
+    rows = withe.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.h").alias("h"),
+        F.col("c.ntok").alias("ntok"),
+    )
+    firsts = rows.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("f")
+    )
+    flagged = rows.join(firsts, "h").select(
+        "doc_id",
+        "ntok",
+        (
+            (F.col("f.doc_id") == F.col("doc_id"))
+            & (F.col("f.chunk_idx") == F.col("chunk_idx"))
+        ).alias("is_first"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("dup_chunks"),
+        F.sum(F.when(~F.col("is_first"), F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("saved_tokens"),
+    )
+
+
+def _cdc_sql(div: int = CDC_DIV) -> str:
+    """cdc_chunk_dedup oracle: identical fence-array chunking (the
+    [0]-seeded boundary list), md5 chunk hashes over the space-joined
+    slice, row_number first-setter rule — all BIGINT."""
+    return (
+        _DUPS_CTE
+        + f""", toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM docs WHERE trim(text) <> ''
+), fences AS (
+  SELECT doc_id, t,
+         [0] || list_filter(generate_series(1, len(t)),
+           i -> i = len(t) OR
+                ('0x' || substring(md5(t[i]), 1, 13))::BIGINT % {div} = 0)
+           AS e2
+  FROM toks
+), ks AS (
+  SELECT doc_id, t, e2,
+         unnest(generate_series(1, len(e2) - 1)) AS k
+  FROM fences
+), rows0 AS (
+  SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+         md5(array_to_string(t[(e2[k] + 1):(e2[k + 1])], ' ')) AS h,
+         CAST(e2[k + 1] - e2[k] AS BIGINT) AS ntok
+  FROM ks
+), fl AS (
+  SELECT doc_id, ntok,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM rows0
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+  CAST(sum(CASE WHEN rn > 1 THEN ntok ELSE 0 END) AS BIGINT)
+    AS saved_tokens
+FROM fl GROUP BY 1
+"""
+    )
+
+
 def _word_shingles(col):
     """Word-3-gram array — pure JVM (split/transform/slice), mirrored
     1:1 by the DuckDB regexp_split_to_array/list_transform SQL."""
@@ -8737,6 +8881,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "bloom_dedup": q_bloom_dedup,
     "url_canonicalize": q_url_canonicalize,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "dedup_exact": q_exact_dups,
     "dedup_normalized": q_normalized_dups,
     "dedup_minhash_lsh": q_minhash_near_dups,
@@ -10708,6 +10853,7 @@ SELECT doc_id,
   END, 5) AS stopword_ratio
 FROM documents
 """,
+        "cdc_chunk_dedup": _cdc_sql(),
         "dedup_exact": _DUPS_CTE + """
 SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS keep_doc_id

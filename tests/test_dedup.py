@@ -318,3 +318,77 @@ def test_bloom_dedup_matches_sequential_python_bloom(spark):
     assert all(v[2] != "missed" for v in got.values())
     assert all(v[1] == 1 for v in got.values() if v[0] == 1)
     assert sum(v[0] for v in got.values()) > 0  # injected dups present
+
+
+def test_cdc_chunk_dedup_matches_replica_and_shift_resilience(spark):
+    """cdc_chunk_dedup vs a pure-Python replica (same md5-prefix
+    boundary rule, fence array, first-setter min (doc_id, chunk_idx))
+    over the smoke corpus — every per-doc row must match EXACTLY.
+    Also locks the property CDC exists for: the injected near-copy
+    (doc_id+2e9, ' extra!' appended) dedups every chunk except the
+    final one against its original."""
+    import hashlib
+    import re
+
+    from rxtls_spark.queries_training import CDC_DIV, q_cdc_chunk_dedup
+    from tests.conftest import SF_SMOKE
+
+    got = {r["doc_id"]: r for r in q_cdc_chunk_dedup(spark, SF_SMOKE).collect()}
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    base = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    docs = dict(base)
+    for i, t in base.items():
+        if i % 20 == 0:
+            docs[i + 1_000_000_000] = t
+            docs[i + 2_000_000_000] = t + " extra!"
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    def chunks_of(text: str) -> list[tuple[str, int]]:
+        toks = ws.split(text.strip().lower())
+        ends = [
+            i
+            for i in range(1, len(toks) + 1)
+            if i == len(toks)
+            or int(md5hex(toks[i - 1])[:13], 16) % CDC_DIV == 0
+        ]
+        e2 = [0] + ends
+        return [
+            (md5hex(" ".join(toks[e2[k - 1]:e2[k]])), e2[k] - e2[k - 1])
+            for k in range(1, len(e2))
+        ]
+
+    per_doc = {
+        i: chunks_of(t) for i, t in docs.items() if t.strip() != ""
+    }
+    first = {}
+    for i in sorted(per_doc):
+        for idx, (h, _) in enumerate(per_doc[i]):
+            first.setdefault(h, (i, idx))
+    assert set(got) == set(per_doc)
+    for i, ch in per_doc.items():
+        dup = [(h, n) for idx, (h, n) in enumerate(ch) if first[h] != (i, idx)]
+        r = got[i]
+        assert r["n_chunks"] == len(ch), i
+        assert r["n_tokens"] == sum(n for _, n in ch), i
+        assert r["dup_chunks"] == len(dup), i
+        assert r["saved_tokens"] == sum(n for _, n in dup), i
+
+    # shift resilience: the near-copy's non-final chunks all dedup
+    checked = 0
+    for i in base:
+        if i % 20 == 0 and base[i].strip() != "":
+            near = i + 2_000_000_000
+            ch = per_doc[near]
+            for idx, (h, _) in enumerate(ch[:-1]):
+                assert first[h] != (near, idx), (near, idx)
+            assert got[near]["dup_chunks"] >= len(ch) - 1
+            checked += 1
+    assert checked > 0
