@@ -6306,6 +6306,161 @@ def q_ndcg_eval(
     )
 
 
+# k-center greedy coreset constants — MIRRORED in `_kcenter_sql`
+# (unrolled pick chain); change together.  Seed = min vec_id; the
+# seed's cover sentinel is -200000 on BOTH engines (outside the
+# [-1e5, 1e5] floored-cosine range).
+KCENTER_K = 8
+KCENTER_SEED_COVER = -200000
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-center greedy coreset selection (farthest-point sampling —
+    Sener & Savarese, ICLR 2018): pick the vector FARTHEST from the
+    already-picked set, ``KCENTER_K`` times — the coverage-maximizing
+    data-selection rule, and the diversity-first complement of the
+    redundancy-removers (`semantic_dedup` drops near-pairs, `d4_prune`
+    prunes prototypes, `mmr_select` trades relevance off against
+    diversity; this one MAXIMIZES the minimum pairwise spread, the 2-OPT
+    approximation of the k-center cover).  Emits each pick's rank, its
+    cover (max e5-floored cosine to the EARLIER picks — how redundant
+    the pick already was; monotone non-decreasing), and how many corpus
+    vectors the pick covers under max-cosine assignment.
+
+    Cross-engine: distance = the e5-floored cosine (`_cosine_cols`
+    index-order fold ↔ DuckDB list_cosine_similarity ::DOUBLE[], the
+    knn_graph discipline); argmin pick rule (msim ASC, vec_id ASC) and
+    the assignment argmax (cos_e5 DESC, sel_rank ASC) are mirrored in
+    the UNROLLED pick-chain SQL; seed = min vec_id, seed cover = the
+    ``KCENTER_SEED_COVER`` sentinel.  All BIGINT past the shared
+    cosine pairing.
+
+    Scale shape: the canonical distributed greedy k-center — per pick
+    ONE pure-map pass (greatest over ≤K literal-array cosine folds; no
+    join, no explode) into a 1-row min-struct agg; K passes total, each
+    collect metadata-scale (one id + one vector).  Assignment is the
+    same pure map + one bounded K-row agg."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    def lit_vec(v) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def cos_e5(lit: F.Column) -> F.Column:
+        return F.floor(
+            _cosine_cols(F.col("embedding"), lit) * F.lit(100000.0)
+        ).cast("long")
+
+    def emb_of(vid: int):
+        return emb.where(F.col("vec_id") == vid).collect()[0]["embedding"]
+
+    seed_id = int(emb.agg(F.min("vec_id").alias("v")).collect()[0]["v"])
+    picks = [(1, seed_id, KCENTER_SEED_COVER)]
+    pick_vecs = [emb_of(seed_id)]
+    for t in range(2, KCENTER_K + 1):
+        cosses = [cos_e5(lit_vec(v)) for v in pick_vecs]
+        msim = F.greatest(*cosses) if len(cosses) > 1 else cosses[0]
+        r = (
+            emb.where(~F.col("vec_id").isin([p[1] for p in picks]))
+            .agg(
+                F.min(
+                    F.struct(
+                        msim.alias("msim"), F.col("vec_id").alias("vec_id")
+                    )
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        picks.append((t, int(r["vec_id"]), int(r["msim"])))
+        pick_vecs.append(emb_of(r["vec_id"]))
+
+    best = F.greatest(
+        *[
+            F.struct(
+                cos_e5(lit_vec(v)).alias("c"), F.lit(-t).alias("nr")
+            )
+            for (t, _, _), v in zip(picks, pick_vecs)
+        ]
+    )
+    counts = (
+        emb.select((-best.getField("nr")).alias("sel_rank"))
+        .groupBy("sel_rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
+    )
+    meta = spark.createDataFrame(
+        picks, "sel_rank int, vec_id long, cover_e5 long"
+    )
+    return meta.join(counts, "sel_rank", "left").select(
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+        "vec_id",
+        "cover_e5",
+        F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
+    )
+
+
+def _kcenter_sql(k: int = KCENTER_K) -> str:
+    """kcenter_coreset oracle: the UNROLLED greedy pick chain — per
+    pick a running-max-similarity CTE (greatest of the floored-cosine
+    pairing) and an (msim ASC, vec_id ASC) LIMIT-1 pick — then the
+    mirrored argmax assignment counts."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CAST(floor(list_cosine_similarity({a}::DOUBLE[],"
+            f" {b}::DOUBLE[]) * 100000) AS BIGINT)"
+        )
+
+    head = f"""WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+), p1 AS (
+  SELECT 1 AS sel_rank, vec_id,
+         CAST({KCENTER_SEED_COVER} AS BIGINT) AS cover_e5, embedding
+  FROM emb ORDER BY vec_id LIMIT 1
+)"""
+    for t in range(2, k + 1):
+        if t == 2:
+            head += f""",
+m2 AS (
+  SELECT e.vec_id, e.embedding,
+         {cos('e.embedding', 'p1.embedding')} AS msim
+  FROM emb e, p1 WHERE e.vec_id <> p1.vec_id
+)"""
+        else:
+            head += f""",
+m{t} AS (
+  SELECT m.vec_id, m.embedding,
+         greatest(m.msim,
+                  {cos('m.embedding', f'p{t - 1}.embedding')}) AS msim
+  FROM m{t - 1} m, p{t - 1} WHERE m.vec_id <> p{t - 1}.vec_id
+)"""
+        head += f""",
+p{t} AS (
+  SELECT {t} AS sel_rank, vec_id, msim AS cover_e5, embedding
+  FROM m{t} ORDER BY msim, vec_id LIMIT 1
+)"""
+    picks_union = "\n  UNION ALL\n  ".join(
+        f"SELECT sel_rank, vec_id, cover_e5, embedding FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return head + f""",
+picks AS (
+  {picks_union}
+), asg AS (
+  SELECT e.vec_id, p.sel_rank,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos('e.embedding', 'p.embedding')} DESC,
+                    p.sel_rank) AS rn
+  FROM emb e, picks p
+), counts AS (
+  SELECT sel_rank, CAST(count(*) AS BIGINT) AS n_assigned
+  FROM asg WHERE rn = 1 GROUP BY 1
+)
+SELECT CAST(p.sel_rank AS BIGINT) AS sel_rank, p.vec_id, p.cover_e5,
+       CAST(coalesce(c.n_assigned, 0) AS BIGINT) AS n_assigned
+FROM picks p LEFT JOIN counts c USING (sel_rank)
+"""
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means as a first-class operator — and the TRAINING LOOP
     itself is value-hash-checked: deterministic Lloyd's (Knuth-hash
@@ -8933,6 +9088,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
+    "kcenter_coreset": q_kcenter_coreset,
     "cluster_purity": q_cluster_purity,
     "knn_graph": q_knn_graph,
     "embedding_quantize": q_embedding_quantize,
@@ -10942,6 +11098,7 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= 10
 """,
         "kmeans": _kmeans_sql(),
+        "kcenter_coreset": _kcenter_sql(),
         "cluster_purity": _cluster_purity_sql(),
         "knn_graph": _knn_graph_sql(),
         "hard_negatives": _hard_negatives_sql(),

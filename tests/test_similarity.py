@@ -1135,3 +1135,72 @@ def test_silhouette_matches_python_replica(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == len(vecs)
+
+
+def test_kcenter_coreset_matches_greedy_replica(spark):
+    """kcenter_coreset vs a pure-Python greedy farthest-point replica
+    (the exact sequential _cosine_cols fold, e5 floor, (msim ASC,
+    vec_id ASC) pick rule, (cos DESC, sel_rank ASC) assignment) over
+    the smoke embeddings — picks, covers and assignment counts must
+    match EXACTLY; covers must be monotone non-decreasing past the
+    seed sentinel and assignment counts must sum to the corpus."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        KCENTER_K,
+        KCENTER_SEED_COVER,
+        q_kcenter_coreset,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        q_kcenter_coreset(spark, SF_SMOKE).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    embs = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def cos_e5(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        c = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        return math.floor(c * 100000)
+
+    picks = [(1, min(embs), KCENTER_SEED_COVER)]
+    for t in range(2, KCENTER_K + 1):
+        chosen = {p[1] for p in picks}
+        best = min(
+            (
+                (max(cos_e5(e, embs[p[1]]) for p in picks), v)
+                for v, e in embs.items()
+                if v not in chosen
+            )
+        )
+        picks.append((t, best[1], best[0]))
+
+    counts = dict.fromkeys(range(1, KCENTER_K + 1), 0)
+    for v, e in embs.items():
+        best = max(
+            (cos_e5(e, embs[p[1]]), -p[0]) for p in picks
+        )
+        counts[-best[1]] += 1
+
+    assert len(rows) == KCENTER_K
+    for r, (t, vid, cov) in zip(rows, picks):
+        assert (r["sel_rank"], r["vec_id"], r["cover_e5"]) == (t, vid, cov)
+        assert r["n_assigned"] == counts[t], t
+    covers = [r["cover_e5"] for r in rows[1:]]
+    assert covers == sorted(covers), "greedy covers must be monotone"
+    assert rows[0]["cover_e5"] == KCENTER_SEED_COVER
+    assert sum(r["n_assigned"] for r in rows) == len(embs)
