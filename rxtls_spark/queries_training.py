@@ -4504,6 +4504,147 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNC_K = 100
 
 
+# Data-map region cuts — MIRRORED in `_cartography_sql`; change
+# together.  Regions partition on the mean e3-floored true-label
+# probability and the integer variance numerator
+# var_num = T·Σx² − (Σx)² (x = ptrue_e3, T = LOGREG_ITERS), with the
+# ambiguity threshold T²·CARTO_SD_E3² (σ ≥ 0.05 in probability —
+# cuts sized to slice the synthetic corpus into all four regions).
+# The CASE order IS the semantics (the filter_cascade rule).
+CARTO_HI_E3 = 650
+CARTO_LO_E3 = 500
+CARTO_SD_E3 = 50
+
+
+def q_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-dynamics data map (Dataset Cartography — Swayamdipta
+    et al., EMNLP 2020): per document, the CONFIDENCE (mean true-label
+    probability across the ``LOGREG_ITERS`` GD checkpoints) and
+    VARIABILITY (variance across the same checkpoints) of the quality
+    classifier — the map that splits a corpus into easy-to-learn
+    (high-conf: safe bulk), hard-to-learn (low-conf: label noise /
+    junk candidates) and ambiguous (high-variability: the most
+    valuable training examples).  Completes the classifier lifecycle
+    family with the TRAINING-DYNAMICS view (`el2n_prune` reads one
+    final-checkpoint signal; this reads the whole trajectory).
+
+    Cross-engine: checkpoint weights are the shared deterministic GD
+    (`_logreg_train` == the unrolled `_logreg_ctes` chain — logreg
+    constants flow in); per checkpoint x_t = the e3-floored BIGINT
+    true-label probability (the uncertainty/el2n discipline, true
+    label via y: p when y=1 else 1−p); conf_sum = Σx_t,
+    mean_e3 = conf_sum DIV T, var_num = T·Σx² − (Σx)² — all-BIGINT
+    past the floor, so regions cut exactly on both engines.
+
+    Scale shape: training is the bounded per-iteration agg loop
+    already paid by the logreg family; the map itself is ONE pure map
+    over the corpus (T margin folds against literal weights — no
+    join, no window, zero extra shuffles)."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    steps, _ = _logreg_train(fx)
+    wvs: dict[int, list[float]] = {}
+    for it, j, w, _loss in steps:
+        wvs.setdefault(it, [0.0, 0.0, 0.0, 0.0])[j] = w
+
+    def pt_e3(wv: list[float]) -> F.Column:
+        m = (
+            F.lit(wv[0]) * F.lit(1.0)
+            + F.lit(wv[1]) * F.col("x1")
+            + F.lit(wv[2]) * F.col("x2")
+            + F.lit(wv[3]) * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        ptrue = F.when(F.col("y") == 1.0, p).otherwise(F.lit(1.0) - p)
+        return F.floor(ptrue * F.lit(1000.0) + F.lit(0.5)).cast("long")
+
+    t = LOGREG_ITERS
+    xs = [pt_e3(wvs[it]) for it in range(1, t + 1)]
+    s = xs[0]
+    for x in xs[1:]:
+        s = s + x
+    sq = xs[0] * xs[0]
+    for x in xs[1:]:
+        sq = sq + x * x
+    base = fx.select(
+        "doc_id",
+        F.col("y").cast("long").alias("label"),
+        s.alias("conf_sum_e3"),
+        sq.alias("sumsq"),
+    ).select(
+        "doc_id",
+        "label",
+        "conf_sum_e3",
+        F.expr(f"conf_sum_e3 DIV {t}").cast("long").alias("mean_e3"),
+        (F.lit(t) * F.col("sumsq") - F.col("conf_sum_e3") * F.col("conf_sum_e3"))
+        .cast("long")
+        .alias("var_num"),
+    )
+    thr = t * t * CARTO_SD_E3 * CARTO_SD_E3
+    return base.select(
+        "doc_id",
+        "label",
+        "conf_sum_e3",
+        "mean_e3",
+        "var_num",
+        F.when(F.col("var_num") >= thr, F.lit("ambiguous"))
+        .when(F.col("mean_e3") >= CARTO_HI_E3, F.lit("easy"))
+        .when(F.col("mean_e3") < CARTO_LO_E3, F.lit("hard"))
+        .otherwise(F.lit("mid"))
+        .alias("region"),
+    )
+
+
+def _cartography_sql(
+    iters: int = LOGREG_ITERS, lr: float = LOGREG_LR
+) -> str:
+    """cartography oracle: the shared GD CTE chain, then ONE per-doc
+    select folding the T checkpoint margins (each against its w{t}
+    CTE) into the e3-floored true-label probabilities and the
+    all-BIGINT conf/var arithmetic with the mirrored region CASE."""
+    parts = _logreg_ctes(iters, lr)
+    pts = []
+    for it in range(1, iters + 1):
+        m = (
+            f"(a{it}.w0 * 1.0 + a{it}.w1 * x1 + a{it}.w2 * x2"
+            f" + a{it}.w3 * x3)"
+        )
+        p = f"(1.0 / (1.0 + exp(-{m})))"
+        pts.append(
+            f"CAST(floor((CASE WHEN y = 1.0 THEN {p} ELSE 1.0 - {p} END)"
+            f" * 1000 + 0.5) AS BIGINT)"
+        )
+    s = " + ".join(f"x{i}" for i in range(len(pts)))
+    sq = " + ".join(f"x{i} * x{i}" for i in range(len(pts)))
+    xs_cols = ", ".join(f"{e} AS x{i}" for i, e in enumerate(pts))
+    froms = ", ".join(f"w{it} a{it}" for it in range(1, iters + 1))
+    t = iters
+    thr = t * t * CARTO_SD_E3 * CARTO_SD_E3
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+xs AS (
+  SELECT doc_id, CAST(y AS BIGINT) AS label, {xs_cols}
+  FROM fx, {froms}
+), sums AS (
+  SELECT doc_id, label,
+         CAST({s} AS BIGINT) AS conf_sum_e3,
+         CAST({sq} AS BIGINT) AS sumsq
+  FROM xs
+)
+SELECT doc_id, label, conf_sum_e3,
+  CAST(conf_sum_e3 // {t} AS BIGINT) AS mean_e3,
+  CAST({t} * sumsq - conf_sum_e3 * conf_sum_e3 AS BIGINT) AS var_num,
+  CASE WHEN {t} * sumsq - conf_sum_e3 * conf_sum_e3 >= {thr}
+         THEN 'ambiguous'
+       WHEN conf_sum_e3 // {t} >= {CARTO_HI_E3} THEN 'easy'
+       WHEN conf_sum_e3 // {t} < {CARTO_LO_E3} THEN 'hard'
+       ELSE 'mid' END AS region
+FROM sums
+"""
+    )
+
+
 def q_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Active-learning uncertainty sampling (Lewis & Gale 1994;
     Settles 2009 survey) — the labeling-budget allocator for the
@@ -9071,6 +9212,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "roc_auc": q_roc_auc,
     "uncertainty_sample": q_uncertainty_sample,
+    "cartography": q_cartography,
     "good_turing": q_good_turing,
     "min_k_prob": q_min_k_prob,
     "silhouette": q_silhouette,
@@ -11179,6 +11321,7 @@ GROUP BY 1, 2
 """,
         "roc_auc": _roc_auc_sql(),
         "uncertainty_sample": _uncertainty_sql(),
+        "cartography": _cartography_sql(),
         "min_k_prob": f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

@@ -3610,3 +3610,80 @@ def test_split_leakage_matches_python_replica(spark):
     assert got == want
     assert got, "closed-vocab corpus must leak across the boundary"
     assert {s for _, s in got} <= {"val", "test"}
+
+
+def test_cartography_matches_python_replica(spark):
+    """Data-map rows recomputed in Python over the engine-computed
+    features and the shared GD checkpoint weights: per-checkpoint
+    e3-floored true-label probability (the floor absorbs exp ulp),
+    all-BIGINT conf_sum / mean / variance numerator, and the mirrored
+    region CASE — every row bit-identical.  Also locks the identities
+    var_num >= 0, mean_e3 == conf_sum DIV T in [0, 1000], and that
+    the smoke corpus populates more than one region."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        CARTO_HI_E3,
+        CARTO_LO_E3,
+        CARTO_SD_E3,
+        LOGREG_ITERS,
+        _logreg_train,
+        logreg_features,
+        q_cartography,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = {
+        r["doc_id"]: (r["x1"], r["x2"], r["x3"], r["y"])
+        for r in fx.collect()
+    }
+    steps, _ = _logreg_train(fx)
+    wvs = {}
+    for it, j, w, _loss in steps:
+        wvs.setdefault(it, [0.0] * 4)[j] = w
+
+    t = LOGREG_ITERS
+    thr = t * t * CARTO_SD_E3 * CARTO_SD_E3
+    want = {}
+    for d, (x1, x2, x3, y) in feats.items():
+        xs = []
+        for it in range(1, t + 1):
+            wv = wvs[it]
+            m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+            p = 1.0 / (1.0 + math.exp(-m))
+            pt = p if y == 1.0 else 1.0 - p
+            xs.append(math.floor(pt * 1000 + 0.5))
+        s, sq = sum(xs), sum(x * x for x in xs)
+        var_num = t * sq - s * s
+        mean = s // t
+        region = (
+            "ambiguous"
+            if var_num >= thr
+            else "easy"
+            if mean >= CARTO_HI_E3
+            else "hard"
+            if mean < CARTO_LO_E3
+            else "mid"
+        )
+        want[d] = (int(y), s, mean, var_num, region)
+
+    got = {
+        r["doc_id"]: (
+            r["label"],
+            r["conf_sum_e3"],
+            r["mean_e3"],
+            r["var_num"],
+            r["region"],
+        )
+        for r in q_cartography(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for label, s, mean, var_num, _region in got.values():
+        assert var_num >= 0
+        assert 0 <= mean <= 1000
+        assert mean == s // LOGREG_ITERS
+        assert label in (0, 1)
+    assert len({v[4] for v in got.values()}) > 1
