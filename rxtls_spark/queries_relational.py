@@ -362,6 +362,84 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution over the event log: every 'purchase'
+    event is credited to the same user's FIRST and LAST touch event
+    (any non-purchase type) at-or-before the purchase — the
+    first-touch/last-touch report every marketing/log pipeline ships,
+    and the natural companion of `rel_event_funnel` (which counts
+    stage reach; this allocates conversion credit and revenue).
+
+    Semantics: touch rule ts <= conversion ts; ties broken by
+    (ts, event_id) — last = argmax, first = argmin; conversions with
+    no prior touch land in the 'none' bucket.  Output is one row per
+    (kind ∈ {first, last}, touch_type): conversion count + attributed
+    revenue.
+
+    Scale path: the MERGE as-of (the rel_asof_join shape) doubled —
+    union touches + conversions tagged, ONE shuffle on user_id, then
+    running last(ignorenulls) AND first(ignorenulls) over the same
+    ordered rows-frame in one Window; no join node, O(events) not
+    O(convs × touches per user).  The oracle is the
+    join-then-rank formulation — fine at sf0.01 and exactly what
+    would be wrong at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(0).alias("side"),
+        "event_id",
+        F.col("event_type").alias("b_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    convs = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("string").alias("b_type"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = touches.unionByName(convs).select(
+        "side",
+        "value",
+        F.last("b_type", ignorenulls=True).over(w).alias("lt"),
+        F.first("b_type", ignorenulls=True).over(w).alias("ft"),
+    )
+    conv_rows = merged.where(F.col("side") == 1).select(
+        F.coalesce("lt", F.lit("none")).alias("lt"),
+        F.coalesce("ft", F.lit("none")).alias("ft"),
+        "value",
+    )
+    both = conv_rows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last").alias("kind"),
+                    F.col("lt").alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("first").alias("kind"),
+                    F.col("ft").alias("touch_type"),
+                ),
+            )
+        ).alias("k"),
+        "value",
+    )
+    return both.groupBy(
+        F.col("k.kind").alias("kind"),
+        F.col("k.touch_type").alias("touch_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conv"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # Price-band dimension for the range join: (band, lo, hi) half-open
 # intervals.  The last band is open-ended so out-of-range prices at
 # other SFs still land somewhere (total row count is then invariant).
@@ -751,6 +829,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_exact_median": q_exact_median,
     "rel_events_pivot": q_events_pivot,
     "rel_asof_join": q_asof_join,
+    "rel_attribution": q_rel_attribution,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
     "rel_events_sliding": q_events_sliding,
@@ -1040,6 +1119,33 @@ GROUP BY 1
     # Native DuckDB ASOF join over the identical deduped build side;
     # ASOF picks the greatest v.ts <= c.ts, exactly what the Spark
     # merge (ordered last-ignorenulls) computes.
+    "rel_attribution": """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type <> 'purchase'
+), c AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+), pick AS (
+  SELECT c.event_id AS conv_id, c.value, t.event_type,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rl,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts ASC, t.event_id ASC) AS rf
+  FROM c JOIN t ON t.user_id = c.user_id AND t.ts <= c.ts
+), credit AS (
+  SELECT 'last' AS kind, coalesce(p.event_type, 'none') AS touch_type,
+         c.value
+  FROM c LEFT JOIN pick p ON p.conv_id = c.event_id AND p.rl = 1
+  UNION ALL
+  SELECT 'first' AS kind, coalesce(p.event_type, 'none') AS touch_type,
+         c.value
+  FROM c LEFT JOIN pick p ON p.conv_id = c.event_id AND p.rf = 1
+)
+SELECT kind, touch_type, CAST(count(*) AS BIGINT) AS n_conv,
+       round(sum(value), 2) AS sum_value
+FROM credit GROUP BY 1, 2
+""",
     "rel_asof_join": """
 WITH v AS (
   SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS view_event_id

@@ -356,3 +356,65 @@ def test_local_supplier_volume_replica_and_plan(spark):
     p = plan_string(df, "simple")
     assert p.count("BroadcastHashJoin") >= 2, p  # nation + region
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_rel_attribution_matches_bruteforce(spark):
+    """First/last-touch attribution vs a brute-force Python replica:
+    per conversion, last = argmax (ts, event_id), first = argmin
+    (ts, event_id) over same-user touches at-or-before the purchase;
+    'none' bucket for untouched conversions.  Both kinds must account
+    for every conversion and the identical total revenue."""
+    from rxtls_spark.queries_relational import q_rel_attribution
+
+    got = {
+        (r["kind"], r["touch_type"]): (r["n_conv"], r["sum_value"])
+        for r in q_rel_attribution(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    rows = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    ).collect()
+    touches: dict[int, list[tuple[int, int, str]]] = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            touches.setdefault(r["user_id"], []).append(
+                (r["t"], r["event_id"], r["event_type"])
+            )
+    want: dict[tuple[str, str], list[float]] = {}
+    n_convs = 0
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        n_convs += 1
+        cand = [
+            c for c in touches.get(r["user_id"], []) if c[0] <= r["t"]
+        ]
+        lt = max(cand)[2] if cand else "none"
+        ft = min(cand)[2] if cand else "none"
+        want.setdefault(("last", lt), []).append(r["value"])
+        want.setdefault(("first", ft), []).append(r["value"])
+    assert set(got) == set(want)
+    for k, vals in want.items():
+        assert got[k][0] == len(vals), k
+        assert abs(got[k][1] - round(sum(vals), 2)) < 0.05, k
+    assert n_convs > 0
+    for kind in ("last", "first"):
+        assert (
+            sum(n for (k, _), (n, _) in got.items() if k == kind)
+            == n_convs
+        )
+
+
+def test_rel_attribution_plan_has_no_join_node(spark):
+    from rxtls_spark.queries_relational import q_rel_attribution
+
+    df = q_rel_attribution(spark, SF_SMOKE)
+    p = plan_string(df, "simple")
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    # one shuffle for the merge window, one for the final agg
+    assert p.count("Exchange") <= 3, p
