@@ -5493,6 +5493,196 @@ def q_bigram_lm_score(
     )
 
 
+# Stupid Backoff constants — MIRRORED in `_stupid_backoff_sql`; change
+# together.  α = SB_ALPHA_NUM/SB_ALPHA_DEN (Brants et al.'s 0.4), the
+# backoff unigram vocab is the top-SB_UNI_K tokens, and every per-term
+# score is the e3-LM floor floor(ln(·)·1000) — Python math.log and
+# engine ln() are ulp-close on the identical rational, absorbed by the
+# floor (the ccnet/doremi discipline).
+SB_ALPHA_NUM = 2
+SB_ALPHA_DEN = 5
+SB_UNI_K = 50
+
+
+def _sb_vocabs(
+    docs: DataFrame, vocab_k: int, uni_k: int
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Driver-side Stupid-Backoff tables: top-K bigram direct scores
+    floor(ln(c2/c1)·1e3) and top-uni_k unigram backoff scores
+    floor(ln(α·cu/N)·1e3) — all INT e3 values, so the literal maps
+    ship exact BIGINTs and the per-doc fold is pure integer."""
+    import math
+
+    live = docs.where(F.trim("text") != "")
+    c2 = (
+        live.select(F.explode(_bigrams()).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bg")
+        .limit(vocab_k)
+        .collect()
+    )
+    left_words = sorted({r["bg"].split(" ")[0] for r in c2})
+    c1 = {
+        r["tok"]: r["cnt"]
+        for r in (
+            live.select(F.explode(_lm_tokens()).alias("tok"))
+            .where(F.col("tok").isin(left_words))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    bg_map = {
+        r["bg"]: math.floor(
+            math.log(r["cnt"] / c1[r["bg"].split(" ")[0]]) * 1000
+        )
+        for r in c2
+    }
+    uni = live.select(F.explode(_lm_tokens()).alias("tok")).groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = uni.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    utop = uni.orderBy(F.col("cnt").desc(), "tok").limit(uni_k).collect()
+    uni_map = {
+        r["tok"]: math.floor(
+            math.log(
+                (SB_ALPHA_NUM * r["cnt"]) / (SB_ALPHA_DEN * n_total)
+            )
+            * 1000
+        )
+        for r in utop
+    }
+    return bg_map, uni_map
+
+
+def q_stupid_backoff(
+    spark: SparkSession, sf_dir: str, vocab_k: int = BIGRAM_VOCAB_K
+) -> DataFrame:
+    """Stupid Backoff scoring (Brants et al., EMNLP 2007 — "Large
+    Language Models in Machine Translation"): the web-scale n-gram
+    smoothing that made trillion-token LMs practical by replacing
+    normalized discounting with a fixed-penalty backoff — score
+    S(w2|w1) = c(w1 w2)/c(w1) when the bigram is known, else
+    α·c(w2)/N.  Completes the n-gram estimator family
+    (`bigram_lm_score` = MLE, `kn_bigram_score` = Kneser-Ney,
+    `good_turing` = the evidence table, this = the
+    score-don't-normalize variant that actually ships at 100 TB).
+
+    Cross-engine: both vocab tables ship as INT-e3 literal maps (the
+    e3-LM floor per TERM, so the per-doc sum is an exact BIGINT —
+    stronger than bigram_lm_score's rounded float mean); direct beats
+    backoff via coalesce on both engines; mean_e3 = sum DIV n_scored
+    is a SIGNED truncating DIV (Spark DIV == DuckDB //).
+
+    Scale shape: three bounded hash aggs (top-K bigrams, left-word
+    counts, top-uni_k unigrams + total) ship literal maps; scoring is
+    a pure per-row fold over the JVM bigram array — zero exchanges,
+    no token explode."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bg_map, uni_map = _sb_vocabs(docs, vocab_k, SB_UNI_K)
+    bmap = F.create_map(
+        *[F.lit(x) for kv in bg_map.items() for x in kv]
+    )
+    umap = F.create_map(
+        *[F.lit(x) for kv in uni_map.items() for x in kv]
+    )
+    bi = _bigrams()
+    direct = F.transform(bi, lambda b: bmap[b].cast("long"))
+    backoff = F.transform(
+        bi, lambda b: umap[F.element_at(F.split(b, " "), 2)].cast("long")
+    )
+    term = F.zip_with(direct, backoff, lambda a, b: F.coalesce(a, b))
+    scored = F.filter(term, lambda x: x.isNotNull())
+    n_direct = F.size(F.filter(direct, lambda x: x.isNotNull()))
+    n_scored = F.size(scored)
+    ssum = F.aggregate(
+        scored, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.size(bi).cast("long").alias("n_bigrams"),
+            n_direct.cast("long").alias("n_direct"),
+            (n_scored - n_direct).cast("long").alias("n_backoff"),
+            (F.size(bi) - n_scored).cast("long").alias("n_oov"),
+            ssum.alias("score_sum_e3"),
+        )
+        .withColumn(
+            "mean_e3",
+            F.when(
+                F.col("n_direct") + F.col("n_backoff") > 0,
+                F.expr("score_sum_e3 DIV (n_direct + n_backoff)"),
+            ).cast("long"),
+        )
+    )
+
+
+def _stupid_backoff_sql(
+    vocab_k: int = BIGRAM_VOCAB_K, uni_k: int = SB_UNI_K
+) -> str:
+    """stupid_backoff oracle: the bigram_lm_score vocab CTEs plus the
+    top-uni_k backoff table over the full unigram counts, INT-e3
+    per-term scores, coalesce(direct, backoff), BIGINT sums and the
+    signed truncating-DIV mean."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM toks
+), bg AS (
+  SELECT doc_id, unnest(g2) AS bg FROM pairs
+), c2 AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg
+  GROUP BY 1 ORDER BY cnt DESC, bg LIMIT {vocab_k}
+), c1 AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), v AS (
+  SELECT c2.bg,
+         CAST(floor(ln(c2.cnt / CAST(c1.cnt AS DOUBLE)) * 1000)
+              AS BIGINT) AS lp_e3
+  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.tok
+), c1x AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c1x
+), u AS (
+  SELECT tok,
+         CAST(floor(ln(CAST({SB_ALPHA_NUM} * cnt AS DOUBLE)
+                       / CAST({SB_ALPHA_DEN} * (SELECT n FROM nn)
+                              AS DOUBLE)) * 1000) AS BIGINT) AS lp_e3
+  FROM c1x ORDER BY cnt DESC, tok LIMIT {uni_k}
+), terms AS (
+  SELECT bg.doc_id, v.lp_e3 AS d_e3, u.lp_e3 AS b_e3,
+         coalesce(v.lp_e3, u.lp_e3) AS term_e3
+  FROM bg
+  LEFT JOIN v USING (bg)
+  LEFT JOIN u ON split_part(bg.bg, ' ', 2) = u.tok
+), s AS (
+  SELECT doc_id, count(*) AS n_bg, count(d_e3) AS n_direct,
+         count(term_e3) AS n_scored,
+         coalesce(sum(term_e3), 0) AS ssum
+  FROM terms GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(coalesce(s.n_bg, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(s.n_direct, 0) AS BIGINT) AS n_direct,
+  CAST(coalesce(s.n_scored, 0) - coalesce(s.n_direct, 0) AS BIGINT)
+    AS n_backoff,
+  CAST(coalesce(s.n_bg, 0) - coalesce(s.n_scored, 0) AS BIGINT) AS n_oov,
+  CAST(coalesce(s.ssum, 0) AS BIGINT) AS score_sum_e3,
+  CASE WHEN s.n_scored > 0
+       THEN CAST(s.ssum // s.n_scored AS BIGINT) END AS mean_e3
+FROM toks t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+
 def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing frequency spectrum over the corpus bigrams (Good
     1953; Gale & Sampson 1995 "simple Good-Turing") — the
@@ -9165,6 +9355,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_fusion": q_rrf_fusion,
     "tfidf_topterms": q_tfidf_topterms,
     "bigram_lm_score": q_bigram_lm_score,
+    "stupid_backoff": q_stupid_backoff,
     "doremi_weights": q_doremi_weights,
     "filter_cascade": q_filter_cascade,
     "source_funnel": q_source_funnel,
@@ -11064,6 +11255,7 @@ WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
         "rrf_fusion": _rrf_fusion_sql(),
         "tfidf_topterms": _tfidf_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
+        "stupid_backoff": _stupid_backoff_sql(),
         "doremi_weights": _doremi_sql(),
         "filter_cascade": _filter_cascade_sql(),
         "source_funnel": _source_funnel_sql(),

@@ -3687,3 +3687,87 @@ def test_cartography_matches_python_replica(spark):
         assert mean == s // LOGREG_ITERS
         assert label in (0, 1)
     assert len({v[4] for v in got.values()}) > 1
+
+
+def test_stupid_backoff_matches_python_replica(spark):
+    """Per-doc Stupid-Backoff rows recomputed with collections.Counter
+    vocabs (same top-K tie rules, e3-floored ln terms, coalesce
+    direct-over-backoff, signed truncating-DIV mean) — bit-identical.
+    Also locks n_direct + n_backoff + n_oov == n_bigrams and that the
+    scoring plan is a pure map (no Exchange, no Python UDF)."""
+    import math
+    import re
+    from collections import Counter
+
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import (
+        BIGRAM_VOCAB_K,
+        SB_ALPHA_DEN,
+        SB_ALPHA_NUM,
+        SB_UNI_K,
+        q_stupid_backoff,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q_stupid_backoff(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = {r["doc_id"]: r for r in df.collect()}
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"].strip() != ""
+    }
+    toks = {d: ws.split(t.strip().lower()) for d, t in texts.items()}
+    bgs = {
+        d: [f"{a} {b}" for a, b in zip(t, t[1:])] for d, t in toks.items()
+    }
+    c2 = Counter(b for bb in bgs.values() for b in bb)
+    top_bg = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BIGRAM_VOCAB_K
+    ]
+    c1 = Counter(w for t in toks.values() for w in t)
+    bg_map = {
+        b: math.floor(math.log(c / c1[b.split(" ")[0]]) * 1000)
+        for b, c in top_bg
+    }
+    n_total = sum(c1.values())
+    uni_map = {
+        w: math.floor(
+            math.log((SB_ALPHA_NUM * c) / (SB_ALPHA_DEN * n_total)) * 1000
+        )
+        for w, c in sorted(c1.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :SB_UNI_K
+        ]
+    }
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    assert set(got) == set(texts)
+    for d, bb in bgs.items():
+        nd = nb = 0
+        s = 0
+        for b in bb:
+            if b in bg_map:
+                nd += 1
+                s += bg_map[b]
+            elif b.split(" ")[1] in uni_map:
+                nb += 1
+                s += uni_map[b.split(" ")[1]]
+        r = got[d]
+        assert r["n_bigrams"] == len(bb), d
+        assert (r["n_direct"], r["n_backoff"]) == (nd, nb), d
+        assert r["n_oov"] == len(bb) - nd - nb, d
+        assert r["score_sum_e3"] == s, d
+        want_mean = tdiv(s, nd + nb) if nd + nb > 0 else None
+        assert r["mean_e3"] == want_mean, d
+        assert r["n_direct"] + r["n_backoff"] + r["n_oov"] == r["n_bigrams"]
+    assert any(r["n_backoff"] > 0 for r in got.values())
+    assert any(r["n_direct"] > 0 for r in got.values())
