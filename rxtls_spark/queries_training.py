@@ -118,6 +118,61 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-anonymity / l-diversity audit constants — MIRRORED in the
+# `k_anonymity` oracle SQL; change together.  QI = (source, lang,
+# n_chars DIV KANON_LEN_BUCKET); the sensitive attribute is the
+# synthetic author cohort knuth_hash(doc_id) % KANON_AUTHORS (stands
+# in for the author/user column a real corpus carries).  The verdict
+# CASE order IS the semantics (the filter_cascade rule).
+K_ANON = 5
+L_DIV = 3
+KANON_LEN_BUCKET = 200
+KANON_AUTHORS = 97
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release audit (Sweeney 2002;
+    Machanavajjhala et al. 2007) — the privacy gate a corpus release
+    runs AFTER `pii_scrub`: scrubbing removes direct identifiers, but
+    a quasi-identifier combination (source, lang, length bucket) that
+    isolates fewer than k documents, or whose group exposes fewer
+    than l distinct sensitive values, still re-identifies.  Emits
+    every QI equivalence class with its size, its sensitive-value
+    diversity, and the release verdict ('ok' / 'suppress').
+
+    Cross-engine: the QI bucket and the synthetic author cohort are
+    exact integer formulas (knuth_hash flows in); counts are BIGINTs;
+    the verdict CASE order is mirrored.
+
+    Scale shape: ONE (QI) hash agg with count + exact distinct-author
+    count — the distinct's second shuffle is over (QI, author) keys
+    bounded by |QI classes|·KANON_AUTHORS, metadata-scale at any
+    corpus size once authors are bucketed."""
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.expr(f"n_chars DIV {KANON_LEN_BUCKET}").cast("long").alias(
+            "len_bucket"
+        ),
+        (knuth_hash(F.col("doc_id")) % KANON_AUTHORS).alias("author"),
+    )
+    g = docs.groupBy("source", "lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("author").cast("long").alias("n_authors"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "len_bucket",
+        "n_docs",
+        "n_authors",
+        F.when(F.col("n_docs") < K_ANON, F.lit("suppress_k"))
+        .when(F.col("n_authors") < L_DIV, F.lit("suppress_l"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: flag corpus documents sharing
     any word-3-gram with the eval set (doc_id%50==0 plays the held-out
@@ -9337,6 +9392,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "lang_confusion": q_lang_confusion,
     "pii_scrub": q_pii_scrub,
+    "k_anonymity": q_k_anonymity,
     "contamination": q_contamination,
     "doc_chunks": q_doc_chunks,
     "repetition": q_repetition,
@@ -11053,6 +11109,25 @@ SELECT doc_id, n_chars, n_tokens, round(alpha_ratio, 5) AS alpha_ratio,
     AS quality,
   lang_guess
 FROM feats
+""",
+        "k_anonymity": f"""
+WITH qi AS (
+  SELECT source, lang,
+         CAST(n_chars // {KANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+         (((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % {KANON_AUTHORS} AS author
+  FROM documents
+), g AS (
+  SELECT source, lang, len_bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT author) AS BIGINT) AS n_authors
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT source, lang, len_bucket, n_docs, n_authors,
+       CASE WHEN n_docs < {K_ANON} THEN 'suppress_k'
+            WHEN n_authors < {L_DIV} THEN 'suppress_l'
+            ELSE 'ok' END AS verdict
+FROM g
 """,
         "pii_scrub": f"""
 WITH pii AS (

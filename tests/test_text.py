@@ -3771,3 +3771,52 @@ def test_stupid_backoff_matches_python_replica(spark):
         assert r["n_direct"] + r["n_backoff"] + r["n_oov"] == r["n_bigrams"]
     assert any(r["n_backoff"] > 0 for r in got.values())
     assert any(r["n_direct"] > 0 for r in got.values())
+
+
+def test_k_anonymity_matches_python_replica(spark):
+    """QI equivalence classes recomputed in Python (same knuth author
+    cohort, length bucket, CASE order) — bit-identical; also locks
+    the audit semantics: every group verdict follows the k-then-l
+    precedence, suppress_k groups are all smaller than K_ANON, and
+    group sizes sum to the corpus."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        K_ANON,
+        KANON_AUTHORS,
+        KANON_LEN_BUCKET,
+        L_DIV,
+        q_k_anonymity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r["source"], r["lang"], r["len_bucket"]): (
+            r["n_docs"],
+            r["n_authors"],
+            r["verdict"],
+        )
+        for r in q_k_anonymity(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "lang", "n_chars")
+        .collect()
+    )
+    groups: dict[tuple, list[int]] = {}
+    for r in rows:
+        qi = (r["source"], r["lang"], r["n_chars"] // KANON_LEN_BUCKET)
+        author = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P % KANON_AUTHORS
+        groups.setdefault(qi, []).append(author)
+    assert set(got) == set(groups)
+    for qi, authors in groups.items():
+        n, na = len(authors), len(set(authors))
+        verdict = (
+            "suppress_k"
+            if n < K_ANON
+            else "suppress_l"
+            if na < L_DIV
+            else "ok"
+        )
+        assert got[qi] == (n, na, verdict), qi
+    assert sum(v[0] for v in got.values()) == len(rows)
+    assert len({v[2] for v in got.values()}) > 1
