@@ -4554,6 +4554,147 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier-score decomposition (Murphy 1973): per calibration bin
+    the RELIABILITY term n_b·(p̄_b − ō_b)² (how far the bin's mean
+    forecast sits from its observed rate — penalizes miscalibration)
+    and the RESOLUTION term n_b·(ō_b − ō)² (how far the bin's rate
+    sits from the base rate — rewards discrimination), the two halves
+    of Brier = reliability − resolution + uncertainty.  Upgrades
+    `calibration_bins` from raw sums to the decomposition a forecast
+    audit actually reads ("is my classifier bad because it's
+    miscalibrated, or because it can't discriminate?").
+
+    Cross-engine: everything derives from the e3-floored BIGINT p of
+    the shared GD chain (`_logreg_train` == `_logreg_ctes` — logreg +
+    CALIB_BINS constants flow in); bin rates are truncating-DIV e3
+    ratios (p̄_b = sum_p_e3 DIV n, ō_b = 1000·n_pos DIV n, base rate
+    ō likewise), so the squared terms are exact BIGINTs bounded by
+    n_b·1e6 — no (sum·N)² overflow form anywhere.  Per-doc squared
+    error ships as sum_err2_e6 = Σ err_e3² for the Brier total.
+
+    Scale shape: the calibration_bins shape — pure-map scoring, ONE
+    ≤CALIB_BINS-row hash agg, plus a 1-row global agg broadcast back
+    by the standard scalar cross join."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    scored = fx.select(
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.floor(F.abs(p - F.col("y")) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("err_e3"),
+        F.col("y").cast("long").alias("y_l"),
+    )
+    bins = (
+        scored.select(
+            F.least(F.expr("p_e3 DIV 100"), F.lit(CALIB_BINS - 1))
+            .cast("long")
+            .alias("bin"),
+            "p_e3",
+            "err_e3",
+            "y_l",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y_l").cast("long").alias("n_pos"),
+            F.sum("p_e3").cast("long").alias("sum_p_e3"),
+            F.sum(F.col("err_e3") * F.col("err_e3"))
+            .cast("long")
+            .alias("sum_err2_e6"),
+        )
+    )
+    base = scored.agg(
+        F.expr("CAST((1000 * sum(y_l)) DIV count(*) AS BIGINT)").alias(
+            "obar_e3"
+        )
+    )
+    return (
+        bins.crossJoin(base)
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("CAST(sum_p_e3 DIV n AS BIGINT)").alias("pbar_e3"),
+            F.expr("CAST((1000 * n_pos) DIV n AS BIGINT)").alias(
+                "obar_bin_e3"
+            ),
+            "sum_err2_e6",
+            "obar_e3",
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "pbar_e3",
+            "obar_bin_e3",
+            "sum_err2_e6",
+            F.expr(
+                "CAST(n * (pbar_e3 - obar_bin_e3)"
+                " * (pbar_e3 - obar_bin_e3) AS BIGINT)"
+            ).alias("rel_term"),
+            F.expr(
+                "CAST(n * (obar_bin_e3 - obar_e3)"
+                " * (obar_bin_e3 - obar_e3) AS BIGINT)"
+            ).alias("res_term"),
+        )
+    )
+
+
+def _brier_sql(
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+    bins: int = CALIB_BINS,
+) -> str:
+    """brier_decomp oracle: the calibration CTEs plus the truncating-
+    DIV e3 bin/base rates and the n·(Δe3)² reliability/resolution
+    terms — all BIGINT."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+calib AS (
+  SELECT CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(floor(abs({p} - y) * 1000 + 0.5) AS BIGINT) AS err_e3,
+         CAST(y AS BIGINT) AS y_l
+  FROM fx, w{iters} w
+), b AS (
+  SELECT CAST(least(p_e3 // 100, {bins - 1}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y_l) AS BIGINT) AS n_pos,
+         CAST(sum(p_e3) AS BIGINT) AS sum_p_e3,
+         CAST(sum(err_e3 * err_e3) AS BIGINT) AS sum_err2_e6
+  FROM calib GROUP BY 1
+), g AS (
+  SELECT CAST((1000 * sum(y_l)) // count(*) AS BIGINT) AS obar_e3
+  FROM calib
+), r AS (
+  SELECT bin, n, n_pos,
+         CAST(sum_p_e3 // n AS BIGINT) AS pbar_e3,
+         CAST((1000 * n_pos) // n AS BIGINT) AS obar_bin_e3,
+         sum_err2_e6, g.obar_e3
+  FROM b, g
+)
+SELECT bin, n, n_pos, pbar_e3, obar_bin_e3, sum_err2_e6,
+       CAST(n * (pbar_e3 - obar_bin_e3) * (pbar_e3 - obar_bin_e3)
+            AS BIGINT) AS rel_term,
+       CAST(n * (obar_bin_e3 - obar_e3) * (obar_bin_e3 - obar_e3)
+            AS BIGINT) AS res_term
+FROM r
+"""
+    )
+
+
 # Uncertainty-sampling batch size — MIRRORED in the
 # `uncertainty_sample` oracle SQL; change together.
 UNC_K = 100
@@ -9457,6 +9598,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logreg_infer": q_logreg_infer,
     "el2n_prune": q_el2n_prune,
     "calibration_bins": q_calibration_bins,
+    "brier_decomp": q_brier_decomp,
     "roc_auc": q_roc_auc,
     "uncertainty_sample": q_uncertainty_sample,
     "cartography": q_cartography,
@@ -11541,6 +11683,7 @@ WHERE rn <= 10
         "logreg_infer": _logreg_infer_sql(),
         "el2n_prune": _el2n_sql(),
         "calibration_bins": _calibration_sql(),
+        "brier_decomp": _brier_sql(),
         "silhouette": _silhouette_sql(),
         "heaps_law": _heaps_sql(),
         "gradient_align": _gradient_align_sql(),

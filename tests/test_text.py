@@ -3820,3 +3820,69 @@ def test_k_anonymity_matches_python_replica(spark):
         assert got[qi] == (n, na, verdict), qi
     assert sum(v[0] for v in got.values()) == len(rows)
     assert len({v[2] for v in got.values()}) > 1
+
+
+def test_brier_decomp_matches_python_replica(spark):
+    """Reliability/resolution terms recomputed in Python from the
+    engine-computed features and trained weights (e3-floored p, the
+    truncating-DIV bin/base rates) — bit-identical.  Also locks the
+    Murphy-decomposition sanity: rel/res terms are non-negative and
+    bin sizes sum to the corpus."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        CALIB_BINS,
+        _logreg_train,
+        logreg_features,
+        q_brier_decomp,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = [
+        (r["x1"], r["x2"], r["x3"], r["y"]) for r in fx.collect()
+    ]
+    _, wv = _logreg_train(fx)
+    per_bin: dict[int, list[tuple[int, int, int]]] = {}
+    for x1, x2, x3, y in feats:
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p = 1.0 / (1.0 + math.exp(-m))
+        p_e3 = math.floor(p * 1000 + 0.5)
+        err_e3 = math.floor(abs(p - y) * 1000 + 0.5)
+        b = min(p_e3 // 100, CALIB_BINS - 1)
+        per_bin.setdefault(b, []).append((p_e3, err_e3, int(y)))
+    n_all = len(feats)
+    obar = 1000 * sum(y for rows in per_bin.values() for _, _, y in rows) // n_all
+    want = {}
+    for b, rows in per_bin.items():
+        n = len(rows)
+        n_pos = sum(y for _, _, y in rows)
+        pbar = sum(p for p, _, _ in rows) // n
+        obar_b = (1000 * n_pos) // n
+        want[b] = (
+            n,
+            n_pos,
+            pbar,
+            obar_b,
+            sum(e * e for _, e, _ in rows),
+            n * (pbar - obar_b) ** 2,
+            n * (obar_b - obar) ** 2,
+        )
+    got = {
+        r["bin"]: (
+            r["n"],
+            r["n_pos"],
+            r["pbar_e3"],
+            r["obar_bin_e3"],
+            r["sum_err2_e6"],
+            r["rel_term"],
+            r["res_term"],
+        )
+        for r in q_brier_decomp(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == n_all
+    for v in got.values():
+        assert v[5] >= 0 and v[6] >= 0
