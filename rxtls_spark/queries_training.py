@@ -3383,6 +3383,137 @@ JOIN deg db ON c.b = db.node
 """
 
 
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood reach over the simple undirected `pagerank`
+    link graph — the SIXTH consumer of the shared knuth edge set, and
+    the crawl-frontier growth metric (importance, hubs, communities,
+    density, missing links, and now REACH: how many hosts a 2-step
+    frontier expansion from v touches).  A node whose 2-hop reach
+    barely exceeds its degree sits in a closed clique (link farm); a
+    reach near deg² is an efficient expander worth crawl budget.
+
+    Semantics: distinct undirected pairs a < b (the triangle_count
+    graph); reach1 = |N(v)|, reach2 = |{u : dist(v,u) ≤ 2}| \\ {v};
+    expansion_e3 = (reach2·1e3) DIV reach1 for reach1 > 0 — all
+    BIGINT, exact cross-engine by construction.
+
+    Scale shape: the 2-hop set is the adjacency self-join on the
+    middle node — Σ deg(m)² fan-out, the link_predict/wedge bound
+    (PR_OUTDEG-regular here; hub-degree caps bound it at 100 TB) —
+    followed by a DISTINCT (v, u) agg and one per-v count; every join
+    is a hash equi-join on node keys."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    de = ids.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+    und = (
+        de.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    two = (
+        adj.select(F.col("v"), F.col("u").alias("m"))
+        .join(adj.select(F.col("v").alias("m2"), F.col("u")), F.col("m") == F.col("m2"))
+        .where(F.col("u") != F.col("v"))
+        .select("v", "u")
+    )
+    reach2 = (
+        adj.select("v", "u")
+        .unionAll(two)
+        .distinct()
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("reach2"))
+    )
+    deg = adj.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("reach1")
+    )
+    return (
+        ids.join(deg, ids["doc_id"] == deg["v"], "left")
+        .drop("v")
+        .join(reach2, ids["doc_id"] == reach2["v"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("reach1", F.lit(0).cast("long")).alias("reach1"),
+            F.coalesce("reach2", F.lit(0).cast("long")).alias("reach2"),
+        )
+        .withColumn(
+            "expansion_e3",
+            F.when(
+                F.col("reach1") > 0,
+                F.expr("(reach2 * 1000) DIV reach1"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+def _khop_sql(outdeg: int = PR_OUTDEG) -> str:
+    """khop_reach oracle: the triangle_count edge CTEs → adjacency
+    both directions → middle-node self-join for the 2-hop set →
+    DISTINCT union with the 1-hop set → per-node counts — all BIGINT,
+    exact by construction."""
+    return f"""WITH ids AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), e0 AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, {outdeg - 1})) AS j
+  FROM ids
+), e1 AS (
+  SELECT src,
+         ((((src * {outdeg} + j) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % (SELECT n FROM nn) AS dst
+  FROM e0
+), e2 AS (
+  SELECT src, dst FROM e1 WHERE dst <> src
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e2
+), adj AS (
+  SELECT a AS v, b AS u FROM und
+  UNION ALL
+  SELECT b AS v, a AS u FROM und
+), two AS (
+  SELECT a1.v, a2.u
+  FROM adj a1 JOIN adj a2 ON a1.u = a2.v
+  WHERE a2.u <> a1.v
+), r2 AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS reach2 FROM (
+    SELECT DISTINCT v, u FROM (
+      SELECT v, u FROM adj UNION ALL SELECT v, u FROM two))
+  GROUP BY 1
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS reach1 FROM adj GROUP BY 1
+)
+SELECT i.doc_id,
+  CAST(coalesce(deg.reach1, 0) AS BIGINT) AS reach1,
+  CAST(coalesce(r2.reach2, 0) AS BIGINT) AS reach2,
+  CAST(CASE WHEN coalesce(deg.reach1, 0) > 0
+       THEN (coalesce(r2.reach2, 0) * 1000) // deg.reach1
+       ELSE 0 END AS BIGINT) AS expansion_e3
+FROM ids i
+LEFT JOIN deg ON i.doc_id = deg.v
+LEFT JOIN r2 ON i.doc_id = r2.v
+"""
+
+
 # PCA power-iteration count / dim — mirrored in the unrolled oracle SQL.
 PCA_ITERS = 3
 PCA_DIM = 64
@@ -9708,6 +9839,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits": q_hits,
     "label_propagation": q_label_propagation,
     "link_predict": q_link_predict,
+    "khop_reach": q_khop_reach,
     "proto_prune": q_proto_prune,
     "d4_prune": q_d4_prune,
     "mmr_select": q_mmr_select,
@@ -11795,6 +11927,7 @@ WHERE rn <= 10
         "hits": _hits_sql(),
         "label_propagation": _label_propagation_sql(),
         "link_predict": _link_predict_sql(),
+        "khop_reach": _khop_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),

@@ -411,3 +411,53 @@ def test_link_predict_matches_exact_replica(spark):
             len(adj[a]) + len(adj[b]) - cn
         ), (a, b)
         assert 0 < got["jac_e5"] <= 100000
+
+
+def test_khop_reach_matches_exact_replica(spark):
+    """2-hop reach via brute-force BFS over the SAME generated simple
+    graph: reach1 == degree, reach2 == |dist<=2 set| and the BIGINT
+    expansion ratio must match EXACTLY; reach2 >= reach1 always, and
+    some node must genuinely expand (reach2 > reach1)."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.plans.checks import plan_string
+    from rxtls_spark.queries_training import PR_OUTDEG, q_khop_reach
+    from tests.conftest import SF_SMOKE
+
+    df = q_khop_reach(spark, SF_SMOKE)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    adj = {i: set() for i in ids}
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                adj[s].add(d)
+                adj[d].add(s)
+    assert set(rows) == set(ids)
+    expanded = 0
+    for v in ids:
+        r2 = set(adj[v])
+        for m in adj[v]:
+            r2 |= adj[m]
+        r2.discard(v)
+        got = rows[v]
+        assert got["reach1"] == len(adj[v]), v
+        assert got["reach2"] == len(r2), v
+        want_exp = (
+            (len(r2) * 1000) // len(adj[v]) if adj[v] else 0
+        )
+        assert got["expansion_e3"] == want_exp, v
+        assert got["reach2"] >= got["reach1"]
+        if got["reach2"] > got["reach1"]:
+            expanded += 1
+    assert expanded > 0
