@@ -4750,6 +4750,142 @@ WHERE {kh} < {HOLDOUT_VAL_FROM}
     )
 
 
+# Split-conformal miscoverage α = CONF_ALPHA_NUM/CONF_ALPHA_DEN —
+# MIRRORED in `_conformal_sql`; change together.  k = the integer
+# ceil ((n_val+1)·(1−α)); k > n_val → qhat = 1000 (the infinite
+# prediction set, covers everything).  Conformity score is the pure
+# BIGINT |p_e3 − 1000·y| on the ALREADY-floored p_e3 (never re-floor
+# |p−y| — exact halves could split the two forms).
+CONF_ALPHA_NUM = 1
+CONF_ALPHA_DEN = 10
+
+
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the quality classifier (Vovk et
+    al.; Angelopoulos & Bates 2021 tutorial): the val slice's
+    conformity scores give the distribution-free threshold
+    qhat = the ⌈(n+1)(1−α)⌉-th smallest score, and the audit reports
+    the achieved coverage on BOTH holdout slices — val re-covers
+    ≥ 1−α by construction (the finite-sample guarantee), test
+    coverage is the honest generalization read.  Completes the
+    classifier-audit family with the distribution-free guarantee
+    (`calibration_bins` answers "are probabilities honest?",
+    `brier_decomp` "why is the score what it is?", this "what
+    threshold provably covers 90%?").
+
+    Cross-engine: weights via the shared deterministic GD; conformity
+    scores are pure BIGINT |p_e3 − 1000·y|; qhat is an exact rank on
+    the BOUNDED ≤1001-key score histogram (the
+    quality_gate_thresholds two-pass discipline — never a corpus-frac
+    top-k, the ADVICE-banned driver merge); coverage counts and the
+    permille ratio are BIGINTs.
+
+    Scale shape: scoring is a pure map; the val histogram is ONE
+    bounded hash agg whose collect is metadata-scale; coverage is a
+    second pure-map pass + a 2-row agg."""
+    import math
+
+    fx = logreg_features(_docs(spark, sf_dir)).withColumn(
+        "pm", knuth_hash(F.col("doc_id")) % 1000
+    )
+    _, wv = _logreg_train(fx.drop("pm"))
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    p_e3 = F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    s = F.abs(p_e3 - F.lit(1000) * F.col("y").cast("long")).cast("long")
+    scored = fx.where(F.col("pm") >= HOLDOUT_VAL_FROM).select(
+        F.when(F.col("pm") >= HOLDOUT_TEST_FROM, F.lit("test"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        s.alias("s"),
+    )
+    hist = (
+        scored.where(F.col("split") == "val")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    n_val = sum(r["cnt"] for r in hist)
+    keep = CONF_ALPHA_DEN - CONF_ALPHA_NUM
+    k = ((n_val + 1) * keep + CONF_ALPHA_DEN - 1) // CONF_ALPHA_DEN
+    if k > n_val:
+        qhat = 1000
+    else:
+        cum = 0
+        qhat = 1000
+        for r in sorted(hist, key=lambda r: r["s"]):
+            cum += r["cnt"]
+            if cum >= k:
+                qhat = int(r["s"])
+                break
+    return scored.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("s") <= qhat, 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.expr(
+            f"CAST((sum(CASE WHEN s <= {qhat} THEN 1 ELSE 0 END) * 1000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("covered_permille"),
+        F.lit(qhat).cast("long").alias("qhat"),
+    )
+
+
+def _conformal_sql(
+    iters: int = LOGREG_ITERS, lr: float = LOGREG_LR
+) -> str:
+    """conformal_coverage oracle: the shared GD CTE chain, the BIGINT
+    conformity score, the bounded-histogram exact-rank qhat (cum-sum
+    window over ≤1001 distinct keys) with the k > n_val → 1000 guard,
+    and the per-split coverage rows."""
+    parts = _logreg_ctes(iters, lr)
+    kh = f"(((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}) % 1000"
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    keep = CONF_ALPHA_DEN - CONF_ALPHA_NUM
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT CASE WHEN {kh} >= {HOLDOUT_TEST_FROM} THEN 'test'
+         ELSE 'val' END AS split,
+         abs(CAST(floor({p} * 1000 + 0.5) AS BIGINT)
+             - 1000 * CAST(y AS BIGINT)) AS s
+  FROM fx, w{iters} w
+  WHERE {kh} >= {HOLDOUT_VAL_FROM}
+), hist AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM sc
+  WHERE split = 'val' GROUP BY 1
+), nv AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_val FROM hist
+), kk AS (
+  SELECT ((n_val + 1) * {keep} + {CONF_ALPHA_DEN - 1})
+           // {CONF_ALPHA_DEN} AS k, n_val
+  FROM nv
+), qh AS (
+  SELECT CASE WHEN kk.k > kk.n_val THEN 1000
+         ELSE (SELECT min(s) FROM (
+                 SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM hist)
+               WHERE cum >= kk.k) END AS qhat
+  FROM kk
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN s <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST((sum(CASE WHEN s <= qh.qhat THEN 1 ELSE 0 END) * 1000)
+            // count(*) AS BIGINT) AS covered_permille,
+       CAST(qh.qhat AS BIGINT) AS qhat
+FROM sc, qh GROUP BY split, qh.qhat
+"""
+    )
+
+
 # Calibration histogram bin count — MIRRORED in `_calibration_sql`;
 # change together.  Bins are least(p_e3 DIV 100, BINS-1) on the
 # e3-floored BIGINT probability, so bin edges are exact cross-engine.
@@ -9856,6 +9992,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "el2n_prune": q_el2n_prune,
     "calibration_bins": q_calibration_bins,
     "brier_decomp": q_brier_decomp,
+    "conformal_coverage": q_conformal_coverage,
     "roc_auc": q_roc_auc,
     "uncertainty_sample": q_uncertainty_sample,
     "cartography": q_cartography,
@@ -11943,6 +12080,7 @@ WHERE rn <= 10
         "el2n_prune": _el2n_sql(),
         "calibration_bins": _calibration_sql(),
         "brier_decomp": _brier_sql(),
+        "conformal_coverage": _conformal_sql(),
         "silhouette": _silhouette_sql(),
         "heaps_law": _heaps_sql(),
         "gradient_align": _gradient_align_sql(),

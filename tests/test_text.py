@@ -3959,3 +3959,63 @@ def test_tracin_influence_matches_python_replica(spark):
     }
     assert got == want
     assert len({v[0] for v in got.values()}) > 1
+
+
+def test_conformal_coverage_matches_python_replica(spark):
+    """Split-conformal rows recomputed in Python (same BIGINT
+    conformity score on the floored p_e3, integer-ceil rank k, exact
+    histogram qhat, k > n_val guard) — bit-identical.  Also locks the
+    finite-sample guarantee the method exists for: val coverage
+    >= (1-alpha) permille."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        CONF_ALPHA_DEN,
+        CONF_ALPHA_NUM,
+        HOLDOUT_TEST_FROM,
+        HOLDOUT_VAL_FROM,
+        _logreg_train,
+        logreg_features,
+        q_conformal_coverage,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = {
+        r["doc_id"]: (r["x1"], r["x2"], r["x3"], r["y"])
+        for r in fx.collect()
+    }
+    _, wv = _logreg_train(fx)
+    by_split: dict[str, list[int]] = {"val": [], "test": []}
+    for d, (x1, x2, x3, y) in feats.items():
+        pm = ((d % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000
+        if pm < HOLDOUT_VAL_FROM:
+            continue
+        split = "test" if pm >= HOLDOUT_TEST_FROM else "val"
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p_e3 = math.floor(1.0 / (1.0 + math.exp(-m)) * 1000 + 0.5)
+        by_split[split].append(abs(p_e3 - 1000 * int(y)))
+    n_val = len(by_split["val"])
+    assert n_val > 0 and by_split["test"]
+    keep = CONF_ALPHA_DEN - CONF_ALPHA_NUM
+    k = ((n_val + 1) * keep + CONF_ALPHA_DEN - 1) // CONF_ALPHA_DEN
+    qhat = sorted(by_split["val"])[k - 1] if k <= n_val else 1000
+    want = {}
+    for split, ss in by_split.items():
+        nc = sum(1 for x in ss if x <= qhat)
+        want[split] = (len(ss), nc, (nc * 1000) // len(ss), qhat)
+
+    got = {
+        r["split"]: (
+            r["n"],
+            r["n_covered"],
+            r["covered_permille"],
+            r["qhat"],
+        )
+        for r in q_conformal_coverage(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert got["val"][2] >= 1000 * keep // CONF_ALPHA_DEN
