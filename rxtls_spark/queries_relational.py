@@ -362,6 +362,109 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity / data-quality audit over the warehouse
+    tables — the DQ gate every ingest pipeline runs before publishing
+    a snapshot: orphan foreign keys (order→customer,
+    lineitem→order, customer→nation), primary-key duplication, and
+    domain violations (non-positive prices, negative balances).
+    One row per check: (check, n_bad, n_total).
+
+    Scale path: each FK check is a LEFT ANTI join keyed on the FK —
+    the dimension sides (customer, nation) broadcast; the
+    lineitem→orders anti-join shuffles on the join key exactly once;
+    PK duplication is one hash agg over keys; domain checks are pure
+    maps.  The union is a 6-row metadata frame.
+
+    Reference analog: P1/P4 usability filtering (the reference drops
+    unusable log entries before processing — this is the same gate
+    generalized to relational constraints)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+
+    checks = []
+    orphan_orders = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders["o_custkey"] == cust["c_custkey"],
+        "left_anti",
+    )
+    checks.append(
+        orphan_orders.agg(
+            F.lit("orphan_orders").alias("check"),
+            F.count(F.lit(1)).cast("long").alias("n_bad"),
+        ).crossJoin(
+            orders.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        )
+    )
+    orphan_li = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+        "left_anti",
+    )
+    checks.append(
+        orphan_li.agg(
+            F.lit("orphan_lineitems").alias("check"),
+            F.count(F.lit(1)).cast("long").alias("n_bad"),
+        ).crossJoin(
+            li.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        )
+    )
+    orphan_cust = cust.join(
+        F.broadcast(nation.select("n_nationkey")),
+        cust["c_nationkey"] == nation["n_nationkey"],
+        "left_anti",
+    )
+    checks.append(
+        orphan_cust.agg(
+            F.lit("orphan_customers").alias("check"),
+            F.count(F.lit(1)).cast("long").alias("n_bad"),
+        ).crossJoin(
+            cust.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        )
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    checks.append(
+        dup_keys.agg(
+            F.lit("dup_orderkeys").alias("check"),
+            F.count(F.lit(1)).cast("long").alias("n_bad"),
+        ).crossJoin(
+            orders.agg(
+                F.countDistinct("o_orderkey").cast("long").alias("n_total")
+            )
+        )
+    )
+    checks.append(
+        orders.agg(
+            F.lit("nonpositive_price").alias("check"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+        ).crossJoin(
+            orders.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        )
+    )
+    checks.append(
+        cust.agg(
+            F.lit("negative_acctbal").alias("check"),
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+        ).crossJoin(
+            cust.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        )
+    )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def q_rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution over the event log: every 'purchase'
     event is credited to the same user's FIRST and LAST touch event
@@ -830,6 +933,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_events_pivot": q_events_pivot,
     "rel_asof_join": q_asof_join,
     "rel_attribution": q_rel_attribution,
+    "rel_integrity_audit": q_rel_integrity_audit,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
     "rel_events_sliding": q_events_sliding,
@@ -1119,6 +1223,44 @@ GROUP BY 1
     # Native DuckDB ASOF join over the identical deduped build side;
     # ASOF picks the greatest v.ts <= c.ts, exactly what the Spark
     # merge (ordered last-ignorenulls) computes.
+    "rel_integrity_audit": """
+SELECT 'orphan_orders' AS check,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_bad,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_total
+UNION ALL
+SELECT 'orphan_lineitems',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'orphan_customers',
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM customer) AS BIGINT)
+UNION ALL
+SELECT 'dup_orderkeys',
+       CAST((SELECT count(*) FROM (
+               SELECT o_orderkey FROM orders
+               GROUP BY 1 HAVING count(*) > 1)) AS BIGINT),
+       CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'nonpositive_price',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+            AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'negative_acctbal',
+       CAST((SELECT count(*) FROM customer WHERE c_acctbal < 0)
+            AS BIGINT),
+       CAST((SELECT count(*) FROM customer) AS BIGINT)
+""",
     "rel_attribution": """
 WITH t AS (
   SELECT user_id, ts, event_id, event_type FROM events

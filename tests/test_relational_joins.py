@@ -418,3 +418,60 @@ def test_rel_attribution_plan_has_no_join_node(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     # one shuffle for the merge window, one for the final agg
     assert p.count("Exchange") <= 3, p
+
+
+def test_rel_integrity_audit_matches_bruteforce(spark):
+    """All six DQ checks recomputed with Python sets over the smoke
+    tables — bit-identical counts; clean synthetic data must pass
+    every FK/PK check (n_bad == 0 there) so a future regression in
+    the generators or the checks is loud."""
+    from rxtls_spark.queries_relational import q_rel_integrity_audit
+
+    got = {
+        r["check"]: (r["n_bad"], r["n_total"])
+        for r in q_rel_integrity_audit(spark, SF_SMOKE).collect()
+    }
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey")
+        .collect()
+    )
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    ckeys = {r["c_custkey"] for r in cust}
+    okeys = [r["o_orderkey"] for r in orders]
+    okeyset = set(okeys)
+    nkeys = {r["n_nationkey"] for r in nation}
+    want = {
+        "orphan_orders": (
+            sum(1 for r in orders if r["o_custkey"] not in ckeys),
+            len(orders),
+        ),
+        "orphan_lineitems": (
+            sum(1 for r in li if r["l_orderkey"] not in okeyset),
+            len(li),
+        ),
+        "orphan_customers": (
+            sum(1 for r in cust if r["c_nationkey"] not in nkeys),
+            len(cust),
+        ),
+        "dup_orderkeys": (
+            sum(1 for k in okeyset if okeys.count(k) > 1)
+            if len(okeys) != len(okeyset)
+            else 0,
+            len(okeyset),
+        ),
+        "nonpositive_price": (
+            sum(1 for r in orders if r["o_totalprice"] <= 0),
+            len(orders),
+        ),
+        "negative_acctbal": (
+            sum(1 for r in cust if r["c_acctbal"] < 0),
+            len(cust),
+        ),
+    }
+    assert got == want
+    for check in ("orphan_orders", "orphan_lineitems",
+                  "orphan_customers", "dup_orderkeys"):
+        assert got[check][0] == 0, check
