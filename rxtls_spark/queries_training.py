@@ -527,6 +527,90 @@ def q_quality_quantile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# PSI share scale (e9) — MIRRORED in the `psi_drift` oracle SQL;
+# change together.  Shares are +1-smoothed (the doremi convention) and
+# clamped ≥ 1 so ln never sees 0 at any corpus size; slices are the
+# knuth parity halves.
+PSI_SHARE_SCALE = 1_000_000_000
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor — the OTHER standard
+    drift alarm next to `source_ks_drift`'s KS distance (PSI is what
+    credit/ads/quality dashboards actually page on; KS reads the max
+    CDF gap, PSI weights every bucket's share shift by its log-ratio):
+    per source, PSI between two deterministic halves of the corpus
+    (knuth-parity slices — a self-drift baseline that should sit near
+    0; swap one slice for "yesterday's snapshot" in production) over
+    the bounded quality histogram.
+
+    Cross-engine: buckets via `quality_bucket()` (exact-integer);
+    smoothed shares s = greatest(((c+1)·1e9) DIV (n + n_buckets), 1)
+    are BIGINTs (the +1 smoothing and the ≥1 clamp keep ln finite at
+    ANY corpus size); per-bucket term = (s_a − s_b) ·
+    floor(ln(s_a/s_b)·1e3) — the e3-floored-log discipline on the
+    ratio of two exact integers; psi_e12 = Σ terms, all BIGINT.
+
+    Scale shape: ONE corpus-scale hash agg (the bounded per-source
+    histogram with conditional slice counters — the source_ks_drift
+    shape, one pass for both slices); totals broadcast back; terms
+    and the per-source sum are metadata-scale."""
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score().alias("quality")
+    )
+    base = scored.select(
+        "source",
+        quality_bucket().alias("qb"),
+        (knuth_hash(F.col("doc_id")) % 2).alias("sl"),
+    )
+    cnts = base.groupBy("source", "qb").agg(
+        F.sum(F.when(F.col("sl") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("sl") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    tot = cnts.groupBy("source").agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    j = (
+        cnts.join(F.broadcast(tot), "source")
+        .withColumn(
+            "s_a",
+            F.expr(
+                f"greatest(((c_a + 1) * {PSI_SHARE_SCALE})"
+                " DIV (n_a + n_buckets), 1)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "s_b",
+            F.expr(
+                f"greatest(((c_b + 1) * {PSI_SHARE_SCALE})"
+                " DIV (n_b + n_buckets), 1)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "term",
+            (
+                (F.col("s_a") - F.col("s_b"))
+                * F.expr(
+                    "CAST(floor(ln(CAST(s_a AS DOUBLE)"
+                    " / CAST(s_b AS DOUBLE)) * 1000) AS BIGINT)"
+                )
+            ).cast("long"),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max("n_buckets").cast("long").alias("n_buckets"),
+        F.sum("term").cast("long").alias("psi_e12"),
+    )
+
+
 def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor between sources: the two-sample
     Kolmogorov-Smirnov distance on the quality-score distribution for
@@ -9937,6 +10021,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_quantile_gate": q_quality_quantile_gate,
     "quality_quantile_gate_approx": q_quality_quantile_gate_approx,
     "source_ks_drift": q_source_ks_drift,
+    "psi_drift": q_psi_drift,
     "lm_score_broadcast": q_lm_score_broadcast,
     "dsir_weights": q_dsir_weights,
     "dsir_topfrac": q_dsir_topfrac,
@@ -11767,6 +11852,44 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
        round(avg(quality), 5) AS avg_quality
 FROM ranked WHERE pr <= 1.0/3.0
 GROUP BY 1
+""",
+        "psi_drift": _TEXT_CTE + f"""
+, q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
+, q AS (
+  SELECT q0.doc_id, d.source, q0.quality
+  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+)
+, qbs AS (SELECT source,
+                 CAST(floor(quality * 100000 + 0.5) AS BIGINT) // 100 AS qb,
+                 (((doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}) % 2 AS sl
+          FROM q)
+, cnts AS (
+  SELECT source, qb,
+         CAST(sum(CASE WHEN sl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN sl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM qbs GROUP BY 1, 2
+)
+, tot AS (
+  SELECT source, CAST(sum(c_a) AS BIGINT) AS n_a,
+         CAST(sum(c_b) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM cnts GROUP BY 1
+)
+, terms AS (
+  SELECT c.source, t.n_a, t.n_b, t.n_buckets,
+         greatest(((c.c_a + 1) * {PSI_SHARE_SCALE})
+                  // (t.n_a + t.n_buckets), 1) AS s_a,
+         greatest(((c.c_b + 1) * {PSI_SHARE_SCALE})
+                  // (t.n_b + t.n_buckets), 1) AS s_b
+  FROM cnts c JOIN tot t USING (source)
+)
+SELECT source, CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+       CAST(sum((s_a - s_b) *
+                CAST(floor(ln(CAST(s_a AS DOUBLE) / CAST(s_b AS DOUBLE))
+                           * 1000) AS BIGINT)) AS BIGINT) AS psi_e12
+FROM terms GROUP BY 1
 """,
         "source_ks_drift": _TEXT_CTE + f"""
 , q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)

