@@ -362,6 +362,64 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) history build over the
+    event log: per user, the validity intervals of their CURRENT
+    event_type state — each run of consecutive same-type events
+    becomes one dimension row with valid_from / valid_to (NULL = the
+    open current row), the standard warehouse change-tracking shape
+    (`rel_log_compaction` keeps only the latest row; SCD2 keeps the
+    full history with intervals).
+
+    Semantics: events ordered per user by (ts, event_id); a change
+    point is event_type <> lag(event_type); islands via the cumulative
+    change count (gaps-and-islands, the rel_event_sessions trick);
+    valid_to = the NEXT island's valid_from.
+
+    Scale path: ONE shuffle on user_id drives all three windows (lag,
+    cumulative sum, lead — same partitioning, Catalyst reuses the
+    sort); the island agg is a hash agg on (user, island).  The
+    oracle mirrors the identical window chain in DuckDB."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    marked = ev.select(
+        "*",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).select(
+        "*",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("island"),
+    )
+    runs = marked.groupBy("user_id", "island").agg(
+        # all rows in an island share event_type by construction
+        F.min("event_type").alias("event_type"),
+        F.min("t_us").cast("long").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        F.col("island").alias("seq"),
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).cast("long").alias("valid_to_us"),
+        "n_events",
+    )
+
+
 def q_rel_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity / data-quality audit over the warehouse
     tables — the DQ gate every ingest pipeline runs before publishing
@@ -934,6 +992,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_asof_join": q_asof_join,
     "rel_attribution": q_rel_attribution,
     "rel_integrity_audit": q_rel_integrity_audit,
+    "rel_scd2_intervals": q_rel_scd2_intervals,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
     "rel_events_sliding": q_events_sliding,
@@ -1223,6 +1282,37 @@ GROUP BY 1
     # Native DuckDB ASOF join over the identical deduped build side;
     # ASOF picks the greatest v.ts <= c.ts, exactly what the Spark
     # merge (ordered last-ignorenulls) computes.
+    "rel_scd2_intervals": """
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         event_id, event_type
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+            THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+), islands AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS island
+  FROM marked
+), runs AS (
+  SELECT user_id, island,
+         min(event_type) AS event_type,
+         CAST(min(t_us) AS BIGINT) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, island AS seq, event_type, valid_from_us,
+       CAST(lead(valid_from_us) OVER (PARTITION BY user_id
+                                      ORDER BY island) AS BIGINT)
+         AS valid_to_us,
+       n_events
+FROM runs
+""",
     "rel_integrity_audit": """
 SELECT 'orphan_orders' AS check,
        CAST((SELECT count(*) FROM orders o

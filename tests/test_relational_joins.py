@@ -475,3 +475,57 @@ def test_rel_integrity_audit_matches_bruteforce(spark):
     for check in ("orphan_orders", "orphan_lineitems",
                   "orphan_customers", "dup_orderkeys"):
         assert got[check][0] == 0, check
+
+
+def test_rel_scd2_intervals_matches_bruteforce(spark):
+    """SCD2 history recomputed per user in Python (sort by
+    (ts, event_id), run-length islands, lead valid_to) —
+    bit-identical.  Also locks the SCD2 contract: intervals per user
+    are contiguous and non-overlapping (valid_to == next valid_from),
+    exactly one open row per user, island types alternate, and
+    n_events sums to the user's event count."""
+    from rxtls_spark.queries_relational import q_rel_scd2_intervals
+
+    got: dict[int, list] = {}
+    for r in q_rel_scd2_intervals(spark, SF_SMOKE).collect():
+        got.setdefault(r["user_id"], []).append(r)
+    for u in got:
+        got[u].sort(key=lambda r: r["seq"])
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["t"], r["event_id"], r["event_type"])
+        )
+    assert set(got) == set(by_user)
+    for u, rows in by_user.items():
+        rows.sort()
+        runs = []
+        for t, eid, typ in rows:
+            if not runs or runs[-1][0] != typ:
+                runs.append([typ, t, 0])
+            runs[-1][2] += 1
+        g = got[u]
+        assert len(g) == len(runs), u
+        for i, (typ, vfrom, n) in enumerate(runs):
+            r = g[i]
+            assert r["seq"] == i + 1
+            assert r["event_type"] == typ, (u, i)
+            assert r["valid_from_us"] == vfrom, (u, i)
+            assert r["n_events"] == n, (u, i)
+            want_to = runs[i + 1][1] if i + 1 < len(runs) else None
+            assert r["valid_to_us"] == want_to, (u, i)
+            if i > 0:
+                assert runs[i - 1][0] != typ
+        assert sum(r["n_events"] for r in g) == len(rows)
+        assert sum(1 for r in g if r["valid_to_us"] is None) == 1
