@@ -362,6 +362,55 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Burst gap threshold (µs) — MIRRORED in the `rel_burstiness` oracle
+# SQL; change together.  Gap stats are in SECONDS (truncating DIV) so
+# the squared sums stay < 2^63 at any realistic event horizon.  10
+# minutes = "rapid-fire" at the synthetic log's event density (its
+# median inter-arrival is ~7 h; real clickstreams would set ~1 s).
+BURST_GAP_US = 600_000_000
+
+
+def q_rel_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness profile per user — the bot/scraper
+    detection signal a log pipeline computes before rate-limiting or
+    corpus inclusion: humans produce heavy-tailed inter-event gaps,
+    automation produces metronomic or rapid-fire ones.  Emits per
+    user the exact integer moments of the gap distribution (count,
+    sum, sum of squares, max — CV and dispersion derive downstream)
+    plus the sub-second burst count.
+
+    Cross-engine: gaps from one lag window ordered by (ts, event_id);
+    gap seconds via truncating DIV (non-negative, so Spark DIV ==
+    DuckDB //); all outputs BIGINT — exact.
+
+    Scale path: ONE shuffle on user_id drives the lag window and the
+    per-user agg (same partitioning, no second exchange)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _us("ts").alias("t_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.col("t_us") - F.lag("t_us").over(w)).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.sum(F.expr("gap_us DIV 1000000")).cast("long").alias("sum_gap_s"),
+        F.sum(
+            F.expr("(gap_us DIV 1000000) * (gap_us DIV 1000000)")
+        )
+        .cast("long")
+        .alias("sum_gap2_s"),
+        F.max(F.expr("gap_us DIV 1000000")).cast("long").alias("max_gap_s"),
+        F.sum(
+            F.when(F.col("gap_us") < BURST_GAP_US, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bursts"),
+    )
+
+
 def q_rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (SCD type 2) history build over the
     event log: per user, the validity intervals of their CURRENT
@@ -993,6 +1042,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_attribution": q_rel_attribution,
     "rel_integrity_audit": q_rel_integrity_audit,
     "rel_scd2_intervals": q_rel_scd2_intervals,
+    "rel_burstiness": q_rel_burstiness,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
     "rel_events_sliding": q_events_sliding,
@@ -1282,6 +1332,27 @@ GROUP BY 1
     # Native DuckDB ASOF join over the identical deduped build side;
     # ASOF picks the greatest v.ts <= c.ts, exactly what the Spark
     # merge (ordered last-ignorenulls) computes.
+    "rel_burstiness": f"""
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us, event_id
+  FROM events
+), gaps AS (
+  SELECT user_id,
+         t_us - lag(t_us) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) AS gap_us
+  FROM ev
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(gap_us) AS BIGINT) AS n_gaps,
+  CAST(sum(gap_us // 1000000) AS BIGINT) AS sum_gap_s,
+  CAST(sum((gap_us // 1000000) * (gap_us // 1000000)) AS BIGINT)
+    AS sum_gap2_s,
+  CAST(max(gap_us // 1000000) AS BIGINT) AS max_gap_s,
+  CAST(sum(CASE WHEN gap_us < {BURST_GAP_US} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_bursts
+FROM gaps GROUP BY 1
+""",
     "rel_scd2_intervals": """
 WITH ev AS (
   SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,

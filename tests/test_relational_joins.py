@@ -529,3 +529,50 @@ def test_rel_scd2_intervals_matches_bruteforce(spark):
                 assert runs[i - 1][0] != typ
         assert sum(r["n_events"] for r in g) == len(rows)
         assert sum(1 for r in g if r["valid_to_us"] is None) == 1
+
+
+def test_rel_burstiness_matches_bruteforce(spark):
+    """Gap moments recomputed per user in Python (sort by
+    (ts, event_id), truncating-second gaps) — bit-identical; also
+    locks n_gaps == n_events - 1, the Cauchy-Schwarz moment bound
+    n·Σg² >= (Σg)², and that sub-threshold bursts exist in the smoke
+    log (the signal the operator is for)."""
+    from rxtls_spark.queries_relational import (
+        BURST_GAP_US,
+        q_rel_burstiness,
+    )
+
+    got = {
+        r["user_id"]: r for r in q_rel_burstiness(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["t"], r["event_id"]))
+    assert set(got) == set(by_user)
+    total_bursts = 0
+    for u, rows in by_user.items():
+        rows.sort()
+        gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        g = got[u]
+        assert g["n_events"] == len(rows)
+        assert g["n_gaps"] == len(gaps) == len(rows) - 1
+        if gaps:
+            gs = [x // 1_000_000 for x in gaps]
+            assert g["sum_gap_s"] == sum(gs)
+            assert g["sum_gap2_s"] == sum(x * x for x in gs)
+            assert g["max_gap_s"] == max(gs)
+            assert g["n_bursts"] == sum(1 for x in gaps if x < BURST_GAP_US)
+            assert g["n_gaps"] * g["sum_gap2_s"] >= g["sum_gap_s"] ** 2
+        else:
+            assert g["sum_gap_s"] is None and g["n_bursts"] == 0
+        total_bursts += g["n_bursts"]
+    assert total_bursts > 0
