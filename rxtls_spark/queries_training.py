@@ -6165,6 +6165,117 @@ def q_bigram_lm_score(
     )
 
 
+# Source-keyness constants — MIRRORED in `_source_keyness_sql`;
+# change together.  Candidate tokens are the top-KEY_VOCAB_K corpus
+# unigrams ((cnt DESC, tok) rule); PMI is computed as the ONE
+# expression text ln((c_st·N)/(c_s·c_t)) with every operand cast to
+# DOUBLE BEFORE multiplying (identical IEEE mul/mul/div/ln on both
+# engines — and no BIGINT product overflow at any corpus size), then
+# e3-floored; top-KEY_TOPK per source by (pmi_e3 DESC, tok).
+KEY_VOCAB_K = 200
+KEY_TOPK = 10
+
+
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-vocabulary extraction per source — pointwise
+    mutual information between source and token (the corpus-linguistics
+    "keyness" table; Church & Hanks 1990 association ratio): which
+    tokens appear in THIS source far above their corpus rate.  The
+    per-source twin of `tfidf_topterms` (per-doc) and the readable
+    companion of `source_kl` (which yields one divergence number —
+    this names the tokens responsible).  A mixture reviewer reads the
+    top-PMI table to see WHAT a source actually contains before
+    assigning it budget.
+
+    Cross-engine: candidate vocab = top-K corpus unigrams (exact
+    BIGINT counts, (cnt DESC, tok) tie rule); PMI_e3 is the e3-floored
+    ln of the double-cast ratio (identical expression text both
+    engines); per-source top-k by (pmi_e3 DESC, tok) as a window rank.
+
+    Scale shape: ONE token-explode hash agg into (source, token)
+    counts (the zipf/source_kl shuffle), the candidate vocab broadcast
+    back as a semi-join filter; the keyness table is then
+    |sources|·K rows — metadata-scale for the window."""
+    from pyspark.sql.window import Window
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("source", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = docs.select("source", F.explode(_lm_tokens()).alias("tok"))
+    c_t = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t")
+    )
+    vocab = c_t.orderBy(F.col("c_t").desc(), "tok").limit(KEY_VOCAB_K)
+    c_st = (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+    )
+    c_s = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s")
+    )
+    n_row = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        c_st.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(c_s), "source")
+        .crossJoin(F.broadcast(n_row))
+    )
+    pmi = F.expr(
+        "CAST(floor(ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE))"
+        " / (CAST(c_s AS DOUBLE) * CAST(c_t AS DOUBLE))) * 1000)"
+        " AS BIGINT)"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("pmi_e3"), F.col("tok")
+    )
+    return (
+        j.select("source", "tok", "c_st", "c_t", pmi.alias("pmi_e3"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KEY_TOPK)
+    )
+
+
+def _source_keyness_sql(
+    vocab_k: int = KEY_VOCAB_K, topk: int = KEY_TOPK
+) -> str:
+    """source_keyness oracle: identical token chain, top-K candidate
+    vocab, the one-expression double-cast PMI, and the per-source
+    window top-k."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+                        '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), c_t AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_t FROM toks
+  GROUP BY 1 ORDER BY c_t DESC, tok LIMIT {vocab_k}
+), c_st AS (
+  SELECT source, t.tok, CAST(count(*) AS BIGINT) AS c_st
+  FROM toks t JOIN c_t USING (tok) GROUP BY 1, 2
+), c_s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c_s FROM toks GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+), scored AS (
+  SELECT st.source, st.tok, st.c_st, t.c_t,
+         CAST(floor(ln((CAST(st.c_st AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                       / (CAST(s.c_s AS DOUBLE) * CAST(t.c_t AS DOUBLE)))
+                    * 1000) AS BIGINT) AS pmi_e3
+  FROM c_st st
+  JOIN c_t t USING (tok)
+  JOIN c_s s USING (source)
+  CROSS JOIN nn
+)
+SELECT source, tok, c_st, c_t, pmi_e3, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY pmi_e3 DESC, tok) AS rank
+      FROM scored)
+WHERE rank <= {topk}
+"""
+
+
 # Stupid Backoff constants — MIRRORED in `_stupid_backoff_sql`; change
 # together.  α = SB_ALPHA_NUM/SB_ALPHA_DEN (Brants et al.'s 0.4), the
 # backoff unigram vocab is the top-SB_UNI_K tokens, and every per-term
@@ -10030,6 +10141,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topterms": q_tfidf_topterms,
     "bigram_lm_score": q_bigram_lm_score,
     "stupid_backoff": q_stupid_backoff,
+    "source_keyness": q_source_keyness,
     "doremi_weights": q_doremi_weights,
     "filter_cascade": q_filter_cascade,
     "source_funnel": q_source_funnel,
@@ -11991,6 +12103,7 @@ WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
         "tfidf_topterms": _tfidf_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
         "stupid_backoff": _stupid_backoff_sql(),
+        "source_keyness": _source_keyness_sql(),
         "doremi_weights": _doremi_sql(),
         "filter_cascade": _filter_cascade_sql(),
         "source_funnel": _source_funnel_sql(),

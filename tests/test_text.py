@@ -4068,3 +4068,82 @@ def test_psi_drift_matches_python_replica(spark):
     assert got == want
     for src, (_, _, _, psi) in got.items():
         assert psi >= 0, src
+
+
+def test_source_keyness_matches_python_replica(spark):
+    """Keyness table recomputed with Counters (same top-K candidate
+    vocab tie rule, the one-expression double-cast PMI e3 floor, the
+    (pmi DESC, tok) per-source ranks) — bit-identical.  Also locks:
+    exactly <= KEY_TOPK rows per source with dense ranks 1..k, and a
+    positive-PMI token exists (sources do have characteristic
+    vocabulary in the synthetic corpus)."""
+    import math
+    import re
+    from collections import Counter
+
+    from rxtls_spark.queries_training import (
+        KEY_TOPK,
+        KEY_VOCAB_K,
+        q_source_keyness,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    c_t: Counter = Counter()
+    c_st: Counter = Counter()
+    c_s: Counter = Counter()
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        for tok in ws.split(t.lower()):
+            c_t[tok] += 1
+            c_st[(r["source"], tok)] += 1
+            c_s[r["source"]] += 1
+    n = sum(c_t.values())
+    vocab = {
+        tok
+        for tok, _ in sorted(c_t.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KEY_VOCAB_K
+        ]
+    }
+    per_source: dict[str, list] = {}
+    for (src, tok), cst in c_st.items():
+        if tok not in vocab:
+            continue
+        pmi = math.floor(
+            math.log(
+                (float(cst) * float(n))
+                / (float(c_s[src]) * float(c_t[tok]))
+            )
+            * 1000
+        )
+        per_source.setdefault(src, []).append((-pmi, tok, cst))
+    want = {}
+    for src, items in per_source.items():
+        items.sort()
+        for rk, (negpmi, tok, cst) in enumerate(items[:KEY_TOPK], 1):
+            want[(src, tok)] = (cst, c_t[tok], -negpmi, rk)
+
+    got = {
+        (r["source"], r["tok"]): (
+            r["c_st"],
+            r["c_t"],
+            r["pmi_e3"],
+            r["rank"],
+        )
+        for r in q_source_keyness(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    by_src: dict[str, list] = {}
+    for (src, _), v in got.items():
+        by_src.setdefault(src, []).append(v[3])
+    for src, rks in by_src.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), src
+        assert len(rks) <= KEY_TOPK
+    assert any(v[2] > 0 for v in got.values())
