@@ -527,6 +527,178 @@ def q_quality_quantile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Robust-outlier MAD z cutoff (e3) — MIRRORED in the
+# `quality_outliers` oracle SQL; change together.  3.5 MADs is the
+# Iglewicz-Hoaglin screening line; z_e3 = ((2q−med2)·2000) DIV
+# greatest(mad4, 1) is the doubled-median integer form (the
+# rel_hourly_anomalies trick) on the exact e5 quality numerators.
+OUT_Z_E3 = 3500
+
+
+def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier screen on the quality score — the
+    curation rule "drop documents statistically alien to their own
+    source" (median/MAD so a source's junk cluster can't drag its own
+    baseline, the rel_hourly_anomalies logic applied to curation):
+    per source the exact doc-level median and MAD of quality, and the
+    count of docs beyond ``OUT_Z_E3`` MADs.
+
+    Cross-engine: quality is the exact e5 integer numerator
+    (round5_stable); med2/mad4 use the doubled-median trick — but
+    computed from the BOUNDED per-source histogram (cum-count
+    crossing, the source_ks_drift shape), so the one-or-two middle
+    DOC values are recovered without ever ranking data rows; the
+    outlier gate is pure BIGINT.
+
+    Scale shape: ONE corpus-scale hash agg (the bounded histogram);
+    both median recoveries are windows over sources × ≤100001 bucket
+    rows (metadata-scale); the outlier count is a bucket-level sum —
+    the corpus is never sorted, never windowed, never re-scanned."""
+    from pyspark.sql.window import Window
+
+    q = (
+        _docs(spark, sf_dir)
+        .select("source", quality_score().alias("quality"))
+        .select(
+            "source",
+            F.expr(
+                "CAST(floor(quality * 100000 + 0.5) AS BIGINT)"
+            ).alias("qe"),
+        )
+    )
+    hist = q.groupBy("source", "qe").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ws = Window.partitionBy("source")
+
+    def med2_of(df, val: str, cnt: str) -> DataFrame:
+        """Doubled median from a (source, val, cnt) histogram: the
+        bucket(s) where cum crosses (n+1)/2 and (n+2)/2."""
+        w = Window.partitionBy("source").orderBy(val)
+        d = (
+            df.withColumn("n", F.sum(cnt).over(ws).cast("long"))
+            .withColumn(
+                "cum",
+                F.sum(cnt)
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("long"),
+            )
+            .withColumn("lo", F.expr("(n + 1) DIV 2"))
+            .withColumn("hi", F.expr("(n + 2) DIV 2"))
+        )
+        hit = (
+            ((F.col("cum") - F.col(cnt) < F.col("lo")) & (F.col("lo") <= F.col("cum"))).cast("long")
+            + ((F.col("cum") - F.col(cnt) < F.col("hi")) & (F.col("hi") <= F.col("cum"))).cast("long")
+        )
+        return d.groupBy("source").agg(
+            F.sum(F.col(val) * hit).cast("long").alias("m2"),
+            F.max("n").cast("long").alias("n"),
+        )
+    med = med2_of(hist, "qe", "c").withColumnRenamed("m2", "med2_e5")
+    dev = (
+        hist.join(F.broadcast(med.select("source", "med2_e5")), "source")
+        .select(
+            "source",
+            F.abs(2 * F.col("qe") - F.col("med2_e5")).alias("dev2"),
+            "c",
+            "qe",
+            "med2_e5",
+        )
+    )
+    devh = dev.groupBy("source", "dev2").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    mad = (
+        med2_of(devh, "dev2", "c")
+        .withColumnRenamed("m2", "mad4_e5")
+        .select("source", "mad4_e5")
+    )
+    flagged = dev.join(F.broadcast(mad), "source").withColumn(
+        "is_out",
+        (
+            F.expr(
+                "(abs(2 * qe - med2_e5) * 2000)"
+                " DIV greatest(mad4_e5, 1L)"
+            )
+            >= OUT_Z_E3
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.max("med2_e5").cast("long").alias("med2_e5"),
+            F.max("mad4_e5").cast("long").alias("mad4_e5"),
+            F.sum(F.col("c") * F.col("is_out"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def _quality_outliers_sql() -> str:
+    """quality_outliers oracle: identical bounded-histogram doubled
+    medians (cum-crossing buckets) and the BIGINT MAD z gate."""
+    return _TEXT_CTE + f"""
+, q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
+, q AS (
+  SELECT d.source,
+         CAST(floor(q0.quality * 100000 + 0.5) AS BIGINT) AS qe
+  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+)
+, hist AS (SELECT source, qe, CAST(count(*) AS BIGINT) AS c
+           FROM q GROUP BY 1, 2)
+, cum1 AS (
+  SELECT source, qe, c,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY qe
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM hist
+)
+, med AS (
+  SELECT source, max(n) AS n,
+         CAST(sum(qe * (CASE WHEN cum - c < (n + 1) // 2
+                              AND (n + 1) // 2 <= cum THEN 1 ELSE 0 END
+                        + CASE WHEN cum - c < (n + 2) // 2
+                               AND (n + 2) // 2 <= cum THEN 1 ELSE 0 END))
+              AS BIGINT) AS med2_e5
+  FROM cum1 GROUP BY 1
+)
+, dev AS (
+  SELECT h.source, abs(2 * h.qe - m.med2_e5) AS dev2, h.c,
+         h.qe, m.med2_e5
+  FROM hist h JOIN med m USING (source)
+)
+, devh AS (SELECT source, dev2, CAST(sum(c) AS BIGINT) AS c
+           FROM dev GROUP BY 1, 2)
+, cum2 AS (
+  SELECT source, dev2, c,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY dev2
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM devh
+)
+, mad AS (
+  SELECT source,
+         CAST(sum(dev2 * (CASE WHEN cum - c < (n + 1) // 2
+                                AND (n + 1) // 2 <= cum THEN 1 ELSE 0 END
+                          + CASE WHEN cum - c < (n + 2) // 2
+                                 AND (n + 2) // 2 <= cum THEN 1 ELSE 0 END))
+              AS BIGINT) AS mad4_e5
+  FROM cum2 GROUP BY 1
+)
+SELECT d.source,
+  CAST(sum(d.c) AS BIGINT) AS n,
+  CAST(max(d.med2_e5) AS BIGINT) AS med2_e5,
+  CAST(max(ma.mad4_e5) AS BIGINT) AS mad4_e5,
+  CAST(sum(d.c * (CASE WHEN (abs(2 * d.qe - d.med2_e5) * 2000)
+                        // greatest(ma.mad4_e5, 1) >= {OUT_Z_E3}
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ma USING (source)
+GROUP BY 1
+"""
+
+
 # PSI share scale (e9) — MIRRORED in the `psi_drift` oracle SQL;
 # change together.  Shares are +1-smoothed (the doremi convention) and
 # clamped ≥ 1 so ln never sees 0 at any corpus size; slices are the
@@ -10133,6 +10305,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_quantile_gate_approx": q_quality_quantile_gate_approx,
     "source_ks_drift": q_source_ks_drift,
     "psi_drift": q_psi_drift,
+    "quality_outliers": q_quality_outliers,
     "lm_score_broadcast": q_lm_score_broadcast,
     "dsir_weights": q_dsir_weights,
     "dsir_topfrac": q_dsir_topfrac,
@@ -11965,6 +12138,7 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
 FROM ranked WHERE pr <= 1.0/3.0
 GROUP BY 1
 """,
+        "quality_outliers": _quality_outliers_sql(),
         "psi_drift": _TEXT_CTE + f"""
 , q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
 , q AS (

@@ -4147,3 +4147,57 @@ def test_source_keyness_matches_python_replica(spark):
         assert sorted(rks) == list(range(1, len(rks) + 1)), src
         assert len(rks) <= KEY_TOPK
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_quality_outliers_matches_python_replica(spark):
+    """Per-source med2/mad4/outlier counts recomputed from the raw
+    per-doc e5 quality integers (true doc-level doubled medians via
+    sorting — proving the bounded-histogram cum-crossing recovery is
+    EXACTLY the doc-level statistic, not an approximation) —
+    bit-identical.  Sanity: med2 is twice a real median (between 2·min
+    and 2·max), mad4 >= 0, outliers < half the source."""
+    import math
+
+    from rxtls_spark.functions.text import quality_score
+    from rxtls_spark.queries_training import OUT_Z_E3, q_quality_outliers
+    from tests.conftest import SF_SMOKE
+
+    scored = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", quality_score().alias("quality"))
+        .collect()
+    )
+    by_src: dict[str, list[int]] = {}
+    for r in scored:
+        by_src.setdefault(r["source"], []).append(
+            math.floor(r["quality"] * 100000 + 0.5)
+        )
+
+    def med2(vals: list[int]) -> int:
+        v = sorted(vals)
+        n = len(v)
+        return v[(n + 1) // 2 - 1] + v[(n + 2) // 2 - 1]
+
+    want = {}
+    for src, vals in by_src.items():
+        m2 = med2(vals)
+        devs = [abs(2 * x - m2) for x in vals]
+        # doubled median of the doubled deviations == 4*MAD
+        m4 = med2(devs)
+        n_out = sum(
+            1
+            for x in vals
+            if (abs(2 * x - m2) * 2000) // max(m4, 1) >= OUT_Z_E3
+        )
+        want[src] = (len(vals), m2, m4, n_out)
+
+    got = {
+        r["source"]: (r["n"], r["med2_e5"], r["mad4_e5"], r["n_outliers"])
+        for r in q_quality_outliers(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for src, vals in by_src.items():
+        n, m2, m4, n_out = got[src]
+        assert 2 * min(vals) <= m2 <= 2 * max(vals)
+        assert m4 >= 0
+        assert n_out <= n // 2, src
