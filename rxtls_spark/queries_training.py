@@ -6337,6 +6337,101 @@ def q_bigram_lm_score(
     )
 
 
+# Readability formula constants (Coleman-Liau 1975: CLI = 0.0588·L −
+# 0.296·S − 15.8, L = letters per 100 words, S = sentences per 100
+# words) — the DIV-chain form below is MIRRORED in the `readability`
+# oracle SQL; change together.  Coleman-Liau is the readability index
+# that needs NO syllable counting, so it is exactly computable
+# cross-engine.  Sentence rule: ASCII terminator run [.!?]+ followed
+# by whitespace-or-end; letters = ASCII [A-Za-z] (both pure-ASCII
+# classes where Java regex == RE2).
+CLI_L_NUM = 588  # 0.0588 · 1e4
+CLI_S_NUM = 2960  # 0.296 · 1e4
+CLI_BIAS_E4 = 158000  # 15.8 · 1e4
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile — the grade-level signal a
+    curation mixture reads next to `text_features`' quality score
+    (CCNet buckets by LM perplexity; classic curricula also bucket by
+    READABILITY — children's text trains differently than legalese):
+    exact sentence/word/letter counts and the Coleman-Liau index, the
+    one standard readability formula with no syllable estimation, so
+    both engines compute it EXACTLY.
+
+    Cross-engine: sentences = count of [.!?]+ terminator runs
+    followed by whitespace-or-end (ASCII classes, Java == RE2);
+    letters = ASCII [A-Za-z] count via regexp_replace-and-length;
+    words = the `_lm_tokens` whitespace rule.  L100/S100 ship as
+    e3-scaled truncating-DIV BIGINTs and cli_e4 as the mirrored
+    DIV-chain (CLI_L_NUM·L100_e3) DIV 1000 − (CLI_S_NUM·S100_e3) DIV
+    1000 − CLI_BIAS_E4 — all BIGINT, signed DIV truncates toward zero
+    on both engines.
+
+    Scale shape: a pure per-row Catalyst map — zero exchanges, no
+    explode (letters via one regexp_replace, sentences via one
+    regexp_count, words via split+size)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    n_words = F.size(_lm_tokens()).cast("long")
+    n_letters = F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+    ).cast("long")
+    n_sents = F.regexp_count(
+        F.col("text"), F.lit("[.!?]+([ \\t\\n\\x0B\\f\\r]+|$)")
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_letters.alias("n_letters"),
+        F.greatest(n_sents, F.lit(1).cast("long")).alias("n_sents"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_letters",
+        "n_sents",
+        F.expr("(n_letters * 100000) DIV n_words").alias("l100_e3"),
+        F.expr("(n_sents * 100000) DIV n_words").alias("s100_e3"),
+        F.expr(
+            f"({CLI_L_NUM} * ((n_letters * 100000) DIV n_words)) DIV 1000"
+            f" - ({CLI_S_NUM} * ((n_sents * 100000) DIV n_words)) DIV 1000"
+            f" - {CLI_BIAS_E4}"
+        )
+        .cast("long")
+        .alias("cli_e4"),
+    )
+
+
+def _readability_sql() -> str:
+    """readability oracle: identical ASCII regex counts and the same
+    DIV-chain CLI — DuckDB regexp needs the 'g' flag for global
+    replace and len(regexp_extract_all) for the terminator count."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(lower(text)),
+             '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         AS BIGINT) AS n_letters,
+    greatest(CAST(len(regexp_extract_all(text,
+             '[.!?]+([ \\t\\n\\x0B\\f\\r]+|$)')) AS BIGINT), 1)
+      AS n_sents
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, n_words, n_letters, n_sents,
+  CAST((n_letters * 100000) // n_words AS BIGINT) AS l100_e3,
+  CAST((n_sents * 100000) // n_words AS BIGINT) AS s100_e3,
+  CAST(({CLI_L_NUM} * ((n_letters * 100000) // n_words)) // 1000
+       - ({CLI_S_NUM} * ((n_sents * 100000) // n_words)) // 1000
+       - {CLI_BIAS_E4} AS BIGINT) AS cli_e4
+FROM base
+"""
+
+
 # Source-keyness constants — MIRRORED in `_source_keyness_sql`;
 # change together.  Candidate tokens are the top-KEY_VOCAB_K corpus
 # unigrams ((cnt DESC, tok) rule); PMI is computed as the ONE
@@ -10315,6 +10410,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score": q_bigram_lm_score,
     "stupid_backoff": q_stupid_backoff,
     "source_keyness": q_source_keyness,
+    "readability": q_readability,
     "doremi_weights": q_doremi_weights,
     "filter_cascade": q_filter_cascade,
     "source_funnel": q_source_funnel,
@@ -12278,6 +12374,7 @@ WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
         "bigram_lm_score": _bigram_lm_sql(),
         "stupid_backoff": _stupid_backoff_sql(),
         "source_keyness": _source_keyness_sql(),
+        "readability": _readability_sql(),
         "doremi_weights": _doremi_sql(),
         "filter_cascade": _filter_cascade_sql(),
         "source_funnel": _source_funnel_sql(),

