@@ -362,6 +362,85 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Administrative follow-up cap (days) — MIRRORED in the
+# `rel_survival_table` oracle SQL; change together.  Conversions past
+# the cap are right-censored AT the cap (equal-follow-up design).
+SURV_CAP_DAYS = 3
+
+
+def q_rel_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table for signup→purchase conversion — the
+    survival-analysis deliverable a product/log pipeline publishes
+    (time-to-convert with RIGHT CENSORING: users who have not
+    converted by the end of follow-up are not dropped, they are
+    censored — dropping them is the classic conversion-rate bias).
+    One row per day offset t: users still at risk, conversions d,
+    and censorings c; S(t) = Π(1 − d/n_risk) derives downstream.
+
+    Semantics: per user, start = FIRST signup event, conversion = the
+    first purchase AT-or-after it; delay days via truncating DIV on
+    epoch µs; ADMINISTRATIVE censoring at ``SURV_CAP_DAYS`` of
+    follow-up (the every-cohort-gets-equal-follow-up design) AND at
+    the log's global max ts, whichever ends follow-up first — so
+    both branches are real at every scale.  n_risk(t) =
+    Σ_{s>=t}(d_s + c_s) — a reverse cumulative sum over the bounded
+    day-offset table.  All BIGINT.
+
+    Scale path: two event-type filters → per-user min/conditional-min
+    in ONE user_id hash agg; the life table is a bounded (≤ horizon
+    days) agg + one window over those bounded rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _us("ts").alias("t_us")
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("t_us"))
+            ).alias("signup_us"),
+        )
+        .where(F.col("signup_us").isNotNull())
+        .select("user_id", "signup_us")
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .where(F.col("t_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("purchase_us"))
+    )
+    obs_end = ev.agg(F.max("t_us").alias("end_us"))
+    delay = F.expr("(purchase_us - signup_us) DIV 86400000000")
+    cens = F.expr(
+        f"least((end_us - signup_us) DIV 86400000000,"
+        f" CAST({SURV_CAP_DAYS} AS BIGINT))"
+    )
+    converted = F.col("purchase_us").isNotNull() & (delay <= cens)
+    timed = (
+        per_user.join(first_purchase, "user_id", "left")
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(converted, delay).otherwise(cens).cast("long").alias("t"),
+            converted.cast("long").alias("is_event"),
+        )
+    )
+    table = timed.groupBy("t").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("c"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return table.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w).cast("long").alias("n_risk"),
+    )
+
+
 # Burst gap threshold (µs) — MIRRORED in the `rel_burstiness` oracle
 # SQL; change together.  Gap stats are in SECONDS (truncating DIV) so
 # the squared sums stay < 2^63 at any realistic event horizon.  10
@@ -1043,6 +1122,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_integrity_audit": q_rel_integrity_audit,
     "rel_scd2_intervals": q_rel_scd2_intervals,
     "rel_burstiness": q_rel_burstiness,
+    "rel_survival_table": q_rel_survival_table,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
     "rel_events_sliding": q_events_sliding,
@@ -1332,6 +1412,44 @@ GROUP BY 1
     # Native DuckDB ASOF join over the identical deduped build side;
     # ASOF picks the greatest v.ts <= c.ts, exactly what the Spark
     # merge (ordered last-ignorenulls) computes.
+    "rel_survival_table": f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t_us
+  FROM events
+), pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN t_us END) AS signup_us
+  FROM ev GROUP BY 1
+  HAVING min(CASE WHEN event_type = 'signup' THEN t_us END) IS NOT NULL
+), fp AS (
+  SELECT e.user_id, min(e.t_us) AS purchase_us
+  FROM ev e JOIN pu USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.t_us >= pu.signup_us
+  GROUP BY 1
+), oe AS (
+  SELECT max(t_us) AS end_us FROM ev
+), timed0 AS (
+  SELECT (fp.purchase_us - pu.signup_us) // 86400000000 AS delay,
+         least((oe.end_us - pu.signup_us) // 86400000000,
+               CAST({SURV_CAP_DAYS} AS BIGINT)) AS cens
+  FROM pu LEFT JOIN fp USING (user_id) CROSS JOIN oe
+), timed AS (
+  SELECT CASE WHEN delay IS NOT NULL AND delay <= cens
+              THEN delay ELSE cens END AS t,
+         CASE WHEN delay IS NOT NULL AND delay <= cens
+              THEN 1 ELSE 0 END AS is_event
+  FROM timed0
+), tbl AS (
+  SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+         CAST(sum(1 - is_event) AS BIGINT) AS c
+  FROM timed GROUP BY 1
+)
+SELECT t, d, c,
+       CAST(sum(d + c) OVER (ORDER BY t DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_risk
+FROM tbl
+""",
     "rel_burstiness": f"""
 WITH ev AS (
   SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us, event_id

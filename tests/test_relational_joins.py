@@ -576,3 +576,71 @@ def test_rel_burstiness_matches_bruteforce(spark):
             assert g["sum_gap_s"] is None and g["n_bursts"] == 0
         total_bursts += g["n_bursts"]
     assert total_bursts > 0
+
+
+def test_rel_survival_table_matches_bruteforce(spark):
+    """Life table recomputed in Python (first signup, first purchase
+    at-or-after it, truncating day offsets, administrative censoring
+    at SURV_CAP_DAYS or the log's max ts) — bit-identical.  KM
+    contract locks: n_risk at the smallest t equals the signup cohort
+    size, n_risk is the reverse cumsum of d + c, and both events and
+    censorings exist."""
+    from rxtls_spark.queries_relational import (
+        SURV_CAP_DAYS,
+        q_rel_survival_table,
+    )
+
+    got = sorted(
+        (
+            (r["t"], r["d"], r["c"], r["n_risk"])
+            for r in q_rel_survival_table(spark, SF_SMOKE).collect()
+        )
+    )
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .collect()
+    )
+    end_us = max(r["t"] for r in ev)
+    signup: dict[int, int] = {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            signup[u] = min(signup.get(u, r["t"]), r["t"])
+    purch: dict[int, int] = {}
+    for r in ev:
+        u = r["user_id"]
+        if (
+            r["event_type"] == "purchase"
+            and u in signup
+            and r["t"] >= signup[u]
+        ):
+            purch[u] = min(purch.get(u, r["t"]), r["t"])
+    table: dict[int, list[int]] = {}
+    n_conv = 0
+    for u, s in signup.items():
+        cens = min((end_us - s) // 86_400_000_000, SURV_CAP_DAYS)
+        delay = (
+            (purch[u] - s) // 86_400_000_000 if u in purch else None
+        )
+        if delay is not None and delay <= cens:
+            table.setdefault(delay, [0, 0])[0] += 1
+            n_conv += 1
+        else:
+            table.setdefault(cens, [0, 0])[1] += 1
+    want = []
+    rev = 0
+    for t in sorted(table, reverse=True):
+        d, c = table[t]
+        rev += d + c
+        want.append((t, d, c, rev))
+    want.sort()
+    assert got == want
+    assert got[0][3] == len(signup)
+    assert sum(d for _, d, _, _ in got) == n_conv > 0
+    assert sum(c for _, _, c, _ in got) == len(signup) - n_conv > 0
+    assert max(t for t, _, _, _ in got) <= SURV_CAP_DAYS
