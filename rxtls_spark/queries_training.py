@@ -527,6 +527,99 @@ def q_quality_quantile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of the document-length (character
+    mass) distribution — the concentration audit a curation review
+    runs on every source: G near 0 means mass is spread evenly over
+    documents, G near 1 means a handful of giant documents carry the
+    source (scraper concatenation artifacts, dumps, logs) and
+    per-document sampling rates will misbehave.  Completes the
+    corpus-health fits (zipf = token frequencies, heaps = vocabulary
+    growth, this = document-mass inequality).
+
+    Cross-engine exactness: the classic rank formula
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n is computed from the BOUNDED
+    per-source length histogram — for a value v with count c starting
+    at cumulative position p, Σ i·v over its run is
+    v·(c·p + c·(c+1)/2), which depends only on the multiset, so ties
+    need no order rule; gini_e6 = (2·S1·1e6) DIV (n·S0) −
+    ((n+1)·1e6) DIV n with both DIVs truncating identically.  All
+    BIGINT.  (S1 ≤ n²·max_len — fine to ~10^7 docs/source at e6
+    scale; shard the histogram by length decile above that.)
+
+    Scale shape: ONE corpus-scale hash agg (the bounded histogram);
+    the positional sums are a window over sources × distinct lengths
+    (metadata-scale); the corpus is never sorted or re-scanned."""
+    from pyspark.sql.window import Window
+
+    hist = (
+        _docs(spark, sf_dir)
+        .select("source", F.col("n_chars").cast("long").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    pos = hist.withColumn(
+        "p",
+        F.coalesce(
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    sums = pos.groupBy("source").agg(
+        F.sum(F.col("c")).cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("s0"),
+        F.sum(
+            F.col("v")
+            * (
+                F.col("c") * F.col("p")
+                + F.expr("(c * (c + 1)) DIV 2")
+            )
+        )
+        .cast("long")
+        .alias("s1"),
+    )
+    return sums.select(
+        "source",
+        "n",
+        F.col("s0").alias("total_chars"),
+        F.expr(
+            "CAST((2 * s1 * 1000000) DIV (n * s0)"
+            " - ((n + 1) * 1000000) DIV n AS BIGINT)"
+        ).alias("gini_e6"),
+    )
+
+
+def _source_gini_sql() -> str:
+    """source_gini oracle: identical bounded histogram, run-position
+    sums, and the truncating-DIV Gini form."""
+    return """
+WITH hist AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), pos AS (
+  SELECT source, v, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS p
+  FROM hist
+), sums AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS s0,
+         CAST(sum(v * (c * p + (c * (c + 1)) // 2)) AS BIGINT) AS s1
+  FROM pos GROUP BY 1
+)
+SELECT source, n, s0 AS total_chars,
+       CAST((2 * s1 * 1000000) // (n * s0)
+            - ((n + 1) * 1000000) // n AS BIGINT) AS gini_e6
+FROM sums
+"""
+
+
 # Robust-outlier MAD z cutoff (e3) — MIRRORED in the
 # `quality_outliers` oracle SQL; change together.  3.5 MADs is the
 # Iglewicz-Hoaglin screening line; z_e3 = ((2q−med2)·2000) DIV
@@ -10401,6 +10494,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ks_drift": q_source_ks_drift,
     "psi_drift": q_psi_drift,
     "quality_outliers": q_quality_outliers,
+    "source_gini": q_source_gini,
     "lm_score_broadcast": q_lm_score_broadcast,
     "dsir_weights": q_dsir_weights,
     "dsir_topfrac": q_dsir_topfrac,
@@ -12235,6 +12329,7 @@ FROM ranked WHERE pr <= 1.0/3.0
 GROUP BY 1
 """,
         "quality_outliers": _quality_outliers_sql(),
+        "source_gini": _source_gini_sql(),
         "psi_drift": _TEXT_CTE + f"""
 , q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
 , q AS (

@@ -4262,3 +4262,42 @@ def test_readability_matches_python_replica(spark):
         assert got[d][2] >= 1
         assert got[d][1] <= len(t)
     assert len({v[5] for v in got.values()}) > 1
+
+
+def test_source_gini_matches_python_replica(spark):
+    """Gini recomputed from the raw sorted per-source length lists
+    (the classic rank formula) — proving the histogram run-position
+    form equals the sorted-rank statistic exactly, ties included.
+    Sanity: 0 <= gini_e6 < 1e6, and an equal-length source would be
+    ~0 (checked via a constructed all-equal multiset)."""
+    from rxtls_spark.queries_training import q_source_gini
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["source"]: (r["n"], r["total_chars"], r["gini_e6"])
+        for r in q_source_gini(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+
+    def gini_e6(vals: list[int]) -> int:
+        v = sorted(vals)
+        n = len(v)
+        s0 = sum(v)
+        s1 = sum(i * x for i, x in enumerate(v, 1))
+        return (2 * s1 * 1000000) // (n * s0) - ((n + 1) * 1000000) // n
+
+    want = {
+        src: (len(v), sum(v), gini_e6(v)) for src, v in by_src.items()
+    }
+    assert got == want
+    for src, (_, _, g) in got.items():
+        assert 0 <= g < 1_000_000, src
+    assert gini_e6([7, 7, 7, 7]) == 0
+    assert gini_e6([0, 0, 0, 100]) > 700_000
