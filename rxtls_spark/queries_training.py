@@ -527,6 +527,103 @@ def q_quality_quantile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Script character classes — MIRRORED in the `script_profile` oracle
+# SQL (identical pattern TEXT on both engines: Java regex and RE2 both
+# accept the \\x{...} range syntax; CLAUDE.md unicode discipline).
+# The dominant-script CASE order IS the tie rule.
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("digit", "[0-9]"),
+)
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script profile — the i18n routing signal
+    upstream of `lang_guess` (marker words need the RIGHT script to
+    even appear; a multilingual pipeline routes on script first, then
+    language): counts per script class (Latin incl. extensions, CJK
+    han+kana+hangul, Cyrillic, Arabic, digits), the per-mille share
+    of the dominant script, and the dominant script name with the
+    fixed class-order tie rule.
+
+    Cross-engine: each count is regexp_count with the IDENTICAL
+    pattern text (both Java regex and RE2 accept \\x{...}); shares
+    are truncating-DIV permille on BIGINTs; the dominant CASE order
+    is mirrored.  Scale shape: pure per-row Catalyst map — zero
+    exchanges, no explode."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    counted = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat in SCRIPT_CLASSES
+        ],
+    )
+    names = [n for n, _ in SCRIPT_CLASSES]
+    m = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.lit("none")
+    for n in reversed(names):
+        dom = F.when((m > 0) & (F.col(f"n_{n}") == m), F.lit(n)).otherwise(
+            dom
+        )
+    # reversed + otherwise-chaining makes the FIRST class in
+    # SCRIPT_CLASSES win ties — mirrored by the SQL CASE order
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        *[F.col(f"n_{n}") for n in names],
+        dom.alias("dominant"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr(
+                "(greatest("
+                + ", ".join(f"n_{n}" for n in names)
+                + ") * 1000) DIV n_chars"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dom_permille"),
+    )
+
+
+def _script_profile_sql() -> str:
+    """script_profile oracle: identical pattern text per class, the
+    mirrored dominant CASE order, truncating-DIV permille."""
+    counts = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in SCRIPT_CLASSES
+    )
+    names = [n for n, _ in SCRIPT_CLASSES]
+    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom_case = "CASE WHEN " + m + " = 0 THEN 'none' " + " ".join(
+        f"WHEN n_{n} = {m} THEN '{n}'" for n in names
+    ) + " END"
+    return f"""
+WITH counted AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         {counts}
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, n_chars, {', '.join('n_' + n for n in names)},
+       {dom_case} AS dominant,
+       CAST(CASE WHEN n_chars > 0 THEN ({m} * 1000) // n_chars
+            ELSE 0 END AS BIGINT) AS dom_permille
+FROM counted
+"""
+
+
 def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gini coefficient of the document-length (character
     mass) distribution — the concentration audit a curation review
@@ -10495,6 +10592,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift": q_psi_drift,
     "quality_outliers": q_quality_outliers,
     "source_gini": q_source_gini,
+    "script_profile": q_script_profile,
     "lm_score_broadcast": q_lm_score_broadcast,
     "dsir_weights": q_dsir_weights,
     "dsir_topfrac": q_dsir_topfrac,
@@ -12330,6 +12428,7 @@ GROUP BY 1
 """,
         "quality_outliers": _quality_outliers_sql(),
         "source_gini": _source_gini_sql(),
+        "script_profile": _script_profile_sql(),
         "psi_drift": _TEXT_CTE + f"""
 , q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
 , q AS (

@@ -4301,3 +4301,109 @@ def test_source_gini_matches_python_replica(spark):
         assert 0 <= g < 1_000_000, src
     assert gini_e6([7, 7, 7, 7]) == 0
     assert gini_e6([0, 0, 0, 100]) > 700_000
+
+
+def test_script_profile_matches_python_replica(spark):
+    """Script counts recomputed with Python re (the \\x{...} classes
+    translated to \\uXXXX — same codepoint ranges), the mirrored
+    dominant CASE order and truncating permille — bit-identical.
+    Sanity: counts never exceed n_chars; the synthetic corpus is
+    ASCII (even its 'zh' docs use romanized marker tokens — cjk
+    counts are zero and the replica equality proves both engines
+    agree on that), so latin must dominate every doc with a
+    positive share."""
+    import re
+
+    from rxtls_spark.queries_training import (
+        SCRIPT_CLASSES,
+        q_script_profile,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def to_py(pat: str) -> str:
+        return re.sub(
+            r"\\x\{([0-9A-Fa-f]+)\}",
+            lambda m: "\\u" + m.group(1).zfill(4),
+            pat,
+        )
+
+    classes = [(n, re.compile(to_py(p))) for n, p in SCRIPT_CLASSES]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"].strip() != ""
+    }
+    want = {}
+    for d, t in texts.items():
+        counts = [(n, len(p.findall(t))) for n, p in classes]
+        m = max(c for _, c in counts)
+        dom = "none" if m == 0 else next(
+            n for n, c in counts if c == m
+        )
+        want[d] = (
+            len(t),
+            *[c for _, c in counts],
+            dom,
+            (m * 1000) // len(t) if len(t) > 0 else 0,
+        )
+    names = [n for n, _ in SCRIPT_CLASSES]
+    got = {
+        r["doc_id"]: (
+            r["n_chars"],
+            *[r[f"n_{n}"] for n in names],
+            r["dominant"],
+            r["dom_permille"],
+        )
+        for r in q_script_profile(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert {v[-2] for v in got.values()} == {"latin"}
+    assert all(v[-1] > 0 for v in got.values())
+    for v in got.values():
+        for c in v[1:-2]:
+            assert c <= v[0]
+
+
+def test_script_profile_classes_cross_engine_on_real_scripts(spark):
+    """The \\x{...} class patterns evaluated by BOTH engines on
+    constructed genuinely-multiscript strings (han, kana, hangul,
+    cyrillic, arabic, accents, emoji) — counts must agree exactly,
+    so a Java-vs-RE2 divergence on the range syntax cannot hide
+    behind the ASCII-only synthetic corpus."""
+    import duckdb
+
+    from rxtls_spark.queries_training import SCRIPT_CLASSES
+
+    samples = [
+        "hello 你好世界 world",          # han
+        "コンニチハ kana あ",    # kana
+        "한국어 hangul mix 123",             # hangul
+        "привет cyrillic", # cyrillic
+        "مرحبا arabic",         # arabic
+        "café naïve œuvre",               # latin ext
+        "emoji \U0001f600 outside bmp",                  # astral
+        "",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "text string")
+    import pyspark.sql.functions as F
+
+    spark_rows = sdf.select(
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(name)
+            for name, pat in SCRIPT_CLASSES
+        ]
+    ).collect()
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        for name, pat in SCRIPT_CLASSES:
+            duck = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [s, pat]
+            ).fetchone()[0]
+            assert spark_rows[i][name] == duck, (s, name)
+    # and the classes genuinely fire on their scripts
+    assert spark_rows[0]["cjk"] == 4
+    assert spark_rows[3]["cyrillic"] == 6
+    assert spark_rows[4]["arabic"] == 5
+    assert spark_rows[5]["latin"] > 8
