@@ -64,6 +64,12 @@ def main() -> int:
                     "SoftDeDup sampling weight weight_e6 = 1e6 DIV "
                     "dup_count of its exact-text group (duplicated text "
                     "stays in the corpus with shrunken gradient mass)")
+    ap.add_argument("--outlier-screen", action="store_true",
+                    help="after the gates, drop docs whose quality sits "
+                    "beyond OUT_Z_E3 (3.5) MADs of their LANGUAGE's "
+                    "median (robust_qe_stats — the bounded-histogram "
+                    "median/MAD, no per-lang sort); per-lang med/MAD and "
+                    "the dropped count are recorded in the summary")
     ap.add_argument("--dsir-target", default="en")
     ap.add_argument("--dsir-frac", type=float, default=0.5)
     ap.add_argument("--seq-len", type=int, default=256)
@@ -195,6 +201,52 @@ def main() -> int:
         ).persist()
         n_gated = gated.count()
 
+    # 3b. optional robust outlier screen: per-lang median/MAD on the
+    # exact e5 quality numerators (bounded histogram — the
+    # quality_outliers math), drop |z| >= OUT_Z_E3
+    n_outlier_dropped = None
+    outlier_stats = None
+    if args.outlier_screen:
+        from rxtls_spark.queries_training import OUT_Z_E3, robust_qe_stats
+
+        qe_col = F.expr("CAST(floor(quality * 100000 + 0.5) AS BIGINT)")
+        stats = (
+            robust_qe_stats(
+                gated.select("lang", qe_col.alias("qe")), "lang"
+            )
+            .select("lang", "med2_e5", "mad4_e5")
+            .distinct()
+        )
+        outlier_stats = {
+            r["lang"]: (r["med2_e5"], r["mad4_e5"])
+            for r in stats.collect()
+        }
+        smap = F.create_map(
+            *[
+                F.lit(x)
+                for lang, (m2, m4) in sorted(outlier_stats.items())
+                for x in (lang, f"{m2}:{m4}")
+            ]
+        )
+        parts = F.split(smap[F.col("lang")], ":")
+        screened = (
+            gated.withColumn("qe", qe_col)
+            .withColumn("_m2", F.element_at(parts, 1).cast("long"))
+            .withColumn("_m4", F.element_at(parts, 2).cast("long"))
+            .where(
+                F.expr(
+                    "(abs(2 * qe - _m2) * 2000) DIV greatest(_m4, 1L)"
+                )
+                < OUT_Z_E3
+            )
+            .drop("qe", "_m2", "_m4")
+            .persist()
+        )
+        n_screened = screened.count()
+        n_outlier_dropped = n_gated - n_screened
+        gated = screened
+        n_gated = n_screened
+
     # 4. corpus selection: temperature-0.5 mixture sample
     # (deterministic hash Bernoulli) or DSIR importance selection
     # (top-frac by target-domain log-likelihood ratio via the bounded
@@ -289,6 +341,16 @@ def main() -> int:
         "quality": args.quality,
         "quality_thresholds": quality_thresholds,
         "max_dup3": args.max_dup3,
+        "outlier_screen": args.outlier_screen,
+        "n_outlier_dropped": n_outlier_dropped,
+        "outlier_stats": (
+            {
+                lang: {"med2_e5": m2, "mad4_e5": m4}
+                for lang, (m2, m4) in sorted(outlier_stats.items())
+            }
+            if outlier_stats is not None
+            else None
+        ),
         "sample_mode": args.sample_mode,
         "dsir_target": (
             args.dsir_target if args.sample_mode == "dsir" else None

