@@ -9338,6 +9338,163 @@ def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 FIM_RATE = 500
 FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
 
+# T5 span-corruption constants — MIRRORED in `_span_corrupt_sql`;
+# change together.  Two spans, one per document HALF (so span order
+# and non-overlap hold by construction); span length
+# 1 + knuth(2·doc_id + k) % SC_MAX_LEN clamped to the half; offset
+# knuth(5·doc_id + k) % (free slots).  Docs under SC_MIN_TOKENS pass
+# through untransformed (sc = 0).
+SC_SPANS = 2
+SC_MAX_LEN = 3
+SC_MIN_TOKENS = 8
+SC_SENTINELS = ("<extra_id_0>", "<extra_id_1>", "<extra_id_2>")
+
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4) —
+    the OTHER canonical denoising training transform next to
+    `fim_transform`'s PSM reordering: mask two hash-derived token
+    spans with sentinels and emit (input = text with sentinels,
+    target = sentinel-delimited masked spans).  Together the two
+    transforms cover the seq2seq-denoising and infilling families a
+    training-data pipeline materializes.
+
+    Cross-engine: spans live in opposite document halves (the half
+    boundary is n DIV 2), so s1 ≤ e1 < s2 ≤ e2 always and no overlap
+    rule is needed; lengths/offsets are pure knuth-integer functions
+    of doc_id; both engines build input/target as ONE concatenated
+    token array then space-join it (the fim_transform rule — nested
+    concat_ws double-spaces on empty slices).  Outputs ship as md5s
+    plus exact BIGINT counts.
+
+    Scale shape: pure per-row Catalyst map — zero exchanges, no
+    explode (slice/concat/md5 on the token array)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    t = F.col("t")
+    n = F.size(t)
+    base = docs.select("doc_id", _lm_tokens().alias("t")).select(
+        "doc_id", "t", n.alias("n")
+    )
+    half = F.expr("n DIV 2")
+    spans = []
+    for k in range(SC_SPANS):
+        seg_start = F.when(F.lit(k) == 0, F.lit(1)).otherwise(half + 1)
+        seg_len = F.when(F.lit(k) == 0, half).otherwise(F.col("n") - half)
+        ln = F.least(
+            F.lit(1)
+            + (knuth_hash(F.col("doc_id") * 2 + F.lit(k)) % SC_MAX_LEN)
+            .cast("int"),
+            seg_len.cast("int"),
+        )
+        off = (
+            knuth_hash(F.col("doc_id") * 5 + F.lit(k))
+            % (seg_len.cast("long") - ln.cast("long") + 1)
+        ).cast("int")
+        s = (seg_start.cast("int") + off).alias(f"s{k}")
+        spans.append((s, (F.col(f"s{k}") + F.col(f"l{k}") - 1), ln))
+    withc = base.select(
+        "doc_id",
+        "t",
+        "n",
+        spans[0][0],
+        spans[0][2].alias("l0"),
+        spans[1][0],
+        spans[1][2].alias("l1"),
+    ).select(
+        "doc_id",
+        "t",
+        "n",
+        "s0",
+        "l0",
+        (F.col("s0") + F.col("l0") - 1).alias("e0"),
+        "s1",
+        "l1",
+        (F.col("s1") + F.col("l1") - 1).alias("e1"),
+    )
+    sc = (F.col("n") >= SC_MIN_TOKENS).cast("long")
+    s0, e0, s1, e1 = (F.col(c) for c in ("s0", "e0", "s1", "e1"))
+    inp_arr = F.concat(
+        F.slice(t, 1, s0 - 1),
+        F.array(F.lit(SC_SENTINELS[0])),
+        F.slice(t, e0 + 1, s1 - e0 - 1),
+        F.array(F.lit(SC_SENTINELS[1])),
+        F.slice(t, e1 + 1, F.col("n") - e1),
+    )
+    tgt_arr = F.concat(
+        F.array(F.lit(SC_SENTINELS[0])),
+        F.slice(t, s0, F.col("l0")),
+        F.array(F.lit(SC_SENTINELS[1])),
+        F.slice(t, s1, F.col("l1")),
+        F.array(F.lit(SC_SENTINELS[2])),
+    )
+    return withc.select(
+        "doc_id",
+        sc.alias("sc"),
+        F.col("n").cast("long").alias("n"),
+        F.when(sc == 1, (F.col("l0") + F.col("l1")).cast("long"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.md5(
+            F.when(sc == 1, F.concat_ws(" ", inp_arr)).otherwise(
+                F.concat_ws(" ", t)
+            )
+        ).alias("input_md5"),
+        F.md5(
+            F.when(sc == 1, F.concat_ws(" ", tgt_arr)).otherwise(F.lit(""))
+        ).alias("target_md5"),
+    )
+
+
+def _span_corrupt_sql() -> str:
+    """span_corrupt oracle: identical knuth span derivation per half,
+    single concatenated-list builds, md5 of the space-join."""
+    kh = lambda expr: f"((({expr}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"  # noqa: E731
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), base AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), cuts AS (
+  SELECT doc_id, t, n,
+    least(1 + ({kh('doc_id * 2 + 0')}) % {SC_MAX_LEN}, n // 2) AS l0,
+    least(1 + ({kh('doc_id * 2 + 1')}) % {SC_MAX_LEN}, n - n // 2) AS l1,
+    1 + ({kh('doc_id * 5 + 0')})
+        % (n // 2 - least(1 + ({kh('doc_id * 2 + 0')}) % {SC_MAX_LEN},
+                          n // 2) + 1) AS s0,
+    n // 2 + 1 + ({kh('doc_id * 5 + 1')})
+        % ((n - n // 2)
+           - least(1 + ({kh('doc_id * 2 + 1')}) % {SC_MAX_LEN},
+                   n - n // 2) + 1) AS s1
+  FROM base
+), marked AS (
+  SELECT doc_id, t, n, l0, l1, s0, s1,
+         s0 + l0 - 1 AS e0, s1 + l1 - 1 AS e1,
+         CASE WHEN n >= {SC_MIN_TOKENS} THEN 1 ELSE 0 END AS sc
+  FROM cuts
+)
+SELECT doc_id, CAST(sc AS BIGINT) AS sc, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN sc = 1 THEN l0 + l1 ELSE 0 END AS BIGINT) AS n_masked,
+  md5(CASE WHEN sc = 1 THEN
+        array_to_string(
+          t[1:s0-1] || ['{SC_SENTINELS[0]}'] || t[e0+1:s1-1]
+          || ['{SC_SENTINELS[1]}'] || t[e1+1:n], ' ')
+      ELSE array_to_string(t, ' ') END) AS input_md5,
+  md5(CASE WHEN sc = 1 THEN
+        array_to_string(
+          ['{SC_SENTINELS[0]}'] || t[s0:e0] || ['{SC_SENTINELS[1]}']
+          || t[s1:e1] || ['{SC_SENTINELS[2]}'], ' ')
+      ELSE '' END) AS target_md5
+FROM marked
+"""
+
 
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle training transform (Bavarian et al. 2022,
@@ -10677,6 +10834,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gradient_align": q_gradient_align,
     "tracin_influence": q_tracin_influence,
     "fim_transform": q_fim_transform,
+    "span_corrupt": q_span_corrupt,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -12803,6 +12961,7 @@ WHERE rn <= 10
         "gradient_align": _gradient_align_sql(),
         "tracin_influence": _tracin_sql(),
         "fim_transform": _fim_sql(),
+        "span_corrupt": _span_corrupt_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -4407,3 +4407,100 @@ def test_script_profile_classes_cross_engine_on_real_scripts(spark):
     assert spark_rows[3]["cyrillic"] == 6
     assert spark_rows[4]["arabic"] == 5
     assert spark_rows[5]["latin"] > 8
+
+
+def test_span_corrupt_matches_python_replica(spark):
+    """Span-corruption rows recomputed in Python (same knuth span
+    lengths/offsets per half, same single-array joins) —
+    bit-identical.  T5 contract locks: spans never overlap and never
+    cross the half boundary, reconstruction holds (input tokens +
+    target tokens == original multiset + sentinels), sc=0 docs pass
+    through with empty targets, and both sc values occur."""
+    import hashlib
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        SC_MAX_LEN,
+        SC_MIN_TOKENS,
+        SC_SENTINELS,
+        q_span_corrupt,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    def kh(x):
+        return ((x % KNUTH_P) * KNUTH_A) % KNUTH_P
+
+    def md5(s):
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"].strip() != ""
+    }
+    want = {}
+    n_sc1 = n_sc0 = 0
+    for d, txt in texts.items():
+        t = ws.split(txt.strip().lower())
+        n = len(t)
+        half = n // 2
+        segs = [(1, half), (half + 1, n)]
+        ss, ls = [], []
+        for k, (gs, ge) in enumerate(segs):
+            seg_len = ge - gs + 1
+            ln = min(1 + kh(d * 2 + k) % SC_MAX_LEN, seg_len)
+            off = kh(d * 5 + k) % (seg_len - ln + 1)
+            ss.append(gs + off)
+            ls.append(ln)
+        if n >= SC_MIN_TOKENS:
+            n_sc1 += 1
+            s0, l0, s1, l1 = ss[0], ls[0], ss[1], ls[1]
+            e0, e1 = s0 + l0 - 1, s1 + l1 - 1
+            assert e0 <= half < s1, d  # spans confined to halves
+            inp = (
+                t[: s0 - 1]
+                + [SC_SENTINELS[0]]
+                + t[e0 : s1 - 1]
+                + [SC_SENTINELS[1]]
+                + t[e1:]
+            )
+            tgt = (
+                [SC_SENTINELS[0]]
+                + t[s0 - 1 : e0]
+                + [SC_SENTINELS[1]]
+                + t[s1 - 1 : e1]
+                + [SC_SENTINELS[2]]
+            )
+            # reconstruction: input+target == original + sentinels
+            extra = [
+                SC_SENTINELS[0], SC_SENTINELS[0],
+                SC_SENTINELS[1], SC_SENTINELS[1], SC_SENTINELS[2],
+            ]
+            assert sorted(inp + tgt) == sorted(t + extra), d
+            want[d] = (
+                1,
+                n,
+                l0 + l1,
+                md5(" ".join(inp)),
+                md5(" ".join(tgt)),
+            )
+        else:
+            n_sc0 += 1
+            want[d] = (0, n, 0, md5(" ".join(t)), md5(""))
+    got = {
+        r["doc_id"]: (
+            r["sc"],
+            r["n"],
+            r["n_masked"],
+            r["input_md5"],
+            r["target_md5"],
+        )
+        for r in q_span_corrupt(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert n_sc1 > 0
