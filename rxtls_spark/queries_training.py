@@ -9338,6 +9338,125 @@ def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 FIM_RATE = 500
 FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
 
+# BERT masked-LM constants — MIRRORED in `_mlm_sql`; change together.
+# Per-token permille draw r = knuth(doc_id·MLM_POS_SALT + i) % 1000:
+# r < MLM_MASK_TO is [MASK], < MLM_RAND_TO is a random in-doc token
+# (index from a second knuth draw — corpus-closed, no vocab table),
+# < MLM_KEEP_TO is keep-but-predict; else untouched.  The 120/135/150
+# cuts are the canonical 15% × (80/10/10) split.
+MLM_POS_SALT = 1009
+MLM_RAND_SALT = 31
+MLM_MASK_TO = 120
+MLM_RAND_TO = 135
+MLM_KEEP_TO = 150
+MLM_MASK = "[MASK]"
+
+
+def q_mlm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-LM training transform (Devlin et al. 2019
+    §3.1: mask 15% of tokens — 80% to [MASK], 10% to a random token,
+    10% kept but still predicted) — completing the training-transform
+    family: causal (identity), `fim_transform` (infilling),
+    `span_corrupt` (seq2seq denoising), and now MLM (bidirectional
+    denoising).  Emits the corrupted stream and the prediction-target
+    stream as md5s plus the exact per-class counts.
+
+    Cross-engine: every per-token decision is a pure knuth-integer
+    function of (doc_id, position); the random replacement draws an
+    IN-DOC index (corpus-closed — no vocab side table to drift);
+    streams are built as ONE transformed array then space-joined.
+
+    Scale shape: pure per-row Catalyst map (transform/filter over the
+    token array) — zero exchanges, no explode."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    base = docs.select("doc_id", _lm_tokens().alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n")
+    )
+
+    def draw(i: F.Column) -> F.Column:
+        return knuth_hash(F.col("doc_id") * MLM_POS_SALT + i) % 1000
+
+    def rand_tok(i: F.Column) -> F.Column:
+        idx = (
+            knuth_hash(F.col("doc_id") * MLM_RAND_SALT + i)
+            % F.col("n").cast("long")
+        ).cast("int")
+        return F.element_at(F.col("t"), idx + 1)
+
+    masked = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.when(draw(i) < MLM_MASK_TO, F.lit(MLM_MASK))
+        .when(draw(i) < MLM_RAND_TO, rand_tok(i))
+        .otherwise(F.element_at(F.col("t"), i)),
+    )
+    labels = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.when(
+                draw(i) < MLM_KEEP_TO, F.element_at(F.col("t"), i)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    def cnt(lo: int, hi: int) -> F.Column:
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: (draw(i) >= lo) & (draw(i) < hi),
+            )
+        ).cast("long")
+
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n"),
+        cnt(0, MLM_KEEP_TO).alias("n_masked"),
+        cnt(0, MLM_MASK_TO).alias("n_mask_tok"),
+        cnt(MLM_MASK_TO, MLM_RAND_TO).alias("n_rand"),
+        F.md5(F.concat_ws(" ", masked)).alias("input_md5"),
+        F.md5(F.concat_ws(" ", labels)).alias("labels_md5"),
+    )
+
+
+def _mlm_sql() -> str:
+    """mlm_transform oracle: identical knuth per-position draws,
+    in-doc random replacement, single-array builds."""
+    kh = lambda expr: f"((({expr}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"  # noqa: E731
+    r = kh(f"doc_id * {MLM_POS_SALT} + i") + " % 1000"
+    ridx = f"1 + ({kh(f'doc_id * {MLM_RAND_SALT} + i')}) % n"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), base AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n,
+  CAST(len(list_filter(generate_series(1, n),
+       i -> ({r}) < {MLM_KEEP_TO})) AS BIGINT) AS n_masked,
+  CAST(len(list_filter(generate_series(1, n),
+       i -> ({r}) < {MLM_MASK_TO})) AS BIGINT) AS n_mask_tok,
+  CAST(len(list_filter(generate_series(1, n),
+       i -> ({r}) >= {MLM_MASK_TO} AND ({r}) < {MLM_RAND_TO}))
+       AS BIGINT) AS n_rand,
+  md5(array_to_string(list_transform(generate_series(1, n),
+       i -> CASE WHEN ({r}) < {MLM_MASK_TO} THEN '{MLM_MASK}'
+                 WHEN ({r}) < {MLM_RAND_TO} THEN t[{ridx}]
+                 ELSE t[i] END), ' ')) AS input_md5,
+  -- array_to_string([]) is NULL in DuckDB, '' in Spark's concat_ws
+  md5(coalesce(array_to_string(list_transform(
+       list_filter(generate_series(1, n), i -> ({r}) < {MLM_KEEP_TO}),
+       i -> t[i]), ' '), '')) AS labels_md5
+FROM base
+"""
+
+
 # T5 span-corruption constants — MIRRORED in `_span_corrupt_sql`;
 # change together.  Two spans, one per document HALF (so span order
 # and non-overlap hold by construction); span length
@@ -10835,6 +10954,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tracin_influence": q_tracin_influence,
     "fim_transform": q_fim_transform,
     "span_corrupt": q_span_corrupt,
+    "mlm_transform": q_mlm_transform,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -12962,6 +13082,7 @@ WHERE rn <= 10
         "tracin_influence": _tracin_sql(),
         "fim_transform": _fim_sql(),
         "span_corrupt": _span_corrupt_sql(),
+        "mlm_transform": _mlm_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -4504,3 +4504,90 @@ def test_span_corrupt_matches_python_replica(spark):
     }
     assert got == want
     assert n_sc1 > 0
+
+
+def test_mlm_transform_matches_python_replica(spark):
+    """MLM rows recomputed in Python (same knuth per-position draws,
+    in-doc random replacement, 80/10/10 cuts) — bit-identical.
+    Contract locks: n_mask_tok + n_rand <= n_masked <= n, the mask
+    rate lands near 15% corpus-wide, and all three masked classes
+    occur somewhere."""
+    import hashlib
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        MLM_KEEP_TO,
+        MLM_MASK,
+        MLM_MASK_TO,
+        MLM_POS_SALT,
+        MLM_RAND_SALT,
+        MLM_RAND_TO,
+        q_mlm_transform,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    def kh(x):
+        return ((x % KNUTH_P) * KNUTH_A) % KNUTH_P
+
+    def md5(s):
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"].strip() != ""
+    }
+    want = {}
+    tot_n = tot_masked = tot_mask_tok = tot_rand = 0
+    for d, txt in texts.items():
+        t = ws.split(txt.strip().lower())
+        n = len(t)
+        masked, labels = [], []
+        n_masked = n_mask_tok = n_rand = 0
+        for i in range(1, n + 1):
+            r = kh(d * MLM_POS_SALT + i) % 1000
+            if r < MLM_MASK_TO:
+                masked.append(MLM_MASK)
+                n_mask_tok += 1
+            elif r < MLM_RAND_TO:
+                masked.append(t[kh(d * MLM_RAND_SALT + i) % n])
+                n_rand += 1
+            else:
+                masked.append(t[i - 1])
+            if r < MLM_KEEP_TO:
+                labels.append(t[i - 1])
+                n_masked += 1
+        want[d] = (
+            n,
+            n_masked,
+            n_mask_tok,
+            n_rand,
+            md5(" ".join(masked)),
+            md5(" ".join(labels)),
+        )
+        tot_n += n
+        tot_masked += n_masked
+        tot_mask_tok += n_mask_tok
+        tot_rand += n_rand
+    got = {
+        r["doc_id"]: (
+            r["n"],
+            r["n_masked"],
+            r["n_mask_tok"],
+            r["n_rand"],
+            r["input_md5"],
+            r["labels_md5"],
+        )
+        for r in q_mlm_transform(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for v in got.values():
+        assert v[2] + v[3] <= v[1] <= v[0]
+    assert 0.10 <= tot_masked / tot_n <= 0.20
+    assert tot_mask_tok > 0 and tot_rand > 0
+    assert tot_masked - tot_mask_tok - tot_rand > 0  # keep class fires
