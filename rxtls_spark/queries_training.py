@@ -5845,6 +5845,121 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep over the trained quality classifier —
+    the filtering yield-vs-purity curve `roc_auc` doesn't give you:
+    when a corpus is gated at `p_e3 >= s`, precision is the kept
+    set's purity and recall is the fraction of good data retained,
+    which is the tradeoff a data-filtering threshold is actually
+    chosen on (ROC's FPR is nearly flat when positives are rare; PR
+    is the standard view for imbalanced gates).  One row per DISTINCT
+    e3-floored predicted probability with the operating point's
+    precision_e6 / recall_e6 / f1_e6 and the average-precision term
+    ap_term = n_pos·precision_e6, so AP = Σ ap_term DIV pos_total
+    (the step-interpolated AP over the floored precisions —
+    deterministic because both engines floor the same BIGINT ratios).
+
+    Cross-engine: weights retrain via the shared deterministic GD
+    (`_logreg_train` == `_logreg_ctes`); p ships as the e3-floored
+    BIGINT (the roc_auc discipline); every ratio is a truncating DIV
+    on BIGINT counts — cum_tp·1e6 stays exact to ~10^12 rows (the
+    conformal/el2n bound).  pos_total comes from an OVER () window on
+    the ≤1001-row curve table, not a corpus re-scan.
+
+    Scale shape: training is the bounded per-iteration agg loop;
+    scoring is a pure map; the curve is ONE ≤1001-row hash agg plus
+    metadata-scale windows (the roc_auc shape exactly)."""
+    from pyspark.sql.window import Window
+
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    scored = fx.select(
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.col("y").cast("long").alias("y_l"),
+    )
+    b = scored.groupBy("p_e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_l").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy(F.desc("p_e3"))
+    wall = Window.partitionBy()
+    c = (
+        b.select(
+            "p_e3",
+            "n_pos",
+            (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        )
+        .select(
+            "p_e3",
+            "n_pos",
+            "n_neg",
+            F.sum("n_pos").over(w).cast("long").alias("cum_tp"),
+            F.sum("n_neg").over(w).cast("long").alias("cum_fp"),
+            F.sum("n_pos").over(wall).cast("long").alias("pos_total"),
+        )
+    )
+    return c.select(
+        "p_e3",
+        "n_pos",
+        "n_neg",
+        "cum_tp",
+        "cum_fp",
+        F.expr("(cum_tp * 1000000) DIV (cum_tp + cum_fp)").alias(
+            "precision_e6"
+        ),
+        F.expr("(cum_tp * 1000000) DIV pos_total").alias("recall_e6"),
+        F.expr(
+            "(2 * cum_tp * 1000000) DIV (cum_tp + cum_fp + pos_total)"
+        ).alias("f1_e6"),
+        F.expr(
+            "n_pos * ((cum_tp * 1000000) DIV (cum_tp + cum_fp))"
+        ).alias("ap_term"),
+    )
+
+
+def _pr_curve_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """pr_curve oracle: the shared GD chain + the roc_auc distinct-
+    score curve, then truncating-DIV precision/recall/F1 and the AP
+    term — all BIGINT; pos_total via sum OVER () on the curve table."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(y AS BIGINT) AS y_l
+  FROM fx, w{iters} w
+), b AS (
+  SELECT p_e3, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y_l) AS BIGINT) AS n_pos
+  FROM sc GROUP BY 1
+), c AS (
+  SELECT p_e3, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+         CAST(sum(n_pos) OVER (ORDER BY p_e3 DESC) AS BIGINT) AS cum_tp,
+         CAST(sum(n - n_pos) OVER (ORDER BY p_e3 DESC) AS BIGINT) AS cum_fp,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS pos_total
+  FROM b
+)
+SELECT p_e3, n_pos, n_neg, cum_tp, cum_fp,
+       (cum_tp * 1000000) // (cum_tp + cum_fp) AS precision_e6,
+       (cum_tp * 1000000) // pos_total AS recall_e6,
+       (2 * cum_tp * 1000000) // (cum_tp + cum_fp + pos_total) AS f1_e6,
+       n_pos * ((cum_tp * 1000000) // (cum_tp + cum_fp)) AS ap_term
+FROM c
+"""
+    )
+
+
 def _logreg_ctes(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> list[str]:
     """The unrolled-GD CTE chain (fx, w0 .. w{iters}) shared by the
     `logreg_quality` and `logreg_infer` oracles — mirrors
@@ -10944,6 +11059,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brier_decomp": q_brier_decomp,
     "conformal_coverage": q_conformal_coverage,
     "roc_auc": q_roc_auc,
+    "pr_curve": q_pr_curve,
     "uncertainty_sample": q_uncertainty_sample,
     "cartography": q_cartography,
     "good_turing": q_good_turing,
@@ -13125,6 +13241,7 @@ FROM ev JOIN tr USING (shingle)
 GROUP BY 1, 2
 """,
         "roc_auc": _roc_auc_sql(),
+        "pr_curve": _pr_curve_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "cartography": _cartography_sql(),
         "min_k_prob": f"""

@@ -2894,6 +2894,71 @@ def test_roc_auc_matches_pairwise_mann_whitney(spark):
     assert total_area2 > len(pos) * len(neg)
 
 
+def test_pr_curve_matches_replica_and_pr_contracts(spark):
+    """Every pr_curve row must equal the Python replica built from the
+    same trained weights (cumulative counts, truncating-DIV
+    precision/recall/F1, AP terms), and the PR contracts must hold:
+    recall is monotone non-increasing in threshold order read
+    bottom-up (non-decreasing in the DESC cum order), the terminal row
+    has recall == 1e6 and precision == pos_total/N purity, F1 is the
+    harmonic combination of the floored ratios, and step-AP lands in
+    (0, 1e6]."""
+    import math
+    from collections import Counter
+
+    from rxtls_spark.queries_training import (
+        _logreg_train,
+        logreg_features,
+        q_pr_curve,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = [(r["x1"], r["x2"], r["x3"], r["y"]) for r in fx.collect()]
+    _, wv = _logreg_train(fx)
+    scores = []
+    for x1, x2, x3, y in feats:
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p = 1.0 / (1.0 + math.exp(-m))
+        scores.append((math.floor(p * 1000 + 0.5), int(y)))
+    want_pos = Counter(s for s, y in scores if y == 1)
+    want_neg = Counter(s for s, y in scores if y == 0)
+    pos_total = sum(want_pos.values())
+    n_total = len(scores)
+    assert pos_total and pos_total < n_total
+
+    rows = sorted(
+        q_pr_curve(spark, SF_SMOKE).collect(), key=lambda r: -r["p_e3"]
+    )
+    assert {r["p_e3"] for r in rows} == set(want_pos) | set(want_neg)
+    tp = fp = 0
+    ap_sum = 0
+    prev_recall = 0
+    for r in rows:
+        tp += want_pos.get(r["p_e3"], 0)
+        fp += want_neg.get(r["p_e3"], 0)
+        assert (r["cum_tp"], r["cum_fp"]) == (tp, fp)
+        prec = tp * 1000000 // (tp + fp)
+        rec = tp * 1000000 // pos_total
+        f1 = 2 * tp * 1000000 // (tp + fp + pos_total)
+        assert r["precision_e6"] == prec
+        assert r["recall_e6"] == rec
+        assert r["f1_e6"] == f1
+        assert r["ap_term"] == want_pos.get(r["p_e3"], 0) * prec
+        assert rec >= prev_recall  # monotone in the cum direction
+        prev_recall = rec
+        ap_sum += r["ap_term"]
+    # terminal operating point: everything kept
+    assert rows[-1]["recall_e6"] == 1000000
+    assert rows[-1]["precision_e6"] == pos_total * 1000000 // n_total
+    ap = ap_sum // pos_total
+    assert 0 < ap <= 1000000
+    # the trained gate must beat the keep-everything baseline purity
+    assert ap > pos_total * 1000000 // n_total
+
+
 def test_data_scaling_curve_full_fraction_equals_holdout_rollup(spark):
     """The frac=1000 rows must equal a per-source rollup of
     q_lm_eval_holdout's own val+test output (same train set, same
