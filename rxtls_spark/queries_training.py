@@ -5960,6 +5960,148 @@ FROM c
     )
 
 
+# Cohen's-kappa constants — MIRRORED in `_scorer_kappa_sql`; change
+# together.  The gate predicts positive at p_e3 >= KAPPA_PRED_CUT;
+# the per-source sample reuses scorer_agreement's AGREE_K knuth rule
+# (same docs in both audits → the two agreement views are comparable),
+# so AGREE_K changes move BOTH oracles.  700 sits inside the trained
+# score distribution's interquartile range on the synthetic corpus
+# (scores span ~666-747; a 500 cut predicts all-positive and kappa
+# degenerates to 0) — the cartography rule: retune with the data
+# model.
+KAPPA_PRED_CUT = 700
+
+
+def q_scorer_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Cohen's kappa between the trained quality gate's
+    prediction (p_e3 >= ``KAPPA_PRED_CUT``) and the gold label — the
+    chance-corrected agreement audit that pairs with
+    `scorer_agreement` (Spearman asks "do two scores RANK alike?",
+    kappa asks "do a hard gate and the gold labels AGREE beyond
+    chance?" — the number a labeling-QA pass reports per source,
+    robust to per-source base rates that make raw accuracy
+    misleading).  Emits the 2×2 confusion counts and
+    kappa_e6 = (n·(n11+n00) − chance)·1e6 DIV (n² − chance) with
+    chance = (n11+n10)(n11+n01) + (n01+n00)(n10+n00).
+
+    Cross-engine: weights retrain via the shared deterministic GD;
+    prediction thresholds the e3-floored BIGINT probability; kappa is
+    a SIGNED truncating DIV on pure BIGINT counts (Spark DIV and
+    DuckDB // both truncate toward zero — the zipf_alpha rule).  The
+    per-source sample is bounded at AGREE_K docs (knuth order, doc_id
+    tiebreak) so n² stays exact at any corpus size — the
+    scorer_agreement bounded-product discipline; degenerate marginals
+    (den = 0) emit kappa_e6 = 0 by convention.
+
+    Scale shape: scoring is a pure map; ONE source-partitioned sample
+    window (few-fat-partitions shape); the confusion agg is
+    sources-scale."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    fx = logreg_features(docs)
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    scored = fx.select(
+        "doc_id",
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.col("y").cast("long").alias("y_l"),
+    )
+    uni = scored.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        "doc_id",
+        F.when(F.col("p_e3") >= KAPPA_PRED_CUT, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("yhat"),
+        "y_l",
+        knuth_hash(F.col("doc_id")).alias("h"),
+    )
+    ws = Window.partitionBy("source").orderBy("h", "doc_id")
+    keep = uni.withColumn("srk", F.row_number().over(ws)).where(
+        F.col("srk") <= AGREE_K
+    )
+    agg = keep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("yhat") * F.col("y_l")).cast("long").alias("n11"),
+        F.sum(F.col("yhat") * (F.lit(1) - F.col("y_l")))
+        .cast("long")
+        .alias("n10"),
+        F.sum((F.lit(1) - F.col("yhat")) * F.col("y_l"))
+        .cast("long")
+        .alias("n01"),
+        F.sum((F.lit(1) - F.col("yhat")) * (F.lit(1) - F.col("y_l")))
+        .cast("long")
+        .alias("n00"),
+    )
+    chance = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return agg.select(
+        "source",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            f"CASE WHEN n * n - {chance} = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE ((n * (n11 + n00) - {chance}) * 1000000) "
+            f"DIV (n * n - {chance}) END"
+        ).alias("kappa_e6"),
+    )
+
+
+def _scorer_kappa_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """scorer_kappa oracle: the shared GD chain, the e3-floored
+    threshold prediction, the AGREE_K knuth sample per source, and
+    the signed truncating-DIV kappa on BIGINT confusion counts."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    chance = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT doc_id,
+         CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(y AS BIGINT) AS y_l
+  FROM fx, w{iters} w
+), uni AS (
+  SELECT d.source, sc.doc_id,
+         CASE WHEN p_e3 >= {KAPPA_PRED_CUT} THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS yhat,
+         y_l,
+         ((sc.doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS h
+  FROM sc JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+), keep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS srk
+    FROM uni
+  ) WHERE srk <= {AGREE_K}
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yhat * y_l) AS BIGINT) AS n11,
+         CAST(sum(yhat * (1 - y_l)) AS BIGINT) AS n10,
+         CAST(sum((1 - yhat) * y_l) AS BIGINT) AS n01,
+         CAST(sum((1 - yhat) * (1 - y_l)) AS BIGINT) AS n00
+  FROM keep GROUP BY 1
+)
+SELECT source, n, n11, n10, n01, n00,
+       CASE WHEN n * n - {chance} = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(((n * (n11 + n00) - {chance}) * 1000000)
+                      // (n * n - {chance}) AS BIGINT) END AS kappa_e6
+FROM agg
+"""
+    )
+
+
 def _logreg_ctes(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> list[str]:
     """The unrolled-GD CTE chain (fx, w0 .. w{iters}) shared by the
     `logreg_quality` and `logreg_infer` oracles — mirrors
@@ -11060,6 +11202,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conformal_coverage": q_conformal_coverage,
     "roc_auc": q_roc_auc,
     "pr_curve": q_pr_curve,
+    "scorer_kappa": q_scorer_kappa,
     "uncertainty_sample": q_uncertainty_sample,
     "cartography": q_cartography,
     "good_turing": q_good_turing,
@@ -13242,6 +13385,7 @@ GROUP BY 1, 2
 """,
         "roc_auc": _roc_auc_sql(),
         "pr_curve": _pr_curve_sql(),
+        "scorer_kappa": _scorer_kappa_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "cartography": _cartography_sql(),
         "min_k_prob": f"""

@@ -2959,6 +2959,66 @@ def test_pr_curve_matches_replica_and_pr_contracts(spark):
     assert ap > pos_total * 1000000 // n_total
 
 
+def test_scorer_kappa_matches_replica_and_bounds(spark):
+    """Per-source rows must equal the Python replica (same trained
+    weights, same AGREE_K knuth sample, same signed truncating-DIV
+    kappa), the confusion counts must partition each sample, kappa
+    must sit in [-1e6, 1e6], and at least one source must show
+    above-chance agreement (the classifier is trained on these
+    labels)."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        AGREE_K,
+        KAPPA_PRED_CUT,
+        _logreg_train,
+        logreg_features,
+        q_scorer_kappa,
+    )
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    fx = logreg_features(docs)
+    _, wv = _logreg_train(fx)
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    per_source: dict[str, list[tuple[int, int, int, int]]] = {}
+    for r in fx.collect():
+        m = wv[0] * 1.0 + wv[1] * r["x1"] + wv[2] * r["x2"] + wv[3] * r["x3"]
+        p_e3 = math.floor(1.0 / (1.0 + math.exp(-m)) * 1000 + 0.5)
+        h = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P
+        per_source.setdefault(src[r["doc_id"]], []).append(
+            (h, r["doc_id"], 1 if p_e3 >= KAPPA_PRED_CUT else 0, int(r["y"]))
+        )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    want = {}
+    for s, rows_s in per_source.items():
+        keep = sorted(rows_s)[:AGREE_K]
+        n = len(keep)
+        n11 = sum(1 for _, _, yh, y in keep if yh == 1 and y == 1)
+        n10 = sum(1 for _, _, yh, y in keep if yh == 1 and y == 0)
+        n01 = sum(1 for _, _, yh, y in keep if yh == 0 and y == 1)
+        n00 = sum(1 for _, _, yh, y in keep if yh == 0 and y == 0)
+        chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        den = n * n - chance
+        kappa = 0 if den == 0 else tdiv((n * (n11 + n00) - chance) * 1000000, den)
+        want[s] = (n, n11, n10, n01, n00, kappa)
+
+    got = {
+        r["source"]: (r["n"], r["n11"], r["n10"], r["n01"], r["n00"], r["kappa_e6"])
+        for r in q_scorer_kappa(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for n, n11, n10, n01, n00, kappa in got.values():
+        assert n11 + n10 + n01 + n00 == n
+        assert -1000000 <= kappa <= 1000000
+    assert any(k[-1] > 0 for k in got.values())
+
+
 def test_data_scaling_curve_full_fraction_equals_holdout_rollup(spark):
     """The frac=1000 rows must equal a per-source rollup of
     q_lm_eval_holdout's own val+test output (same train set, same
