@@ -490,6 +490,48 @@ def q_rel_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model a log pipeline fits for
+    next-action prediction, anomaly scoring (improbable paths), and
+    funnel design (which step actually follows which): for every
+    (prev_type → next_type) pair, the transition count and the exact
+    permille transition probability, with the synthetic start state
+    '^' so first events are modeled too (Σ over next of
+    p(next | '^') ≈ the landing distribution).
+
+    Cross-engine: ONE lag window ordered by (ts, event_id) per user
+    (the burstiness/SCD2 ordering rule); p_permille =
+    (n_trans·1000) DIV n_prev — non-negative truncating DIV, exact
+    BIGINT at any event horizon (n_trans·1000 < 2^63 to ~10^15
+    events).
+
+    Scale path: ONE shuffle on user_id drives the lag window; the
+    transition agg lands on ≤(K+1)·K keys for K event types —
+    metadata scale, so the row-count window over it is free."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("^")).alias(
+            "prev_type"
+        ),
+        F.col("event_type").alias("next_type"),
+    )
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    wp = Window.partitionBy("prev_type")
+    return cnt.withColumn(
+        "n_prev", F.sum("n_trans").over(wp).cast("long")
+    ).select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_prev",
+        F.expr("(n_trans * 1000) DIV n_prev").alias("p_permille"),
+    )
+
+
 def q_rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (SCD type 2) history build over the
     event log: per user, the validity intervals of their CURRENT
@@ -1122,6 +1164,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_integrity_audit": q_rel_integrity_audit,
     "rel_scd2_intervals": q_rel_scd2_intervals,
     "rel_burstiness": q_rel_burstiness,
+    "rel_markov_transitions": q_rel_markov_transitions,
     "rel_survival_table": q_rel_survival_table,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
@@ -1449,6 +1492,24 @@ SELECT t, d, c,
                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS n_risk
 FROM tbl
+""",
+    "rel_markov_transitions": """
+WITH pairs AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  '^') AS prev_type,
+         event_type AS next_type
+  FROM events
+), cnt AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM pairs GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_trans,
+       CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS n_prev,
+       CAST((n_trans * 1000)
+            // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_permille
+FROM cnt
 """,
     "rel_burstiness": f"""
 WITH ev AS (

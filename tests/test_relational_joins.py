@@ -644,3 +644,60 @@ def test_rel_survival_table_matches_bruteforce(spark):
     assert sum(d for _, d, _, _ in got) == n_conv > 0
     assert sum(c for _, _, c, _ in got) == len(signup) - n_conv > 0
     assert max(t for t, _, _, _ in got) <= SURV_CAP_DAYS
+
+
+def test_markov_transitions_matches_replica_and_row_stochastic(spark):
+    """Every (prev → next) row must equal the Python replica built
+    from the collected log (lag over (ts, event_id) order per user,
+    '^' start state), n_prev must equal the row's outgoing total,
+    per-prev permilles must sum into (1000 − K, 1000] (each floor
+    loses < 1), and '^' transitions must count exactly one per
+    user."""
+    from rxtls_spark.queries_relational import q_rel_markov_transitions
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    from collections import Counter
+
+    trans: Counter = Counter()
+    for rows_u in by_user.values():
+        prev = "^"
+        for _, _, et in sorted(rows_u):
+            trans[(prev, et)] += 1
+            prev = et
+    prev_tot: Counter = Counter()
+    for (p, _), c in trans.items():
+        prev_tot[p] += c
+    want = {
+        (p, nx): (c, prev_tot[p], c * 1000 // prev_tot[p])
+        for (p, nx), c in trans.items()
+    }
+
+    got = {
+        (r["prev_type"], r["next_type"]): (
+            r["n_trans"],
+            r["n_prev"],
+            r["p_permille"],
+        )
+        for r in q_rel_markov_transitions(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # row-stochastic up to per-cell floors
+    per_prev: dict[str, list] = {}
+    for (p, _), (_, np_, pm) in got.items():
+        per_prev.setdefault(p, []).append(pm)
+    for p, pms in per_prev.items():
+        assert 1000 - len(pms) < sum(pms) <= 1000, p
+    assert prev_tot["^"] == len(by_user)
+    assert sum(c for (p, _), (c, _, _) in got.items() if p == "^") == len(
+        by_user
+    )
