@@ -9714,6 +9714,133 @@ FROM base
 """
 
 
+# NSP pair constants — MIRRORED in `_nsp_sql`; change together.
+# Partner = doc_id + 1 + knuth(3·doc_id) % NSP_JUMP_MOD (a small
+# forward jump — a co-partitionable equi-join key, never a global
+# shuffle of random ids); the pair is NotNext when the partner EXISTS
+# and knuth(NSP_SALT·doc_id) % 1000 < NSP_RATE, else IsNext (missing
+# partners fall back to IsNext so every eligible doc emits exactly
+# one pair).
+NSP_JUMP_MOD = 5
+NSP_RATE = 500
+NSP_SALT = 7
+NSP_SEP = "[SEP]"
+
+
+def q_nsp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT next-sentence-prediction pair construction (Devlin et al.
+    2019 §3.1 task #2) — the LAST member of the training-transform
+    family (causal / `fim_transform` / `span_corrupt` /
+    `mlm_transform` / this): each document with ≥2 tokens splits into
+    halves (segA, segB); half the pairs keep their own continuation
+    (IsNext), the other half swap segB for a nearby document's
+    continuation (NotNext), and the model trains to tell them apart.
+    Emits the label, the partner used, both segment lengths, and the
+    md5 of the packed `segA [SEP] segB` stream.
+
+    Cross-engine: the half split is the minhash_calibration slice
+    rule (Spark slice == DuckDB 1-based inclusive list slice; n ≥ 2
+    keeps both halves non-empty, sidestepping the empty-array NULL
+    gotcha); the partner is a deterministic knuth forward jump; the
+    packed stream is ONE concatenated array then space-joined (the
+    fim rule).
+
+    Scale shape: pure per-row maps plus ONE co-partitioned self
+    equi-join on the computed partner key (both sides hash-partition
+    on a BIGINT id — no broadcast of the corpus, no global window
+    anywhere).  The partner key assumes the reference's dense BIGINT
+    doc_id space (the holdout/knuth-permille precedent); sparse id
+    spaces would jump via a rank instead."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    halves = (
+        docs.select("doc_id", _lm_tokens().alias("t"))
+        .select("doc_id", "t", F.size("t").alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.expr("slice(t, 1, n DIV 2)").alias("seg_a"),
+            F.expr("slice(t, n DIV 2 + 1, n - n DIV 2)").alias("seg_b"),
+        )
+    )
+    left = halves.select(
+        "doc_id",
+        "seg_a",
+        "seg_b",
+        (
+            F.col("doc_id")
+            + 1
+            + knuth_hash(F.col("doc_id") * 3) % NSP_JUMP_MOD
+        ).alias("partner_id"),
+        (knuth_hash(F.col("doc_id") * NSP_SALT) % 1000).alias("draw"),
+    )
+    partner = halves.select(
+        F.col("doc_id").alias("partner_id"),
+        F.col("seg_b").alias("pb"),
+    )
+    j = left.join(partner, "partner_id", "left")
+    is_next = F.when(
+        F.col("pb").isNull() | (F.col("draw") >= NSP_RATE), F.lit(1)
+    ).otherwise(F.lit(0))
+    chosen = F.when(is_next == 1, F.col("seg_b")).otherwise(F.col("pb"))
+    return j.select(
+        "doc_id",
+        "partner_id",
+        is_next.cast("long").alias("is_next"),
+        F.size("seg_a").cast("long").alias("n_a"),
+        F.size(chosen).cast("long").alias("n_b"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.col("seg_a"), F.array(F.lit(NSP_SEP)), chosen
+                ),
+            )
+        ).alias("pair_md5"),
+    )
+
+
+def _nsp_sql() -> str:
+    """nsp_pairs oracle: identical half slices, knuth partner jump
+    and NotNext draw, left-join partner lookup, single-array pack."""
+    kh3 = f"(((doc_id * 3) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"
+    khs = f"(((doc_id * {NSP_SALT}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), halves AS (
+  SELECT doc_id,
+         t[1:len(t) // 2] AS seg_a,
+         t[len(t) // 2 + 1:len(t)] AS seg_b
+  FROM toks WHERE len(t) >= 2
+), lft AS (
+  SELECT doc_id, seg_a, seg_b,
+         doc_id + 1 + ({kh3}) % {NSP_JUMP_MOD} AS partner_id,
+         ({khs}) % 1000 AS draw
+  FROM halves
+), j AS (
+  SELECT l.*, p.seg_b AS pb
+  FROM lft l LEFT JOIN halves p ON p.doc_id = l.partner_id
+)
+SELECT doc_id, partner_id,
+  CAST(CASE WHEN pb IS NULL OR draw >= {NSP_RATE} THEN 1 ELSE 0 END
+       AS BIGINT) AS is_next,
+  CAST(len(seg_a) AS BIGINT) AS n_a,
+  CAST(len(CASE WHEN pb IS NULL OR draw >= {NSP_RATE} THEN seg_b
+                ELSE pb END) AS BIGINT) AS n_b,
+  md5(array_to_string(list_concat(list_concat(seg_a, ['{NSP_SEP}']),
+       CASE WHEN pb IS NULL OR draw >= {NSP_RATE} THEN seg_b
+            ELSE pb END), ' ')) AS pair_md5
+FROM j
+"""
+
+
 # T5 span-corruption constants — MIRRORED in `_span_corrupt_sql`;
 # change together.  Two spans, one per document HALF (so span order
 # and non-overlap hold by construction); span length
@@ -11214,6 +11341,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fim_transform": q_fim_transform,
     "span_corrupt": q_span_corrupt,
     "mlm_transform": q_mlm_transform,
+    "nsp_pairs": q_nsp_pairs,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -13342,6 +13470,7 @@ WHERE rn <= 10
         "fim_transform": _fim_sql(),
         "span_corrupt": _span_corrupt_sql(),
         "mlm_transform": _mlm_sql(),
+        "nsp_pairs": _nsp_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -4716,3 +4716,77 @@ def test_mlm_transform_matches_python_replica(spark):
     assert 0.10 <= tot_masked / tot_n <= 0.20
     assert tot_mask_tok > 0 and tot_rand > 0
     assert tot_masked - tot_mask_tok - tot_rand > 0  # keep class fires
+
+
+def test_nsp_pairs_matches_python_replica(spark):
+    """Every eligible doc (≥2 tokens) must emit exactly one pair
+    equal to the Python replica (knuth partner jump, NotNext draw,
+    half slices, [SEP]-packed md5); IsNext pairs must reconstruct the
+    doc's own token stream, NotNext pairs must carry the partner's
+    continuation, missing partners must force IsNext, and both
+    classes must be well-populated (the draw is ~NSP_RATE permille)."""
+    import hashlib
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        NSP_JUMP_MOD,
+        NSP_RATE,
+        NSP_SALT,
+        NSP_SEP,
+        q_nsp_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"].strip()
+    }
+    halves = {}
+    for d, text in docs.items():
+        t = re.split("[ \t\n\x0b\f\r]+", text.strip().lower())
+        if len(t) >= 2:
+            halves[d] = (t[: len(t) // 2], t[len(t) // 2 :])
+
+    def kh(x: int) -> int:
+        return ((x % KNUTH_P) * KNUTH_A) % KNUTH_P
+
+    want = {}
+    n_notnext = 0
+    for d, (sa, sb) in halves.items():
+        partner = d + 1 + kh(d * 3) % NSP_JUMP_MOD
+        draw = kh(d * NSP_SALT) % 1000
+        if partner in halves and draw < NSP_RATE:
+            is_next, chosen = 0, halves[partner][1]
+            n_notnext += 1
+        else:
+            is_next, chosen = 1, sb
+        stream = " ".join(sa + [NSP_SEP] + chosen)
+        want[d] = (
+            partner,
+            is_next,
+            len(sa),
+            len(chosen),
+            hashlib.md5(stream.encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["partner_id"],
+            r["is_next"],
+            r["n_a"],
+            r["n_b"],
+            r["pair_md5"],
+        )
+        for r in q_nsp_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) == len(halves)  # exactly one pair per eligible doc
+    n_is_next = sum(1 for v in got.values() if v[1] == 1)
+    assert n_notnext > 0 and n_is_next > 0
+    # the NotNext rate can only fall below ~NSP_RATE permille via
+    # missing partners — never exceed it
+    assert n_notnext <= NSP_RATE / 1000 * len(halves) * 1.2
