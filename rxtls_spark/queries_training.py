@@ -10840,6 +10840,122 @@ def q_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Preference-pair constants — MIRRORED in `_preference_pairs_sql`;
+# change together.  PREF_K bounds the per-source knuth sample (the
+# scorer_agreement/AGREE_K discipline — pairing needs a total rank,
+# which is only scale-safe over a bounded set); pairs mirror rank i
+# against rank n+1−i so the widest quality gaps pair first.
+PREF_K = 200
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair mining — the training-data op that
+    turns a scored corpus into (chosen, rejected) pairs: per source,
+    rank a bounded sample by the heuristic quality score and pair the
+    best against the worst (rank n+1−i vs rank i), emitting both
+    doc_ids, both e5 quality numerators, and the pair's margin.
+    Downstream a DPO trainer consumes exactly this shape; margin is
+    the curriculum/filter knob (pair_rank 1 = widest gap).
+
+    Cross-engine: quality ships as the stable e5 BIGINT numerator
+    (the quality_bucket rule); ranks tie-break on doc_id so the
+    pairing is total; margin = chosen_q − rejected_q ≥ 0 by
+    construction (rank order), exact BIGINT.
+
+    Scale shape: ONE source-partitioned sample window then rank
+    windows over the ≤PREF_K-row-per-source sample (few-fat-
+    partitions, the exchange reused); the mirror pairing is a
+    co-partitioned equi-join on (source, pair_rank)."""
+    from pyspark.sql.window import Window
+
+    qnum = F.floor(quality_score() * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    uni = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        qnum.alias("q_e5"),
+        knuth_hash(F.col("doc_id")).alias("h"),
+    )
+    ws = Window.partitionBy("source")
+    keep = uni.withColumn(
+        "srk", F.row_number().over(ws.orderBy("h", "doc_id"))
+    ).where(F.col("srk") <= PREF_K)
+    ranked = keep.select(
+        "source",
+        "doc_id",
+        "q_e5",
+        F.row_number()
+        .over(ws.orderBy("q_e5", "doc_id"))
+        .cast("long")
+        .alias("rk"),
+        F.count(F.lit(1)).over(ws).cast("long").alias("n"),
+    )
+    lo = ranked.where(F.col("rk") <= F.expr("n DIV 2")).select(
+        "source",
+        F.col("rk").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q_e5").alias("rejected_q_e5"),
+    )
+    hi = ranked.where(
+        F.expr("n + 1 - rk") <= F.expr("n DIV 2")
+    ).select(
+        "source",
+        F.expr("n + 1 - rk").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q_e5").alias("chosen_q_e5"),
+    )
+    return lo.join(hi, ["source", "pair_rank"]).select(
+        "source",
+        "pair_rank",
+        "chosen_id",
+        "rejected_id",
+        "chosen_q_e5",
+        "rejected_q_e5",
+        (F.col("chosen_q_e5") - F.col("rejected_q_e5")).alias(
+            "margin_e5"
+        ),
+    )
+
+
+def _preference_pairs_sql() -> str:
+    """preference_pairs oracle: the AGREE_K-style knuth sample at
+    PREF_K, (q_e5, doc_id) ranks, mirrored rank-i ↔ rank-(n+1−i)
+    pairing — all BIGINT."""
+    return _TEXT_CTE + f"""
+, qq AS (
+  SELECT doc_id, CAST(floor(({_QUALITY_SQL}) * 100000 + 0.5) AS BIGINT) AS q_e5
+  FROM feats
+), uni AS (
+  SELECT d.source, q.doc_id, q.q_e5,
+         ((d.doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS h
+  FROM qq q JOIN documents d ON q.doc_id = d.doc_id
+), keep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS srk
+    FROM uni
+  ) WHERE srk <= {PREF_K}
+), ranked AS (
+  SELECT source, doc_id, q_e5,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY q_e5, doc_id) AS BIGINT) AS rk,
+    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM keep
+), lo AS (
+  SELECT source, rk AS pair_rank, doc_id AS rejected_id,
+         q_e5 AS rejected_q_e5
+  FROM ranked WHERE rk <= n // 2
+), hi AS (
+  SELECT source, n + 1 - rk AS pair_rank, doc_id AS chosen_id,
+         q_e5 AS chosen_q_e5
+  FROM ranked WHERE n + 1 - rk <= n // 2
+)
+SELECT l.source, l.pair_rank, chosen_id, rejected_id,
+       chosen_q_e5, rejected_q_e5,
+       chosen_q_e5 - rejected_q_e5 AS margin_e5
+FROM lo l JOIN hi h ON l.source = h.source AND l.pair_rank = h.pair_rank
+"""
+
+
 def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding clusters END TO END: connected
     components over the MUTUAL kNN edges (`knn_graph`'s high-precision
@@ -11330,6 +11446,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "roc_auc": q_roc_auc,
     "pr_curve": q_pr_curve,
     "scorer_kappa": q_scorer_kappa,
+    "preference_pairs": q_preference_pairs,
     "uncertainty_sample": q_uncertainty_sample,
     "cartography": q_cartography,
     "good_turing": q_good_turing,
@@ -13515,6 +13632,7 @@ GROUP BY 1, 2
         "roc_auc": _roc_auc_sql(),
         "pr_curve": _pr_curve_sql(),
         "scorer_kappa": _scorer_kappa_sql(),
+        "preference_pairs": _preference_pairs_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "cartography": _cartography_sql(),
         "min_k_prob": f"""

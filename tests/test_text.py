@@ -4790,3 +4790,81 @@ def test_nsp_pairs_matches_python_replica(spark):
     # the NotNext rate can only fall below ~NSP_RATE permille via
     # missing partners — never exceed it
     assert n_notnext <= NSP_RATE / 1000 * len(halves) * 1.2
+
+
+def test_preference_pairs_matches_replica_and_pairing_contracts(spark):
+    """Every pair must equal the Python replica (PREF_K knuth sample,
+    (q_e5, doc_id) rank, mirror pairing); within each source the pair
+    count must be n DIV 2, chosen/rejected sets must be disjoint,
+    margins must be non-negative and non-increasing in pair_rank
+    (widest gap first), and the e5 quality numerators must match the
+    shared quality_score."""
+    import math
+    import re
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import PREF_K, q_preference_pairs
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+    def quality(text: str) -> int:
+        n = max(len(text), 1)
+        alpha = sum(1 for c in text if c.isascii() and c.isalpha()) / n
+        digit = sum(1 for c in text if c.isascii() and c.isdigit()) / n
+        punct = sum(1 for c in text if c in ".,;:!?") / n
+        q = max(
+            0.0,
+            min(
+                1.0,
+                0.4 * alpha
+                + 0.3 * min(len(text) / 500.0, 1.0)
+                + 0.3 * (1.0 - min(1.0, 4.0 * punct + 4.0 * digit)),
+            ),
+        )
+        return math.floor(q * 100000 + 0.5)
+
+    per_source: dict[str, list] = {}
+    for r in rows:
+        h = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P
+        per_source.setdefault(r["source"], []).append(
+            (h, r["doc_id"], quality(r["text"]))
+        )
+    want = {}
+    for s, rs in per_source.items():
+        keep = sorted(rs)[:PREF_K]
+        ranked = sorted((q, d) for _, d, q in keep)
+        n = len(ranked)
+        for i in range(1, n // 2 + 1):
+            rej_q, rej_d = ranked[i - 1]
+            cho_q, cho_d = ranked[n - i]
+            want[(s, i)] = (cho_d, rej_d, cho_q, rej_q, cho_q - rej_q)
+
+    got = {
+        (r["source"], r["pair_rank"]): (
+            r["chosen_id"],
+            r["rejected_id"],
+            r["chosen_q_e5"],
+            r["rejected_q_e5"],
+            r["margin_e5"],
+        )
+        for r in q_preference_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    per_src: dict[str, list] = {}
+    for (s, pr), v in got.items():
+        per_src.setdefault(s, []).append((pr, v))
+    for s, pairs in per_src.items():
+        pairs.sort()
+        chosen = {v[0] for _, v in pairs}
+        rejected = {v[1] for _, v in pairs}
+        assert not (chosen & rejected), s
+        margins = [v[4] for _, v in pairs]
+        assert all(m >= 0 for m in margins)
+        assert margins == sorted(margins, reverse=True), s
+        n = len(per_source[s][:PREF_K])
+        assert len(pairs) == min(len(per_source[s]), PREF_K) // 2
