@@ -9841,6 +9841,157 @@ FROM j
 """
 
 
+# Random-projection constants — MIRRORED in `_random_projection_sql`;
+# change together.  Signs are ±1 from knuth parity of
+# RP_SIGN_SALT·(j·dim + i), computed ONCE in Python and spliced into
+# BOTH engines as literals (the `_ndcg_weights` rule — no engine
+# hashing in the fold); components floor to e4 BIGINTs so the
+# projected pair distance pd2·1e5 stays < 2^63 at dim 64
+# (e5 floors would overflow the ratio numerator).
+RP_DIM = 8
+RP_SIGN_SALT = 9176
+
+
+def _rp_signs(dim: int = KMEANS_DIM) -> list[list[int]]:
+    """signs[j][i] ∈ {+1, −1} for output coord j, input coord i."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+
+    return [
+        [
+            1
+            - 2
+            * (
+                ((RP_SIGN_SALT * (j * dim + i) % KNUTH_P) * KNUTH_A)
+                % KNUTH_P
+                % 2
+            )
+            for i in range(dim)
+        ]
+        for j in range(RP_DIM)
+    ]
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    variant) + distortion audit — the dimensionality-reduction step a
+    100-TB embedding pipeline runs BEFORE LSH bucketing or index
+    build (64→8 dims cuts every downstream distance fold 8×), with
+    the audit that justifies it: for constructed neighbor pairs
+    (vec_id, vec_id+1), the exact original squared distance, the
+    projected squared distance, and the distortion ratio against the
+    JL expectation E[pd2] = RP_DIM·od2 (±1 entries, unnormalized).
+
+    Cross-engine: components floor to e4 BIGINTs (signed stable
+    floor); the projection is a literal ±1 integer fold — EXACT, no
+    float anywhere past the e4 floor; ratio_e5 = (pd2·1e5) DIV
+    (RP_DIM·od2) truncating DIV on non-negative BIGINTs.
+
+    Scale shape: projection is a pure per-row map; the audit pair is
+    ONE co-partitioned self equi-join on vec_id+1 (the
+    minhash_calibration convention); no explode, no window."""
+    signs = _rp_signs()
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(10000.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xe"),
+    )
+    proj = emb.select(
+        "vec_id",
+        "xe",
+        F.array(
+            *[
+                sum(
+                    (
+                        F.element_at("xe", i + 1)
+                        if s == 1
+                        else -F.element_at("xe", i + 1)
+                    )
+                    for i, s in enumerate(signs[j])
+                ).alias(f"y{j}")
+                for j in range(RP_DIM)
+            ]
+        ).alias("y"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("xe").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = proj.join(b, "vec_id")
+
+    def d2(ca: str, cb: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(ca), F.col(cb), lambda p, q: (p - q) * (p - q)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return pairs.select(
+        "vec_id",
+        d2("xe", "xb").alias("od2"),
+        d2("y", "yb").alias("pd2"),
+    ).select(
+        "vec_id",
+        "od2",
+        "pd2",
+        F.expr(
+            f"CASE WHEN od2 = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE (pd2 * 100000) DIV ({RP_DIM} * od2) END"
+        ).alias("ratio_e5"),
+    )
+
+
+def _random_projection_sql(dim: int = KMEANS_DIM) -> str:
+    """random_projection oracle: identical e4 floors, the SAME spliced
+    ±1 sign literals folded in index order, vec_id+1 pairing, and the
+    truncating-DIV distortion ratio."""
+    signs = _rp_signs(dim)
+    ys = ",\n         ".join(
+        "("
+        + " ".join(
+            ("+ " if s == 1 else "- ") + f"xe[{i + 1}]"
+            for i, s in enumerate(signs[j])
+        ).lstrip("+ ")
+        + f") AS y{j}"
+        for j in range(RP_DIM)
+    )
+    pd2 = " + ".join(
+        f"(a.y{j} - b.y{j}) * (a.y{j} - b.y{j})" for j in range(RP_DIM)
+    )
+    od2 = " + ".join(
+        f"(a.xe[{i + 1}] - b.xe[{i + 1}]) * (a.xe[{i + 1}] - b.xe[{i + 1}])"
+        for i in range(dim)
+    )
+    return f"""
+WITH xe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS xe
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, xe,
+         {ys}
+  FROM xe
+), pairs AS (
+  SELECT a.vec_id,
+         CAST({od2} AS BIGINT) AS od2,
+         CAST({pd2} AS BIGINT) AS pd2
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+)
+SELECT vec_id, od2, pd2,
+       CASE WHEN od2 = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((pd2 * 100000) // ({RP_DIM} * od2) AS BIGINT)
+       END AS ratio_e5
+FROM pairs
+"""
+
+
 # T5 span-corruption constants — MIRRORED in `_span_corrupt_sql`;
 # change together.  Two spans, one per document HALF (so span order
 # and non-overlap hold by construction); span length
@@ -11459,6 +11610,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_corrupt": q_span_corrupt,
     "mlm_transform": q_mlm_transform,
     "nsp_pairs": q_nsp_pairs,
+    "random_projection": q_random_projection,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -13588,6 +13740,7 @@ WHERE rn <= 10
         "span_corrupt": _span_corrupt_sql(),
         "mlm_transform": _mlm_sql(),
         "nsp_pairs": _nsp_sql(),
+        "random_projection": _random_projection_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -4868,3 +4868,51 @@ def test_preference_pairs_matches_replica_and_pairing_contracts(spark):
         assert margins == sorted(margins, reverse=True), s
         n = len(per_source[s][:PREF_K])
         assert len(pairs) == min(len(per_source[s]), PREF_K) // 2
+
+
+def test_random_projection_matches_replica_and_jl_bound(spark):
+    """Every pair row must equal the exact-int Python replica (e4
+    floors, the same spliced ±1 signs, vec_id+1 pairing), and the JL
+    contract must hold: the MEAN distortion ratio over all pairs
+    concentrates near 1e5 (E[pd2] = RP_DIM·od2 for ±1 entries — s.e.
+    of the mean ≈ sqrt(2/RP_DIM)/sqrt(n_pairs) ≈ 2%), while individual
+    pairs are allowed the full JL spread."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        RP_DIM,
+        _rp_signs,
+        q_random_projection,
+    )
+    from tests.conftest import SF_SMOKE
+
+    signs = _rp_signs()
+    vecs = {
+        r["vec_id"]: [
+            math.floor(float(x) * 10000 + 0.5) for x in r["embedding"]
+        ]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    want = {}
+    for vid, xa in vecs.items():
+        if vid + 1 not in vecs:
+            continue
+        xb = vecs[vid + 1]
+        od2 = sum((p - q) * (p - q) for p, q in zip(xa, xb))
+        ya = [sum(s * x for s, x in zip(signs[j], xa)) for j in range(RP_DIM)]
+        yb = [sum(s * x for s, x in zip(signs[j], xb)) for j in range(RP_DIM)]
+        pd2 = sum((p - q) * (p - q) for p, q in zip(ya, yb))
+        ratio = 0 if od2 == 0 else pd2 * 100000 // (RP_DIM * od2)
+        want[vid] = (od2, pd2, ratio)
+
+    got = {
+        r["vec_id"]: (r["od2"], r["pd2"], r["ratio_e5"])
+        for r in q_random_projection(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    ratios = [v[2] for v in got.values()]
+    mean = sum(ratios) / len(ratios)
+    assert 85000 < mean < 115000, mean
+    assert all(v[0] > 0 for v in got.values())  # no degenerate pairs
