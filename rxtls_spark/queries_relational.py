@@ -490,6 +490,124 @@ def q_rel_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test harness, calibrated as an A/A test —
+    the experimentation-platform primitive a log pipeline ships with
+    its metrics: events split deterministically into arms by knuth
+    parity (assignment ⊥ behavior — a NULL split), the metric is the
+    purchase share, and the output is one row with per-arm counts,
+    exact permille rates, and the pooled two-proportion z statistic.
+    On a null split |z| must be modest — the standard A/A / sample-
+    ratio-mismatch calibration an experiment pipeline runs before
+    trusting any real flag (a per-user metric is degenerate on the
+    synthetic log — every user purchases — so the event-level share
+    is the non-trivial proportion at every SF).
+
+    Cross-engine: counts and permilles are pure BIGINT; z is the ONE
+    explicitly-ordered float expression (the kn_bigram_score rule —
+    sqrt and each division written identically on both engines) then
+    e3-floored; the floor absorbs any last-ulp drift.
+
+    Scale path: a pure map then one 1-row agg; no window, no join,
+    no shuffle beyond the partial-agg exchange."""
+    from rxtls_spark.functions.hashing import knuth_hash
+
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.select(
+        (knuth_hash(F.col("event_id")) % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+    agg = arms.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    z = (
+        "((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) / "
+        "sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+        "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+        "(1.0 / na + 1.0 / nb)))"
+    )
+    return agg.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.expr("(ca * 1000) DIV na").alias("pa_permille"),
+        F.expr("(cb * 1000) DIV nb").alias("pb_permille"),
+        F.expr(f"CAST(floor({z} * 1000) AS BIGINT)").alias("z_e3"),
+    )
+
+
+def q_rel_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over the event log: for every
+    unordered pair of event types co-occurring in a user's history,
+    the support count, both conditional confidences, and the PMI-form
+    lift — the co-behavior table product analytics derives next-action
+    rules and anomaly baselines from.
+
+    Cross-engine: supports/confidences are pure BIGINT (truncating
+    DIV); lift_e3 = floor(ln((n_ab·N)/(n_a·n_b))·1e3) with EVERY
+    operand cast DOUBLE before multiplying (the source_keyness rule —
+    BIGINT products would overflow at 10^12-user scale).
+
+    Scale path: the (user, type) distinct is one hash agg; the pair
+    self-join keys on user_id (co-partitioned; fan-out bounded by K²
+    per user for K event types); the pair agg lands on ≤K² keys —
+    metadata scale."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    singles = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    b = ut.select(
+        "user_id", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        ut.join(b, "user_id")
+        .where(F.col("event_type") < F.col("type_b"))
+        .groupBy(
+            F.col("event_type").alias("type_a"), "type_b"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    out = pairs.join(F.broadcast(sa), "type_a").join(
+        F.broadcast(sb), "type_b"
+    )
+    lift = (
+        f"floor(ln((CAST(n_ab AS DOUBLE) * CAST({n_users} AS DOUBLE)) / "
+        f"(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000)"
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr("(n_ab * 1000) DIV n_a").alias("conf_a_permille"),
+        F.expr("(n_ab * 1000) DIV n_b").alias("conf_b_permille"),
+        F.expr(f"CAST({lift} AS BIGINT)").alias("lift_e3"),
+    )
+
+
 def q_rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences — the behavioral model a log pipeline fits for
@@ -1165,6 +1283,8 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scd2_intervals": q_rel_scd2_intervals,
     "rel_burstiness": q_rel_burstiness,
     "rel_markov_transitions": q_rel_markov_transitions,
+    "rel_ab_ztest": q_rel_ab_ztest,
+    "rel_basket_lift": q_rel_basket_lift,
     "rel_survival_table": q_rel_survival_table,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
@@ -1492,6 +1612,53 @@ SELECT t, d, c,
                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS n_risk
 FROM tbl
+""",
+    "rel_ab_ztest": """
+WITH arms AS (
+  SELECT (((event_id % 1000000007) * 2654435761) % 1000000007) % 2 AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb
+  FROM arms
+)
+SELECT na, ca, nb, cb,
+  CAST((ca * 1000) // na AS BIGINT) AS pa_permille,
+  CAST((cb * 1000) // nb AS BIGINT) AS pb_permille,
+  CAST(floor(((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) /
+    sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) *
+    (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) *
+    (1.0 / na + 1.0 / nb))) * 1000) AS BIGINT) AS z_e3
+FROM agg
+""",
+    "rel_basket_lift": """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ut
+), singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+  sa.n_t AS n_a, sb.n_t AS n_b,
+  CAST((n_ab * 1000) // sa.n_t AS BIGINT) AS conf_a_permille,
+  CAST((n_ab * 1000) // sb.n_t AS BIGINT) AS conf_b_permille,
+  CAST(floor(ln((CAST(n_ab AS DOUBLE) * CAST(nu.n AS DOUBLE)) /
+       (CAST(sa.n_t AS DOUBLE) * CAST(sb.n_t AS DOUBLE))) * 1000)
+       AS BIGINT) AS lift_e3
+FROM pairs
+JOIN singles sa ON sa.event_type = pairs.type_a
+JOIN singles sb ON sb.event_type = pairs.type_b, nu
 """,
     "rel_markov_transitions": """
 WITH pairs AS (

@@ -701,3 +701,106 @@ def test_markov_transitions_matches_replica_and_row_stochastic(spark):
     assert sum(c for (p, _), (c, _, _) in got.items() if p == "^") == len(
         by_user
     )
+
+
+def test_ab_ztest_matches_replica(spark):
+    """The single-row output must equal the Python replica (knuth
+    parity arms over event_id, purchase-share metric, pooled z
+    floored e3); both arms must be populated, counts must partition
+    events, the metric must be non-degenerate (0 < p < 1), and |z|
+    must be modest on the null split (A/A calibration)."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_relational import q_rel_ab_ztest
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "event_type")
+        .collect()
+    )
+    na = ca = nb = cb = 0
+    for r in ev:
+        c = 1 if r["event_type"] == "purchase" else 0
+        if ((r["event_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P % 2 == 0:
+            na += 1
+            ca += c
+        else:
+            nb += 1
+            cb += c
+    assert na > 0 and nb > 0
+    p = (ca + cb) / (na + nb)
+    assert 0 < p < 1
+    z = (ca / na - cb / nb) / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+
+    [row] = q_rel_ab_ztest(spark, SF_SMOKE).collect()
+    assert (row["na"], row["ca"], row["nb"], row["cb"]) == (na, ca, nb, cb)
+    assert row["pa_permille"] == ca * 1000 // na
+    assert row["pb_permille"] == cb * 1000 // nb
+    assert row["z_e3"] == math.floor(z * 1000)
+    assert row["na"] + row["nb"] == len(ev)
+    assert abs(row["z_e3"]) < 4000  # null effect: no 4-sigma fluke
+
+
+def test_basket_lift_matches_replica_and_symmetry(spark):
+    """Every pair row must equal the Python replica (distinct
+    (user, type) baskets, unordered pairs, truncating-DIV confidences,
+    double-cast e3 lift); support must never exceed either single
+    count, and the pair relation must cover every co-occurring pair
+    exactly once with type_a < type_b."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from rxtls_spark.queries_relational import q_rel_basket_lift
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in ev:
+        baskets.setdefault(r["user_id"], set()).add(r["event_type"])
+    n_users = len(baskets)
+    singles: Counter = Counter()
+    pairs: Counter = Counter()
+    for types in baskets.values():
+        for t in types:
+            singles[t] += 1
+        for a, b in combinations(sorted(types), 2):
+            pairs[(a, b)] += 1
+    want = {}
+    for (a, b), n_ab in pairs.items():
+        n_a, n_b = singles[a], singles[b]
+        lift = math.floor(
+            math.log((float(n_ab) * float(n_users)) / (float(n_a) * float(n_b)))
+            * 1000
+        )
+        want[(a, b)] = (
+            n_ab,
+            n_a,
+            n_b,
+            n_ab * 1000 // n_a,
+            n_ab * 1000 // n_b,
+            lift,
+        )
+
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_ab"],
+            r["n_a"],
+            r["n_b"],
+            r["conf_a_permille"],
+            r["conf_b_permille"],
+            r["lift_e3"],
+        )
+        for r in q_rel_basket_lift(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    for (a, b), (n_ab, n_a, n_b, cfa, cfb, _) in got.items():
+        assert a < b
+        assert n_ab <= min(n_a, n_b)
+        assert cfa <= 1000 and cfb <= 1000
