@@ -6102,6 +6102,140 @@ FROM agg
     )
 
 
+# Gradient-noise-scale constants — MIRRORED in `_grad_noise_sql`;
+# change together.  GNS_PERMILLE gates the doc sample (knuth permille
+# — a pure map, scale-invariant; lower it at larger corpora);
+# components floor to e2 BIGINTs so the sum of squared gradients
+# stays < 2^63 to ~2·10^10 sampled rows (e3 would cap at ~2·10^6).
+GNS_PERMILLE = 200
+GNS_SALT = 11
+
+
+def q_grad_noise_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-noise-scale / critical-batch-size estimate
+    (McCandlish et al. 2018, "An Empirical Model of Large-Batch
+    Training") over the quality classifier's per-example gradients —
+    the statistic that tells a training run how large a batch still
+    buys linear speedup: B_simple = tr(Σ)/|G|² where G is the mean
+    per-example gradient and Σ its covariance.  Emits one row with
+    the sampled count, the four e4-unit gradient component sums, the
+    exact sum of squared components, and bsimple_e3 =
+    floor(((n·Q − |S|²)/|S|²)·1000) — the algebraic identity
+    tr(Σ)/|G|² = (n·Q − |S|²)/|S|² on the integer sums (biased
+    covariance; the estimator's own convention).
+
+    Cross-engine: weights retrain via the shared deterministic GD;
+    the per-row gradient is (p_e2 − 100·y)·x_e2 per component — BOTH
+    factors stable-floored e2 BIGINTs first (the floor absorbs
+    engine exp() ulp, the el2n rule), so every sum is exact; the
+    final ratio is the ONE explicitly-ordered double expression on
+    the three exact BIGINTs (identical operands → identical IEEE
+    result; the source_keyness double-cast rule because n·Q would
+    overflow BIGINT at scale).
+
+    Scale shape: scoring + gradient is a pure map behind a knuth
+    permille gate; ONE 6-scalar hash agg; no window, no join."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    dp = (
+        F.floor(p * F.lit(100.0) + F.lit(0.5)).cast("long")
+        - F.lit(100) * F.col("y").cast("long")
+    )
+
+    def xe2(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+    g = fx.where(
+        knuth_hash(F.col("doc_id") * GNS_SALT) % 1000 < GNS_PERMILLE
+    ).select(
+        (dp * F.lit(100)).alias("g0"),
+        (dp * xe2(F.col("x1"))).alias("g1"),
+        (dp * xe2(F.col("x2"))).alias("g2"),
+        (dp * xe2(F.col("x3"))).alias("g3"),
+    )
+    agg = g.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g0").cast("long").alias("s0"),
+        F.sum("g1").cast("long").alias("s1"),
+        F.sum("g2").cast("long").alias("s2"),
+        F.sum("g3").cast("long").alias("s3"),
+        F.sum(
+            F.col("g0") * F.col("g0")
+            + F.col("g1") * F.col("g1")
+            + F.col("g2") * F.col("g2")
+            + F.col("g3") * F.col("g3")
+        )
+        .cast("long")
+        .alias("sum_sq"),
+    )
+    s2 = "(s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3)"
+    b = (
+        f"((CAST(n AS DOUBLE) * CAST(sum_sq AS DOUBLE) "
+        f"- CAST({s2} AS DOUBLE)) / CAST({s2} AS DOUBLE))"
+    )
+    return agg.select(
+        "n",
+        "s0",
+        "s1",
+        "s2",
+        "s3",
+        "sum_sq",
+        F.expr(f"CAST(floor({b} * 1000) AS BIGINT)").alias("bsimple_e3"),
+    )
+
+
+def _grad_noise_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """grad_noise_scale oracle: the shared GD chain, e2-floored
+    (p, x) factors, knuth permille gate, exact BIGINT sums, and the
+    identical one-expression double ratio."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    dp = f"(CAST(floor({p} * 100 + 0.5) AS BIGINT) - 100 * CAST(y AS BIGINT))"
+    gate = (
+        f"((((doc_id * {GNS_SALT}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})"
+        f" % 1000 < {GNS_PERMILLE}"
+    )
+    s2 = "(s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3)"
+    b = (
+        f"((CAST(n AS DOUBLE) * CAST(sum_sq AS DOUBLE) "
+        f"- CAST({s2} AS DOUBLE)) / CAST({s2} AS DOUBLE))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+g AS (
+  SELECT {dp} * 100 AS g0,
+         {dp} * CAST(floor(x1 * 100 + 0.5) AS BIGINT) AS g1,
+         {dp} * CAST(floor(x2 * 100 + 0.5) AS BIGINT) AS g2,
+         {dp} * CAST(floor(x3 * 100 + 0.5) AS BIGINT) AS g3
+  FROM fx, w{iters} w
+  WHERE {gate}
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g0) AS BIGINT) AS s0,
+         CAST(sum(g1) AS BIGINT) AS s1,
+         CAST(sum(g2) AS BIGINT) AS s2,
+         CAST(sum(g3) AS BIGINT) AS s3,
+         CAST(sum(g0 * g0 + g1 * g1 + g2 * g2 + g3 * g3) AS BIGINT)
+           AS sum_sq
+  FROM g
+)
+SELECT n, s0, s1, s2, s3, sum_sq,
+       CAST(floor({b} * 1000) AS BIGINT) AS bsimple_e3
+FROM agg
+"""
+    )
+
+
 def _logreg_ctes(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> list[str]:
     """The unrolled-GD CTE chain (fx, w0 .. w{iters}) shared by the
     `logreg_quality` and `logreg_infer` oracles — mirrors
@@ -11598,6 +11732,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pr_curve": q_pr_curve,
     "scorer_kappa": q_scorer_kappa,
     "preference_pairs": q_preference_pairs,
+    "grad_noise_scale": q_grad_noise_scale,
     "uncertainty_sample": q_uncertainty_sample,
     "cartography": q_cartography,
     "good_turing": q_good_turing,
@@ -13786,6 +13921,7 @@ GROUP BY 1, 2
         "pr_curve": _pr_curve_sql(),
         "scorer_kappa": _scorer_kappa_sql(),
         "preference_pairs": _preference_pairs_sql(),
+        "grad_noise_scale": _grad_noise_sql(),
         "uncertainty_sample": _uncertainty_sql(),
         "cartography": _cartography_sql(),
         "min_k_prob": f"""

@@ -4916,3 +4916,64 @@ def test_random_projection_matches_replica_and_jl_bound(spark):
     mean = sum(ratios) / len(ratios)
     assert 85000 < mean < 115000, mean
     assert all(v[0] > 0 for v in got.values())  # no degenerate pairs
+
+
+def test_grad_noise_scale_matches_replica(spark):
+    """The single-row output must equal the bit-exact Python replica
+    (shared GD weights, e2-floored (p, x) factors, knuth permille
+    gate, the one-expression double ratio); the sample must be a
+    strict non-empty subset, sum_sq must bound the per-component
+    means (Cauchy-Schwarz n·Q ≥ |S|² ⇒ bsimple ≥ 0), and the noise
+    scale must be positive (per-example gradients genuinely
+    disagree)."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        GNS_PERMILLE,
+        GNS_SALT,
+        _logreg_train,
+        logreg_features,
+        q_grad_noise_scale,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    rows = fx.collect()
+    _, wv = _logreg_train(fx)
+    n = s0 = s1 = s2 = s3 = q = 0
+    for r in rows:
+        if ((r["doc_id"] * GNS_SALT % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000 >= GNS_PERMILLE:
+            continue
+        m = wv[0] * 1.0 + wv[1] * r["x1"] + wv[2] * r["x2"] + wv[3] * r["x3"]
+        dp = math.floor(1.0 / (1.0 + math.exp(-m)) * 100 + 0.5) - 100 * int(r["y"])
+        g = (
+            dp * 100,
+            dp * math.floor(r["x1"] * 100 + 0.5),
+            dp * math.floor(r["x2"] * 100 + 0.5),
+            dp * math.floor(r["x3"] * 100 + 0.5),
+        )
+        n += 1
+        s0 += g[0]
+        s1 += g[1]
+        s2 += g[2]
+        s3 += g[3]
+        q += sum(x * x for x in g)
+    assert 0 < n < len(rows)
+    ss = s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3
+    b = math.floor((float(n) * float(q) - float(ss)) / float(ss) * 1000)
+
+    [row] = q_grad_noise_scale(spark, SF_SMOKE).collect()
+    assert (
+        row["n"],
+        row["s0"],
+        row["s1"],
+        row["s2"],
+        row["s3"],
+        row["sum_sq"],
+    ) == (n, s0, s1, s2, s3, q)
+    assert row["bsimple_e3"] == b
+    assert n * q >= ss  # Cauchy-Schwarz
+    assert row["bsimple_e3"] > 0
