@@ -10126,6 +10126,97 @@ FROM pairs
 """
 
 
+def q_hamming_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign binarization of embeddings into 64-bit Hamming codes +
+    the calibration audit — the memory-cut scale path for near-dup
+    screening and coarse ANN (Charikar 2002 SimHash with coordinate
+    hyperplanes: 64 dims → 8 bytes, 64× smaller than float32, and
+    Hamming distance is two XOR+popcounts): per vector the two 32-bit
+    code halves, and per constructed neighbor pair (vec_id, vec_id+1)
+    the Hamming distance next to the exact e5 cosine — the table that
+    calibrates a Hamming radius to a cosine threshold before the
+    binary index replaces the float one.
+
+    Cross-engine: bits are `emb[i] > 0` (float compare — exact); the
+    code build is an integer shift fold; two 32-bit halves instead of
+    one 64-bit code because bit 63 would overflow signed BIGINT;
+    Hamming = bit_count(xor) per half (both engines); cosine is the
+    `_cosine_cols` fold ↔ list_cosine_similarity ::DOUBLE[] with the
+    signed-safe e5 floor (the knn_graph discipline).
+
+    Scale shape: code build is a pure per-row map (this IS the
+    production artifact — 8 bytes/vector); the audit pair is ONE
+    co-partitioned self equi-join on vec_id+1 (the random_projection
+    convention); no explode, no window."""
+    emb = _emb(spark, sf_dir)
+
+    def code(lo: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CASE WHEN element_at(embedding, i) > 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), i - {lo}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        code(1).alias("code_lo"),
+        code(33).alias("code_hi"),
+    )
+    b = coded.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("eb"),
+        F.col("code_lo").alias("blo"),
+        F.col("code_hi").alias("bhi"),
+    )
+    pairs = coded.join(b, "vec_id")
+    cos_e5 = F.floor(
+        _cosine_cols(F.col("embedding"), F.col("eb")) * F.lit(100000.0)
+    ).cast("long")
+    return pairs.select(
+        "vec_id",
+        "code_lo",
+        "code_hi",
+        (
+            F.expr("bit_count(code_lo ^ blo)")
+            + F.expr("bit_count(code_hi ^ bhi)")
+        )
+        .cast("long")
+        .alias("ham"),
+        cos_e5.alias("cos_e5"),
+    )
+
+
+def _hamming_codes_sql() -> str:
+    """hamming_codes oracle: identical shift folds per 32-bit half,
+    xor+bit_count Hamming, list_cosine_similarity e5 floor."""
+
+    def code(lo: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series({lo}, {lo + 31}),"
+            f" i -> CASE WHEN embedding[i] > 0"
+            f" THEN (CAST(1 AS BIGINT) << (i - {lo}))"
+            f" ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+        )
+
+    return f"""
+WITH coded AS (
+  SELECT vec_id, embedding,
+         {code(1)} AS code_lo,
+         {code(33)} AS code_hi
+  FROM embeddings
+)
+SELECT a.vec_id, a.code_lo, a.code_hi,
+       CAST(bit_count(xor(a.code_lo, b.code_lo))
+            + bit_count(xor(a.code_hi, b.code_hi)) AS BIGINT) AS ham,
+       CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])
+                  * 100000) AS BIGINT) AS cos_e5
+FROM coded a JOIN coded b ON b.vec_id = a.vec_id + 1
+"""
+
+
 # T5 span-corruption constants — MIRRORED in `_span_corrupt_sql`;
 # change together.  Two spans, one per document HALF (so span order
 # and non-overlap hold by construction); span length
@@ -11746,6 +11837,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mlm_transform": q_mlm_transform,
     "nsp_pairs": q_nsp_pairs,
     "random_projection": q_random_projection,
+    "hamming_codes": q_hamming_codes,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -13876,6 +13968,7 @@ WHERE rn <= 10
         "mlm_transform": _mlm_sql(),
         "nsp_pairs": _nsp_sql(),
         "random_projection": _random_projection_sql(),
+        "hamming_codes": _hamming_codes_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -4977,3 +4977,60 @@ def test_grad_noise_scale_matches_replica(spark):
     assert row["bsimple_e3"] == b
     assert n * q >= ss  # Cauchy-Schwarz
     assert row["bsimple_e3"] > 0
+
+
+def test_hamming_codes_matches_replica_and_simhash_calibration(spark):
+    """Codes and pair rows must equal the Python replica (sign bits,
+    two 32-bit halves, XOR popcount Hamming, e5-floored cosine); the
+    SimHash contract must hold in aggregate: mean cosine of low-
+    Hamming pairs must exceed mean cosine of high-Hamming pairs (the
+    monotone calibration the binary index depends on), and ham must
+    stay in [0, 64]."""
+    import math
+
+    from rxtls_spark.queries_training import q_hamming_codes
+    from tests.conftest import SF_SMOKE
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def code(v, lo):
+        return sum(
+            1 << (i - lo) for i in range(lo, lo + 32) if v[i - 1] > 0
+        )
+
+    def cos_e5(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        c = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        return math.floor(c * 100000)
+
+    want = {}
+    for vid, va in vecs.items():
+        if vid + 1 not in vecs:
+            continue
+        vb = vecs[vid + 1]
+        lo_a, hi_a = code(va, 1), code(va, 33)
+        lo_b, hi_b = code(vb, 1), code(vb, 33)
+        ham = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
+        want[vid] = (lo_a, hi_a, ham, cos_e5(va, vb))
+
+    got = {
+        r["vec_id"]: (r["code_lo"], r["code_hi"], r["ham"], r["cos_e5"])
+        for r in q_hamming_codes(spark, SF_SMOKE).collect()
+    }
+    # cosine is a float fold: engine sum order == replica sum order
+    # (index order) so e5 floors agree exactly — proven by equality
+    assert got == want and got
+    hams = sorted(v[2] for v in got.values())
+    med = hams[len(hams) // 2]
+    lo_cos = [v[3] for v in got.values() if v[2] <= med]
+    hi_cos = [v[3] for v in got.values() if v[2] > med]
+    assert lo_cos and hi_cos
+    assert sum(lo_cos) / len(lo_cos) > sum(hi_cos) / len(hi_cos)
+    assert all(0 <= v[2] <= 64 for v in got.values())
