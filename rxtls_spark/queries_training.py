@@ -10217,6 +10217,106 @@ FROM coded a JOIN coded b ON b.vec_id = a.vec_id + 1
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the quality score — the
+    batch-effect correction a multi-source corpus needs before ANY
+    global quality threshold is meaningful (each source's scorer
+    distribution differs; normalizing maps every source's CDF onto
+    the pooled one, the Bolstad/microarray method applied to corpus
+    curation).  Emits the bounded MAPPING TABLE — per (source,
+    bucket): count, the source CDF position, and the normalized
+    global bucket (smallest pooled bucket whose CDF covers it);
+    applying it to docs is a broadcast map join downstream.
+
+    Cross-engine: buckets are the exact `quality_bucket()` integers;
+    CDFs are the e9 integer form (cum·1e9) DIV n — the source_ks_drift
+    rule (never cum·n; the e9 form is exact to ~9·10^9 rows/source,
+    the family's documented bound); the crossing lookup is min pooled
+    bucket with gcdf_e9 ≥ cdf_e9 — Spark computes it as a pure map
+    over the DRIVER-COLLECTED pooled histogram literals (bounded
+    ≤1001 rows — the quality_gate_thresholds precedent), DuckDB as
+    the equivalent correlated min.
+
+    Scale shape: two bounded histogram hash aggs (sources×≤1001 and
+    ≤1001 rows); windows run over the histogram, never over docs; the
+    mapping application is join-free here and a broadcast join in a
+    consumer."""
+    from pyspark.sql.window import Window
+
+    qd = _docs(spark, sf_dir).select(
+        "source", quality_score().alias("quality")
+    ).select("source", quality_bucket().alias("qb"))
+    h = qd.groupBy("source", "qb").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grows = sorted(
+        (r["qb"], r["gn"])
+        for r in qd.groupBy("qb")
+        .agg(F.count(F.lit(1)).cast("long").alias("gn"))
+        .collect()
+    )
+    n_total = sum(gn for _, gn in grows)
+    cum = 0
+    gbuckets, gcdfs = [], []
+    for qb, gn in grows:
+        cum += gn
+        gbuckets.append(int(qb))
+        gcdfs.append(cum * 1_000_000_000 // n_total)
+    garr = F.array(*[F.lit(x) for x in gcdfs])
+    gbk = F.array(*[F.lit(x) for x in gbuckets])
+
+    ws = Window.partitionBy("source").orderBy("qb")
+    wsrc = Window.partitionBy("source")
+    scum = h.select(
+        "source",
+        "qb",
+        "n",
+        F.sum("n").over(ws).cast("long").alias("cum"),
+        F.sum("n").over(wsrc).cast("long").alias("nsrc"),
+    ).withColumn("cdf_e9", F.expr("(cum * 1000000000) DIV nsrc"))
+    idx = F.size(F.filter(garr, lambda x: x < F.col("cdf_e9")))
+    return scum.select(
+        "source",
+        F.col("qb").alias("bucket"),
+        F.col("n").alias("n_docs"),
+        "cdf_e9",
+        F.element_at(gbk, idx + 1).cast("long").alias("norm_bucket"),
+    )
+
+
+def _quantile_normalize_sql() -> str:
+    """quantile_normalize oracle: the same bucket/e9-CDF chain with
+    the crossing as a correlated min over the pooled histogram."""
+    return _TEXT_CTE + f"""
+, qd AS (
+  SELECT d.source,
+         CAST(floor(({_QUALITY_SQL}) * 100000 + 0.5) AS BIGINT) // 100 AS qb
+  FROM feats f JOIN (SELECT doc_id, source FROM documents) d
+    ON f.doc_id = d.doc_id
+), h AS (
+  SELECT source, qb, CAST(count(*) AS BIGINT) AS n FROM qd GROUP BY 1, 2
+), sc AS (
+  SELECT source, qb, n,
+         CAST((CAST(sum(n) OVER (PARTITION BY source ORDER BY qb) AS BIGINT)
+               * 1000000000)
+              // CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
+              AS BIGINT) AS cdf_e9
+  FROM h
+), g AS (
+  SELECT qb, CAST(count(*) AS BIGINT) AS gn FROM qd GROUP BY 1
+), gcdf AS (
+  SELECT qb,
+         CAST((CAST(sum(gn) OVER (ORDER BY qb) AS BIGINT) * 1000000000)
+              // CAST(sum(gn) OVER () AS BIGINT) AS BIGINT) AS gcdf_e9
+  FROM g
+)
+SELECT source, qb AS bucket, n AS n_docs, cdf_e9,
+  CAST((SELECT min(g2.qb) FROM gcdf g2 WHERE g2.gcdf_e9 >= sc.cdf_e9)
+       AS BIGINT) AS norm_bucket
+FROM sc
+"""
+
+
 # T5 span-corruption constants — MIRRORED in `_span_corrupt_sql`;
 # change together.  Two spans, one per document HALF (so span order
 # and non-overlap hold by construction); span length
@@ -11838,6 +11938,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nsp_pairs": q_nsp_pairs,
     "random_projection": q_random_projection,
     "hamming_codes": q_hamming_codes,
+    "quantile_normalize": q_quantile_normalize,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -13969,6 +14070,7 @@ WHERE rn <= 10
         "nsp_pairs": _nsp_sql(),
         "random_projection": _random_projection_sql(),
         "hamming_codes": _hamming_codes_sql(),
+        "quantile_normalize": _quantile_normalize_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -5034,3 +5034,90 @@ def test_hamming_codes_matches_replica_and_simhash_calibration(spark):
     assert lo_cos and hi_cos
     assert sum(lo_cos) / len(lo_cos) > sum(hi_cos) / len(hi_cos)
     assert all(0 <= v[2] <= 64 for v in got.values())
+
+
+def test_quantile_normalize_matches_replica_and_mapping_contracts(spark):
+    """Every mapping row must equal the Python replica (exact bucket
+    integers, e9 integer CDFs, min-crossing lookup against the pooled
+    histogram); within a source norm_bucket must be monotone
+    non-decreasing in bucket, each source's TOP bucket must map to
+    the pooled top bucket (cdf_e9 == 1e9 on both sides), and the
+    normalization must actually move something (some source bucket
+    maps to a different pooled bucket)."""
+    import math
+
+    from rxtls_spark.queries_training import q_quantile_normalize
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+
+    def bucket(text: str) -> int:
+        n = max(len(text), 1)
+        alpha = sum(1 for c in text if c.isascii() and c.isalpha()) / n
+        digit = sum(1 for c in text if c.isascii() and c.isdigit()) / n
+        punct = sum(1 for c in text if c in ".,;:!?") / n
+        q = max(
+            0.0,
+            min(
+                1.0,
+                0.4 * alpha
+                + 0.3 * min(len(text) / 500.0, 1.0)
+                + 0.3 * (1.0 - min(1.0, 4.0 * punct + 4.0 * digit)),
+            ),
+        )
+        # the quality_score pipeline floors to e5 FIRST (round5_stable)
+        return math.floor(math.floor(q * 100000 + 0.5) * 1.0) // 100
+
+    from collections import Counter
+
+    per_sb: Counter = Counter()
+    pooled: Counter = Counter()
+    for r in rows:
+        b = bucket(r["text"])
+        per_sb[(r["source"], b)] += 1
+        pooled[b] += 1
+    n_total = sum(pooled.values())
+    gb, gc = [], []
+    cum = 0
+    for b in sorted(pooled):
+        cum += pooled[b]
+        gb.append(b)
+        gc.append(cum * 1_000_000_000 // n_total)
+    src_tot: Counter = Counter()
+    for (s, _), n in per_sb.items():
+        src_tot[s] += n
+    want = {}
+    for s in src_tot:
+        cum_s = 0
+        for b in sorted(b2 for (s2, b2) in per_sb if s2 == s):
+            n = per_sb[(s, b)]
+            cum_s += n
+            cdf = cum_s * 1_000_000_000 // src_tot[s]
+            norm = next(g for g, c in zip(gb, gc) if c >= cdf)
+            want[(s, b)] = (n, cdf, norm)
+
+    got = {
+        (r["source"], r["bucket"]): (
+            r["n_docs"],
+            r["cdf_e9"],
+            r["norm_bucket"],
+        )
+        for r in q_quantile_normalize(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    per_src: dict[str, list] = {}
+    for (s, b), (_, _, nb) in got.items():
+        per_src.setdefault(s, []).append((b, nb))
+    moved = 0
+    for s, pairs in per_src.items():
+        pairs.sort()
+        norms = [nb for _, nb in pairs]
+        assert norms == sorted(norms), s  # monotone mapping
+        top_b, top_nb = pairs[-1]
+        assert top_nb == gb[-1], s  # CDF 1e9 maps to pooled top
+        moved += sum(1 for b, nb in pairs if nb != b)
+    assert moved > 0
