@@ -10284,6 +10284,110 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Best-of-n constants — MIRRORED in `_best_of_n_sql`; change
+# together.  The grid must stay ≤ BON_MAX and the sample order is the
+# knuth (h, doc_id) rule shared with scorer_agreement/preference_pairs.
+BON_GRID = (1, 2, 4, 8, 16, 32)
+BON_MAX = 32
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n selection curve (the rejection-sampling / BoN
+    statistic of RLHF and inference-scaling work): per source, the
+    quality of the best candidate among the first n knuth-sampled
+    docs, for n over a doubling grid — the curve that tells a
+    pipeline how much an extra sample buys (E[max of n] flattens
+    where quality saturates).  Emits (source, n, n_eff, bon_q_e5).
+
+    Cross-engine: quality is the stable e5 BIGINT numerator; the
+    sample order is the deterministic knuth (h, doc_id) rule; each
+    grid point is a conditional max over the bounded sample — all
+    BIGINT, no float anywhere.
+
+    Scale shape: ONE source-partitioned rank window over the
+    ≤BON_MAX-per-source sample (few-fat-partitions), then ONE
+    sources-scale agg with a conditional max per grid point, unpivoted
+    to rows via a per-row explode — no second shuffle."""
+    from pyspark.sql.window import Window
+
+    qnum = F.floor(quality_score() * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    uni = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        qnum.alias("q_e5"),
+        knuth_hash(F.col("doc_id")).alias("h"),
+    )
+    ws = Window.partitionBy("source").orderBy("h", "doc_id")
+    keep = uni.withColumn("srk", F.row_number().over(ws)).where(
+        F.col("srk") <= BON_MAX
+    )
+    aggs = []
+    for n in BON_GRID:
+        aggs.append(
+            F.max(F.when(F.col("srk") <= n, F.col("q_e5")))
+            .cast("long")
+            .alias(f"bon_{n}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("srk") <= n, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{n}")
+        )
+    wide = keep.groupBy("source").agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).cast("long").alias("n"),
+                    F.col(f"c_{n}").alias("n_eff"),
+                    F.col(f"bon_{n}").alias("bon_q_e5"),
+                )
+                for n in BON_GRID
+            ]
+        )
+    ).alias("r")
+    return wide.select("source", rows).select(
+        "source", "r.n", "r.n_eff", "r.bon_q_e5"
+    )
+
+
+def _best_of_n_sql() -> str:
+    """best_of_n oracle: the same knuth sample, conditional maxes per
+    grid point, unpivoted via UNION ALL."""
+    base = _TEXT_CTE + f"""
+, qq AS (
+  SELECT doc_id, CAST(floor(({_QUALITY_SQL}) * 100000 + 0.5) AS BIGINT) AS q_e5
+  FROM feats
+), uni AS (
+  SELECT d.source, q.doc_id, q.q_e5,
+         ((d.doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS h
+  FROM qq q JOIN (SELECT doc_id, source FROM documents) d
+    ON q.doc_id = d.doc_id
+), keep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS srk
+    FROM uni
+  ) WHERE srk <= {BON_MAX}
+), wide AS (
+  SELECT source,
+"""
+    cols = ",\n".join(
+        f"    CAST(max(CASE WHEN srk <= {n} THEN q_e5 END) AS BIGINT)"
+        f" AS bon_{n},\n"
+        f"    CAST(sum(CASE WHEN srk <= {n} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c_{n}"
+        for n in BON_GRID
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT source, CAST({n} AS BIGINT) AS n, c_{n} AS n_eff,"
+        f" bon_{n} AS bon_q_e5 FROM wide"
+        for n in BON_GRID
+    )
+    return base + cols + "\n  FROM keep GROUP BY 1\n)\n" + unions
+
+
 def _quantile_normalize_sql() -> str:
     """quantile_normalize oracle: the same bucket/e9-CDF chain with
     the crossing as a correlated min over the pooled histogram."""
@@ -11939,6 +12043,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection": q_random_projection,
     "hamming_codes": q_hamming_codes,
     "quantile_normalize": q_quantile_normalize,
+    "best_of_n": q_best_of_n,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -14071,6 +14176,7 @@ WHERE rn <= 10
         "random_projection": _random_projection_sql(),
         "hamming_codes": _hamming_codes_sql(),
         "quantile_normalize": _quantile_normalize_sql(),
+        "best_of_n": _best_of_n_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -5121,3 +5121,66 @@ def test_quantile_normalize_matches_replica_and_mapping_contracts(spark):
         assert top_nb == gb[-1], s  # CDF 1e9 maps to pooled top
         moved += sum(1 for b, nb in pairs if nb != b)
     assert moved > 0
+
+
+def test_best_of_n_matches_replica_and_monotone(spark):
+    """Every (source, n) row must equal the Python replica (knuth
+    sample order, prefix conditional max of the e5 quality); the BoN
+    curve must be monotone non-decreasing in n, n_eff must equal
+    min(sample size, n), the n=1 row must be the first sampled doc's
+    own quality, and the top grid point must equal the full-sample
+    max."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import BON_GRID, BON_MAX, q_best_of_n
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+    def quality(text: str) -> int:
+        n = max(len(text), 1)
+        alpha = sum(1 for c in text if c.isascii() and c.isalpha()) / n
+        digit = sum(1 for c in text if c.isascii() and c.isdigit()) / n
+        punct = sum(1 for c in text if c in ".,;:!?") / n
+        q = max(
+            0.0,
+            min(
+                1.0,
+                0.4 * alpha
+                + 0.3 * min(len(text) / 500.0, 1.0)
+                + 0.3 * (1.0 - min(1.0, 4.0 * punct + 4.0 * digit)),
+            ),
+        )
+        return math.floor(q * 100000 + 0.5)
+
+    per_source: dict[str, list] = {}
+    for r in rows:
+        h = ((r["doc_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P
+        per_source.setdefault(r["source"], []).append(
+            (h, r["doc_id"], quality(r["text"]))
+        )
+    want = {}
+    for s, rs in per_source.items():
+        keep = [q for _, _, q in sorted(rs)[:BON_MAX]]
+        for n in BON_GRID:
+            pre = keep[:n]
+            want[(s, n)] = (len(pre), max(pre))
+
+    got = {
+        (r["source"], r["n"]): (r["n_eff"], r["bon_q_e5"])
+        for r in q_best_of_n(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    for s, rs in per_source.items():
+        keep = [q for _, _, q in sorted(rs)[:BON_MAX]]
+        curve = [got[(s, n)][1] for n in BON_GRID]
+        assert curve == sorted(curve), s  # monotone in n
+        assert got[(s, 1)][1] == keep[0]
+        assert curve[-1] == max(keep)
+        for n in BON_GRID:
+            assert got[(s, n)][0] == min(len(keep), n)
