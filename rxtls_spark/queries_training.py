@@ -11232,6 +11232,113 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH banding layout over the CAL_PERMS signature — MIRRORED in
+# `_lsh_bucket_stats_sql`; change together (CAL_PERMS/CAL_STEP and the
+# md5-13-hex key flow in from the minhash_calibration spec).
+LSH_BANDS = 4
+LSH_ROWS = 4  # == CAL_PERMS DIV LSH_BANDS
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-capacity audit — the join-cost forecast a pipeline
+    runs BEFORE the banded dedup self-join: per band, the bucket
+    count, the largest bucket, the singleton count, and the exact
+    candidate-pair total Σ c·(c−1)/2 the band will feed the verify
+    stage.  This is the number that decides DEFAULT_BUCKET_CAP and
+    the shuffle partition count — a skewed band shows up here as one
+    hot bucket long before it shows up as a straggler task.
+
+    Cross-engine: signatures are the minhash_calibration spec
+    (md5-13-hex key + knuth permutations — CAL_PERMS/CAL_STEP flow
+    in); band keys join the LSH_ROWS signature values as a CSV string
+    (explicit per-element CAST both engines); all outputs BIGINT
+    (c·(c−1) exact to ~3·10^9 docs/bucket — far past any capped
+    bucket).
+
+    Scale shape: signature is a pure per-row map; the band explode is
+    ×LSH_BANDS; ONE (band, bucket) hash agg then a bands-scale agg —
+    exactly the shape of the production banded join's build side."""
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+    )
+    perm = (
+        f"transform(sequence(0, {CAL_PERMS - 1}), k -> "
+        f"array_min(transform(s, g -> "
+        f"(((cast(conv(substring(md5(g), 1, 13), 16, 10) AS bigint)"
+        f" + k * {CAL_STEP}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})))"
+    )
+    sig = base.select(
+        "doc_id", F.expr(_SHINGLES_EXPR.format(t="t")).alias("s")
+    ).select("doc_id", F.expr(perm).alias("sig"))
+    bands = sig.select(
+        F.expr(
+            f"explode(transform(sequence(0, {LSH_BANDS - 1}), b -> "
+            f"struct(CAST(b AS BIGINT) AS band, "
+            f"array_join(transform(slice(sig, b * {LSH_ROWS} + 1, "
+            f"{LSH_ROWS}), x -> CAST(x AS STRING)), ',') AS bucket)))"
+        ).alias("e")
+    ).select("e.band", "e.bucket")
+    counts = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return counts.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("n_docs"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum(F.expr("(c * (c - 1)) DIV 2")).cast("long").alias(
+            "cand_pairs"
+        ),
+    )
+
+
+def _lsh_bucket_stats_sql() -> str:
+    """lsh_bucket_stats oracle: the same signature spec, 1-based list
+    slices per band, CSV band keys, exact pair-count aggregation."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {CAL_PERMS - 1}), k ->
+      list_min(list_transform(s, g ->
+        (((('0x' || substr(md5(g), 1, 13))::BIGINT + k * {CAL_STEP})
+          % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}))) AS sig
+  FROM sh
+), bands AS (
+  SELECT CAST(r.b AS BIGINT) AS band,
+         array_to_string(list_transform(
+           sig[r.b * {LSH_ROWS} + 1 : r.b * {LSH_ROWS} + {LSH_ROWS}],
+           x -> CAST(x AS VARCHAR)), ',') AS bucket
+  FROM sig CROSS JOIN range(0, {LSH_BANDS}) r(b)
+), counts AS (
+  SELECT band, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM bands GROUP BY 1, 2
+)
+SELECT band,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(c) AS BIGINT) AS n_docs,
+  CAST(max(c) AS BIGINT) AS max_bucket,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs
+FROM counts GROUP BY 1
+"""
+
+
 # Blocklist spec — MIRRORED in the `blocklist_filter` oracle SQL;
 # change together.  Substring (not token) matching by design — the
 # UT1/wordlist convention, catches phrases across token boundaries;
@@ -12044,6 +12151,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hamming_codes": q_hamming_codes,
     "quantile_normalize": q_quantile_normalize,
     "best_of_n": q_best_of_n,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -14177,6 +14285,7 @@ WHERE rn <= 10
         "hamming_codes": _hamming_codes_sql(),
         "quantile_normalize": _quantile_normalize_sql(),
         "best_of_n": _best_of_n_sql(),
+        "lsh_bucket_stats": _lsh_bucket_stats_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -5184,3 +5184,87 @@ def test_best_of_n_matches_replica_and_monotone(spark):
         assert curve[-1] == max(keep)
         for n in BON_GRID:
             assert got[(s, n)][0] == min(len(keep), n)
+
+
+def test_lsh_bucket_stats_matches_replica_and_accounting(spark):
+    """Per-band rows must equal the Python replica (md5+knuth
+    signatures, 4×4 banding, CSV bucket keys, exact pair counts);
+    every band must account for every doc (n_docs == corpus), the
+    candidate-pair identity Σ c(c−1)/2 must hold, singletons must
+    generate no pairs, and near-duplicate docs (injected exact dups
+    share all shingles) must collide in EVERY band."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        CAL_PERMS,
+        CAL_STEP,
+        LSH_BANDS,
+        LSH_ROWS,
+        q_lsh_bucket_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def sig_of(text: str) -> list[int]:
+        t = re.split("[ \t\n\x0b\f\r]+", text.strip().lower())
+        if len(t) >= 3:
+            sh = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        else:
+            sh = [" ".join(t)]
+        keys = [
+            int(hashlib.md5(g.encode()).hexdigest()[:13], 16) for g in sh
+        ]
+        return [
+            min((((x + k * CAL_STEP) % KNUTH_P) * KNUTH_A) % KNUTH_P for x in keys)
+            for k in range(CAL_PERMS)
+        ]
+
+    buckets: Counter = Counter()
+    n_docs_total = 0
+    sigs = {}
+    for r in rows:
+        if not r["text"].strip():
+            continue
+        n_docs_total += 1
+        s = sig_of(r["text"])
+        sigs[r["doc_id"]] = s
+        for b in range(LSH_BANDS):
+            key = ",".join(
+                str(x) for x in s[b * LSH_ROWS : (b + 1) * LSH_ROWS]
+            )
+            buckets[(b, key)] += 1
+    want = {}
+    for b in range(LSH_BANDS):
+        cs = [c for (bb, _), c in buckets.items() if bb == b]
+        want[b] = (
+            len(cs),
+            sum(cs),
+            max(cs),
+            sum(1 for c in cs if c == 1),
+            sum(c * (c - 1) // 2 for c in cs),
+        )
+
+    got = {
+        r["band"]: (
+            r["n_buckets"],
+            r["n_docs"],
+            r["max_bucket"],
+            r["n_singletons"],
+            r["cand_pairs"],
+        )
+        for r in q_lsh_bucket_stats(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) == LSH_BANDS
+    for b, (nb, nd, mx, s1, cp) in got.items():
+        assert nd == n_docs_total
+        assert mx >= 2  # the corpus has exact dups: some bucket collides
+        assert cp >= mx * (mx - 1) // 2
+        assert s1 <= nb
