@@ -608,6 +608,50 @@ def q_rel_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week traffic profile — the seasonality
+    baseline a log pipeline maintains for capacity planning and
+    anomaly detection (rel_hourly_anomalies flags deviations; this is
+    the profile they deviate FROM).  Emits per (dow, hour) cell the
+    event count, the e6 share, and the peak flag.
+
+    Cross-engine: dow/hour come from pure integer epoch math —
+    (epoch DIV 86400 + 4) % 7 (1970-01-01 was a Thursday; 0 = Sunday)
+    and (epoch % 86400) DIV 3600 — NEVER the engines' dayofweek()
+    (Spark is 1-based Sunday, DuckDB 0-based; the integer form
+    sidesteps the convention entirely); epochs are floor-truncated
+    seconds (the rel_event_sessions rule).
+
+    Scale path: one pure map + ONE ≤168-key hash agg; the share/peak
+    windows run over the 168-row profile — metadata scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("es")
+    )
+    b = ev.select(
+        F.expr("(es DIV 86400 + 4) % 7").cast("long").alias("dow"),
+        F.expr("(es % 86400) DIV 3600").cast("long").alias("hour"),
+    ).groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("_tot"),
+        F.max("n_events").over(w).cast("long").alias("_mx"),
+    ).select(
+        "dow",
+        "hour",
+        "n_events",
+        F.expr("(n_events * 1000000) DIV _tot").alias("share_e6"),
+        F.when(F.col("n_events") == F.col("_mx"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_peak"),
+    )
+
+
 def q_rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences — the behavioral model a log pipeline fits for
@@ -1285,6 +1329,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_markov_transitions": q_rel_markov_transitions,
     "rel_ab_ztest": q_rel_ab_ztest,
     "rel_basket_lift": q_rel_basket_lift,
+    "rel_seasonality": q_rel_seasonality,
     "rel_survival_table": q_rel_survival_table,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
@@ -1659,6 +1704,22 @@ SELECT type_a, type_b, n_ab,
 FROM pairs
 JOIN singles sa ON sa.event_type = pairs.type_a
 JOIN singles sb ON sb.event_type = pairs.type_b, nu
+""",
+    "rel_seasonality": """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), b AS (
+  SELECT (es // 86400 + 4) % 7 AS dow,
+         (es % 86400) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1, 2
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n_events,
+       CAST((n_events * 1000000) // sum(n_events) OVER () AS BIGINT)
+         AS share_e6,
+       CAST(CASE WHEN n_events = max(n_events) OVER () THEN 1 ELSE 0 END
+            AS BIGINT) AS is_peak
+FROM b
 """,
     "rel_markov_transitions": """
 WITH pairs AS (

@@ -804,3 +804,46 @@ def test_basket_lift_matches_replica_and_symmetry(spark):
         assert a < b
         assert n_ab <= min(n_a, n_b)
         assert cfa <= 1000 and cfb <= 1000
+
+
+def test_seasonality_matches_replica_and_profile_contracts(spark):
+    """Cells must equal the Python replica (integer epoch dow/hour,
+    truncating-DIV e6 shares, peak flag); cells must partition the
+    log, dow/hour must stay in range, shares must sum into
+    (1e6 − n_cells, 1e6], and exactly the max cells must carry
+    is_peak."""
+    from collections import Counter
+
+    from rxtls_spark.queries_relational import q_rel_seasonality
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    es = [
+        r["es"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.unix_timestamp("ts").alias("es"))
+        .collect()
+    ]
+    cells: Counter = Counter()
+    for e in es:
+        cells[((e // 86400 + 4) % 7, (e % 86400) // 3600)] += 1
+    tot = sum(cells.values())
+    mx = max(cells.values())
+    want = {
+        (d, h): (n, n * 1000000 // tot, 1 if n == mx else 0)
+        for (d, h), n in cells.items()
+    }
+
+    got = {
+        (r["dow"], r["hour"]): (r["n_events"], r["share_e6"], r["is_peak"])
+        for r in q_rel_seasonality(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    assert sum(v[0] for v in got.values()) == tot
+    assert all(0 <= d <= 6 and 0 <= h <= 23 for d, h in got)
+    s = sum(v[1] for v in got.values())
+    assert 1000000 - len(got) < s <= 1000000
+    assert sum(v[2] for v in got.values()) == sum(
+        1 for v in got.values() if v[0] == mx
+    )
