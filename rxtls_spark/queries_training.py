@@ -11339,6 +11339,288 @@ FROM counts GROUP BY 1
 """
 
 
+# DP release constants — MIRRORED in `_dp_noisy_counts_sql`; change
+# together.  DP_EPS_E3 is the epsilon (e3); the two-sided geometric
+# noise table is computed ONCE in Python from the inverse CDF at
+# permille midpoints and spliced into BOTH engines as a literal array
+# (the `_ndcg_weights` rule — no engine float walks the CDF); the
+# per-group draw is the md5-13-hex → knuth permille of the group key
+# (the bloom_dedup key pairing), salted so re-releases re-randomize.
+DP_EPS_E3 = 1000
+DP_SALT = "dp1"
+
+
+def _dp_noise_table(eps_e3: int = DP_EPS_E3) -> list[int]:
+    """Inverse-CDF table of the two-sided geometric mechanism at
+    permille midpoints u = (2r+1)/2000, support ordered 0, −1, +1,
+    −2, +2, … — the discrete Laplace that makes integer counts
+    ε-differentially-private at sensitivity 1 (Ghosh et al. 2009,
+    'Universally utility-maximizing privacy mechanisms')."""
+    import math
+
+    alpha = math.exp(-eps_e3 / 1000.0)
+    p0 = (1 - alpha) / (1 + alpha)
+
+    def inv(u: float) -> int:
+        c = p0
+        if u < c:
+            return 0
+        k = 1
+        while True:
+            pk = p0 * alpha**k
+            c += pk
+            if u < c:
+                return -k
+            c += pk
+            if u < c:
+                return k
+            k += 1
+
+    return [inv((2 * r + 1) / 2000.0) for r in range(1000)]
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of the (source, lang) corpus
+    histogram via the two-sided geometric mechanism — the privacy
+    gate that pairs with `k_anonymity`: k-anonymity audits the
+    record-level release, this releases AGGREGATES with a formal
+    (ε=1) guarantee, the mechanism regulators and data-sharing
+    agreements actually name.  Emits per group the true count (kept
+    for the audit — the release column is noisy_n), the noise drawn,
+    the released count (clamped ≥ 0), and the epsilon.
+
+    Cross-engine: the noise table is a 1000-entry literal array
+    identical in both engines; the draw is the deterministic
+    md5(salt‖group) permille through the knuth permutation — pure
+    BIGINT end to end, no engine float anywhere.
+
+    Scale shape: ONE group hash agg (groups are metadata-scale) plus
+    a pure map — the table lookup compiles into the row expression."""
+    tab = _dp_noise_table()
+    arr = F.array(*[F.lit(x) for x in tab])
+    g = _docs(spark, sf_dir).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    r = (
+        F.expr(
+            f"(((cast(conv(substring(md5(concat('{DP_SALT}', source, '|',"
+            f" lang)), 1, 13), 16, 10) AS bigint)) % {KNUTH_P})"
+            f" * {KNUTH_A}) % {KNUTH_P} % 1000"
+        )
+    ).alias("draw")
+    out = g.select("source", "lang", "true_n", r)
+    return out.select(
+        "source",
+        "lang",
+        "true_n",
+        F.element_at(arr, F.col("draw").cast("int") + 1)
+        .cast("long")
+        .alias("noise"),
+        F.greatest(
+            F.expr(
+                "true_n + "
+                + f"element_at(array({', '.join(str(x) for x in tab)}),"
+                " cast(draw as int) + 1)"
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("noisy_n"),
+        F.lit(DP_EPS_E3).cast("long").alias("eps_e3"),
+    )
+
+
+def _dp_noisy_counts_sql() -> str:
+    """dp_noisy_counts oracle: identical literal noise table, the
+    same md5(salt‖group) knuth permille draw, clamped release."""
+    tab = _dp_noise_table()
+    lst = "[" + ", ".join(str(x) for x in tab) + "]"
+    draw = (
+        f"((((('0x' || substr(md5('{DP_SALT}' || source || '|' || lang),"
+        f" 1, 13))::BIGINT) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}) % 1000"
+    )
+    return f"""
+WITH g AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS true_n
+  FROM documents GROUP BY 1, 2
+), d AS (
+  SELECT source, lang, true_n, {draw} AS draw FROM g
+)
+SELECT source, lang, true_n,
+       CAST({lst}[CAST(draw AS INT) + 1] AS BIGINT) AS noise,
+       CAST(greatest(true_n + {lst}[CAST(draw AS INT) + 1], 0) AS BIGINT)
+         AS noisy_n,
+       CAST({DP_EPS_E3} AS BIGINT) AS eps_e3
+FROM d
+"""
+
+
+# HyperLogLog spec — MIRRORED in `_hll_distinct_sql`; change
+# together.  m = 64 registers from the low 6 bits of the md5-13-hex
+# key; rho = leading-zero rank of the remaining 46 bits via the
+# SPLICED CASE ladder `_hll_rho_case` (one Python helper, both
+# engines — no engine log2 anywhere near a power of two); the
+# harmonic sum is EXACT: Σ 2^(47−M_j) as BIGINT over denominator
+# 2^47.  The small-range linear-counting branch exists for spec
+# fidelity; with vocab >> m it never fires here (pytest-locked).
+HLL_M = 64
+HLL_REM_BITS = 46
+
+
+def _hll_rho_case(var: str) -> str:
+    """CASE ladder: rank of the highest set bit of the 46-bit `var`
+    counted from the top (1 = top bit set … 46 = lowest bit only,
+    47 = zero) — identical text spliced into BOTH engines."""
+    whens = " ".join(
+        f"WHEN {var} >= {1 << (HLL_REM_BITS - k)} THEN {k}"
+        for k in range(1, HLL_REM_BITS + 1)
+    )
+    return f"CASE {whens} ELSE {HLL_REM_BITS + 1} END"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog distinct-BIGRAM estimate next to the
+    exact count (Flajolet et al. 2007) — the oracle-checkable twin of
+    `distinct_domains_approx` (whose built-in HLL sketch DuckDB
+    cannot mirror, so the driver only row-checks it): every piece
+    here — md5 bucketing, leading-zero registers, the harmonic sum —
+    is deterministic and identical in both engines, so the SKETCH
+    ITSELF is value-hash-checked, not just its row count.  Emits one
+    row: registers used, the exact integer harmonic numerator, the
+    e3 estimate, the exact distinct count, and the signed permille
+    error.
+
+    Cross-engine: key = md5-13-hex BIGINT (the bloom_dedup pairing);
+    bucket = key % m, remainder = key DIV m; rho via the spliced CASE
+    ladder; register max and Σ 2^(47−M_j) are pure BIGINT; the final
+    estimate α·m²·2^47 / S is the ONE-expression double on the exact
+    BIGINT S (identical operands → identical IEEE result), e3-floored.
+
+    Scale shape: token explode → ONE hash agg onto ≤m register rows
+    (map-side combine reduces every partition to ≤m rows — the
+    classic sketch shape, exactly why HLL exists at 100 TB); the
+    exact count (audit column) is the standard two-exchange distinct;
+    the combine is a 1-row crossJoin."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("text")
+        .where(F.trim("text") != "")
+    )
+    # bigram types (not unigrams): the synthetic vocabulary is ~60
+    # tokens — fewer than the m=64 registers — which would park the
+    # sketch in the linear-counting corner; bigram cardinality is in
+    # the thousands and exercises the standard estimator path.
+    toks = docs.select(F.explode(_bigrams()).alias("g"))
+    keyed = toks.select(
+        F.expr(
+            "cast(conv(substring(md5(g), 1, 13), 16, 10) AS bigint)"
+        ).alias("x")
+    ).select(
+        (F.col("x") % HLL_M).alias("b"),
+        F.expr(
+            _hll_rho_case(f"(x DIV {HLL_M})")
+        ).cast("long").alias("rho"),
+    )
+    regs = keyed.groupBy("b").agg(F.max("rho").cast("long").alias("m_j"))
+    sk = regs.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({HLL_REM_BITS + 1} - m_j AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("s_present"),
+    )
+    exact = toks.agg(
+        F.countDistinct("g").cast("long").alias("n_exact")
+    )
+    both = sk.crossJoin(F.broadcast(exact))
+    two47 = 1 << (HLL_REM_BITS + 1)
+    raw = (
+        f"((0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
+        f" * {two47}.0 / CAST(s_num AS DOUBLE))"
+    )
+    lin = f"({HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - n_used AS DOUBLE)))"
+    return both.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "n_used",
+        F.expr(
+            f"s_present + ({HLL_M} - n_used) * CAST({two47} AS BIGINT)"
+        ).alias("s_num"),
+        "n_exact",
+    ).select(
+        "m",
+        "n_used",
+        "s_num",
+        F.expr(
+            f"CAST(floor(CASE WHEN {HLL_M} - CAST(n_used AS INT) > 0"
+            f" AND {raw} <= 2.5 * {HLL_M}.0 THEN {lin}"
+            f" ELSE {raw} END * 1000) AS BIGINT)"
+        ).alias("est_e3"),
+        "n_exact",
+        F.expr(
+            "((CAST(floor(CASE WHEN "
+            + f"{HLL_M} - CAST(n_used AS INT) > 0 AND {raw} <= 2.5 * {HLL_M}.0"
+            + f" THEN {lin} ELSE {raw} END * 1000) AS BIGINT)"
+            + " - n_exact * 1000) * 1000) DIV (n_exact * 1000)"
+        ).alias("err_permille"),
+    )
+
+
+def _hll_distinct_sql() -> str:
+    """hll_distinct oracle: identical key split, the same spliced rho
+    ladder, BIGINT registers/harmonic numerator, identical estimate
+    expression."""
+    two47 = 1 << (HLL_REM_BITS + 1)
+    raw = (
+        f"((0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
+        f" * {two47}.0 / CAST(s_num AS DOUBLE))"
+    )
+    lin = f"({HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - n_used AS DOUBLE)))"
+    est = (
+        f"CAST(floor(CASE WHEN {HLL_M} - CAST(n_used AS INT) > 0"
+        f" AND {raw} <= 2.5 * {HLL_M}.0 THEN {lin}"
+        f" ELSE {raw} END * 1000) AS BIGINT)"
+    )
+    return f"""
+WITH tt AS (
+  SELECT regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS g
+  FROM tt
+), keyed AS (
+  SELECT ('0x' || substr(md5(g), 1, 13))::BIGINT AS x FROM toks
+), rr AS (
+  SELECT x % {HLL_M} AS b,
+         {_hll_rho_case(f"(x // {HLL_M})")} AS rho
+  FROM keyed
+), regs AS (
+  SELECT b, CAST(max(rho) AS BIGINT) AS m_j FROM rr GROUP BY 1
+), sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum(CAST(1 AS BIGINT) << CAST({HLL_REM_BITS + 1} - m_j AS INT))
+              AS BIGINT) AS s_present
+  FROM regs
+), ex AS (
+  SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_exact FROM toks
+), comb AS (
+  SELECT CAST({HLL_M} AS BIGINT) AS m, n_used,
+         s_present + ({HLL_M} - n_used) * CAST({two47} AS BIGINT) AS s_num,
+         n_exact
+  FROM sk, ex
+)
+SELECT m, n_used, s_num, {est} AS est_e3, n_exact,
+       CAST((({est} - n_exact * 1000) * 1000) // (n_exact * 1000)
+            AS BIGINT) AS err_permille
+FROM comb
+"""
+
+
 # Blocklist spec — MIRRORED in the `blocklist_filter` oracle SQL;
 # change together.  Substring (not token) matching by design — the
 # UT1/wordlist convention, catches phrases across token boundaries;
@@ -12152,6 +12434,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_normalize": q_quantile_normalize,
     "best_of_n": q_best_of_n,
     "lsh_bucket_stats": q_lsh_bucket_stats,
+    "dp_noisy_counts": q_dp_noisy_counts,
+    "hll_distinct": q_hll_distinct,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
@@ -14286,6 +14570,8 @@ WHERE rn <= 10
         "quantile_normalize": _quantile_normalize_sql(),
         "best_of_n": _best_of_n_sql(),
         "lsh_bucket_stats": _lsh_bucket_stats_sql(),
+        "dp_noisy_counts": _dp_noisy_counts_sql(),
+        "hll_distinct": _hll_distinct_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

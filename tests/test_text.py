@@ -5268,3 +5268,131 @@ def test_lsh_bucket_stats_matches_replica_and_accounting(spark):
         assert mx >= 2  # the corpus has exact dups: some bucket collides
         assert cp >= mx * (mx - 1) // 2
         assert s1 <= nb
+
+
+def test_dp_noisy_counts_matches_replica_and_dp_contracts(spark):
+    """Rows must equal the Python replica (identical inverse-CDF
+    table, md5(salt‖group) knuth permille draws); groups must
+    partition the corpus, noise must stay within the table's support,
+    noisy_n must clamp at 0, and the noise must not be all-zero
+    across groups (the mechanism actually perturbs)."""
+    import hashlib
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        DP_EPS_E3,
+        DP_SALT,
+        _dp_noise_table,
+        q_dp_noisy_counts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    tab = _dp_noise_table()
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "lang")
+        .collect()
+    )
+    from collections import Counter
+
+    true_n: Counter = Counter()
+    for r in rows:
+        true_n[(r["source"], r["lang"])] += 1
+    want = {}
+    for (s, lg), n in true_n.items():
+        key = int(
+            hashlib.md5(f"{DP_SALT}{s}|{lg}".encode()).hexdigest()[:13], 16
+        )
+        draw = ((key % KNUTH_P) * KNUTH_A) % KNUTH_P % 1000
+        noise = tab[draw]
+        want[(s, lg)] = (n, noise, max(n + noise, 0), DP_EPS_E3)
+
+    got = {
+        (r["source"], r["lang"]): (
+            r["true_n"],
+            r["noise"],
+            r["noisy_n"],
+            r["eps_e3"],
+        )
+        for r in q_dp_noisy_counts(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    assert sum(v[0] for v in got.values()) == len(rows)
+    mx = max(abs(x) for x in tab)
+    assert all(abs(v[1]) <= mx for v in got.values())
+    assert all(v[2] >= 0 for v in got.values())
+    assert any(v[1] != 0 for v in got.values())
+    # table sanity: zero-mass ≈ (1-α)/(1+α) of permilles, symmetric
+    assert 440 <= tab.count(0) <= 490
+    assert abs(sum(tab)) <= 10
+
+
+def test_hll_distinct_matches_replica_and_hll_contracts(spark):
+    """The single-row sketch must equal the Python HLL replica
+    (md5-13-hex keys, 64 registers, leading-zero ranks, exact BIGINT
+    harmonic numerator, the identical estimate expression); the
+    small-range branch must NOT fire (vocab >> m), every register
+    must be in use, and the estimate must land within the ~3σ HLL
+    band (σ ≈ 1.04/√64 = 13%) of the exact count."""
+    import hashlib
+    import math
+
+    from rxtls_spark.queries_training import (
+        HLL_M,
+        HLL_REM_BITS,
+        q_hll_distinct,
+    )
+    from tests.conftest import SF_SMOKE
+    import re
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+        if r["text"].strip()
+    ]
+    regs: dict[int, int] = {}
+    exact = set()
+    for t in texts:
+        w = re.split("[ \t\n\x0b\f\r]+", t.strip().lower())
+        for g in (f"{a} {b}" for a, b in zip(w, w[1:])):
+            exact.add(g)
+            x = int(hashlib.md5(g.encode()).hexdigest()[:13], 16)
+            b, rem = x % HLL_M, x // HLL_M
+            rho = HLL_REM_BITS + 1
+            for k in range(1, HLL_REM_BITS + 1):
+                if rem >= 1 << (HLL_REM_BITS - k):
+                    rho = k
+                    break
+            regs[b] = max(regs.get(b, 0), rho)
+    n_used = len(regs)
+    two47 = 1 << (HLL_REM_BITS + 1)
+    s_num = sum(1 << (HLL_REM_BITS + 1 - m) for m in regs.values()) + (
+        HLL_M - n_used
+    ) * two47
+    raw = (
+        (0.7213 / (1.0 + 1.079 / HLL_M))
+        * HLL_M
+        * HLL_M
+        * float(two47)
+        / float(s_num)
+    )
+    assert not (HLL_M - n_used > 0 and raw <= 2.5 * HLL_M)  # no small-range
+    est_e3 = math.floor(raw * 1000)
+    err = (est_e3 - len(exact) * 1000) * 1000
+    err = (
+        abs(err) // (len(exact) * 1000) * (1 if err >= 0 else -1)
+    )
+
+    [row] = q_hll_distinct(spark, SF_SMOKE).collect()
+    assert (
+        row["m"],
+        row["n_used"],
+        row["s_num"],
+        row["est_e3"],
+        row["n_exact"],
+        row["err_permille"],
+    ) == (HLL_M, n_used, s_num, est_e3, len(exact), err)
+    assert row["n_used"] == HLL_M  # vocab >> m: every register hit
+    assert abs(row["err_permille"]) < 390  # ~3σ of 1.04/sqrt(64)
