@@ -1300,6 +1300,152 @@ def q_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / 7-day rolling active users (DAU / WAU) + stickiness —
+    the engagement headline every log pipeline publishes.  Exact
+    rolling DISTINCT cannot ride a window function (distinct doesn't
+    decompose over sliding frames); the scale shape is the bounded-day
+    range join: dedup to (day, user) pairs once, broadcast the day
+    list (≤ horizon days — metadata scale even over a decade), fan
+    each pair to the ≤7 target days it covers map-side, and count
+    distinct per target day.
+
+    Cross-engine: day = es DIV 86400 on floor-seconds epochs (the
+    rel_seasonality rule); stickiness_permille = (dau·1000) DIV wau —
+    non-negative truncating DIV.
+
+    Scale path: one (day, user) dedup shuffle + one (day, user)
+    distinct agg after the broadcast fan-out — no global sort, no
+    per-user window; at 10^12 events the pair table is the bound and
+    both shuffles are on it."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias("day"),
+        "user_id",
+    )
+    ud = ev.distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    tgt = days.select(F.col("day").alias("tday"))
+    wau = (
+        ud.join(
+            F.broadcast(tgt),
+            (F.col("day") >= F.col("tday") - F.lit(6))
+            & (F.col("day") <= F.col("tday")),
+        )
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .withColumnRenamed("tday", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000) DIV wau").alias("stickiness_permille"),
+        )
+    )
+
+
+def q_rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation over
+    the purchase log — the classic customer-value partition a log
+    pipeline feeds to marketing and churn models.  Per purchasing
+    user: days since last purchase (anchored at the latest purchase in
+    the log), purchase count, exact cent-sum spend, quintile scores
+    1..5 per dimension, and the segment verdict (CASE order IS the
+    semantics).
+
+    Cross-engine exactness: cents = floor(value·100 + 0.5) per row
+    (the round5_stable discipline — identical IEEE fold both engines),
+    then exact BIGINT sums.  Quintiles NEVER use ntile/row_number over
+    users (tie order would be engine-dependent, and a global sort of
+    10^9 users is the anti-pattern the histogram gate replaced):
+    min-rank comes from the BOUNDED metric histogram — rank(v) = 1 +
+    Σ cnt[better buckets], score = 5 − (5·(rank−1)) DIV n — so tied
+    users get identical scores by construction.  Monetary ranks over
+    whole-dollar buckets (m_cents DIV 100) to keep that histogram
+    bounded; recency buckets are days (≤ horizon), frequency buckets
+    are counts.
+
+    Scale path: ONE per-user hash agg, three bounded-histogram aggs
+    with metadata-scale cum windows, three broadcast joins back —
+    no corpus-wide sort or window anywhere."""
+    p = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("long").alias("es"),
+            F.expr(
+                "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    u = p.groupBy("user_id").agg(
+        F.expr("max(es) DIV 86400").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum("cents").cast("long").alias("m_cents"),
+    )
+    anchor = u.agg(F.max("last_day").alias("anchor_day"))
+    m = u.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("anchor_day") - F.col("last_day")).alias("r_days"),
+        "f",
+        "m_cents",
+        F.expr("m_cents DIV 100").alias("m_b"),
+    )
+
+    def _cum(col: str, better_desc: bool) -> DataFrame:
+        """Bounded histogram of `col` with the count of strictly-better
+        buckets (better = smaller when better_desc is False)."""
+        h = m.groupBy(F.col(col).alias("b")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        order = F.col("b").desc() if better_desc else F.col("b").asc()
+        w = (
+            Window.orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return h.select(
+            "b",
+            F.coalesce(F.sum("c").over(w), F.lit(0))
+            .cast("long")
+            .alias("better"),
+        )
+
+    n_row = m.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hr = _cum("r_days", better_desc=False)
+    hf = _cum("f", better_desc=True)
+    hm = _cum("m_b", better_desc=True)
+    scored = (
+        m.join(F.broadcast(hr.withColumnRenamed("better", "rb")),
+               m.r_days == hr.b).drop("b")
+        .join(F.broadcast(hf.withColumnRenamed("better", "fb")),
+              m.f == hf.b).drop("b")
+        .join(F.broadcast(hm.withColumnRenamed("better", "mb")),
+              m.m_b == hm.b).drop("b")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "user_id", "r_days", "f", "m_cents",
+            F.expr("5 - (5 * rb) DIV n").alias("r_score"),
+            F.expr("5 - (5 * fb) DIV n").alias("f_score"),
+            F.expr("5 - (5 * mb) DIV n").alias("m_score"),
+        )
+    )
+    return scored.withColumn(
+        "segment",
+        F.expr(
+            "CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion' "
+            "WHEN f_score >= 4 THEN 'loyal' "
+            "WHEN r_score >= 4 AND f_score <= 2 THEN 'new' "
+            "WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk' "
+            "WHEN r_score <= 2 THEN 'hibernating' "
+            "ELSE 'regular' END"
+        ),
+    )
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
@@ -1330,6 +1476,8 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_ab_ztest": q_rel_ab_ztest,
     "rel_basket_lift": q_rel_basket_lift,
     "rel_seasonality": q_rel_seasonality,
+    "rel_rolling_actives": q_rel_rolling_actives,
+    "rel_rfm_segments": q_rel_rfm_segments,
     "rel_survival_table": q_rel_survival_table,
     "rel_range_join": q_range_join,
     "rel_skew_salted_join": q_skew_salted_join,
@@ -1904,5 +2052,83 @@ SELECT CAST((es // 3600) * 3600 - off AS BIGINT) AS win_start,
        round(sum(value), 2) AS sum_value
 FROM e CROSS JOIN offs
 GROUP BY 1, 2
+""",
+    # Exact rolling distinct via the bounded-day range join — mirrors
+    # q_rel_rolling_actives (day = es DIV 86400, the seasonality rule).
+    "rel_rolling_actives": """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+  FROM events
+), ud AS (
+  SELECT DISTINCT day, user_id FROM e
+), days AS (
+  SELECT DISTINCT day FROM ud
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), wau AS (
+  SELECT d.day AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+)
+SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+       CAST((dau.dau * 1000) // wau.wau AS BIGINT) AS stickiness_permille
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+    # Mirrors q_rel_rfm_segments: cents = floor(value*100 + 0.5) per
+    # row, min-rank quintiles from bounded metric histograms (rank =
+    # 1 + strictly-better count, score = 5 - (5*(rank-1)) // n), whole-
+    # dollar monetary buckets, verdict CASE order IS the semantics.
+    "rel_rfm_segments": """
+WITH p AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), u AS (
+  SELECT user_id,
+         max(es) // 86400 AS last_day,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(cents) AS BIGINT) AS m_cents
+  FROM p GROUP BY 1
+), anc AS (
+  SELECT max(last_day) AS anchor_day FROM u
+), m AS (
+  SELECT user_id, anchor_day - last_day AS r_days, f, m_cents,
+         m_cents // 100 AS m_b
+  FROM u, anc
+), hr AS (
+  SELECT b, coalesce(sum(c) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS better
+  FROM (SELECT r_days AS b, CAST(count(*) AS BIGINT) AS c
+        FROM m GROUP BY 1)
+), hf AS (
+  SELECT b, coalesce(sum(c) OVER (ORDER BY b DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS better
+  FROM (SELECT f AS b, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1)
+), hm AS (
+  SELECT b, coalesce(sum(c) OVER (ORDER BY b DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS better
+  FROM (SELECT m_b AS b, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1)
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM m
+), scored AS (
+  SELECT m.user_id, m.r_days, m.f, m.m_cents,
+         CAST(5 - (5 * hr.better) // nn.n AS BIGINT) AS r_score,
+         CAST(5 - (5 * hf.better) // nn.n AS BIGINT) AS f_score,
+         CAST(5 - (5 * hm.better) // nn.n AS BIGINT) AS m_score
+  FROM m
+  JOIN hr ON m.r_days = hr.b
+  JOIN hf ON m.f = hf.b
+  JOIN hm ON m.m_b = hm.b, nn
+)
+SELECT user_id, CAST(r_days AS BIGINT) AS r_days, f, m_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
 """,
 }

@@ -3976,6 +3976,193 @@ LEFT JOIN r2 ON i.doc_id = r2.v
 """
 
 
+# k-core peel constants — mirrored in the unrolled `_kcore_sql` oracle.
+# K=7 is sized to the knuth graph's 5-10 degree band so BOTH branches
+# (peeled rounds 1..PEELS and in-core survivors) fire at every SF
+# (verified: sf0.01 peels 105/107/169 leaving 119; sf0.1 peels 9/4/3
+# leaving 4984).  The SEVENTH knuth-edge-graph consumer (with
+# pagerank/hits/lpa/triangles/link_predict/khop_reach).
+KCORE_K = 7
+KCORE_PEELS = 3
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (synchronous peel, Matula & Beck 1983 /
+    Batagelj-Zaveršnik) over the undirected `pagerank` link graph —
+    the crawl-graph density filter a web pipeline uses to find the
+    densely-linked center of the web (spam farms and link hubs
+    concentrate in high cores; orphan/periphery pages peel early) and
+    to prioritize recrawl budget.
+
+    Semantics: round t removes EVERY node whose degree among current
+    survivors is < KCORE_K (synchronous — all removals of a round see
+    the same survivor set), for KCORE_PEELS rounds; `removed_round` is
+    the peel round (0 = survived all rounds = the approximate K-core),
+    `core_deg` the survivor-subgraph degree (0 for peeled nodes).  A
+    fixed round count instead of peel-to-convergence is the bounded-
+    iteration discipline every unrolled loop here follows (kmeans,
+    pagerank, LPA).
+
+    Cross-engine exactness: pure BIGINT ids/degrees/flags — exact by
+    construction, no floats anywhere.
+
+    Scale shape: the canonical distributed k-core — the undirected
+    edge set is built by a pure map and localCheckpoint'd once; each
+    round is two semi-joins of edges against the survivor set + one
+    v-keyed count agg + one degree-filter anti/semi join; removal
+    rounds accumulate by unionAll of anti-joins.  No window, no sort;
+    at 100 TB every step is a hash equi-join on node keys."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    de = ids.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+    und = (
+        de.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    deg0 = adj.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("deg0")
+    )
+
+    alive = ids.select(F.col("doc_id").alias("v"))
+    removed = None
+    for t in range(1, KCORE_PEELS + 1):
+        ea = adj.join(
+            alive.withColumnRenamed("v", "av"), F.col("v") == F.col("av")
+        ).drop("av").join(
+            alive.withColumnRenamed("v", "au"), F.col("u") == F.col("au")
+        ).drop("au")
+        degt = ea.groupBy("v").agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+        keep = (
+            alive.join(degt, "v", "left")
+            .where(F.coalesce("d", F.lit(0)) >= KCORE_K)
+            .select("v")
+            .localCheckpoint(eager=False)
+        )
+        rm = alive.join(keep, "v", "left_anti").select(
+            "v", F.lit(t).cast("long").alias("removed_round")
+        )
+        removed = rm if removed is None else removed.unionAll(rm)
+        alive = keep
+    core = adj.join(
+        alive.withColumnRenamed("v", "av"), F.col("v") == F.col("av")
+    ).drop("av").join(
+        alive.withColumnRenamed("v", "au"), F.col("u") == F.col("au")
+    ).drop("au").groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+    return (
+        ids.join(deg0, ids["doc_id"] == deg0["v"], "left").drop("v")
+        .join(removed, ids["doc_id"] == removed["v"], "left").drop("v")
+        .join(core, ids["doc_id"] == core["v"], "left").drop("v")
+        .select(
+            "doc_id",
+            F.coalesce("deg0", F.lit(0).cast("long")).alias("deg0"),
+            F.coalesce("removed_round", F.lit(0).cast("long")).alias(
+                "removed_round"
+            ),
+            F.when(F.col("removed_round").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("in_core"),
+            F.coalesce("core_deg", F.lit(0).cast("long")).alias("core_deg"),
+        )
+    )
+
+
+def _kcore_sql(
+    outdeg: int = PR_OUTDEG, k: int = KCORE_K, peels: int = KCORE_PEELS
+) -> str:
+    """kcore oracle: the khop edge CTEs → unrolled synchronous peel
+    rounds (per round: survivor-subgraph degree, >= k keep filter,
+    EXCEPT for the removal set) → survivor core degree — all BIGINT,
+    exact by construction."""
+    parts = [f"""WITH ids AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), e0 AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, {outdeg - 1})) AS j
+  FROM ids
+), e1 AS (
+  SELECT src,
+         ((((src * {outdeg} + j) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % (SELECT n FROM nn) AS dst
+  FROM e0
+), e2 AS (
+  SELECT src, dst FROM e1 WHERE dst <> src
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e2
+), adj AS (
+  SELECT a AS v, b AS u FROM und
+  UNION ALL
+  SELECT b AS v, a AS u FROM und
+), deg0 AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg0 FROM adj GROUP BY 1
+), a0 AS (
+  SELECT doc_id AS v FROM ids
+)"""]
+    for t in range(1, peels + 1):
+        parts.append(f""", d{t} AS (
+  SELECT adj.v, CAST(count(*) AS BIGINT) AS d
+  FROM adj
+  JOIN a{t - 1} x ON adj.v = x.v
+  JOIN a{t - 1} y ON adj.u = y.v
+  GROUP BY 1
+), a{t} AS (
+  SELECT a{t - 1}.v FROM a{t - 1}
+  JOIN d{t} ON a{t - 1}.v = d{t}.v
+  WHERE d{t}.d >= {k}
+), r{t} AS (
+  SELECT v, CAST({t} AS BIGINT) AS removed_round FROM (
+    SELECT v FROM a{t - 1} EXCEPT SELECT v FROM a{t})
+)""")
+    rm_union = "\n    UNION ALL\n    ".join(
+        f"SELECT v, removed_round FROM r{t}" for t in range(1, peels + 1)
+    )
+    parts.append(f""", removed AS (
+  SELECT v, removed_round FROM (
+    {rm_union})
+), core AS (
+  SELECT adj.v, CAST(count(*) AS BIGINT) AS core_deg
+  FROM adj
+  JOIN a{peels} x ON adj.v = x.v
+  JOIN a{peels} y ON adj.u = y.v
+  GROUP BY 1
+)
+SELECT i.doc_id,
+  CAST(coalesce(deg0.deg0, 0) AS BIGINT) AS deg0,
+  CAST(coalesce(removed.removed_round, 0) AS BIGINT) AS removed_round,
+  CAST(CASE WHEN removed.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core,
+  CAST(coalesce(core.core_deg, 0) AS BIGINT) AS core_deg
+FROM ids i
+LEFT JOIN deg0 ON i.doc_id = deg0.v
+LEFT JOIN removed ON i.doc_id = removed.v
+LEFT JOIN core ON i.doc_id = core.v
+""")
+    return "".join(parts)
+
+
 # PCA power-iteration count / dim — mirrored in the unrolled oracle SQL.
 PCA_ITERS = 3
 PCA_DIM = 64
@@ -11455,6 +11642,343 @@ FROM d
 """
 
 
+# Poisson-bootstrap spec — BOOT_B / BOOT_DRAW_MUL / the rank picks and
+# the `_poisson_weight_table` literals are MIRRORED in
+# `_poisson_bootstrap_sql`; change together.  The weight table is the
+# inverse CDF of Poisson(1) at permille midpoints, computed ONCE in
+# Python and spliced into BOTH engines (the _dp_noise_table rule).
+BOOT_B = 20
+BOOT_DRAW_MUL = BOOT_B + 1  # (doc_id*MUL + b) is injective over b
+BOOT_LO_RANK = 2            # 2nd smallest of 20 ≈ 5th percentile
+BOOT_HI_RANK = BOOT_B - BOOT_LO_RANK + 1  # 19th ≈ 95th percentile
+
+
+def _poisson_weight_table() -> list[int]:
+    """Inverse CDF of Poisson(mean 1) at the 1000 permille midpoints
+    (2r+1)/2000 — the per-(doc, replicate) resample weight of the
+    Poisson bootstrap.  Values 0..6; the table mean is ~1 by
+    construction (pytest-locked)."""
+    import math
+
+    def inv(u: float) -> int:
+        c = 0.0
+        k = 0
+        pk = math.exp(-1.0)
+        while True:
+            c += pk
+            if u < c:
+                return k
+            k += 1
+            pk /= k
+
+    return [inv((2 * r + 1) / 2000.0) for r in range(1000)]
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for per-source mean
+    quality (Chamandy et al. 2012, 'Estimating uncertainty for
+    massive data streams' — the Google web-scale bootstrap): the
+    error bar a pipeline attaches to every quality dashboard number.
+    Classic multinomial resampling needs the global row count up
+    front; the Poisson approximation draws each doc's replicate
+    weight w ~ Poisson(1) INDEPENDENTLY, so the whole thing is one
+    streaming pass.  Emits per source the doc count, the point mean,
+    and the [2nd, 19th]-of-20 replicate-mean order statistics (≈ 90%
+    CI).
+
+    Cross-engine: quality is the stable e5 BIGINT numerator; weights
+    come from the spliced 1000-entry Poisson(1) inverse-CDF literal
+    table indexed by the knuth permille of (doc_id·MUL + b); replicate
+    means are Σw·q DIV Σw (truncating, non-negative); order stats are
+    row_number ranks over the B=20 bounded replicate table — all
+    BIGINT end to end, no engine float anywhere.
+
+    Scale shape: ONE map-side explode (×B rows feeding a partial agg —
+    the shuffle carries (source, b) partials, not the exploded rows),
+    ONE (source, b) hash agg on B·n_sources keys, then metadata-scale
+    windows over ≤B rows per source.  Σw·q_e5 < 2^63 to ~1.5·10^12
+    docs/source (w ≤ 6, q_e5 ≤ 1e5)."""
+    tab = _poisson_weight_table()
+    arr = F.array(*[F.lit(x) for x in tab])
+    qnum = F.floor(quality_score() * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    uni = _docs(spark, sf_dir).select(
+        "source", "doc_id", qnum.alias("q_e5")
+    )
+    reps = uni.select(
+        "source",
+        "q_e5",
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b0"),
+    ).select(
+        "source",
+        "q_e5",
+        F.col("b0").cast("long").alias("b"),
+        (
+            knuth_hash(
+                F.col("doc_id") * BOOT_DRAW_MUL + F.col("b0").cast("long")
+            )
+            % 1000
+        ).alias("draw"),
+    )
+    dw = reps.select(
+        "source",
+        "b",
+        "q_e5",
+        F.element_at(arr, F.col("draw").cast("int") + 1)
+        .cast("long")
+        .alias("w"),
+    )
+    rb = dw.groupBy("source", "b").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("q_e5")).cast("long").alias("swq"),
+    )
+    means = rb.select(
+        "source",
+        "b",
+        F.expr("CASE WHEN sw > 0 THEN swq DIV sw ELSE 0 END").alias(
+            "mean_e5"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("source").orderBy("mean_e5", "b")
+    ranked = means.withColumn("rk", F.row_number().over(wr))
+    ci = ranked.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rk") == BOOT_LO_RANK, F.col("mean_e5"))
+        ).cast("long").alias("boot_lo_e5"),
+        F.max(
+            F.when(F.col("rk") == BOOT_HI_RANK, F.col("mean_e5"))
+        ).cast("long").alias("boot_hi_e5"),
+    )
+    pt = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST(sum(q_e5) DIV count(*) AS BIGINT)").alias("mean_e5"),
+    )
+    return pt.join(ci, "source").select(
+        "source",
+        "n_docs",
+        "mean_e5",
+        "boot_lo_e5",
+        "boot_hi_e5",
+        F.lit(BOOT_B).cast("long").alias("n_reps"),
+    )
+
+
+def _poisson_bootstrap_sql() -> str:
+    """poisson_bootstrap oracle: identical spliced weight table, the
+    same knuth permille draw over (doc_id·MUL + b), Σw·q DIV Σw
+    replicate means, row_number order statistics."""
+    tab = _poisson_weight_table()
+    lst = "[" + ", ".join(str(x) for x in tab) + "]"
+    return _TEXT_CTE + f"""
+, qq AS (
+  SELECT doc_id, CAST(floor(({_QUALITY_SQL}) * 100000 + 0.5) AS BIGINT) AS q_e5
+  FROM feats
+), uni AS (
+  SELECT d.source, q.doc_id, q.q_e5
+  FROM qq q JOIN (SELECT doc_id, source FROM documents) d
+    ON q.doc_id = d.doc_id
+), reps AS (
+  SELECT source, doc_id, q_e5,
+         unnest(generate_series(1, {BOOT_B})) AS b
+  FROM uni
+), dw AS (
+  SELECT source, b, q_e5,
+         CAST({lst}[CAST(((((doc_id * {BOOT_DRAW_MUL} + b) % {KNUTH_P})
+              * {KNUTH_A}) % {KNUTH_P}) % 1000 AS INT) + 1] AS BIGINT) AS w
+  FROM reps
+), rb AS (
+  SELECT source, b, CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(w * q_e5) AS BIGINT) AS swq
+  FROM dw GROUP BY 1, 2
+), means AS (
+  SELECT source, b,
+         CAST(CASE WHEN sw > 0 THEN swq // sw ELSE 0 END AS BIGINT)
+           AS mean_e5
+  FROM rb
+), ranked AS (
+  SELECT source, b, mean_e5,
+         row_number() OVER (PARTITION BY source ORDER BY mean_e5, b) AS rk
+  FROM means
+), ci AS (
+  SELECT source,
+         CAST(max(CASE WHEN rk = {BOOT_LO_RANK} THEN mean_e5 END) AS BIGINT)
+           AS boot_lo_e5,
+         CAST(max(CASE WHEN rk = {BOOT_HI_RANK} THEN mean_e5 END) AS BIGINT)
+           AS boot_hi_e5
+  FROM ranked GROUP BY 1
+), pt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(CAST(sum(q_e5) AS BIGINT) // CAST(count(*) AS BIGINT)
+              AS BIGINT) AS mean_e5
+  FROM uni GROUP BY 1
+)
+SELECT pt.source, pt.n_docs, pt.mean_e5, ci.boot_lo_e5, ci.boot_hi_e5,
+       CAST({BOOT_B} AS BIGINT) AS n_reps
+FROM pt JOIN ci ON pt.source = ci.source
+"""
+
+
+# Boilerplate-removal spec — BP_W / BP_DF_MIN and the 8-token
+# synthetic per-source header are MIRRORED in `_boilerplate_sql`;
+# change together.  The header injection is the fixture that makes the
+# DF signal real on the synthetic corpus (the injected-dup / injected-
+# PII precedent): every doc of a source shares its header line, so
+# header chunks have DF ≈ docs-per-source >> BP_DF_MIN while organic
+# 8-grams over the ~60-token vocab never collide (60^8 >> corpus).
+BP_W = 8
+BP_DF_MIN = 10
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-frequency boilerplate removal (the CCNet / RefinedWeb
+    paragraph-dedup step): drop every "line" — here the BP_W-token
+    non-overlapping window, the single-line synthetic corpus's proxy
+    for a line — that occurs in >= BP_DF_MIN DISTINCT documents
+    (nav bars, footers, cookie banners: high document frequency IS
+    the definition of boilerplate), then rebuild each document from
+    its surviving lines in order.  Distinct from dedup: cdc_chunk /
+    span_dedup keep ONE copy of a repeated chunk; boilerplate removal
+    deletes EVERY copy once the chunk crosses the DF threshold.
+    Emits per doc: total/dropped/kept line counts, kept token count,
+    and the md5 of the rebuilt text.
+
+    Cross-engine: tokens via the shared explicit whitespace class;
+    lines built by the SAME transform/slice expression both engines
+    (0-based window index i -> tokens[i*W+1 .. i*W+W], 1-based
+    inclusive slicing, both clamp the final partial window); DF is
+    count(DISTINCT doc_id) over the line md5; the rebuild is an
+    idx-ordered string_agg / sort_array(collect_list) — and the empty
+    rebuild coalesces to '' on BOTH engines (the MLM labels_md5
+    gotcha: DuckDB string_agg over zero rows is NULL where Spark
+    concat_ws gives '').
+
+    Scale shape: map-side explode of (doc_id, idx, line_md5) → ONE
+    DF hash agg (partial-agg combinable) → the over-threshold set is
+    corpus_lines/BP_DF_MIN at worst and joins back as a broadcast
+    anti-join (the dedup bucket-cap discipline) → ONE doc_id
+    re-aggregation rebuilds survivors.  No window over data rows; the
+    per-doc sort_array sorts ≤ lines-per-doc elements."""
+    hdr = F.concat(
+        F.lit("nav "),
+        F.col("source"),
+        F.lit(" home about contact login search footer"),
+    )
+    toks = F.split(
+        F.trim(F.concat(hdr, F.lit(" "), F.col("text"))),
+        "[ \\t\\n\\x0B\\f\\r]+",
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(f"(size(t) + {BP_W - 1}) DIV {BP_W}").alias("nch"),
+        F.size("t").cast("long").alias("n_tokens"),
+    )
+    ex = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("nch") - 1)).alias("idx"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.concat_ws(
+            " ", F.expr(f"slice(t, idx * {BP_W} + 1, {BP_W})")
+        ).alias("line"),
+    ).withColumn("lmd5", F.md5("line"))
+    df_ = ex.groupBy("lmd5").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    bp = df_.where(F.col("df") >= BP_DF_MIN).select("lmd5")
+    kept = ex.join(F.broadcast(bp), "lmd5", "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.expr("size(split(line, ' '))"))
+        .cast("long")
+        .alias("n_kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(idx, line))),"
+                    " s -> s.line)"
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    tot = base.select("doc_id", "nch", "n_tokens")
+    return tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        F.col("nch").alias("n_lines"),
+        (F.col("nch") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+            "n_bp"
+        ),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("n_kept_tokens", F.lit(0).cast("long")).alias(
+            "n_kept_tokens"
+        ),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
+def _boilerplate_sql(w: int = BP_W, df_min: int = BP_DF_MIN) -> str:
+    """boilerplate_lines oracle: identical header injection, window
+    slicing, DF threshold, and idx-ordered rebuild (string_agg ORDER
+    BY idx; the empty rebuild coalesces to '')."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           trim('nav ' || source || ' home about contact login search '
+                || 'footer ' || text),
+           '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t,
+         CAST((len(t) + {w - 1}) // {w} AS BIGINT) AS nch,
+         CAST(len(t) AS BIGINT) AS n_tokens
+  FROM base
+), ex0 AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST(nch AS INT) - 1)) AS idx
+  FROM sized
+), ex AS (
+  SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+         array_to_string(t[idx * {w} + 1 : idx * {w} + {w}], ' ') AS line
+  FROM ex0
+), exm AS (
+  SELECT doc_id, idx, line, md5(line) AS lmd5 FROM ex
+), dfc AS (
+  SELECT lmd5, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM exm GROUP BY 1
+), bp AS (
+  SELECT lmd5 FROM dfc WHERE df >= {df_min}
+), kept AS (
+  SELECT exm.* FROM exm LEFT JOIN bp ON exm.lmd5 = bp.lmd5
+  WHERE bp.lmd5 IS NULL
+), reb AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(len(string_split(line, ' '))) AS BIGINT)
+           AS n_kept_tokens,
+         md5(coalesce(string_agg(line, ' ' ORDER BY idx), '')) AS kept_md5
+  FROM kept GROUP BY 1
+)
+SELECT s.doc_id,
+       s.nch AS n_lines,
+       CAST(s.nch - coalesce(reb.n_kept, 0) AS BIGINT) AS n_bp,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(reb.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       coalesce(reb.kept_md5, md5('')) AS kept_md5
+FROM sized s LEFT JOIN reb ON s.doc_id = reb.doc_id
+"""
+
+
 # HyperLogLog spec — MIRRORED in `_hll_distinct_sql`; change
 # together.  m = 64 registers from the low 6 bits of the md5-13-hex
 # key; rho = leading-zero rank of the remaining 46 bits via the
@@ -12395,6 +12919,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "link_predict": q_link_predict,
     "khop_reach": q_khop_reach,
+    "kcore": q_kcore,
     "proto_prune": q_proto_prune,
     "d4_prune": q_d4_prune,
     "mmr_select": q_mmr_select,
@@ -12435,6 +12960,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "best_of_n": q_best_of_n,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "dp_noisy_counts": q_dp_noisy_counts,
+    "poisson_bootstrap": q_poisson_bootstrap,
+    "boilerplate_lines": q_boilerplate_lines,
     "hll_distinct": q_hll_distinct,
     "edit_verify": q_edit_verify,
     "split_leakage": q_split_leakage,
@@ -14541,6 +15068,7 @@ WHERE rn <= 10
         "label_propagation": _label_propagation_sql(),
         "link_predict": _link_predict_sql(),
         "khop_reach": _khop_sql(),
+        "kcore": _kcore_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
@@ -14571,6 +15099,8 @@ WHERE rn <= 10
         "best_of_n": _best_of_n_sql(),
         "lsh_bucket_stats": _lsh_bucket_stats_sql(),
         "dp_noisy_counts": _dp_noisy_counts_sql(),
+        "poisson_bootstrap": _poisson_bootstrap_sql(),
+        "boilerplate_lines": _boilerplate_sql(),
         "hll_distinct": _hll_distinct_sql(),
         "edit_verify": """
 WITH base AS (

@@ -461,3 +461,63 @@ def test_khop_reach_matches_exact_replica(spark):
         if got["reach2"] > got["reach1"]:
             expanded += 1
     assert expanded > 0
+
+def test_kcore_matches_exact_peel_replica(spark):
+    """Synchronous k-core peel recomputed in Python over the SAME
+    generated simple graph: per node deg0, removed_round, in_core and
+    core_deg must match EXACTLY; both branches (peeled nodes AND
+    survivors) must fire at the smoke SF, and every survivor passed
+    the final round's >= KCORE_K check against the PRE-final survivor
+    set (the bounded-peel invariant — the fully-converged core_deg >=
+    K bound only holds at convergence, which a fixed round count
+    deliberately does not promise)."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        KCORE_K,
+        KCORE_PEELS,
+        PR_OUTDEG,
+        q_kcore,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["doc_id"]: r for r in q_kcore(spark, SF_SMOKE).collect()}
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    adj = {i: set() for i in ids}
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                adj[s].add(d)
+                adj[d].add(s)
+    alive = set(ids)
+    removed_round = {}
+    prev_alive = alive
+    for t in range(1, KCORE_PEELS + 1):
+        deg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+        rm = {v for v in alive if deg[v] < KCORE_K}
+        for v in rm:
+            removed_round[v] = t
+        prev_alive = alive
+        alive = alive - rm
+    assert set(rows) == set(ids)
+    assert removed_round and alive  # both branches fire
+    for v in ids:
+        got = rows[v]
+        assert got["deg0"] == len(adj[v]), v
+        assert got["removed_round"] == removed_round.get(v, 0), v
+        assert got["in_core"] == (0 if v in removed_round else 1), v
+        want_core = (
+            sum(1 for u in adj[v] if u in alive) if v in alive else 0
+        )
+        assert got["core_deg"] == want_core, v
+        if got["in_core"]:
+            # the final-round admission check: degree against the
+            # PRE-final survivor set was >= K
+            assert sum(1 for u in adj[v] if u in prev_alive) >= KCORE_K, v

@@ -847,3 +847,121 @@ def test_seasonality_matches_replica_and_profile_contracts(spark):
     assert sum(v[2] for v in got.values()) == sum(
         1 for v in got.values() if v[0] == mx
     )
+
+def test_rel_rolling_actives_matches_bruteforce(spark):
+    """DAU/WAU recomputed in Python (distinct users per day / per
+    trailing 7-day window) — bit-identical including the truncating
+    stickiness permille; locks dau <= wau, stickiness <= 1000, and
+    that some day genuinely accumulates (wau > dau)."""
+    from rxtls_spark.queries_relational import q_rel_rolling_actives
+
+    got = {
+        r["day"]: r for r in q_rel_rolling_actives(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("long").alias("es"),
+        )
+        .collect()
+    )
+    by_day: dict[int, set] = {}
+    for r in ev:
+        by_day.setdefault(r["es"] // 86400, set()).add(r["user_id"])
+    assert set(got) == set(by_day)
+    accumulates = 0
+    for d, users in by_day.items():
+        week = set()
+        for dd in range(d - 6, d + 1):
+            week |= by_day.get(dd, set())
+        g = got[d]
+        assert g["dau"] == len(users), d
+        assert g["wau"] == len(week), d
+        assert g["stickiness_permille"] == (len(users) * 1000) // len(week)
+        assert g["dau"] <= g["wau"]
+        assert g["stickiness_permille"] <= 1000
+        if g["wau"] > g["dau"]:
+            accumulates += 1
+    assert accumulates > 0
+
+
+def test_rel_rfm_segments_matches_bruteforce(spark):
+    """RFM quintiles recomputed in Python (cent-exact monetary sums,
+    min-rank from strictly-better counts, score = 5 - (5*(rank-1)) //
+    n, the verdict CASE) — bit-identical; locks that scores span the
+    full 1..5 range, ties share scores, every purchasing user appears
+    exactly once, and at least 3 distinct segments fire on the smoke
+    log."""
+    import math
+
+    from rxtls_spark.queries_relational import q_rel_rfm_segments
+
+    got = {
+        r["user_id"]: r for r in q_rel_rfm_segments(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("long").alias("es"),
+            "value",
+        )
+        .collect()
+    )
+    agg: dict[int, list] = {}
+    for r in ev:
+        a = agg.setdefault(r["user_id"], [0, 0, 0])  # last_es, f, cents
+        a[0] = max(a[0], r["es"])
+        a[1] += 1
+        a[2] += int(math.floor(r["value"] * 100 + 0.5))
+    anchor = max(a[0] // 86400 for a in agg.values())
+    m = {
+        u: (anchor - a[0] // 86400, a[1], a[2]) for u, a in agg.items()
+    }
+    n = len(m)
+    r_vals = sorted(v[0] for v in m.values())
+    f_vals = sorted((v[1] for v in m.values()), reverse=True)
+    m_vals = sorted((v[2] // 100 for v in m.values()), reverse=True)
+
+    def score(vals, v):
+        # direction: r_vals ascending better; f/m descending better
+        if vals is r_vals:
+            better = sum(1 for x in vals if x < v)
+        else:
+            better = sum(1 for x in vals if x > v)
+        return 5 - (5 * better) // n
+
+    assert set(got) == set(m)
+    seen_scores = set()
+    segs = set()
+    for u, (rd, f, cents) in m.items():
+        g = got[u]
+        rs = score(r_vals, rd)
+        fs = score(f_vals, f)
+        ms = score(m_vals, cents // 100)
+        assert (g["r_days"], g["f"], g["m_cents"]) == (rd, f, cents), u
+        assert (g["r_score"], g["f_score"], g["m_score"]) == (rs, fs, ms), u
+        if rs >= 4 and fs >= 4:
+            want = "champion"
+        elif fs >= 4:
+            want = "loyal"
+        elif rs >= 4 and fs <= 2:
+            want = "new"
+        elif rs <= 2 and fs >= 3:
+            want = "at_risk"
+        elif rs <= 2:
+            want = "hibernating"
+        else:
+            want = "regular"
+        assert g["segment"] == want, u
+        seen_scores.update((rs, fs, ms))
+        segs.add(want)
+    assert seen_scores >= {1, 5}
+    assert len(segs) >= 3
+    # ties share scores: equal metric => equal score (min-rank rule)
+    byf: dict[int, set] = {}
+    for u, (rd, f, cents) in m.items():
+        byf.setdefault(f, set()).add(got[u]["f_score"])
+    assert all(len(s) == 1 for s in byf.values())

@@ -5396,3 +5396,155 @@ def test_hll_distinct_matches_replica_and_hll_contracts(spark):
     ) == (HLL_M, n_used, s_num, est_e3, len(exact), err)
     assert row["n_used"] == HLL_M  # vocab >> m: every register hit
     assert abs(row["err_permille"]) < 390  # ~3σ of 1.04/sqrt(64)
+
+def test_poisson_bootstrap_matches_replica_and_ci_contracts(spark):
+    """Every source row must equal the Python replica (spliced
+    Poisson(1) inverse-CDF weight table, knuth permille draws over
+    (doc_id·MUL + b), Σw·q DIV Σw replicate means, row_number order
+    stats).  Contracts: the weight table sums to EXACTLY 1000 (mean
+    resample weight 1 — unbiasedness), its support spans 0..6, the CI
+    brackets are ordered (lo <= hi), the point mean falls inside the
+    bracket on the smoke corpus (deterministic draws — no flake), and
+    the replicate means genuinely vary (the bootstrap resamples)."""
+    import math
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        BOOT_B,
+        BOOT_DRAW_MUL,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _poisson_weight_table,
+        q_poisson_bootstrap,
+    )
+    from tests.conftest import SF_SMOKE
+
+    tab = _poisson_weight_table()
+    assert sum(tab) == 1000
+    assert min(tab) == 0 and max(tab) >= 5
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+    def quality(text: str) -> int:
+        n = max(len(text), 1)
+        alpha = sum(1 for c in text if c.isascii() and c.isalpha()) / n
+        digit = sum(1 for c in text if c.isascii() and c.isdigit()) / n
+        punct = sum(1 for c in text if c in ".,;:!?") / n
+        q = max(
+            0.0,
+            min(
+                1.0,
+                0.4 * alpha
+                + 0.3 * min(len(text) / 500.0, 1.0)
+                + 0.3 * (1.0 - min(1.0, 4.0 * punct + 4.0 * digit)),
+            ),
+        )
+        return math.floor(q * 100000 + 0.5)
+
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(
+            (r["doc_id"], quality(r["text"]))
+        )
+    want = {}
+    varied = 0
+    for s, ds in per_source.items():
+        means = []
+        for b in range(1, BOOT_B + 1):
+            sw = swq = 0
+            for doc_id, q in ds:
+                draw = (
+                    ((doc_id * BOOT_DRAW_MUL + b) % KNUTH_P) * KNUTH_A
+                ) % KNUTH_P % 1000
+                w = tab[draw]
+                sw += w
+                swq += w * q
+            means.append((swq // sw if sw > 0 else 0, b))
+        means.sort()
+        lo = means[BOOT_LO_RANK - 1][0]
+        hi = means[BOOT_HI_RANK - 1][0]
+        point = sum(q for _, q in ds) // len(ds)
+        want[s] = (len(ds), point, lo, hi, BOOT_B)
+        if len({m for m, _ in means}) > 1:
+            varied += 1
+        assert lo <= hi, s
+        assert lo <= point <= hi, s
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["mean_e5"],
+            r["boot_lo_e5"],
+            r["boot_hi_e5"],
+            r["n_reps"],
+        )
+        for r in q_poisson_bootstrap(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    assert varied == len(per_source)  # every source's means vary
+
+def test_boilerplate_lines_matches_replica_and_df_semantics(spark):
+    """Per-doc rows must equal the Python replica (header injection,
+    8-token windows, DF >= BP_DF_MIN drop, ordered rebuild md5).
+    Semantics locks: every doc loses AT LEAST its header line (the
+    injected boilerplate — DF = docs-per-source >> threshold), no
+    organic window crosses the threshold on the smoke corpus (drops
+    == header-prefix windows exactly), counts reconcile
+    (n_bp + n_kept == n_lines), and the rebuilt md5 of a fully-
+    stripped doc is md5('') — the empty-rebuild coalesce."""
+    import hashlib
+    import re
+
+    from rxtls_spark.queries_training import (
+        BP_DF_MIN,
+        BP_W,
+        q_boilerplate_lines,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    lines_by_doc: dict[int, list] = {}
+    df_count: dict[str, set] = {}
+    for r in rows:
+        full = (
+            f"nav {r['source']} home about contact login search footer "
+            + r["text"]
+        )
+        toks = re.split(r"[ \t\n\x0B\f\r]+", full.strip())
+        nch = (len(toks) + BP_W - 1) // BP_W
+        ls = [
+            " ".join(toks[i * BP_W : i * BP_W + BP_W]) for i in range(nch)
+        ]
+        lines_by_doc[r["doc_id"]] = ls
+        for l in ls:
+            df_count.setdefault(l, set()).add(r["doc_id"])
+    bp = {l for l, docs in df_count.items() if len(docs) >= BP_DF_MIN}
+
+    got = {r["doc_id"]: r for r in q_boilerplate_lines(spark, SF_SMOKE).collect()}
+    assert set(got) == set(lines_by_doc)
+    stripped_all = 0
+    for doc_id, ls in lines_by_doc.items():
+        keep = [l for l in ls if l not in bp]
+        g = got[doc_id]
+        assert g["n_lines"] == len(ls), doc_id
+        assert g["n_kept"] == len(keep), doc_id
+        assert g["n_bp"] == len(ls) - len(keep), doc_id
+        assert g["n_bp"] + g["n_kept"] == g["n_lines"]
+        assert g["n_bp"] >= 1, doc_id  # header always dropped
+        assert g["n_kept_tokens"] == sum(len(l.split(" ")) for l in keep)
+        want_md5 = hashlib.md5(" ".join(keep).encode()).hexdigest()
+        assert g["kept_md5"] == want_md5, doc_id
+        if not keep:
+            assert g["kept_md5"] == hashlib.md5(b"").hexdigest()
+            stripped_all += 1
+    # only injected header windows are boilerplate on the smoke corpus
+    for l in bp:
+        assert l.startswith("nav src") or " footer" in l or l == "footer", l
