@@ -12834,9 +12834,178 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Secret/credential-scan spec — MIRRORED in `_secret_scan_sql`; change
+# together.  Injection: every doc_id % SECRET_MOD == SECRET_REM doc
+# gets three synthetic credentials appended, each derived from
+# md5(doc_id) so BOTH engines can rebuild them exactly (the
+# with_injected_pii discipline): an AWS-style access key
+# 'AKIA'+upper-hex16, a 64-char hex token, and a mixed-case
+# base64-alphabet token whose '9zZ+/' tail GUARANTEES the
+# digit/lower/upper entropy proxy fires.  Token classification is
+# FIRST-MATCH in the order aws → hex → b64 (the filter_cascade CASE
+# discipline): the b64 candidate class [A-Za-z0-9+/]{20,} is a
+# SUPERSET of both others, so candidate counts must exclude them.
+# Verdict CASE order IS the semantics: block beats review.
+SECRET_MOD = 8
+SECRET_REM = 3
+_P_AWS = "^AKIA[0-9A-Z]{16}$"
+_P_HEX = "^[0-9a-f]{32,}$"
+_P_B64 = "^[A-Za-z0-9+/]{20,}$"
+
+
+def _secret_lams() -> dict[str, str]:
+    """The shared per-token classification predicates — ONE Python
+    helper whose pattern text is spliced into BOTH engines (the
+    `_ndcg_weights` rule for regex; Java and RE2 agree on these
+    anchored char-class-only patterns)."""
+    aws = f"x rlike '{_P_AWS}'"
+    hx = f"x rlike '{_P_HEX}'"
+    cand = f"(x rlike '{_P_B64}' AND NOT ({aws}) AND NOT ({hx}))"
+    conf = (
+        f"({cand} AND x rlike '[0-9]' AND x rlike '[a-z]'"
+        " AND x rlike '[A-Z]')"
+    )
+    return {"aws": aws, "hex": hx, "cand": cand, "conf": conf}
+
+
+def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-entropy secret / credential scan — the scrub gate every
+    web-scale training corpus runs before release (leaked API keys and
+    tokens are verbatim-memorizable and revocation-sensitive): per-doc
+    counts of AWS-style access keys, long hex tokens, and
+    entropy-confirmed base64-alphabet candidates, a block/review/clean
+    verdict, and the md5 of the redacted text (typed placeholders, the
+    `pii_scrub` convention).  The mixed-character-class check
+    (digit + lower + upper) is the deterministic stand-in for a
+    Shannon-entropy gate — it separates secrets from ordinary long
+    words without a float anywhere.
+
+    Cross-engine: injected credentials are md5(doc_id)-derived string
+    formulas; classification is first-match over anchored
+    char-class-only patterns identical in Java regex and RE2; counts
+    are BIGINT; scrub output is compared as md5.
+
+    Scale shape: pure per-row array map over the token split — zero
+    exchanges, the `pii_scrub` plan."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    h1 = "md5(CAST(doc_id AS STRING))"
+    h2 = "md5(CAST(doc_id + 1 AS STRING))"
+    inj = (
+        f"concat(text, ' AKIA', upper(substring({h1}, 1, 16)), ' ', "
+        f"{h1}, {h2}, ' ', substring({h1}, 1, 10), "
+        f"upper(substring({h2}, 1, 10)), '9zZ+/')"
+    )
+    d = docs.withColumn(
+        "text",
+        F.expr(
+            f"CASE WHEN doc_id % {SECRET_MOD} = {SECRET_REM}"
+            f" THEN {inj} ELSE text END"
+        ),
+    ).withColumn(
+        "t", F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
+    )
+    p = _secret_lams()
+    scrub = (
+        f"transform(t, x -> CASE WHEN {p['aws']} THEN '<AWSKEY>'"
+        f" WHEN {p['hex']} THEN '<HEX>'"
+        f" WHEN {p['conf']} THEN '<B64>' ELSE x END)"
+    )
+    c = d.select(
+        "doc_id",
+        F.expr(f"size(filter(t, x -> {p['aws']}))").cast("long").alias(
+            "n_aws"
+        ),
+        F.expr(f"size(filter(t, x -> {p['hex']}))").cast("long").alias(
+            "n_hex"
+        ),
+        F.expr(f"size(filter(t, x -> {p['cand']}))").cast("long").alias(
+            "n_b64_cand"
+        ),
+        F.expr(f"size(filter(t, x -> {p['conf']}))").cast("long").alias(
+            "n_b64_conf"
+        ),
+        F.md5(F.expr(f"concat_ws(' ', {scrub})")).alias("scrubbed_md5"),
+    )
+    return c.select(
+        "doc_id",
+        "n_aws",
+        "n_hex",
+        "n_b64_cand",
+        "n_b64_conf",
+        F.when(
+            F.col("n_aws") + F.col("n_hex") + F.col("n_b64_conf") > 0,
+            F.lit("block"),
+        )
+        .when(F.col("n_b64_cand") > 0, F.lit("review"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+        "scrubbed_md5",
+    )
+
+
+def _secret_scan_sql() -> str:
+    """secret_scan oracle: identical md5-derived injection, the same
+    spliced first-match predicates (rlike → regexp_matches), BIGINT
+    counts, identical verdict CASE order, md5 of the identically
+    rebuilt scrubbed text."""
+    # the predicate texts for RE2 (identical pattern constants)
+    aws = f"regexp_matches(x, '{_P_AWS}')"
+    hx = f"regexp_matches(x, '{_P_HEX}')"
+    cand = f"(regexp_matches(x, '{_P_B64}') AND NOT {aws} AND NOT {hx})"
+    conf = (
+        f"({cand} AND regexp_matches(x, '[0-9]')"
+        " AND regexp_matches(x, '[a-z]')"
+        " AND regexp_matches(x, '[A-Z]'))"
+    )
+    scrub = (
+        f"list_transform(t, x -> CASE WHEN {aws} THEN '<AWSKEY>'"
+        f" WHEN {hx} THEN '<HEX>'"
+        f" WHEN {conf} THEN '<B64>' ELSE x END)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+), inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {SECRET_MOD} = {SECRET_REM} THEN
+      text || ' AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+        || ' ' || md5(CAST(doc_id AS VARCHAR))
+        || md5(CAST(doc_id + 1 AS VARCHAR))
+        || ' ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)
+        || upper(substr(md5(CAST(doc_id + 1 AS VARCHAR)), 1, 10))
+        || '9zZ+/'
+    ELSE text END AS text
+  FROM base
+), tt AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM inj
+), c AS (
+  SELECT doc_id,
+    CAST(len(list_filter(t, x -> {aws})) AS BIGINT) AS n_aws,
+    CAST(len(list_filter(t, x -> {hx})) AS BIGINT) AS n_hex,
+    CAST(len(list_filter(t, x -> {cand})) AS BIGINT) AS n_b64_cand,
+    CAST(len(list_filter(t, x -> {conf})) AS BIGINT) AS n_b64_conf,
+    md5(array_to_string({scrub}, ' ')) AS scrubbed_md5
+  FROM tt
+)
+SELECT doc_id, n_aws, n_hex, n_b64_cand, n_b64_conf,
+  CASE WHEN n_aws + n_hex + n_b64_conf > 0 THEN 'block'
+       WHEN n_b64_cand > 0 THEN 'review'
+       ELSE 'clean' END AS verdict,
+  scrubbed_md5
+FROM c
+"""
+
+
 QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rarity": q_doc_rarity,
     "weighted_sample": q_weighted_sample,
+    "secret_scan": q_secret_scan,
     "kn_bigram_score": q_kn_bigram_score,
     "minhash_calibration": q_minhash_calibration,
     "blocklist_filter": q_blocklist_filter,
@@ -15102,6 +15271,7 @@ WHERE rn <= 10
         "poisson_bootstrap": _poisson_bootstrap_sql(),
         "boilerplate_lines": _boilerplate_sql(),
         "hll_distinct": _hll_distinct_sql(),
+        "secret_scan": _secret_scan_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -5548,3 +5548,131 @@ def test_boilerplate_lines_matches_replica_and_df_semantics(spark):
     # only injected header windows are boilerplate on the smoke corpus
     for l in bp:
         assert l.startswith("nav src") or " footer" in l or l == "footer", l
+
+
+def test_secret_scan_matches_replica_and_scrub_contracts(spark):
+    """Every row must equal the Python replica (identical md5-derived
+    injection, first-match aws → hex → b64 classification, typed-
+    placeholder scrub).  Contracts: every injected doc blocks with
+    exactly one find per class, clean docs carry zero counts and an
+    unchanged (whitespace-normalized) text hash, and re-scanning the
+    SCRUBBED text finds nothing (the redaction is complete — the
+    pii_scrub idempotency contract)."""
+    import hashlib
+    import re
+
+    from rxtls_spark.queries_training import (
+        _P_AWS,
+        _P_B64,
+        _P_HEX,
+        SECRET_MOD,
+        SECRET_REM,
+        q_secret_scan,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r_aws, r_hex, r_b64 = (
+        re.compile(_P_AWS),
+        re.compile(_P_HEX),
+        re.compile(_P_B64),
+    )
+
+    def classify(tok):
+        if r_aws.match(tok):
+            return "aws"
+        if r_hex.match(tok):
+            return "hex"
+        if r_b64.match(tok):
+            if (
+                re.search("[0-9]", tok)
+                and re.search("[a-z]", tok)
+                and re.search("[A-Z]", tok)
+            ):
+                return "conf"
+            return "cand"
+        return None
+
+    def scan(doc_id, text):
+        if doc_id % SECRET_MOD == SECRET_REM:
+            h1 = hashlib.md5(str(doc_id).encode()).hexdigest()
+            h2 = hashlib.md5(str(doc_id + 1).encode()).hexdigest()
+            text = (
+                f"{text} AKIA{h1[:16].upper()} {h1}{h2} "
+                f"{h1[:10]}{h2[:10].upper()}9zZ+/"
+            )
+        toks = re.split("[ \t\n\x0B\f\r]+", text.strip())
+        n = {"aws": 0, "hex": 0, "cand": 0, "conf": 0}
+        out = []
+        for t in toks:
+            k = classify(t)
+            if k == "aws":
+                n["aws"] += 1
+                out.append("<AWSKEY>")
+            elif k == "hex":
+                n["hex"] += 1
+                out.append("<HEX>")
+            elif k == "conf":
+                n["cand"] += 1
+                n["conf"] += 1
+                out.append("<B64>")
+            elif k == "cand":
+                n["cand"] += 1
+                out.append(t)
+            else:
+                out.append(t)
+        verdict = (
+            "block"
+            if n["aws"] + n["hex"] + n["conf"] > 0
+            else ("review" if n["cand"] > 0 else "clean")
+        )
+        scrubbed = " ".join(out)
+        return (
+            n["aws"],
+            n["hex"],
+            n["cand"],
+            n["conf"],
+            verdict,
+            hashlib.md5(scrubbed.encode()).hexdigest(),
+            scrubbed,
+        )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    want, scrubbed_texts = {}, {}
+    for r in rows:
+        if r["text"].strip() == "":
+            continue
+        *w, scrubbed = scan(r["doc_id"], r["text"])
+        want[r["doc_id"]] = tuple(w)
+        scrubbed_texts[r["doc_id"]] = scrubbed
+
+    got = {
+        r["doc_id"]: (
+            r["n_aws"],
+            r["n_hex"],
+            r["n_b64_cand"],
+            r["n_b64_conf"],
+            r["verdict"],
+            r["scrubbed_md5"],
+        )
+        for r in q_secret_scan(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+    injected = [d for d in got if d % SECRET_MOD == SECRET_REM]
+    assert injected
+    for d in injected:
+        n_aws, n_hex, n_cand, n_conf, verdict, _ = got[d]
+        assert (n_aws, n_hex, verdict) == (1, 1, "block")
+        assert n_conf >= 1 and n_cand >= n_conf
+    cleans = [d for d in got if got[d][4] == "clean"]
+    assert cleans
+    for d in cleans[:50]:
+        assert got[d][:4] == (0, 0, 0, 0)
+    # redaction completeness: scrubbed text re-scans to zero finds
+    for d, s in list(scrubbed_texts.items())[:200]:
+        for t in s.split(" "):
+            assert classify(t) in (None, "cand")
