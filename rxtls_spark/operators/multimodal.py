@@ -601,3 +601,91 @@ def resize_media(media: DataFrame, box: int = 32) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (aHash) — image dedup
+# ---------------------------------------------------------------------------
+
+# Duplicate-image injection spec — MIRRORED in the `media_phash` oracle
+# SQL (queries_training.py); change together.  Every image doc with
+# doc_id % PHASH_DUP_MOD == PHASH_DUP_OFF carries the payload GENERATED
+# FOR doc_id - PHASH_DUP_OFF instead of its own; the mapping is
+# idempotent by construction (the source id is ≡ 0 mod PHASH_DUP_MOD,
+# which never satisfies the rule — no chains), and both PHASH_DUP_OFF
+# and PHASH_DUP_MOD are multiples of 3 so source ids stay image-kind.
+PHASH_DUP_MOD = 63
+PHASH_DUP_OFF = 21
+PHASH_GRID = 16  # nearest-neighbor downsample grid feeding the 8x8 hash
+
+
+def ahash_halves(img: np.ndarray) -> tuple[int, int]:
+    """Average-hash of a decoded (h, w, ch) uint8 image, as TWO 32-bit
+    BIGINT-safe halves (the hamming_codes packing discipline — one
+    64-bit word would set the sign bit).  All-integer pipeline so the
+    hash is exactly reproducible: channel-sum grayscale, nearest-
+    neighbor gather onto a PHASH_GRID² lattice (the resize_media index
+    formula), 2×2 equal-area block sums onto 8×8, then the strictly-
+    greater-than-mean rule via the cross-multiplied integer compare
+    bs·64 > Σbs (ties → 0; no float mean anywhere)."""
+    h, w, _ch = img.shape
+    g = img.astype(np.int64).sum(axis=2)
+    yi = np.arange(PHASH_GRID) * h // PHASH_GRID
+    xi = np.arange(PHASH_GRID) * w // PHASH_GRID
+    s = g[yi][:, xi]
+    b = s.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+    total = int(b.sum())
+    bits = (b * 64 > total).flatten()
+    hi = 0
+    lo = 0
+    for i in range(32):
+        hi = (hi << 1) | int(bits[i])
+        lo = (lo << 1) | int(bits[32 + i])
+    return hi, lo
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash_hi", LongType()),
+        StructField("phash_lo", LongType()),
+    ]
+)
+
+
+def image_phash_df(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, phash_hi, phash_lo) for every image doc, with the
+    PHASH_DUP_MOD/OFF duplicate payloads injected — the perceptual-hash
+    leg of multimodal dedup.  The payload is genuinely encoded and then
+    decoded through the real PNG codec (round-trip, not a shortcut), so
+    the hash covers the container path end-to-end.
+
+    Scale shape: Arrow-batched mapInPandas decode (the expensive leg),
+    then the caller's ONE hash agg on the 64-bit key — the exact-dedup
+    plan with a perceptual key."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                src = (
+                    d - PHASH_DUP_OFF
+                    if d % PHASH_DUP_MOD == PHASH_DUP_OFF
+                    else d
+                )
+                img = png_decode(media_payload(src))
+                hi, lo = ahash_halves(img)
+                ids.append(d)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash_hi": his, "phash_lo": los}
+            )
+
+    return docs.mapInPandas(run, schema=PHASH_SCHEMA)

@@ -9671,6 +9671,43 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal leg of the dedup
+    family: every image payload is decoded through the REAL PNG codec
+    and average-hashed (integer 8×8 aHash packed into two 32-bit
+    halves, operators/multimodal.ahash_halves), then grouped on the
+    hash — byte-identical images and re-encodes collapse into one
+    group even where the container bytes differ (what `dedup_exact`
+    on payload md5 cannot do).  Emits the keep-list: one row per hash
+    group with its representative (min doc_id) and group size.
+
+    Cross-engine: the hash VALUE depends on the seeded pixel content
+    (not SQL-expressible), but the GROUPING is formula-determined —
+    duplicates are injected by the PHASH_DUP_MOD/OFF payload-reuse
+    rule (operators/multimodal.py, mirrored in the oracle), and for
+    the fixed synthetic corpus distinct images never collide in the
+    64-bit hash (pytest-locked), so group membership is exactly the
+    canon formula both engines compute.  The hash bits themselves are
+    pytest-locked against a Python replica, with the near-dup
+    robustness contract (brightness shift ⇒ small Hamming distance).
+
+    Scale shape: Arrow-batched decode (the expensive leg, embarrass-
+    ingly parallel) → ONE hash agg on the 64-bit key — the exact-dedup
+    plan with a perceptual key; output is corpus-scale (the keep-list,
+    written not collected)."""
+    from rxtls_spark.operators.multimodal import image_phash_df
+
+    ph = image_phash_df(spark, sf_dir)
+    return (
+        ph.groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.min("doc_id").cast("long").alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select("rep_id", "n_dups")
+    )
+
+
 # --- session-5 additions: canonical selection, temperature mix, -----------
 # --- Zipf fit, postings compression ----------------------------------------
 
@@ -13152,6 +13189,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_counts": q_media_counts,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
+    "media_phash": q_media_phash,
 }
 
 
@@ -15470,6 +15508,22 @@ FROM media WHERE kind = 'image'
 SELECT CAST(sum((video_frames + 3) // 4) AS BIGINT) AS n_frames,
        CAST(count(*) AS BIGINT) AS n_videos
 FROM media WHERE kind = 'video'
+""",
+        # media_phash: the GROUPING is the PHASH_DUP_MOD/OFF canon
+        # formula (operators/multimodal.py — change together); distinct
+        # images never collide in the 64-bit hash on the fixed corpus
+        # (pytest-locked), so group-by-hash == group-by-canon exactly.
+        "media_phash": """
+WITH imgs AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+), canon AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 63 = 21 THEN doc_id - 21 ELSE doc_id END AS rep
+  FROM imgs
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM canon GROUP BY rep
 """,
         "ngram_jaccard": """
 WITH pairs AS (

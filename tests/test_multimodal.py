@@ -377,3 +377,104 @@ def test_malformed_payload_quarantined(spark):
     rows = decode_media(bad).collect()
     assert all(r["decode_ok"] == "malformed" for r in rows)
     assert all(r["width"] is None for r in rows)
+
+
+def test_ahash_replica_and_perceptual_contracts():
+    """ahash_halves must equal a from-first-principles Python replica
+    on generated images; the halves must fit 32 bits (the
+    hamming_codes sign-bit discipline); a brightness-shifted copy must
+    land within a small Hamming radius (the perceptual property exact
+    md5 lacks); an unrelated image must land far away."""
+    import numpy as np
+
+    from rxtls_spark.operators.multimodal import (
+        PHASH_GRID,
+        ahash_halves,
+        media_payload,
+        png_decode,
+    )
+
+    def replica(img):
+        h, w, _ = img.shape
+        g = img.astype(np.int64).sum(axis=2)
+        s = np.zeros((PHASH_GRID, PHASH_GRID), dtype=np.int64)
+        for i in range(PHASH_GRID):
+            for j in range(PHASH_GRID):
+                s[i, j] = g[i * h // PHASH_GRID, j * w // PHASH_GRID]
+        b = np.zeros((8, 8), dtype=np.int64)
+        for i in range(8):
+            for j in range(8):
+                b[i, j] = (
+                    s[2 * i, 2 * j]
+                    + s[2 * i, 2 * j + 1]
+                    + s[2 * i + 1, 2 * j]
+                    + s[2 * i + 1, 2 * j + 1]
+                )
+        total = int(b.sum())
+        bits = [int(int(x) * 64 > total) for x in b.flatten()]
+        hi = lo = 0
+        for i in range(32):
+            hi = (hi << 1) | bits[i]
+            lo = (lo << 1) | bits[32 + i]
+        return hi, lo
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    for d in (0, 3, 6, 21, 63, 300):
+        img = png_decode(media_payload(d))
+        got = ahash_halves(img)
+        assert got == replica(img)
+        assert 0 <= got[0] < (1 << 32) and 0 <= got[1] < (1 << 32)
+        # brightness shift: +8 with saturation — a classic near-dup
+        shifted = np.minimum(img.astype(np.int64) + 8, 255).astype(
+            np.uint8
+        )
+        assert ham(got, ahash_halves(shifted)) <= 12
+    a = ahash_halves(png_decode(media_payload(0)))
+    b = ahash_halves(png_decode(media_payload(6)))
+    assert ham(a, b) >= 16  # unrelated random images: ~32 expected
+
+
+def test_media_phash_groups_match_canon_formula(spark):
+    """Spark rows must equal the canon-formula replica exactly (the
+    oracle's premise): hash groups == PHASH_DUP_MOD/OFF payload-reuse
+    groups, every injected pair collapses to its source, and NO two
+    distinct images collide in the 64-bit hash on the fixed corpus."""
+    from collections import Counter
+
+    from rxtls_spark.operators.multimodal import (
+        PHASH_DUP_MOD,
+        PHASH_DUP_OFF,
+    )
+    from rxtls_spark.queries_training import q_media_phash
+    from tests.conftest import SF_SMOKE
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .where("doc_id % 3 = 0")
+        .collect()
+    ]
+    canon = Counter(
+        d - PHASH_DUP_OFF if d % PHASH_DUP_MOD == PHASH_DUP_OFF else d
+        for d in ids
+    )
+    want = sorted(
+        (min(d for d in ids
+             if (d - PHASH_DUP_OFF
+                 if d % PHASH_DUP_MOD == PHASH_DUP_OFF else d) == c), n)
+        for c, n in canon.items()
+    )
+    got = sorted(
+        (r["rep_id"], r["n_dups"])
+        for r in q_media_phash(spark, SF_SMOKE).collect()
+    )
+    assert got == want and got
+    # the injected pairs really exist and really collapse
+    dups = [(r, n) for r, n in got if n == 2]
+    assert dups
+    assert all(r % PHASH_DUP_MOD == 0 for r, _ in dups)
+    # no accidental collisions: group count == canon count
+    assert len(got) == len(canon)
