@@ -652,6 +652,65 @@ def q_rel_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily traffic baseline per event type —
+    the online forecast a log pipeline keeps next to the seasonality
+    profile (rel_seasonality is the static shape; this is the adaptive
+    level that tracks drift): per (event_type, day), the raw count,
+    the integer EWMA level s_t = (3·s_{t−1} + 1000·n_t) DIV 4
+    (α = 1/4, e3-scaled so truncation noise stays 3 decimal digits
+    down), the signed forecast error, and a spike flag
+    (2·1000·n > 3·s — count exceeds 1.5× the smoothed level; CASE
+    mirrored).
+
+    Cross-engine: the recurrence is a pure BIGINT fold — Spark runs it
+    as an `aggregate()` fold over the array_sort'ed per-type day
+    series (the rel_hourly_anomalies bounded-fold discipline), DuckDB
+    as a WITH RECURSIVE chain over rn; both truncate DIV on positive
+    operands, so every s_e3 is bit-identical.  Days are
+    floor-truncated epoch DIV 86400 (the rel_seasonality rule).
+
+    Scale path: ONE corpus-scale hash agg onto (type × day) — bounded
+    by types·horizon (metadata-scale at any event volume); the fold
+    runs per type over that bounded series, never over raw events."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
+    )
+    folded = ser.select(
+        "event_type",
+        F.expr(
+            "aggregate(xs,"
+            " CAST(array() AS array<struct<day:bigint,n:bigint,s_e3:bigint>>),"
+            " (acc, x) -> concat(acc, array(named_struct("
+            "   'day', x.day, 'n', x.n, 's_e3',"
+            "   CASE WHEN size(acc) = 0 THEN x.n * 1000"
+            "        ELSE (3 * element_at(acc, -1).s_e3 + 1000 * x.n) DIV 4"
+            "   END))))"
+        ).alias("ys"),
+    )
+    y = folded.select("event_type", F.explode("ys").alias("y"))
+    return y.select(
+        "event_type",
+        F.col("y.day").alias("day"),
+        F.col("y.n").alias("n_events"),
+        F.col("y.s_e3").alias("ewma_e3"),
+        (F.col("y.n") * 1000 - F.col("y.s_e3")).cast("long").alias(
+            "err_e3"
+        ),
+        F.when(F.col("y.n") * 2000 > 3 * F.col("y.s_e3"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_spike"),
+    )
+
+
 def q_rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences — the behavioral model a log pipeline fits for
@@ -1476,6 +1535,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_ab_ztest": q_rel_ab_ztest,
     "rel_basket_lift": q_rel_basket_lift,
     "rel_seasonality": q_rel_seasonality,
+    "rel_ewma_daily": q_rel_ewma_daily,
     "rel_rolling_actives": q_rel_rolling_actives,
     "rel_rfm_segments": q_rel_rfm_segments,
     "rel_survival_table": q_rel_survival_table,
@@ -1868,6 +1928,37 @@ SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n_events,
        CAST(CASE WHEN n_events = max(n_events) OVER () THEN 1 ELSE 0 END
             AS BIGINT) AS is_peak
 FROM b
+""",
+    # rel_ewma_daily: recurrence mirrored via WITH RECURSIVE over rn —
+    # (3·s + 1000·n) // 4 truncates identically to Spark DIV on the
+    # positive operands; spike CASE order/form mirrored.
+    "rel_ewma_daily": """
+WITH RECURSIVE e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), daily AS (
+  SELECT event_type, CAST(day AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), ord AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), ew AS (
+  SELECT event_type, day, n, rn, n * 1000 AS s_e3
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.n, o.rn,
+         (3 * ew.s_e3 + 1000 * o.n) // 4
+  FROM ord o JOIN ew
+    ON o.event_type = ew.event_type AND o.rn = ew.rn + 1
+)
+SELECT event_type, day, n AS n_events, CAST(s_e3 AS BIGINT) AS ewma_e3,
+       CAST(n * 1000 - s_e3 AS BIGINT) AS err_e3,
+       CAST(CASE WHEN n * 2000 > 3 * s_e3 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_spike
+FROM ew
 """,
     "rel_markov_transitions": """
 WITH pairs AS (

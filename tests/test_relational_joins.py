@@ -965,3 +965,57 @@ def test_rel_rfm_segments_matches_bruteforce(spark):
     for u, (rd, f, cents) in m.items():
         byf.setdefault(f, set()).add(got[u]["f_score"])
     assert all(len(s) == 1 for s in byf.values())
+
+
+def test_rel_ewma_daily_matches_replica_and_fold_contracts(spark):
+    """Every (event_type, day) row must equal a Python fold replica
+    (truncating-DIV EWMA on positive BIGINTs).  Contracts: rows
+    partition the daily grid exactly, the first day of every series
+    seeds s = 1000·n, the EWMA stays inside [1000·min, 1000·max] of
+    the history prefix (convex-combination bound survives
+    truncation's −1), err reconciles as 1000·n − s, and both spike
+    branches fire somewhere on the smoke log."""
+    from collections import defaultdict
+
+    from rxtls_spark.queries_relational import q_rel_ewma_daily
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr("event_type", "unix_timestamp(ts) DIV 86400 AS day")
+        .collect()
+    )
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["day"])] += 1
+    series: dict = defaultdict(list)
+    for (et, day), n in sorted(daily.items()):
+        series[et].append((day, n))
+    want = {}
+    for et, xs in series.items():
+        s = None
+        for day, n in xs:  # xs already day-sorted
+            s = 1000 * n if s is None else (3 * s + 1000 * n) // 4
+            spike = 1 if n * 2000 > 3 * s else 0
+            want[(et, day)] = (n, s, 1000 * n - s, spike)
+
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n_events"],
+            r["ewma_e3"],
+            r["err_e3"],
+            r["is_spike"],
+        )
+        for r in q_rel_ewma_daily(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    # convex-combination bound per prefix
+    for et, xs in series.items():
+        s = None
+        for i, (day, n) in enumerate(xs):
+            s = got[(et, day)][1]
+            lo = 1000 * min(v for _, v in xs[: i + 1])
+            hi = 1000 * max(v for _, v in xs[: i + 1])
+            assert lo - 1 <= s <= hi
+    flags = {v[3] for v in got.values()}
+    assert flags == {0, 1}
