@@ -2585,6 +2585,170 @@ def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 overlap scoring over the near-dup candidate pairs — the
+    MT metric reused the way data pipelines actually use it: as a
+    sequence-overlap verifier for dedup candidates and a
+    decontamination score against eval references (clipped n-gram
+    precision is exactly the "how much of the candidate is copied"
+    question).  For each (reference a, candidate b) pair: clipped
+    unigram and bigram precision numerators/denominators (exact
+    BIGINTs — Σ over distinct candidate grams of min(count_b,
+    count_a)), both token lengths, and the smoothed log-BLEU
+    ½·ln p1 + ½·ln p2 + min(0, 1 − r/c) e3-floored (the brevity
+    penalty in log space — no exp anywhere), with the zero-overlap
+    sentinel −99000.
+
+    Candidate pairs are the `edit_verify` variant pool (doc_id % 20
+    == 0): `same` (logbleu exactly 0 — the anchor), `append`, `sub`
+    (every 'a'→'b'), `half`.  Cross-engine: counts are pure BIGINT
+    array folds; the final score is ONE identical expression text of
+    floor/ln/least on exact integer operands (the source_kl floored-ln
+    discipline).
+
+    Scale shape: pure per-row array math over the candidate pairs —
+    zero exchanges past the pair build; at 100 TB the pairs come from
+    the LSH band join and this expression drops in as the verifier."""
+    base = (
+        _docs(spark, sf_dir)
+        .where((F.col("doc_id") % 20 == 0) & (F.trim("text") != ""))
+        .select("doc_id", F.col("text").alias("a"))
+    )
+    variants = base.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("same"), F.lit("append"), F.lit("sub"),
+                    F.lit("half"),
+                ),
+                F.array(
+                    F.col("a"),
+                    F.concat(F.col("a"), F.lit(" extra!")),
+                    F.regexp_replace("a", "a", "b"),
+                    F.substring(
+                        F.col("a"), 1, (F.length("a") / 2).cast("int")
+                    ),
+                ),
+            )
+        ).alias("variant", "b"),
+        "a",
+    )
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
+    t = variants.select(
+        "doc_id",
+        "variant",
+        F.split(F.trim(F.col("a")), ws).alias("ta"),
+        F.split(F.trim(F.col("b")), ws).alias("tb"),
+    )
+
+    def bigrams(arr: str) -> str:
+        return (
+            f"CASE WHEN size({arr}) >= 2 THEN"
+            f" transform(sequence(1, size({arr}) - 1),"
+            f" i -> concat(element_at({arr}, i), ' ',"
+            f" element_at({arr}, i + 1)))"
+            " ELSE CAST(array() AS array<string>) END"
+        )
+
+    def clipped(cand: str, ref: str) -> str:
+        return (
+            f"aggregate(array_distinct({cand}), CAST(0 AS BIGINT),"
+            f" (acc, w) -> acc + least(size(filter({cand}, x -> x = w)),"
+            f" size(filter({ref}, x -> x = w))))"
+        )
+
+    g = t.withColumn("ba", F.expr(bigrams("ta"))).withColumn(
+        "bb", F.expr(bigrams("tb"))
+    )
+    c = g.select(
+        "doc_id",
+        "variant",
+        F.expr(clipped("tb", "ta")).alias("p1_num"),
+        F.expr("CAST(size(tb) AS BIGINT)").alias("p1_den"),
+        F.expr(clipped("bb", "ba")).alias("p2_num"),
+        F.expr("CAST(size(bb) AS BIGINT)").alias("p2_den"),
+        F.expr("CAST(size(ta) AS BIGINT)").alias("r_len"),
+        F.expr("CAST(size(tb) AS BIGINT)").alias("c_len"),
+    )
+    return c.select(
+        "doc_id",
+        "variant",
+        "p1_num",
+        "p1_den",
+        "p2_num",
+        "p2_den",
+        "r_len",
+        "c_len",
+        F.expr(_BLEU_SCORE_EXPR).alias("logbleu_e3"),
+    )
+
+
+# The one-expression log-BLEU — IDENTICAL text spliced into BOTH
+# engines (the kn_bigram_score one-expression-float rule): floored ln
+# on exact integer ratios, brevity penalty in log space via least().
+_BLEU_SCORE_EXPR = (
+    "CASE WHEN p1_num = 0 OR p2_num = 0 THEN -99000"
+    " ELSE CAST(floor((0.5 * ln(CAST(p1_num AS DOUBLE)"
+    " / CAST(p1_den AS DOUBLE))"
+    " + 0.5 * ln(CAST(p2_num AS DOUBLE) / CAST(p2_den AS DOUBLE))"
+    " + least(0.0, 1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)))"
+    " * 1000) AS BIGINT) END"
+)
+
+
+def _bleu_pairs_sql() -> str:
+    """bleu_pairs oracle: identical variant pool, identical clipped-
+    count folds (list_* lambdas), the SAME spliced score expression."""
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
+
+    def clipped(cand: str, ref: str) -> str:
+        return (
+            f"CAST(coalesce(list_sum(list_transform(list_distinct({cand}),"
+            f" w -> least(len(list_filter({cand}, x -> x = w)),"
+            f" len(list_filter({ref}, x -> x = w))))), 0) AS BIGINT)"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text AS a FROM documents
+  WHERE doc_id % 20 = 0 AND trim(text) <> ''
+), v AS (
+  SELECT doc_id, 'same' AS variant, a, a AS b FROM base
+  UNION ALL
+  SELECT doc_id, 'append', a, a || ' extra!' FROM base
+  UNION ALL
+  SELECT doc_id, 'sub', a, regexp_replace(a, 'a', 'b', 'g') FROM base
+  UNION ALL
+  SELECT doc_id, 'half', a, substring(a, 1, length(a) // 2) FROM base
+), tt AS (
+  SELECT doc_id, variant,
+         regexp_split_to_array(trim(a), '{ws}') AS ta,
+         regexp_split_to_array(trim(b), '{ws}') AS tb
+  FROM v
+), bg AS (
+  SELECT doc_id, variant, ta, tb,
+         list_transform(generate_series(1, len(ta) - 1),
+                        i -> ta[i] || ' ' || ta[i+1]) AS ba,
+         list_transform(generate_series(1, len(tb) - 1),
+                        i -> tb[i] || ' ' || tb[i+1]) AS bb
+  FROM tt
+), c AS (
+  SELECT doc_id, variant,
+    {clipped("tb", "ta")} AS p1_num,
+    CAST(len(tb) AS BIGINT) AS p1_den,
+    {clipped("bb", "ba")} AS p2_num,
+    CAST(len(bb) AS BIGINT) AS p2_den,
+    CAST(len(ta) AS BIGINT) AS r_len,
+    CAST(len(tb) AS BIGINT) AS c_len
+  FROM bg
+)
+SELECT doc_id, variant, p1_num, p1_den, p2_num, p2_den, r_len, c_len,
+       {_BLEU_SCORE_EXPR} AS logbleu_e3
+FROM c
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard on the injected dup pairs — pure JVM array
     math (split/transform/array_intersect/array_union), SQL-mirrored.
@@ -13170,6 +13334,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_lines": q_boilerplate_lines,
     "hll_distinct": q_hll_distinct,
     "edit_verify": q_edit_verify,
+    "bleu_pairs": q_bleu_pairs,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -15310,6 +15475,7 @@ WHERE rn <= 10
         "boilerplate_lines": _boilerplate_sql(),
         "hll_distinct": _hll_distinct_sql(),
         "secret_scan": _secret_scan_sql(),
+        "bleu_pairs": _bleu_pairs_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -5676,3 +5676,86 @@ def test_secret_scan_matches_replica_and_scrub_contracts(spark):
     for d, s in list(scrubbed_texts.items())[:200]:
         for t in s.split(" "):
             assert classify(t) in (None, "cand")
+
+
+def test_bleu_pairs_matches_replica_and_metric_contracts(spark):
+    """Every (doc_id, variant) row must equal the Python replica
+    (Counter-clipped n-gram precisions, math-identical score
+    expression).  Contracts: the `same` variant is the exact anchor
+    (p1 == p2 == 1, logbleu_e3 == 0), every score is ≤ 0 (log of a
+    probability plus a non-positive brevity term), the zero-overlap
+    sentinel appears only when a precision numerator is zero, and
+    `append` never beats `same`."""
+    import math
+    import re
+    from collections import Counter
+
+    from rxtls_spark.queries_training import q_bleu_pairs
+    from tests.conftest import SF_SMOKE
+
+    def toks(s):
+        return re.split("[ \t\n\x0B\f\r]+", s.strip())
+
+    def replica(a, b):
+        ta, tb = toks(a), toks(b)
+        ba = [f"{ta[i]} {ta[i+1]}" for i in range(len(ta) - 1)]
+        bb = [f"{tb[i]} {tb[i+1]}" for i in range(len(tb) - 1)]
+
+        def clip(cand, ref):
+            cc, rc = Counter(cand), Counter(ref)
+            return sum(min(n, rc[w]) for w, n in cc.items())
+
+        p1n, p1d = clip(tb, ta), len(tb)
+        p2n, p2d = clip(bb, ba), len(bb)
+        r, c = len(ta), len(tb)
+        if p1n == 0 or p2n == 0:
+            s = -99000
+        else:
+            s = math.floor(
+                (
+                    0.5 * math.log(p1n / p1d)
+                    + 0.5 * math.log(p2n / p2d)
+                    + min(0.0, 1.0 - r / c)
+                )
+                * 1000
+            )
+        return (p1n, p1d, p2n, p2d, r, c, s)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where("doc_id % 20 = 0 AND trim(text) <> ''")
+        .collect()
+    }
+    want = {}
+    for d, a in docs.items():
+        for variant, b in (
+            ("same", a),
+            ("append", a + " extra!"),
+            ("sub", a.replace("a", "b")),
+            ("half", a[: len(a) // 2]),
+        ):
+            want[(d, variant)] = replica(a, b)
+
+    got = {
+        (r["doc_id"], r["variant"]): (
+            r["p1_num"],
+            r["p1_den"],
+            r["p2_num"],
+            r["p2_den"],
+            r["r_len"],
+            r["c_len"],
+            r["logbleu_e3"],
+        )
+        for r in q_bleu_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+    for d in docs:
+        p1n, p1d, p2n, p2d, _r, _c, s = got[(d, "same")]
+        assert (p1n, p2n, s) == (p1d, p2d, 0)
+        assert got[(d, "append")][6] <= 0
+    for v in got.values():
+        assert v[6] <= 0
+        if v[6] == -99000:
+            assert v[0] == 0 or v[2] == 0
