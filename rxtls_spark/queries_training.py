@@ -13203,10 +13203,231 @@ FROM c
 """
 
 
+# Bradley-Terry spec — MIRRORED in `_bradley_terry_sql`; change
+# together.  Duels: each doc challenges the knuth forward-jump
+# partner (the nsp_pairs co-partitioned equi-join shape, salt 5 so it
+# never collides with NSP's jump); cross-source, distinct-quality
+# duels only; winner = higher e5 quality numerator.  Counts are
+# e6-share-scaled BEFORE the MM iterations so every later magnitude
+# is bounded regardless of corpus size; per iteration the raw
+# strength is clamped to [1, 9e18 DIV (n·1e6)] so the normalization
+# product pr·n·1e6 provably fits BIGINT; init p = 1e6, mean kept at
+# 1e6 by the truncating-DIV normalization.
+BT_JUMP_MOD = 37
+BT_SALT = 5
+BT_ITERS = 8
+
+
+def _bt_iterate(
+    srcs: list[str],
+    wmat: dict[tuple[str, str], int],
+) -> dict[str, int]:
+    """The exact-integer Bradley-Terry MM loop (Zermelo 1929; Hunter
+    2004's minorization-maximization) over the bounded win matrix —
+    plain Python ints, the SAME truncating-DIV arithmetic the oracle
+    unrolls (positive operands, so // == both engines' DIV)."""
+    n = len(srcs)
+    total = sum(wmat.values())
+    m = {k: (w * 10**6) // total for k, w in wmat.items()}
+    wins = {s: sum(m.get((s, b), 0) for b in srcs) for s in srcs}
+    games = {
+        (a, b): m.get((a, b), 0) + m.get((b, a), 0)
+        for a in srcs
+        for b in srcs
+        if a != b
+    }
+    cl = 9 * 10**18 // (n * 10**6)
+    p = {s: 10**6 for s in srcs}
+    for _ in range(BT_ITERS):
+        t = {
+            s: sum(
+                (g * 10**9) // (p[s] + p[b])
+                for (a, b), g in games.items()
+                if a == s and g > 0
+            )
+            for s in srcs
+        }
+        pr = {
+            s: (
+                1
+                if t[s] <= 0
+                else min(cl, max(1, (wins[s] * 10**9) // t[s]))
+            )
+            for s in srcs
+        }
+        tot_pr = sum(pr.values())
+        p = {s: (pr[s] * n * 10**6) // tot_pr for s in srcs}
+    return p
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry source-strength ranking from pairwise quality
+    duels — the aggregation RLHF pipelines run over preference pairs
+    (BT is the likelihood the reward model fits; here it ranks
+    SOURCES so the mixture weighting can prefer consistently-winning
+    ones, a cardinal strength `source_funnel`'s marginal rates can't
+    give): deterministic knuth-jump duels between docs of different
+    sources, winner = higher stable quality numerator, then the
+    exact-integer MM fixed-point on the (source × source) win matrix.
+    Emits per source the raw win/game counts, the converged strength
+    p_e6 (mean 1e6), and the rank.
+
+    Cross-engine: duel construction and the win matrix are pure
+    BIGINT formulas; the MM loop runs on the COLLECTED matrix
+    (metadata-scale — |sources|² cells) in exact Python ints on the
+    Spark side and as BT_ITERS unrolled MATERIALIZED CTE rounds in
+    DuckDB — identical truncating-DIV arithmetic, bit-equal by
+    construction (the quantile_normalize driver-literal precedent).
+
+    Scale shape: ONE co-partitioned self equi-join on the computed
+    partner key (the nsp_pairs plan — no broadcast of the corpus),
+    ONE hash agg onto ≤|sources|² cells; everything after is
+    metadata-scale driver math."""
+    qnum = F.floor(quality_score() * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", qnum.alias("q_e5")
+    )
+    left = docs.select(
+        F.col("source").alias("sa"),
+        F.col("q_e5").alias("qa"),
+        (
+            F.col("doc_id")
+            + 1
+            + knuth_hash(F.col("doc_id") * BT_SALT) % BT_JUMP_MOD
+        ).alias("partner_id"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("partner_id"),
+        F.col("source").alias("sb"),
+        F.col("q_e5").alias("qb"),
+    )
+    duels = (
+        left.join(right, "partner_id")
+        .where((F.col("sa") != F.col("sb")) & (F.col("qa") != F.col("qb")))
+        .select(
+            F.when(F.col("qa") > F.col("qb"), F.col("sa"))
+            .otherwise(F.col("sb"))
+            .alias("win_src"),
+            F.when(F.col("qa") > F.col("qb"), F.col("sb"))
+            .otherwise(F.col("sa"))
+            .alias("lose_src"),
+        )
+    )
+    cells = duels.groupBy("win_src", "lose_src").count().collect()
+    wmat = {(r["win_src"], r["lose_src"]): r["count"] for r in cells}
+    srcs = sorted({a for a, _ in wmat} | {b for _, b in wmat})
+    p = _bt_iterate(srcs, wmat)
+    wins_raw = {s: sum(w for (a, _), w in wmat.items() if a == s) for s in srcs}
+    games_raw = {
+        s: wins_raw[s] + sum(w for (_, b), w in wmat.items() if b == s)
+        for s in srcs
+    }
+    ranked = sorted(srcs, key=lambda s: (-p[s], s))
+    rows = [
+        (s, wins_raw[s], games_raw[s], p[s], i + 1)
+        for i, s in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        rows, "source string, n_wins long, n_games long, p_e6 long, rank long"
+    )
+
+
+def _bradley_terry_sql() -> str:
+    """bradley_terry oracle: identical duel construction and win
+    matrix, then BT_ITERS unrolled MM rounds as MATERIALIZED CTEs
+    (the BPE chained-CTE lesson — DuckDB would otherwise re-inline
+    the chain exponentially)."""
+    its = []
+    for k in range(1, BT_ITERS + 1):
+        its.append(f"""t{k} AS MATERIALIZED (
+  SELECT g.a AS src,
+         CAST(sum((g.g * 1000000000) // (pa.p + pb.p)) AS BIGINT) AS t
+  FROM games g
+  JOIN p{k-1} pa ON g.a = pa.src
+  JOIN p{k-1} pb ON g.b = pb.src
+  GROUP BY 1
+), r{k} AS MATERIALIZED (
+  SELECT s.src,
+         CASE WHEN t.t IS NULL OR t.t <= 0 THEN CAST(1 AS BIGINT)
+              ELSE least((SELECT cl FROM ns),
+                         greatest(1, (w.w * 1000000000) // t.t)) END AS pr
+  FROM srcs s
+  LEFT JOIN t{k} t ON s.src = t.src
+  JOIN wins w ON s.src = w.src
+), p{k} AS MATERIALIZED (
+  SELECT src,
+         CAST((pr * (SELECT n FROM ns) * 1000000)
+              // (SELECT CAST(sum(pr) AS BIGINT) FROM r{k}) AS BIGINT) AS p
+  FROM r{k}
+)""")
+    chain = ",\n".join(its)
+    return f"""
+{_TEXT_CTE}
+, qq AS (
+  SELECT doc_id,
+         CAST(floor(({_QUALITY_SQL}) * 100000 + 0.5) AS BIGINT) AS q_e5
+  FROM feats
+), dd AS (
+  SELECT q.doc_id, d.source, q.q_e5
+  FROM qq q JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+), duels AS (
+  SELECT CASE WHEN a.q_e5 > b.q_e5 THEN a.source ELSE b.source END AS win_src,
+         CASE WHEN a.q_e5 > b.q_e5 THEN b.source ELSE a.source END AS lose_src
+  FROM dd a
+  JOIN dd b ON b.doc_id = a.doc_id + 1
+     + (((((a.doc_id * {BT_SALT}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+        % {BT_JUMP_MOD})
+  WHERE a.source <> b.source AND a.q_e5 <> b.q_e5
+), wmat AS MATERIALIZED (
+  SELECT win_src AS a, lose_src AS b, CAST(count(*) AS BIGINT) AS w
+  FROM duels GROUP BY 1, 2
+), srcs AS MATERIALIZED (
+  SELECT DISTINCT src FROM (
+    SELECT a AS src FROM wmat UNION ALL SELECT b AS src FROM wmat
+  )
+), ns AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         9000000000000000000 // (CAST(count(*) AS BIGINT) * 1000000) AS cl
+  FROM srcs
+), wmat_s AS MATERIALIZED (
+  SELECT a, b,
+         (w * 1000000) // (SELECT CAST(sum(w) AS BIGINT) FROM wmat) AS w
+  FROM wmat
+), wins AS MATERIALIZED (
+  SELECT s.src, CAST(coalesce(sum(m.w), 0) AS BIGINT) AS w
+  FROM srcs s LEFT JOIN wmat_s m ON s.src = m.a GROUP BY 1
+), games AS MATERIALIZED (
+  SELECT a, b, CAST(sum(n) AS BIGINT) AS g FROM (
+    SELECT a, b, w AS n FROM wmat_s
+    UNION ALL
+    SELECT b AS a, a AS b, w AS n FROM wmat_s
+  ) GROUP BY 1, 2
+), wins_raw AS (
+  SELECT s.src, CAST(coalesce(sum(m.w), 0) AS BIGINT) AS n_wins
+  FROM srcs s LEFT JOIN wmat m ON s.src = m.a GROUP BY 1
+), losses_raw AS (
+  SELECT s.src, CAST(coalesce(sum(m.w), 0) AS BIGINT) AS n_losses
+  FROM srcs s LEFT JOIN wmat m ON s.src = m.b GROUP BY 1
+), p0 AS (
+  SELECT src, CAST(1000000 AS BIGINT) AS p FROM srcs
+),
+{chain}
+SELECT w.src AS source, w.n_wins, w.n_wins + l.n_losses AS n_games,
+       p.p AS p_e6,
+       CAST(row_number() OVER (ORDER BY p.p DESC, w.src) AS BIGINT) AS rank
+FROM wins_raw w
+JOIN losses_raw l ON w.src = l.src
+JOIN p{BT_ITERS} p ON w.src = p.src
+"""
+
+
 QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rarity": q_doc_rarity,
     "weighted_sample": q_weighted_sample,
     "secret_scan": q_secret_scan,
+    "bradley_terry": q_bradley_terry,
     "kn_bigram_score": q_kn_bigram_score,
     "minhash_calibration": q_minhash_calibration,
     "blocklist_filter": q_blocklist_filter,
@@ -15476,6 +15697,7 @@ WHERE rn <= 10
         "hll_distinct": _hll_distinct_sql(),
         "secret_scan": _secret_scan_sql(),
         "bleu_pairs": _bleu_pairs_sql(),
+        "bradley_terry": _bradley_terry_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

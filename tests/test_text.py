@@ -5759,3 +5759,87 @@ def test_bleu_pairs_matches_replica_and_metric_contracts(spark):
         assert v[6] <= 0
         if v[6] == -99000:
             assert v[0] == 0 or v[2] == 0
+
+
+def test_bradley_terry_matches_duel_replica_and_mm_contracts(spark):
+    """The duel matrix must equal an independent Python rebuild
+    (knuth jump, cross-source distinct-quality duels, e5 quality);
+    ranks must be the 1..n permutation ordered by (p DESC, source);
+    Σp must equal n·1e6 up to the n truncations; and the integer MM
+    fixed point must track an INDEPENDENT float MM replica (no
+    clamps, real division) to within the truncation-noise budget."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        BT_ITERS,
+        BT_JUMP_MOD,
+        BT_SALT,
+        q_bradley_terry,
+    )
+    from rxtls_spark.queries_training import q_text_features
+    from tests.conftest import SF_SMOKE
+
+    feats = {
+        r["doc_id"]: int(round(r["quality"] * 100000))
+        for r in q_text_features(spark, SF_SMOKE).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    wmat: dict = {}
+    for d, qa in feats.items():
+        pj = d + 1 + ((d * BT_SALT % KNUTH_P) * KNUTH_A) % KNUTH_P % BT_JUMP_MOD
+        if pj not in feats:
+            continue
+        qb = feats[pj]
+        if src[d] == src[pj] or qa == qb:
+            continue
+        w, l = (src[d], src[pj]) if qa > qb else (src[pj], src[d])
+        wmat[(w, l)] = wmat.get((w, l), 0) + 1
+    srcs = sorted({a for a, _ in wmat} | {b for _, b in wmat})
+
+    got = {r["source"]: r for r in q_bradley_terry(spark, SF_SMOKE).collect()}
+    assert sorted(got) == srcs
+    for s in srcs:
+        assert got[s]["n_wins"] == sum(
+            w for (a, _), w in wmat.items() if a == s
+        )
+        assert got[s]["n_games"] == got[s]["n_wins"] + sum(
+            w for (_, b), w in wmat.items() if b == s
+        )
+    n = len(srcs)
+    assert sorted(r["rank"] for r in got.values()) == list(range(1, n + 1))
+    order = sorted(srcs, key=lambda s: (-got[s]["p_e6"], s))
+    assert [got[s]["rank"] for s in order] == list(range(1, n + 1))
+    tot = sum(r["p_e6"] for r in got.values())
+    assert n * 10**6 - n <= tot <= n * 10**6
+
+    # independent float MM (true division, no scaling/clamps)
+    total = sum(wmat.values())
+    m = {k: w / total for k, w in wmat.items()}
+    wins = {s: sum(m.get((s, b), 0.0) for b in srcs) for s in srcs}
+    games = {
+        (a, b): m.get((a, b), 0.0) + m.get((b, a), 0.0)
+        for a in srcs
+        for b in srcs
+        if a != b
+    }
+    p = {s: 1.0 for s in srcs}
+    for _ in range(BT_ITERS):
+        t = {
+            s: sum(
+                g / (p[s] + p[b])
+                for (a, b), g in games.items()
+                if a == s and g > 0
+            )
+            for s in srcs
+        }
+        pr = {s: (wins[s] / t[s] if t[s] > 0 else 0.0) for s in srcs}
+        tp = sum(pr.values())
+        p = {s: pr[s] * n / tp for s in srcs}
+    for s in srcs:
+        # e6-share floors on the inputs + 8 truncating rounds: allow
+        # a generous but still rank-preserving budget
+        assert abs(got[s]["p_e6"] - p[s] * 10**6) < 2 * 10**4, s
