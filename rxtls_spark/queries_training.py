@@ -13203,6 +13203,149 @@ FROM c
 """
 
 
+# Isotonic-calibration spec — MIRRORED in `_isotonic_sql`; change
+# together.  ISO_BINS probability bins of width ISO_W over the
+# e3-floored GD probability (another `_logreg_ctes` consumer — logreg
+# constants flow in); the fit is the MINIMAX form of isotonic
+# regression, max_{j≤i} min_{k≥i} rate(j,k), on e9-floored BIGINT
+# pooled rates — equivalent to PAVA on the reals (pytest proves the
+# floored forms agree to 1 ulp) but expressible as pure joins/aggs in
+# BOTH engines, no sequential pooling stack anywhere.
+ISO_BINS = 25
+ISO_W = 40  # 1000 DIV ISO_BINS
+
+
+def _iso_minimax(rows: list[tuple[int, int, int]]) -> list[int]:
+    """Exact-integer minimax isotonic fit over bin-sorted
+    (bin, n, pos) rows: iso_i = max_{j≤i} min_{k≥i} of the e9-floored
+    pooled rate of the block [j..k] — the SAME truncating-DIV
+    arithmetic the oracle's join form computes (positive operands)."""
+    cn, cp = [0], [0]
+    for _b, n, pos in rows:
+        cn.append(cn[-1] + n)
+        cp.append(cp[-1] + pos)
+    nb = len(rows)
+
+    def rate(j: int, k: int) -> int:
+        return ((cp[k] - cp[j - 1]) * 10**9) // (cn[k] - cn[j - 1])
+
+    return [
+        max(
+            min(rate(j, k) for k in range(i, nb + 1))
+            for j in range(1, i + 1)
+        )
+        for i in range(1, nb + 1)
+    ]
+
+
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) probability calibration of the trained quality
+    classifier — the non-parametric recalibration map (Zadrozny &
+    Elkan 2002) a pipeline fits when the reliability diagram
+    (`calibration_bins`) shows miscalibration: per probability bin,
+    the raw positive rate and the monotone-regularized isotonic rate
+    (pool-adjacent-violators), the lookup table inference applies.
+    Completes the calibration family: `calibration_bins` diagnoses,
+    `brier_decomp` attributes, `conformal_coverage` guarantees, this
+    FIXES.
+
+    Cross-engine: the fit is the minimax identity (max-min of pooled
+    block rates) on e9-floored BIGINT rates — Spark computes it in
+    exact Python ints over the COLLECTED ≤ISO_BINS-row histogram (the
+    bradley_terry driver-literal precedent), DuckDB as bounded
+    self-joins; identical truncating DIVs, bit-equal by construction.
+
+    Scale shape: pure-map scoring → ONE ≤ISO_BINS-row hash agg; the
+    O(B³) minimax runs on the bounded bin table, never on the
+    corpus."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    scored = fx.select(
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.col("y").cast("long").alias("y_l"),
+    )
+    hist = (
+        scored.select(
+            F.least(F.expr(f"p_e3 DIV {ISO_W}"), F.lit(ISO_BINS - 1))
+            .cast("long")
+            .alias("bin"),
+            "y_l",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y_l").cast("long").alias("n_pos"),
+        )
+        .collect()
+    )
+    rows = sorted((r["bin"], r["n"], r["n_pos"]) for r in hist)
+    iso = _iso_minimax(rows)
+    out = [
+        (b, n, pos, (pos * 10**9) // n, iso[i])
+        for i, (b, n, pos) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "bin long, n long, n_pos long, rate_e9 long, iso_e9 long",
+    )
+
+
+def _isotonic_sql(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> str:
+    """isotonic_fit oracle: the shared GD chain to p_e3, the ISO bin
+    histogram, then the minimax fit as bounded self-joins over the
+    bin table (prefix sums via distinct-key ORDER BY windows — the
+    roc_auc RANGE-frame rule)."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+iso_scored AS (
+  SELECT CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(y AS BIGINT) AS y_l
+  FROM fx, w{iters} w
+), binned AS MATERIALIZED (
+  SELECT CAST(least(p_e3 // {ISO_W}, {ISO_BINS - 1}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y_l) AS BIGINT) AS n_pos
+  FROM iso_scored GROUP BY 1
+), ord AS MATERIALIZED (
+  SELECT bin, n, n_pos,
+         row_number() OVER (ORDER BY bin) AS rn,
+         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+  FROM binned
+), rjk AS MATERIALIZED (
+  SELECT j.rn AS j, k.rn AS k,
+         ((k.cp - coalesce(jm.cp, 0)) * 1000000000)
+           // (k.cn - coalesce(jm.cn, 0)) AS r
+  FROM ord j
+  JOIN ord k ON k.rn >= j.rn
+  LEFT JOIN ord jm ON jm.rn = j.rn - 1
+), mn AS (
+  SELECT i.rn AS i, r.j, min(r.r) AS mr
+  FROM ord i JOIN rjk r ON r.j <= i.rn AND r.k >= i.rn
+  GROUP BY 1, 2
+), f AS (
+  SELECT i, CAST(max(mr) AS BIGINT) AS iso_e9 FROM mn GROUP BY 1
+)
+SELECT o.bin, o.n, o.n_pos,
+       (o.n_pos * 1000000000) // o.n AS rate_e9,
+       f.iso_e9
+FROM ord o JOIN f ON o.rn = f.i
+"""
+    )
+
+
 # Bradley-Terry spec — MIRRORED in `_bradley_terry_sql`; change
 # together.  Duels: each doc challenges the knuth forward-jump
 # partner (the nsp_pairs co-partitioned equi-join shape, salt 5 so it
@@ -13428,6 +13571,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "secret_scan": q_secret_scan,
     "bradley_terry": q_bradley_terry,
+    "isotonic_fit": q_isotonic_fit,
     "kn_bigram_score": q_kn_bigram_score,
     "minhash_calibration": q_minhash_calibration,
     "blocklist_filter": q_blocklist_filter,
@@ -15698,6 +15842,7 @@ WHERE rn <= 10
         "secret_scan": _secret_scan_sql(),
         "bleu_pairs": _bleu_pairs_sql(),
         "bradley_terry": _bradley_terry_sql(),
+        "isotonic_fit": _isotonic_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

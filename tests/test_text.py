@@ -5843,3 +5843,78 @@ def test_bradley_terry_matches_duel_replica_and_mm_contracts(spark):
         # e6-share floors on the inputs + 8 truncating rounds: allow
         # a generous but still rank-preserving budget
         assert abs(got[s]["p_e6"] - p[s] * 10**6) < 2 * 10**4, s
+
+
+def test_isotonic_fit_matches_pava_and_monotone(spark):
+    """The minimax form must equal exact-Fraction PAVA floored to e9
+    on fuzzed histograms — floor commutes with max and min, so the
+    max-min of e9-floored pooled rates IS the floored PAVA value; the
+    query's histogram must equal a Python rebuild from the engine
+    features and trained weights (the brier_decomp replica pattern);
+    iso_e9 must be monotone non-decreasing and equal _iso_minimax of
+    the returned rows."""
+    import math
+    import random
+    from fractions import Fraction
+
+    from rxtls_spark.queries_training import (
+        ISO_BINS,
+        ISO_W,
+        _iso_minimax,
+        _logreg_train,
+        logreg_features,
+        q_isotonic_fit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def pava_floor_e9(rows):
+        blocks: list = []
+        for _b, n, pos in rows:
+            blocks.append([n, pos, 1])
+            while len(blocks) >= 2 and Fraction(
+                blocks[-2][1], blocks[-2][0]
+            ) >= Fraction(blocks[-1][1], blocks[-1][0]):
+                n2, p2, c2 = blocks.pop()
+                blocks[-1][0] += n2
+                blocks[-1][1] += p2
+                blocks[-1][2] += c2
+        out: list = []
+        for n, pos, c in blocks:
+            out.extend([(pos * 10**9) // n] * c)
+        return out
+
+    rng = random.Random(7)
+    for _ in range(80):
+        nb = rng.randint(1, 12)
+        rows = []
+        for b in range(nb):
+            n = rng.randint(1, 50)
+            rows.append((b, n, rng.randint(0, n)))
+        assert _iso_minimax(rows) == pava_floor_e9(rows), rows
+
+    fx = logreg_features(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    feats = [(r["x1"], r["x2"], r["x3"], r["y"]) for r in fx.collect()]
+    _, wv = _logreg_train(fx)
+    hist: dict[int, list[int]] = {}
+    for x1, x2, x3, y in feats:
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p = 1.0 / (1.0 + math.exp(-m))
+        p_e3 = math.floor(p * 1000 + 0.5)
+        b = min(p_e3 // ISO_W, ISO_BINS - 1)
+        cur = hist.setdefault(b, [0, 0])
+        cur[0] += 1
+        cur[1] += int(y)
+    rows = sorted((b, n, pos) for b, (n, pos) in hist.items())
+
+    got = sorted(
+        q_isotonic_fit(spark, SF_SMOKE).collect(), key=lambda r: r["bin"]
+    )
+    assert [(r["bin"], r["n"], r["n_pos"]) for r in got] == rows
+    for r in got:
+        assert r["rate_e9"] == (r["n_pos"] * 10**9) // r["n"]
+    iso = [r["iso_e9"] for r in got]
+    assert iso == _iso_minimax(rows) == pava_floor_e9(rows)
+    assert all(a <= b for a, b in zip(iso, iso[1:]))
+    assert sum(r["n"] for r in got) == len(feats)
