@@ -13346,6 +13346,390 @@ FROM ord o JOIN f ON o.rn = f.i
     )
 
 
+# DBSCAN spec — MIRRORED in `_dbscan_sql`; change together.  Another
+# `_kmeans_cents_ctes` consumer (kmeans constants flow in): the
+# ε-neighborhood is IN-CELL cosine ≥ DBSCAN_TAU_E5 on the e5-floored
+# BIGINT (the knn_graph candidate restriction — blocked DBSCAN), core
+# = ≥ DBSCAN_MIN_PTS neighbors (excluding self — classical minPts−1),
+# clusters = components over core–core ε-edges, border points take the
+# MIN cluster root among their core neighbors, noise is excluded on
+# both sides.
+DBSCAN_TAU_E5 = 25000
+DBSCAN_MIN_PTS = 4
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    embedding space — the clustering family's density member next to
+    `kmeans` (partitional) and `knn_components` (graph): core points
+    are vectors with ≥ ``DBSCAN_MIN_PTS`` ε-neighbors (cosine ≥
+    ``DBSCAN_TAU_E5``), clusters are connected components of the
+    core–core ε-graph, border points attach to the MIN cluster root
+    among their core neighbors (the deterministic form of DBSCAN's
+    order-dependent border assignment), and noise — neither core nor
+    border — is excluded on both sides.  Output per member: role flag,
+    cluster root, and the cluster's core/member counts — the table a
+    curation pipeline reads to drop noise docs and sample per density
+    cluster.
+
+    Candidates come from the SAME deterministic kmeans quantizer as
+    `knn_graph` / `semantic_dedup` (cell equi-join — blocked DBSCAN,
+    never an all-pairs corpus join; the ε-graph within a cell is the
+    production approximation real pipelines run, and the blocking is
+    part of the mirrored spec).  All outputs BIGINT; the e5-floored
+    cosine makes the ε-test exact cross-engine.
+
+    Scale shape: training metadata-scale; assignment a pure map; ONE
+    cell equi-join filtered to ε-pairs (the selective predicate is
+    applied inside the join project); degree count is a hash agg;
+    components run the proven min-label propagation (near-clique
+    diameter); border assignment is one ε-edge join + min-agg.
+    Reference analog: the corpus-level clustering extension of P8
+    (/root/reference/internal/core/domain_extractor.go:520-545 keeps
+    first-seen only; clusters are the 100 TB curation need)."""
+    from rxtls_spark.operators.cluster import connected_components
+    from rxtls_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    asg = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias(
+            "cell"
+        ),
+    ).localCheckpoint(eager=False)  # assign once for both join sides
+    a = asg.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        "cell",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("emb_b"),
+        "cell",
+    )
+    # ε-pairs (both directions) — reused by degree, core edges, border
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("src") != F.col("nbr"))
+        .select(
+            "src",
+            "nbr",
+            F.floor(cosine_expr("emb_a", "emb_b") * 100000)
+            .cast("long")
+            .alias("cos_e5"),
+        )
+        .where(F.col("cos_e5") >= DBSCAN_TAU_E5)
+        .select("src", "nbr")
+        .localCheckpoint(eager=False)
+    )
+    core = (
+        pairs.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= DBSCAN_MIN_PTS)
+        .select(F.col("src").alias("vec_id"))
+        .localCheckpoint(eager=False)
+    )
+    ce = (
+        pairs.join(core.select(F.col("vec_id").alias("src")), "src")
+        .join(core.select(F.col("vec_id").alias("nbr")), "nbr")
+        .where(F.col("src") < F.col("nbr"))
+        .select(F.col("src").alias("doc_a"), F.col("nbr").alias("doc_b"))
+        .distinct()
+    )
+    cc = connected_components(ce).withColumnRenamed("doc_id", "vec_id")
+    # isolated cores (no core neighbor) are singleton clusters
+    core_cc = core.join(cc, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("cluster_root", F.col("vec_id")).alias("cluster_root"),
+    )
+    border = (
+        pairs.join(
+            core_cc.select(
+                F.col("vec_id").alias("nbr"),
+                F.col("cluster_root").alias("nbr_root"),
+            ),
+            "nbr",
+        )
+        .join(
+            core.select(F.col("vec_id").alias("src")), "src", "left_anti"
+        )
+        .groupBy("src")
+        .agg(F.min("nbr_root").alias("cluster_root"))
+        .select(F.col("src").alias("vec_id"), "cluster_root")
+    )
+    mem = core_cc.withColumn("is_core", F.lit(1).cast("long")).unionByName(
+        border.withColumn("is_core", F.lit(0).cast("long"))
+    )
+    sz = mem.groupBy("cluster_root").agg(
+        F.sum("is_core").cast("long").alias("n_core"),
+        F.count(F.lit(1)).cast("long").alias("n_member"),
+    )
+    return mem.join(sz, "cluster_root").select(
+        "vec_id", "is_core", "cluster_root", "n_core", "n_member"
+    )
+
+
+def _dbscan_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = KMEANS_DIM,
+    tau: int = DBSCAN_TAU_E5,
+    min_pts: int = DBSCAN_MIN_PTS,
+) -> str:
+    """dbscan_clusters oracle: the shared unrolled-Lloyd's centroid
+    CTEs, identical assignment, in-cell ε-pairs on the e5-floored
+    cosine (MATERIALIZED — consumed three times), the HAVING-degree
+    core set, the dedup_clusters WITH RECURSIVE min-label closure over
+    core–core edges, min-root border attachment, and BIGINT member
+    counts."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{iters} c)
+  WHERE rn = 1
+), p AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS nbr
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE CAST(floor(list_cosine_similarity(a.emb, b.emb) * 100000)
+             AS BIGINT) >= {tau}
+), core AS MATERIALIZED (
+  SELECT src AS vec_id FROM p GROUP BY 1 HAVING count(*) >= {min_pts}
+), ce AS (
+  SELECT p.src AS a, p.nbr AS b
+  FROM p
+  JOIN core ca ON p.src = ca.vec_id
+  JOIN core cb ON p.nbr = cb.vec_id
+  WHERE p.src < p.nbr
+), edges AS (
+  SELECT a, b FROM ce UNION SELECT b, a FROM ce
+), nodes AS (
+  SELECT DISTINCT a AS vec_id FROM edges
+), reach(vec_id, label) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.vec_id
+), cc AS (
+  SELECT vec_id, min(label) AS cluster_root FROM reach GROUP BY 1
+), core_cc AS MATERIALIZED (
+  SELECT c.vec_id, coalesce(cc.cluster_root, c.vec_id) AS cluster_root
+  FROM core c LEFT JOIN cc ON cc.vec_id = c.vec_id
+), border AS (
+  SELECT p.src AS vec_id, min(k.cluster_root) AS cluster_root
+  FROM p JOIN core_cc k ON p.nbr = k.vec_id
+  WHERE p.src NOT IN (SELECT vec_id FROM core)
+  GROUP BY 1
+), mem AS (
+  SELECT vec_id, CAST(1 AS BIGINT) AS is_core, cluster_root FROM core_cc
+  UNION ALL
+  SELECT vec_id, CAST(0 AS BIGINT) AS is_core, cluster_root FROM border
+), sz AS (
+  SELECT cluster_root, CAST(sum(is_core) AS BIGINT) AS n_core,
+         CAST(count(*) AS BIGINT) AS n_member
+  FROM mem GROUP BY 1
+)
+SELECT m.vec_id, m.is_core, m.cluster_root, s.n_core, s.n_member
+FROM mem m JOIN sz s USING (cluster_root)
+"""
+    )
+
+
+# Co-occurrence/PPMI spec — MIRRORED in `_cooc_ppmi_sql`; change
+# together.  Windowed skip pairs (t_i, t_{i+d}) for d in 1..COOC_W
+# over the RAW `_lm_tokens()` stream (pairing before the vocab filter
+# — GloVe's convention), stored unordered via (least, greatest);
+# vocab = top-COOC_VOCAB_K unigrams by (cnt DESC, tok) (the
+# BIGRAM_VOCAB_K sizing rule — and the vocab cap IS the output bound:
+# the full ≤V(V+1)/2-row matrix is emitted, ranked (c_ab DESC, a, b),
+# no silent top-k cut); marginals are ENDPOINT counts from the
+# in-vocab pair table itself (an (a,a) pair contributes 2), total T =
+# Σ c_ab; pmi_e3 is the ONE expression text
+# ln((c_ab·T)/(c_a·c_b)) with every operand cast DOUBLE BEFORE
+# multiplying (the source_keyness rule — BIGINT products would
+# overflow), e3-floored.
+COOC_W = 3
+COOC_VOCAB_K = 40
+
+
+def q_cooc_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence counts + PPMI — the word-vector
+    preparation table (GloVe's X matrix; Levy & Goldberg 2014's
+    PPMI-SVD equivalence makes this THE classical embedding substrate)
+    and the collocation detector curation pipelines read: for every
+    unordered in-vocab token pair within a ``COOC_W``-token window,
+    the co-occurrence count, endpoint marginals, and the e3-floored
+    (P)PMI.
+
+    Cross-engine: pairs are built as pure array ops (Spark
+    slice+zip_with per offset d ↔ DuckDB generate_series with t[i],
+    t[i+d] — the lsh_bucket_stats 0/1-based indexing note: the pair
+    MULTISETS are identical), unordered via least/greatest (UTF-8
+    byte order == codepoint order, identical in both engines);
+    marginals/total come from the BOUNDED ≤V² pair table; the PMI is
+    the mirrored one-expression ln on identical doubles.
+
+    Scale shape: ONE token-pair explode → hash agg onto the bounded
+    vocab×vocab key space (map-side partial aggs absorb the stream;
+    the in-vocab filter prunes before the shuffle); marginals, total,
+    and the top-k rank all run on the ≤V(V+1)/2-row pair table —
+    metadata scale.  The vocab itself is one bounded hash agg shipped
+    as a literal isin list (the lm_vocab precedent)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = _lm_tokens()
+    vocab_rows = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(COOC_VOCAB_K)
+        .collect()
+    )
+    vocab = sorted(r["tok"] for r in vocab_rows)
+
+    arrays = []
+    for d in range(1, COOC_W + 1):
+        n = F.greatest(F.size(toks) - d, F.lit(0))
+        arrays.append(
+            F.zip_with(
+                F.slice(toks, 1, n),
+                F.slice(toks, d + 1, n),
+                lambda x, y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            )
+        )
+    pe = (
+        docs.select(F.explode(F.concat(*arrays)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a").isin(vocab) & F.col("b").isin(vocab))
+    )
+    cab = (
+        pe.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .localCheckpoint(eager=False)  # bounded ≤V² — feeds 3 consumers
+    )
+    marg = (
+        cab.select(F.col("a").alias("tok"), "c_ab")
+        .unionAll(cab.select(F.col("b").alias("tok"), "c_ab"))
+        .groupBy("tok")
+        .agg(F.sum("c_ab").cast("long").alias("c_t"))
+    )
+    tot = cab.agg(F.sum("c_ab").cast("long").alias("t_pairs"))
+    pmi = F.floor(
+        F.lit(1000.0)
+        * F.log(
+            (F.col("c_ab").cast("double") * F.col("t_pairs").cast("double"))
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        )
+    ).cast("long")
+    from pyspark.sql.window import Window
+
+    ranked = (
+        cab.join(
+            marg.select(F.col("tok").alias("a"), F.col("c_t").alias("c_a")),
+            "a",
+        )
+        .join(
+            marg.select(F.col("tok").alias("b"), F.col("c_t").alias("c_b")),
+            "b",
+        )
+        .crossJoin(tot)
+        .withColumn("pmi_e3", pmi)
+        .withColumn("ppmi_e3", F.greatest(F.col("pmi_e3"), F.lit(0)))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("c_ab").desc(), "a", "b")
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.select(
+        "rank", "a", "b", "c_ab", "c_a", "c_b", "pmi_e3", "ppmi_e3"
+    )
+
+
+def _cooc_ppmi_sql(w: int = COOC_W, vocab_k: int = COOC_VOCAB_K) -> str:
+    """cooc_ppmi oracle: tokens via the shared regexp split, skip
+    pairs via generate_series per offset (1-based t[i]/t[i+d] — the
+    same pair multiset as Spark's 0-based slices), the top-K unigram
+    vocab CTE, endpoint marginals over the bounded pair table, and
+    the mirrored one-expression PMI."""
+    offsets = " UNION ALL ".join(
+        f"SELECT doc_id, t, {d} AS d FROM toks" for d in range(1, w + 1)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), vocab AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT unnest(t) AS tok FROM toks
+  ) GROUP BY 1 ORDER BY count(*) DESC, tok LIMIT {vocab_k}
+), offs AS ({offsets}
+), pe AS (
+  SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - d),
+                                 i -> {{'x': t[i], 'y': t[i+d]}})) AS p
+    FROM offs WHERE len(t) > d
+  )
+  WHERE p.x IN (SELECT tok FROM vocab) AND p.y IN (SELECT tok FROM vocab)
+), cab AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pe GROUP BY 1, 2
+), marg AS MATERIALIZED (
+  SELECT tok, CAST(sum(c_ab) AS BIGINT) AS c_t FROM (
+    SELECT a AS tok, c_ab FROM cab
+    UNION ALL
+    SELECT b AS tok, c_ab FROM cab
+  ) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c_ab) AS BIGINT) AS t_pairs FROM cab
+)
+SELECT rank, a, b, c_ab, c_a, c_b, pmi_e3,
+       greatest(pmi_e3, CAST(0 AS BIGINT)) AS ppmi_e3
+FROM (
+  SELECT
+    CAST(row_number() OVER (ORDER BY c.c_ab DESC, c.a, c.b) AS BIGINT)
+      AS rank,
+    c.a, c.b, c.c_ab, ma.c_t AS c_a, mb.c_t AS c_b,
+    CAST(floor(1000.0 * ln(
+      (CAST(c.c_ab AS DOUBLE) * CAST(t.t_pairs AS DOUBLE))
+      / (CAST(ma.c_t AS DOUBLE) * CAST(mb.c_t AS DOUBLE))
+    )) AS BIGINT) AS pmi_e3
+  FROM cab c
+  JOIN marg ma ON c.a = ma.tok
+  JOIN marg mb ON c.b = mb.tok
+  CROSS JOIN tot t
+)
+"""
+
+
 # Bradley-Terry spec — MIRRORED in `_bradley_terry_sql`; change
 # together.  Duels: each doc challenges the knuth forward-jump
 # partner (the nsp_pairs co-partitioned equi-join shape, salt 5 so it
@@ -13572,6 +13956,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "secret_scan": q_secret_scan,
     "bradley_terry": q_bradley_terry,
     "isotonic_fit": q_isotonic_fit,
+    "dbscan_clusters": q_dbscan_clusters,
+    "cooc_ppmi": q_cooc_ppmi,
     "kn_bigram_score": q_kn_bigram_score,
     "minhash_calibration": q_minhash_calibration,
     "blocklist_filter": q_blocklist_filter,
@@ -15843,6 +16229,8 @@ WHERE rn <= 10
         "bleu_pairs": _bleu_pairs_sql(),
         "bradley_terry": _bradley_terry_sql(),
         "isotonic_fit": _isotonic_sql(),
+        "dbscan_clusters": _dbscan_sql(),
+        "cooc_ppmi": _cooc_ppmi_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -1204,3 +1204,132 @@ def test_kcenter_coreset_matches_greedy_replica(spark):
     assert covers == sorted(covers), "greedy covers must be monotone"
     assert rows[0]["cover_e5"] == KCENTER_SEED_COVER
     assert sum(r["n_assigned"] for r in rows) == len(embs)
+
+
+def test_dbscan_matches_python_replica(spark):
+    """Full DBSCAN recomputed driver-side over the Spark-side cell
+    assignment (quantizer proven by the kmeans tests): in-cell
+    ε-pairs on the exact e5-floored cosine fold, the ≥MIN_PTS core
+    rule, union-find components over core–core edges, min-root border
+    attachment, and core/member counts — exact row equality.  Also
+    locks the noise rule (non-core, no core neighbor → absent) and
+    that isolated cores appear as singleton clusters of themselves."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.functions.hashing import knuth_hash
+    from rxtls_spark.operators.similarity import (
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+    from rxtls_spark.queries_training import (
+        DBSCAN_MIN_PTS,
+        DBSCAN_TAU_E5,
+        KMEANS_ITERS,
+        KMEANS_K,
+        _emb,
+        q_dbscan_clusters,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = _emb(spark, SF_SMOKE)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    asg = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias(
+            "cell"
+        ),
+    ).collect()
+
+    def cos_e5(a, b):
+        # the exact sequential fold of operators/similarity._cosine_cols
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        c = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        return math.floor(c * 100000)
+
+    by_cell = {}
+    for r in asg:
+        by_cell.setdefault(r["cell"], []).append(
+            (r["vec_id"], r["embedding"])
+        )
+    nbrs = {}
+    for members in by_cell.values():
+        for vid, e in members:
+            for wid, f in members:
+                if wid != vid and cos_e5(e, f) >= DBSCAN_TAU_E5:
+                    nbrs.setdefault(vid, set()).add(wid)
+    core = {v for v, ns in nbrs.items() if len(ns) >= DBSCAN_MIN_PTS}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for v in core:
+        for w in nbrs[v]:
+            if w in core:
+                ra, rb = find(v), find(w)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # min-label roots over core components (isolated cores = self root)
+    root = {}
+    comps = {}
+    for v in core:
+        comps.setdefault(find(v), set()).add(v)
+    for vs in comps.values():
+        lo = min(vs)
+        for v in vs:
+            root[v] = lo
+
+    want = {v: (1, root[v]) for v in core}
+    for v, ns in nbrs.items():
+        if v in core:
+            continue
+        core_roots = [root[w] for w in ns if w in core]
+        if core_roots:
+            want[v] = (0, min(core_roots))
+
+    n_core = {}
+    n_member = {}
+    for _v, (isc, rt) in want.items():
+        n_core[rt] = n_core.get(rt, 0) + isc
+        n_member[rt] = n_member.get(rt, 0) + 1
+
+    got = {
+        r["vec_id"]: (
+            r["is_core"],
+            r["cluster_root"],
+            r["n_core"],
+            r["n_member"],
+        )
+        for r in q_dbscan_clusters(spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        v: (isc, rt, n_core[rt], n_member[rt])
+        for v, (isc, rt) in want.items()
+    }
+    assert core and any(isc == 0 for isc, _ in want.values()), (
+        "smoke data must exercise both core and border roles"
+    )
+    assert len(got) < len(asg), "smoke data must leave some noise"

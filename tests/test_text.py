@@ -5918,3 +5918,100 @@ def test_isotonic_fit_matches_pava_and_monotone(spark):
     assert iso == _iso_minimax(rows) == pava_floor_e9(rows)
     assert all(a <= b for a, b in zip(iso, iso[1:]))
     assert sum(r["n"] for r in got) == len(feats)
+
+
+def test_cooc_ppmi_matches_python_replica(spark):
+    """Windowed skip-pair counts, endpoint marginals, total, e3-floored
+    PMI/PPMI and the (c_ab DESC, a, b) ranks recomputed driver-side
+    from the Spark-tokenized stream (tokenizer parity is the
+    bigram_lm precedent): exact row equality.  Also locks the raw-
+    stream pairing rule (pairs formed BEFORE the vocab filter), the
+    unordered least/greatest convention, and that the smoke corpus
+    exercises both PPMI branches (at least one positive pair)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        COOC_VOCAB_K,
+        COOC_W,
+        _docs,
+        _lm_tokens,
+        q_cooc_ppmi,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        _docs(spark, SF_SMOKE)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    tok_rows = docs.select(_lm_tokens().alias("t")).collect()
+
+    uni = {}
+    for r in tok_rows:
+        for t in r["t"]:
+            uni[t] = uni.get(t, 0) + 1
+    vocab = {
+        t
+        for t, _c in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :COOC_VOCAB_K
+        ]
+    }
+
+    cab = {}
+    for r in tok_rows:
+        t = r["t"]
+        for i in range(len(t)):
+            for d in range(1, COOC_W + 1):
+                if i + d >= len(t):
+                    break
+                x, y = t[i], t[i + d]
+                if x in vocab and y in vocab:
+                    key = (min(x, y), max(x, y))
+                    cab[key] = cab.get(key, 0) + 1
+    marg = {}
+    for (a, b), c in cab.items():
+        marg[a] = marg.get(a, 0) + c
+        marg[b] = marg.get(b, 0) + c
+    total = sum(cab.values())
+
+    def pmi_e3(a, b, c):
+        return math.floor(
+            1000.0
+            * math.log(
+                (float(c) * float(total)) / (float(marg[a]) * float(marg[b]))
+            )
+        )
+
+    order = sorted(cab.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {
+        (a, b): (
+            rk + 1,
+            c,
+            marg[a],
+            marg[b],
+            pmi_e3(a, b, c),
+            max(pmi_e3(a, b, c), 0),
+        )
+        for rk, ((a, b), c) in enumerate(order)
+    }
+
+    got = {
+        (r["a"], r["b"]): (
+            r["rank"],
+            r["c_ab"],
+            r["c_a"],
+            r["c_b"],
+            r["pmi_e3"],
+            r["ppmi_e3"],
+        )
+        for r in q_cooc_ppmi(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[5] > 0 for v in want.values()), (
+        "smoke corpus must exercise the positive-PPMI branch"
+    )
+    assert any(v[4] < 0 for v in want.values()), (
+        "smoke corpus must exercise the clamped branch"
+    )
