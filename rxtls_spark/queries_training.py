@@ -13554,6 +13554,189 @@ FROM mem m JOIN sz s USING (cluster_root)
     )
 
 
+# Platt-scaling spec — MIRRORED in `_platt_sql`; change together.
+# Another `_logreg_ctes` + `ISO_BINS/ISO_W` consumer (logreg constants
+# and the isotonic bin rule flow in): a 2-parameter NEWTON fit of
+# σ(A·x + B) on x = p_e3/1000 (the e3-floored base probability — an
+# exact rational double both engines).  Plain GD is useless here (the
+# base scores span ~0.1 in x, so the A-gradient is tiny and hundreds
+# of steps still underfit — measured); Newton (Platt 1999's own
+# second-order fit) converges to the fixpoint in ≤6 steps.  Per step
+# the FIVE mean statistics (mgx, mg, mxx, mhx, mh) are 6-dp
+# floor-stable on both engines, and the 2×2 solve
+# det = (mxx·mh − mhx·mhx), a −= (mh·mgx − mhx·mg)/det,
+# b −= (mxx·mg − mhx·mgx)/det is the IDENTICAL expression text — so
+# (A, B) evolve as identical doubles (the _logreg_train discipline,
+# second-order form).  Evaluation at each bin MIDPOINT mid_e3 =
+# bin·ISO_W + ISO_W DIV 2 with the e3-floored σ (exp once per bin —
+# the p_e3 ulp-absorption rule).
+PLATT_ITERS = 8
+
+
+def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (Platt 1999) of the trained quality classifier —
+    the PARAMETRIC recalibration map next to `isotonic_fit`'s
+    non-parametric one (the classic pairing: Platt for small/smooth
+    miscalibration, isotonic when the reliability curve is lumpy):
+    fit σ(A·x + B) on the base model's probability by deterministic
+    full-batch GD, then emit per probability bin the raw positive
+    rate and the Platt-calibrated value at the bin midpoint — the
+    lookup table inference applies, directly comparable row-for-row
+    with `isotonic_fit`'s.
+
+    Cross-engine: x = p_e3/1000 is an exact rational double; each
+    NEWTON step's five mean statistics are 6-dp floor-stable on BOTH
+    engines and the 2×2 solve is the identical expression text, so
+    (A, B) evolve as identical doubles (the `_logreg_train`
+    discipline, second-order form — see the spec comment for why
+    first-order GD cannot fit this data); the per-bin output floors
+    σ at e3 — exp() appears once per BIN, and the e3 floor absorbs
+    engine exp() ulp drift (the p_e3 rule).
+
+    Scale shape: base scoring is a pure map; the Platt fit is one
+    5-scalar hash agg per iteration (the kmeans/logreg loop shape —
+    driver state is 2 floats); the output is ONE bounded ≤ISO_BINS
+    hash agg with the calibrated column a pure expression on
+    literals."""
+    import math
+
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    scored = fx.select(
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.col("y").cast("long").alias("y_l"),
+    ).localCheckpoint(eager=False)  # feeds every GD step + the bin agg
+    px = scored.select(
+        (F.col("p_e3").cast("double") / F.lit(1000.0)).alias("x"),
+        F.col("y_l").cast("double").alias("y"),
+    )
+    a, b = 0.0, 0.0
+    for _it in range(PLATT_ITERS):
+        s = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.lit(a) * F.col("x") + F.lit(b)))
+        )
+        hw = s * (F.lit(1.0) - s)
+        agg = px.agg(
+            F.sum((s - F.col("y")) * F.col("x")).alias("gx"),
+            F.sum(s - F.col("y")).alias("g"),
+            F.sum(hw * F.col("x") * F.col("x")).alias("hxx"),
+            F.sum(hw * F.col("x")).alias("hx"),
+            F.sum(hw).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = float(agg["n"])
+        mgx, mg, mxx, mhx, mh = (
+            math.floor(agg[c] / n * 1e6 + 0.5) / 1e6
+            for c in ("gx", "g", "hxx", "hx", "h")
+        )
+        # the 2x2 Newton solve — expression text mirrored in _platt_sql
+        det = mxx * mh - mhx * mhx
+        a = a - (mh * mgx - mhx * mg) / det
+        b = b - (mxx * mg - mhx * mgx) / det
+    mid = (
+        F.col("bin") * F.lit(ISO_W) + F.lit(ISO_W // 2)
+    ).cast("long")
+    xm = mid.cast("double") / F.lit(1000.0)
+    platt = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(a) * xm + F.lit(b)))
+    )
+    return (
+        scored.select(
+            F.least(
+                F.expr(f"p_e3 DIV {ISO_W}"), F.lit(ISO_BINS - 1)
+            )
+            .cast("long")
+            .alias("bin"),
+            "y_l",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y_l").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("(n_pos * 1000000000) DIV n").cast("long").alias("rate_e9"),
+            mid.alias("mid_e3"),
+            F.floor(platt * F.lit(1000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("platt_e3"),
+        )
+    )
+
+
+def _platt_sql(
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+    p_iters: int = PLATT_ITERS,
+) -> str:
+    """platt_scaling oracle: the shared GD chain to p_e3, the unrolled
+    2-parameter NEWTON chain (pa0..pa{p_iters}) with 6-dp floor-stable
+    mean statistics and the mirrored 2×2 solve, and the bounded bin
+    table with the e3-floored midpoint sigmoid."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    parts.append(
+        f"""px AS MATERIALIZED (
+  SELECT CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(floor({p} * 1000 + 0.5) AS BIGINT) / 1000.0 AS x,
+         y
+  FROM fx, w{iters} w
+), pa0 AS (SELECT 0.0 AS a, 0.0 AS b)"""
+    )
+    for it in range(1, p_iters + 1):
+        s = "(1.0 / (1.0 + exp(-(w.a * x + w.b))))"
+        hw = f"({s} * (1.0 - {s}))"
+        parts.append(
+            f"""pg{it} AS (
+  SELECT
+    floor(sum(({s} - y) * x) / count(*) * 1000000 + 0.5) / 1000000 AS mgx,
+    floor(sum({s} - y) / count(*) * 1000000 + 0.5) / 1000000 AS mg,
+    floor(sum({hw} * x * x) / count(*) * 1000000 + 0.5) / 1000000 AS mxx,
+    floor(sum({hw} * x) / count(*) * 1000000 + 0.5) / 1000000 AS mhx,
+    floor(sum({hw}) / count(*) * 1000000 + 0.5) / 1000000 AS mh
+  FROM px, pa{it - 1} w
+), pa{it} AS (
+  SELECT
+    w.a - (g.mh * g.mgx - g.mhx * g.mg)
+          / (g.mxx * g.mh - g.mhx * g.mhx) AS a,
+    w.b - (g.mxx * g.mg - g.mhx * g.mgx)
+          / (g.mxx * g.mh - g.mhx * g.mhx) AS b
+  FROM pa{it - 1} w, pg{it} g
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+binned AS (
+  SELECT CAST(least(p_e3 // {ISO_W}, {ISO_BINS - 1}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+  FROM px GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       (n_pos * 1000000000) // n AS rate_e9,
+       CAST(bin * {ISO_W} + {ISO_W // 2} AS BIGINT) AS mid_e3,
+       CAST(floor(
+         (1.0 / (1.0 + exp(-(w.a * (CAST(bin * {ISO_W} + {ISO_W // 2}
+                                    AS BIGINT) / 1000.0) + w.b))))
+         * 1000 + 0.5) AS BIGINT) AS platt_e3
+FROM binned, pa{p_iters} w
+"""
+    )
+
+
 # Co-occurrence/PPMI spec — MIRRORED in `_cooc_ppmi_sql`; change
 # together.  Windowed skip pairs (t_i, t_{i+d}) for d in 1..COOC_W
 # over the RAW `_lm_tokens()` stream (pairing before the vocab filter
@@ -13958,6 +14141,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "isotonic_fit": q_isotonic_fit,
     "dbscan_clusters": q_dbscan_clusters,
     "cooc_ppmi": q_cooc_ppmi,
+    "platt_scaling": q_platt_scaling,
     "kn_bigram_score": q_kn_bigram_score,
     "minhash_calibration": q_minhash_calibration,
     "blocklist_filter": q_blocklist_filter,
@@ -16231,6 +16415,7 @@ WHERE rn <= 10
         "isotonic_fit": _isotonic_sql(),
         "dbscan_clusters": _dbscan_sql(),
         "cooc_ppmi": _cooc_ppmi_sql(),
+        "platt_scaling": _platt_sql(),
         "edit_verify": """
 WITH base AS (
   SELECT doc_id, text AS a FROM documents

@@ -6015,3 +6015,102 @@ def test_cooc_ppmi_matches_python_replica(spark):
     assert any(v[4] < 0 for v in want.values()), (
         "smoke corpus must exercise the clamped branch"
     )
+
+
+def test_platt_scaling_matches_python_replica(spark):
+    """The Newton trajectory recomputed driver-side from the collected
+    (p_e3, y) pairs with the identical 6-dp floor-stable means and the
+    mirrored 2×2 solve, then the bin table and e3-floored midpoint
+    sigmoid — exact row equality.  Also locks: the fitted map is
+    monotone in the bin midpoint (A > 0) and orders the bins the same
+    way as the raw rates (the calibration actually calibrates)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        ISO_BINS,
+        ISO_W,
+        PLATT_ITERS,
+        _docs,
+        _logreg_train,
+        logreg_features,
+        q_platt_scaling,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(_docs(spark, SF_SMOKE))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    data = [
+        (r["p_e3"] / 1000.0, float(r["y_l"]))
+        for r in fx.select(
+            F.floor(p * F.lit(1000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("p_e3"),
+            F.col("y").cast("long").alias("y_l"),
+        ).collect()
+    ]
+
+    a = b = 0.0
+    n = len(data)
+    for _ in range(PLATT_ITERS):
+        gx = g = hxx = hx = h = 0.0
+        for x, y in data:
+            s = 1.0 / (1.0 + math.exp(-(a * x + b)))
+            w = s * (1.0 - s)
+            gx += (s - y) * x
+            g += s - y
+            hxx += w * x * x
+            hx += w * x
+            h += w
+        mgx, mg, mxx, mhx, mh = (
+            math.floor(v / n * 1e6 + 0.5) / 1e6
+            for v in (gx, g, hxx, hx, h)
+        )
+        det = mxx * mh - mhx * mhx
+        a = a - (mh * mgx - mhx * mg) / det
+        b = b - (mxx * mg - mhx * mgx) / det
+
+    bins = {}
+    for x, y in data:
+        bn = min(int(round(x * 1000)) // ISO_W, ISO_BINS - 1)
+        c, pos = bins.get(bn, (0, 0))
+        bins[bn] = (c + 1, pos + int(y))
+    want = {}
+    for bn, (c, pos) in bins.items():
+        mid = bn * ISO_W + ISO_W // 2
+        sig = 1.0 / (1.0 + math.exp(-(a * (mid / 1000.0) + b)))
+        want[bn] = (
+            c,
+            pos,
+            (pos * 10**9) // c,
+            mid,
+            math.floor(sig * 1000.0 + 0.5),
+        )
+
+    got = {
+        r["bin"]: (
+            r["n"],
+            r["n_pos"],
+            r["rate_e9"],
+            r["mid_e3"],
+            r["platt_e3"],
+        )
+        for r in q_platt_scaling(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert a > 0, "fit must be increasing on this data"
+    rows = sorted(got.values(), key=lambda v: v[3])
+    platt = [v[4] for v in rows]
+    rates = [v[2] for v in rows]
+    assert platt == sorted(platt), "sigmoid map must be monotone"
+    assert rates == sorted(rates) and len(rows) >= 3, (
+        "smoke data must give ≥3 bins with rates the map can track"
+    )
