@@ -1010,6 +1010,24 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid/CDF/pair stages are metadata-scale (the bucket set is
     broadcast), so all-pairs over sources is sources²×buckets tiny
     rows, never a corpus join."""
+    pairs, _bks = _quality_cdf_pairs(spark, sf_dir)
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b")))
+        .cast("long")
+        .alias("ks_e9"),
+    )
+
+
+def _quality_cdf_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared source-pair quality-CDF chain of `source_ks_drift`
+    and `source_w1_drift` (edit once, both oracles move): bounded
+    quality histogram → dense source×bucket grid → e9 integer CDFs →
+    all source pairs aligned on qb.  Returns (pairs, bks) — bks is
+    the distinct observed-bucket table the W1 gap rule needs."""
     from pyspark.sql.window import Window
 
     scored = _docs(spark, sf_dir).select(
@@ -1052,12 +1070,49 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cdf").alias("cdf_b"),
     )
     pairs = a.join(b, "qb").where(F.col("source_a") < F.col("source_b"))
-    return pairs.groupBy("source_a", "source_b").agg(
-        F.max("n_a").cast("long").alias("n_a"),
-        F.max("n_b").cast("long").alias("n_b"),
-        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b")))
-        .cast("long")
-        .alias("ks_e9"),
+    return pairs, bks
+
+
+def q_source_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) drift between sources on the
+    quality distribution — the MAGNITUDE-weighted complement of
+    `source_ks_drift`'s KS (max gap, location-blind) and `psi_drift`'s
+    PSI (share-ratio, bin-local): W1 integrates |F_a − F_b| over the
+    score axis, so it reads HOW FAR probability mass moved, the
+    number a curation team compares against an ingest tolerance in
+    score units.
+
+    Exact integer form on the shared bounded CDF chain: the CDFs are
+    constant between consecutive observed buckets, so
+    W1 = Σ_i |cdf_a(qb_i) − cdf_b(qb_i)| · (qb_{i+1} − qb_i) over the
+    sorted distinct buckets (the last bucket spans zero width and is
+    excluded on both engines via the lead-NULL rule).  Units: e9 CDF ×
+    e3-scale quality bucket → w1_e9b < 1e15 at ANY corpus size — all
+    BIGINT.
+
+    Scale shape: identical to `source_ks_drift` — ONE corpus-scale
+    hash agg, then metadata-scale grid/CDF/pair stages; the gap table
+    is one lead() over the ≤1001-row bucket set."""
+    from pyspark.sql.window import Window
+
+    pairs, bks = _quality_cdf_pairs(spark, sf_dir)
+    nxt = bks.select(
+        "qb",
+        F.lead("qb").over(Window.orderBy("qb")).alias("qb_next"),
+    ).where(F.col("qb_next").isNotNull())
+    return (
+        pairs.join(nxt, "qb")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum(
+                F.abs(F.col("cdf_a") - F.col("cdf_b"))
+                * (F.col("qb_next") - F.col("qb"))
+            )
+            .cast("long")
+            .alias("w1_e9b"),
+        )
     )
 
 
@@ -14179,6 +14234,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_quantile_gate": q_quality_quantile_gate,
     "quality_quantile_gate_approx": q_quality_quantile_gate_approx,
     "source_ks_drift": q_source_ks_drift,
+    "source_w1_drift": q_source_w1_drift,
     "psi_drift": q_psi_drift,
     "quality_outliers": q_quality_outliers,
     "source_gini": q_source_gini,
@@ -16104,6 +16160,43 @@ SELECT a.source AS source_a, b.source AS source_b,
        CAST(max(b.n) AS BIGINT) AS n_b,
        CAST(max(abs(a.cdf - b.cdf)) AS BIGINT) AS ks_e9
 FROM cdf a JOIN cdf b ON a.qb = b.qb AND a.source < b.source
+GROUP BY 1, 2
+""",
+        # source_w1_drift: the source_ks_drift CDF chain verbatim plus
+        # the lead-gap bucket table; W1 = sum |dcdf| * gap, all BIGINT.
+        "source_w1_drift": _TEXT_CTE + f"""
+, q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
+, q AS (
+  SELECT q0.doc_id, d.source, q0.quality
+  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+)
+, qbs AS (SELECT source,
+                 CAST(floor(quality * 100000 + 0.5) AS BIGINT) // 100 AS qb
+          FROM q)
+, hist AS (SELECT source, qb, CAST(count(*) AS BIGINT) AS c
+           FROM qbs GROUP BY 1, 2)
+, tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1)
+, bks AS (SELECT DISTINCT qb FROM hist)
+, nxt AS (SELECT qb, lead(qb) OVER (ORDER BY qb) AS qb_next FROM bks)
+, grid AS (SELECT t.source, t.n, b.qb FROM tot t, bks b)
+, cum AS (
+  SELECT g.source, g.n, g.qb,
+         CAST(sum(coalesce(h.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY g.qb) AS BIGINT) AS cum
+  FROM grid g LEFT JOIN hist h ON g.source = h.source AND g.qb = h.qb
+)
+, cdf AS (SELECT source, n, qb,
+                 CAST((cum * 1000000000) // n AS BIGINT) AS cdf
+          FROM cum)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(max(a.n) AS BIGINT) AS n_a,
+       CAST(max(b.n) AS BIGINT) AS n_b,
+       CAST(sum(abs(a.cdf - b.cdf) * (x.qb_next - x.qb)) AS BIGINT)
+         AS w1_e9b
+FROM cdf a
+JOIN cdf b ON a.qb = b.qb AND a.source < b.source
+JOIN nxt x ON a.qb = x.qb
+WHERE x.qb_next IS NOT NULL
 GROUP BY 1, 2
 """,
         "quality_quantile_gate_approx": _TEXT_CTE + f"""

@@ -6114,3 +6114,59 @@ def test_platt_scaling_matches_python_replica(spark):
     assert rates == sorted(rates) and len(rows) >= 3, (
         "smoke data must give ≥3 bins with rates the map can track"
     )
+
+
+def test_source_w1_drift_matches_python_replica(spark):
+    """Per-pair Wasserstein-1 recomputed in Python from the Spark
+    quality scores: exact BIGINT equality on Σ |Δcdf|·gap over the
+    sorted observed buckets.  Also locks: all ordered pairs present,
+    w1 ≥ 0, and the triangle sanity w1(a,b) ≤ w1(a,c) + w1(c,b) on
+    the first triple (a pseudometric must satisfy it)."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.functions.text import quality_score
+    from rxtls_spark.queries_training import _docs, q_source_w1_drift
+    from tests.conftest import SF_SMOKE
+
+    scored = (
+        _docs(spark, SF_SMOKE)
+        .select("source", quality_score().alias("quality"))
+        .collect()
+    )
+    hist = defaultdict(lambda: defaultdict(int))
+    for r in scored:
+        qb = math.floor(r["quality"] * 100000 + 0.5) // 100
+        hist[r["source"]][qb] += 1
+    buckets = sorted({qb for h in hist.values() for qb in h})
+    cdf = {}
+    n = {}
+    for src, h in hist.items():
+        n[src] = sum(h.values())
+        cum = 0
+        cdf[src] = {}
+        for qb in buckets:
+            cum += h.get(qb, 0)
+            cdf[src][qb] = (cum * 1_000_000_000) // n[src]
+
+    def w1(a, b):
+        return sum(
+            abs(cdf[a][qb] - cdf[b][qb]) * (nqb - qb)
+            for qb, nqb in zip(buckets, buckets[1:])
+        )
+
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_source_w1_drift(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(combinations(sorted(hist), 2))
+    for (a, b), r in got.items():
+        assert (r["n_a"], r["n_b"], r["w1_e9b"]) == (n[a], n[b], w1(a, b))
+        assert r["w1_e9b"] >= 0
+    srcs = sorted(hist)[:3]
+    if len(srcs) == 3:
+        a, b, c = srcs
+        assert w1(a, b) <= w1(a, c) + w1(c, b) + 1  # integer-floor slack
