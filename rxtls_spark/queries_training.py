@@ -13792,6 +13792,109 @@ FROM binned, pa{p_iters} w
     )
 
 
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity — Simpson concentration, its
+    inverse (the 'effective vocabulary' ecologists call Hill number
+    q=2) and Shannon entropy over the DSIR 64-bucket hashed-unigram
+    space: the one-table diversity audit a mixture designer reads
+    next to `source_kl` (KL says how far a source sits FROM the
+    corpus; this says how internally repetitive the source itself is
+    — boilerplate farms score near 1 effective bucket).  Completes
+    the diversity family: `char_entropy` (character level, per doc),
+    `source_kl` (divergence), this (concentration per source).
+
+    Exact cross-engine integers, NO floats in Simpson: share_e6 =
+    (c·1e6) DIV n_s, simpson_e12 = Σ share_e6² (≤ 64·1e12 — BIGINT-
+    safe at ANY corpus size because shares are normalized before
+    squaring), eff_e6 = 1e18 DIV simpson_e12; entropy is the
+    `source_kl`/ccnet e3-floored-ln discipline: ent_ne3 =
+    −Σ_{{c>0}} c·⌊ln(c/n_s)·1e3⌋ (safe to ~300T tokens/source),
+    ent_e3 = ent_ne3 DIV n_s.  Zero buckets contribute 0 to both
+    metrics, so no dense grid and no smoothing anywhere — a
+    deliberately DIFFERENT spec from source_kl's Laplace form.
+
+    Scale shape: ONE corpus-scale hash agg to (source × ≤64) rows;
+    the shares/entropy folds are metadata-scale.  The bucket hash is
+    the shared `_token_bucket` (changing it moves the dsir_weights,
+    source_kl, AND source_diversity oracles)."""
+    hexmap = _hex_digit_map()
+    cnts = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("source", F.explode(_lm_tokens()).alias("tok"))
+        .select(
+            "source", _token_bucket(F.col("tok"), hexmap).alias("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ns = cnts.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    per = cnts.join(ns, "source").select(
+        "source",
+        "n_s",
+        F.expr("(c * 1000000) DIV n_s").alias("share_e6"),
+        (
+            -F.col("c")
+            * F.floor(
+                F.log(F.col("c") / F.col("n_s").cast("double")) * 1000.0
+            ).cast("long")
+        ).alias("ent_term"),
+        (F.col("c") > 0).cast("long").alias("nz"),
+    )
+    agg = per.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.sum("nz").cast("long").alias("n_buckets"),
+        F.sum(F.col("share_e6") * F.col("share_e6"))
+        .cast("long")
+        .alias("simpson_e12"),
+        F.sum("ent_term").cast("long").alias("ent_ne3"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_buckets",
+        "simpson_e12",
+        F.expr("1000000000000000000 DIV simpson_e12").alias("eff_e6"),
+        "ent_ne3",
+        F.expr("ent_ne3 DIV n_tokens").alias("ent_e3"),
+    )
+
+
+_SOURCE_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT source,
+         ((strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)) % 64 AS bucket
+  FROM (SELECT source, unnest(t) AS tk FROM toks)
+), counts AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM counts GROUP BY 1
+), per AS (
+  SELECT c.source, n.n_s,
+         (c.c * 1000000) // n.n_s AS share_e6,
+         -c.c * CAST(floor(ln(c.c / CAST(n.n_s AS DOUBLE)) * 1000.0)
+                     AS BIGINT) AS ent_term,
+         CASE WHEN c.c > 0 THEN 1 ELSE 0 END AS nz
+  FROM counts c JOIN ns n ON c.source = n.source
+), agg AS (
+  SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+         CAST(sum(nz) AS BIGINT) AS n_buckets,
+         CAST(sum(share_e6 * share_e6) AS BIGINT) AS simpson_e12,
+         CAST(sum(ent_term) AS BIGINT) AS ent_ne3
+  FROM per GROUP BY 1
+)
+SELECT source, n_tokens, n_buckets, simpson_e12,
+       CAST(1000000000000000000 // simpson_e12 AS BIGINT) AS eff_e6,
+       ent_ne3,
+       CAST(ent_ne3 // n_tokens AS BIGINT) AS ent_e3
+FROM agg
+"""
+
+
 # Co-occurrence/PPMI spec — MIRRORED in `_cooc_ppmi_sql`; change
 # together.  Windowed skip pairs (t_i, t_{i+d}) for d in 1..COOC_W
 # over the RAW `_lm_tokens()` stream (pairing before the vocab filter
@@ -14235,6 +14338,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_quantile_gate_approx": q_quality_quantile_gate_approx,
     "source_ks_drift": q_source_ks_drift,
     "source_w1_drift": q_source_w1_drift,
+    "source_diversity": q_source_diversity,
     "psi_drift": q_psi_drift,
     "quality_outliers": q_quality_outliers,
     "source_gini": q_source_gini,
@@ -15802,6 +15906,7 @@ SELECT source, n_tokens, kl_ne3,
        CAST(kl_ne3 // (n_tokens + 64) AS BIGINT) AS kl_e3
 FROM kl
 """,
+        "source_diversity": _SOURCE_DIVERSITY_SQL,
         "source_overlap": f"""
 WITH heads AS (
   SELECT DISTINCT source,

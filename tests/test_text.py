@@ -6170,3 +6170,68 @@ def test_source_w1_drift_matches_python_replica(spark):
     if len(srcs) == 3:
         a, b, c = srcs
         assert w1(a, b) <= w1(a, c) + w1(c, b) + 1  # integer-floor slack
+
+
+def test_source_diversity_matches_python_replica(spark):
+    """Simpson/effective-vocab/entropy recomputed in Python from the
+    Spark-tokenized stream through the identical md5 bucket hash and
+    integer forms: exact row equality.  Also locks the Hill-number
+    identities 1 ≤ eff ≤ n_buckets·1e6 (inverse Simpson is bounded by
+    the occupied-bucket count) and ent_e3 ≤ ⌊ln(64)·1e3⌋."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        _docs,
+        _lm_tokens,
+        q_source_diversity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select("source", _lm_tokens().alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        for tk in r["t"]:
+            h = hashlib.md5(tk.encode()).hexdigest()
+            b = (int(h[0], 16) * 16 + int(h[1], 16)) % 64
+            cnt[r["source"]][b] += 1
+
+    want = {}
+    for src, bc in cnt.items():
+        n_s = sum(bc.values())
+        simpson = sum(((c * 10**6) // n_s) ** 2 for c in bc.values())
+        ent = -sum(
+            c * math.floor(math.log(c / n_s) * 1000.0) for c in bc.values()
+        )
+        want[src] = (
+            n_s,
+            len(bc),
+            simpson,
+            10**18 // simpson,
+            ent,
+            ent // n_s,
+        )
+
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["n_buckets"],
+            r["simpson_e12"],
+            r["eff_e6"],
+            r["ent_ne3"],
+            r["ent_e3"],
+        )
+        for r in q_source_diversity(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for src, (n_s, nb, simp, eff, ent, ee3) in got.items():
+        assert 10**6 <= eff <= nb * 10**6 + 10**6, src  # floor slack
+        assert 0 <= ee3 <= math.floor(math.log(64) * 1000), src
