@@ -13792,6 +13792,124 @@ FROM binned, pa{p_iters} w
     )
 
 
+def q_confident_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-noise audit (Northcutt et al. 2021) —
+    the data-CLEANING canon's estimator of the label↔prediction joint:
+    per-class confidence thresholds t_j = mean self-confidence of
+    docs LABELED j, then every doc whose (anti-)confidence clears a
+    threshold is counted into the confident joint C[label][pred]; the
+    off-diagonal cells estimate how many labels are WRONG — the
+    number a curation team reads before trusting `lang_guess`-style
+    weak labels for training.  Completes the label-quality family:
+    `cartography` (training dynamics), `uncertainty_sample`
+    (boundary), this (systematic noise estimate).
+
+    Binary form on the trained quality classifier (another
+    `_logreg_ctes` consumer — logreg constants flow in): confidence
+    of class 1 is the e3-floored p_e3, of class 0 is 1000−p_e3;
+    thresholds are truncating-DIV means of those BIGINTs over each
+    label slice; pred = 1 if p_e3 ≥ t1 (and not class 0), 0 if
+    1000−p_e3 ≥ t0 (and not class 1), the argmax rule p_e3 ≥ 500
+    breaks double-qualifiers (ties → 1, mirrored CASE order), and
+    docs clearing neither threshold are excluded (Northcutt's rule).
+    All outputs BIGINT.
+
+    Scale shape: scoring is a pure map; thresholds are ONE 2-slice
+    hash agg shipped back as literals; the joint is ONE ≤4-row hash
+    agg — no joins, no windows."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    scored = fx.select(
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.col("y").cast("long").alias("label"),
+    ).localCheckpoint(eager=False)  # feeds thresholds + the joint
+    thr = scored.agg(
+        F.expr(
+            "sum(CASE WHEN label = 1 THEN p_e3 ELSE 0 END)"
+            " DIV sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)"
+        ).alias("t1"),
+        F.expr(
+            "sum(CASE WHEN label = 0 THEN 1000 - p_e3 ELSE 0 END)"
+            " DIV sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)"
+        ).alias("t0"),
+    ).collect()[0]
+    t1, t0 = int(thr["t1"]), int(thr["t0"])
+    pred = (
+        F.when(
+            (F.col("p_e3") >= t1) & (F.lit(1000) - F.col("p_e3") >= t0),
+            F.when(F.col("p_e3") >= 500, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .when(F.col("p_e3") >= t1, F.lit(1))
+        .when(F.lit(1000) - F.col("p_e3") >= t0, F.lit(0))
+        .cast("long")
+    )
+    return (
+        scored.withColumn("pred", pred)
+        .where(F.col("pred").isNotNull())
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "label",
+            "pred",
+            "n_docs",
+            F.lit(t1).cast("long").alias("t1_e3"),
+            F.lit(t0).cast("long").alias("t0_e3"),
+        )
+    )
+
+
+def _confident_learning_sql(
+    iters: int = LOGREG_ITERS, lr: float = LOGREG_LR
+) -> str:
+    """confident_learning oracle: the shared GD chain to p_e3, the
+    two truncating-DIV threshold means, and the mirrored
+    qualify/argmax CASE — the CASE order IS the semantics."""
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cl_scored AS MATERIALIZED (
+  SELECT CAST(floor({p} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(y AS BIGINT) AS label
+  FROM fx, w{iters} w
+), thr AS (
+  SELECT
+    sum(CASE WHEN label = 1 THEN p_e3 ELSE 0 END)
+      // sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS t1,
+    sum(CASE WHEN label = 0 THEN 1000 - p_e3 ELSE 0 END)
+      // sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS t0
+  FROM cl_scored
+), preds AS (
+  SELECT s.label,
+    CASE
+      WHEN s.p_e3 >= t.t1 AND 1000 - s.p_e3 >= t.t0 THEN
+        CASE WHEN s.p_e3 >= 500 THEN 1 ELSE 0 END
+      WHEN s.p_e3 >= t.t1 THEN 1
+      WHEN 1000 - s.p_e3 >= t.t0 THEN 0
+    END AS pred,
+    t.t1, t.t0
+  FROM cl_scored s, thr t
+)
+SELECT label, CAST(pred AS BIGINT) AS pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(t1) AS BIGINT) AS t1_e3,
+       CAST(max(t0) AS BIGINT) AS t0_e3
+FROM preds WHERE pred IS NOT NULL
+GROUP BY 1, 2
+"""
+    )
+
+
 def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical diversity — Simpson concentration, its
     inverse (the 'effective vocabulary' ecologists call Hill number
@@ -14339,6 +14457,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ks_drift": q_source_ks_drift,
     "source_w1_drift": q_source_w1_drift,
     "source_diversity": q_source_diversity,
+    "confident_learning": q_confident_learning,
     "psi_drift": q_psi_drift,
     "quality_outliers": q_quality_outliers,
     "source_gini": q_source_gini,
@@ -15907,6 +16026,7 @@ SELECT source, n_tokens, kl_ne3,
 FROM kl
 """,
         "source_diversity": _SOURCE_DIVERSITY_SQL,
+        "confident_learning": _confident_learning_sql(),
         "source_overlap": f"""
 WITH heads AS (
   SELECT DISTINCT source,

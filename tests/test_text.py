@@ -6235,3 +6235,69 @@ def test_source_diversity_matches_python_replica(spark):
     for src, (n_s, nb, simp, eff, ent, ee3) in got.items():
         assert 10**6 <= eff <= nb * 10**6 + 10**6, src  # floor slack
         assert 0 <= ee3 <= math.floor(math.log(64) * 1000), src
+
+
+def test_confident_learning_matches_python_replica(spark):
+    """Thresholds, qualify/argmax rule and the confident joint
+    recomputed in Python from the collected (p_e3, label) pairs:
+    exact equality.  Also locks: thresholds are the truncating-DIV
+    label-slice means, excluded docs are exactly the
+    neither-threshold ones, and the smoke corpus populates all four
+    joint cells (off-diagonal mass is the point of the audit)."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        _docs,
+        _logreg_train,
+        logreg_features,
+        q_confident_learning,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(_docs(spark, SF_SMOKE))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    data = [
+        (r["p_e3"], r["label"])
+        for r in fx.select(
+            F.floor(p * F.lit(1000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("p_e3"),
+            F.col("y").cast("long").alias("label"),
+        ).collect()
+    ]
+    t1 = sum(pe for pe, y in data if y == 1) // sum(
+        1 for _, y in data if y == 1
+    )
+    t0 = sum(1000 - pe for pe, y in data if y == 0) // sum(
+        1 for _, y in data if y == 0
+    )
+    joint = {}
+    excluded = 0
+    for pe, y in data:
+        q1, q0 = pe >= t1, 1000 - pe >= t0
+        if q1 and q0:
+            pred = 1 if pe >= 500 else 0
+        elif q1:
+            pred = 1
+        elif q0:
+            pred = 0
+        else:
+            excluded += 1
+            continue
+        joint[(y, pred)] = joint.get((y, pred), 0) + 1
+
+    got = {
+        (r["label"], r["pred"]): (r["n_docs"], r["t1_e3"], r["t0_e3"])
+        for r in q_confident_learning(spark, SF_SMOKE).collect()
+    }
+    assert got == {k: (n, t1, t0) for k, n in joint.items()}
+    assert len(got) == 4, "all four joint cells must populate"
+    assert sum(n for n, _, _ in got.values()) + excluded == len(data)
+    assert excluded >= 0
