@@ -14030,29 +14030,13 @@ COOC_W = 3
 COOC_VOCAB_K = 40
 
 
-def q_cooc_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed co-occurrence counts + PPMI — the word-vector
-    preparation table (GloVe's X matrix; Levy & Goldberg 2014's
-    PPMI-SVD equivalence makes this THE classical embedding substrate)
-    and the collocation detector curation pipelines read: for every
-    unordered in-vocab token pair within a ``COOC_W``-token window,
-    the co-occurrence count, endpoint marginals, and the e3-floored
-    (P)PMI.
-
-    Cross-engine: pairs are built as pure array ops (Spark
-    slice+zip_with per offset d ↔ DuckDB generate_series with t[i],
-    t[i+d] — the lsh_bucket_stats 0/1-based indexing note: the pair
-    MULTISETS are identical), unordered via least/greatest (UTF-8
-    byte order == codepoint order, identical in both engines);
-    marginals/total come from the BOUNDED ≤V² pair table; the PMI is
-    the mirrored one-expression ln on identical doubles.
-
-    Scale shape: ONE token-pair explode → hash agg onto the bounded
-    vocab×vocab key space (map-side partial aggs absorb the stream;
-    the in-vocab filter prunes before the shuffle); marginals, total,
-    and the top-k rank all run on the ≤V(V+1)/2-row pair table —
-    metadata scale.  The vocab itself is one bounded hash agg shipped
-    as a literal isin list (the lm_vocab precedent)."""
+def _cooc_cab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared windowed co-occurrence count table (a, b, c_ab) of
+    `cooc_ppmi` and `textrank_keywords` (edit once, both oracles
+    move): skip pairs over the raw `_lm_tokens` stream via pure array
+    ops, unordered least/greatest, filtered to the top-COOC_VOCAB_K
+    vocab (literal isin), hash-aggregated onto the bounded ≤V²
+    key space and lazily checkpointed (feeds multiple consumers)."""
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
@@ -14086,11 +14070,37 @@ def q_cooc_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .where(F.col("a").isin(vocab) & F.col("b").isin(vocab))
     )
-    cab = (
+    return (
         pe.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
         .localCheckpoint(eager=False)  # bounded ≤V² — feeds 3 consumers
     )
+
+
+def q_cooc_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence counts + PPMI — the word-vector
+    preparation table (GloVe's X matrix; Levy & Goldberg 2014's
+    PPMI-SVD equivalence makes this THE classical embedding substrate)
+    and the collocation detector curation pipelines read: for every
+    unordered in-vocab token pair within a ``COOC_W``-token window,
+    the co-occurrence count, endpoint marginals, and the e3-floored
+    (P)PMI.
+
+    Cross-engine: pairs are built as pure array ops (Spark
+    slice+zip_with per offset d ↔ DuckDB generate_series with t[i],
+    t[i+d] — the lsh_bucket_stats 0/1-based indexing note: the pair
+    MULTISETS are identical), unordered via least/greatest (UTF-8
+    byte order == codepoint order, identical in both engines);
+    marginals/total come from the BOUNDED ≤V² pair table; the PMI is
+    the mirrored one-expression ln on identical doubles.
+
+    Scale shape: ONE token-pair explode → hash agg onto the bounded
+    vocab×vocab key space (map-side partial aggs absorb the stream;
+    the in-vocab filter prunes before the shuffle); marginals, total,
+    and the top-k rank all run on the ≤V(V+1)/2-row pair table —
+    metadata scale.  The vocab itself is one bounded hash agg shipped
+    as a literal isin list (the lm_vocab precedent)."""
+    cab = _cooc_cab(spark, sf_dir)
     marg = (
         cab.select(F.col("a").alias("tok"), "c_ab")
         .unionAll(cab.select(F.col("b").alias("tok"), "c_ab"))
@@ -14186,6 +14196,143 @@ FROM (
   JOIN marg mb ON c.b = mb.tok
   CROSS JOIN tot t
 )
+"""
+
+
+# TextRank spec — MIRRORED in `_textrank_sql`; change together.
+# Rides the `_cooc_cab` chain (COOC_W/COOC_VOCAB_K flow in — changing
+# the window or vocab moves the cooc_ppmi AND textrank oracles).
+# Graph: both directions of every non-self co-occurrence pair; edge
+# shares s_ji = (w·1e6) DIV W_j are normalized ONCE before the
+# iterations so every later magnitude is bounded regardless of corpus
+# size (the bradley_terry scaling rule); ranks are e9 BIGINTs with
+# the pagerank-style update r = 150000000 + (85·inc) DIV 100, inc =
+# (Σ_j r_j·s_ji) DIV 1e6 — one floor AFTER the sum.
+TEXTRANK_ITERS = 10
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword centrality (Mihalcea & Tarau 2004) — weighted
+    PageRank over the word co-occurrence graph, THE classic
+    graph-based keyword extractor and the corpus-level complement of
+    `rake_keywords` (RAKE scores phrases by degree/frequency within
+    docs; TextRank ranks vocabulary by global random-walk
+    centrality): per vocab token, its co-occurrence strength and the
+    converged e9 rank, ordered by (rank DESC, token).
+
+    Exact cross-engine integers end to end: the graph comes from the
+    shared `_cooc_cab` counts; edge shares are e6-floored BEFORE the
+    loop (bounded at any corpus size — raw w·r products would
+    overflow at 1e12 pairs); each iteration is the all-BIGINT
+    pagerank-form update, so Spark's driver-side Python-int replay of
+    the collected ≤V² share table (the bradley_terry/isotonic
+    driver-literal precedent) equals DuckDB's unrolled per-iteration
+    CTEs bit for bit.
+
+    Scale shape: the corpus-scale work is ONE pair hash agg (the
+    cooc_ppmi plan); shares/iterations run on the bounded ≤V² edge
+    table — the O(V²·iters) loop never touches the corpus."""
+    cab = _cooc_cab(spark, sf_dir)
+    edges = (
+        cab.where(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("j"), F.col("b").alias("i"), "c_ab")
+        .unionAll(
+            cab.where(F.col("a") != F.col("b")).select(
+                F.col("b").alias("j"), F.col("a").alias("i"), "c_ab"
+            )
+        )
+    )
+    wj = edges.groupBy("j").agg(F.sum("c_ab").cast("long").alias("w_j"))
+    sh = (
+        edges.join(wj, "j")
+        .select(
+            "j", "i", "w_j", F.expr("(c_ab * 1000000) DIV w_j").alias("s")
+        )
+        .collect()  # bounded ≤V² rows — metadata scale
+    )
+    strength = {}
+    out_sh: dict[str, list[tuple[str, int]]] = {}
+    for r in sh:
+        strength[r["j"]] = r["w_j"]
+        out_sh.setdefault(r["j"], []).append((r["i"], r["s"]))
+    nodes = sorted(strength)
+    rank = {t: 10**9 for t in nodes}
+    for _it in range(TEXTRANK_ITERS):
+        inc = dict.fromkeys(nodes, 0)
+        for j, outs in out_sh.items():
+            rj = rank[j]
+            for i, sv in outs:
+                inc[i] += rj * sv
+        rank = {t: 150000000 + (85 * (inc[t] // 10**6)) // 100 for t in nodes}
+    order = sorted(nodes, key=lambda t: (-rank[t], t))
+    return spark.createDataFrame(
+        [
+            (k + 1, t, strength[t], rank[t])
+            for k, t in enumerate(order)
+        ],
+        "rank long, token string, w_strength long, r_e9 long",
+    )
+
+
+def _textrank_sql(
+    w: int = COOC_W, vocab_k: int = COOC_VOCAB_K, iters: int = TEXTRANK_ITERS
+) -> str:
+    """textrank_keywords oracle: the cooc_ppmi CTE chain to cab, the
+    doubled-direction edge table, e6-floored shares, and the unrolled
+    all-BIGINT pagerank-form iterations over the bounded node set."""
+    offsets = " UNION ALL ".join(
+        f"SELECT doc_id, t, {d} AS d FROM toks" for d in range(1, w + 1)
+    )
+    its = []
+    for k in range(1, iters + 1):
+        its.append(
+            f"""r{k} AS (
+  SELECT n.tok,
+         CAST(150000000 + (85 * (coalesce(inc.v, 0) // 1000000)) // 100
+              AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT s.i AS tok, CAST(sum(p.r * s.s) AS BIGINT) AS v
+    FROM sh s JOIN r{k - 1} p ON s.j = p.tok GROUP BY 1
+  ) inc ON n.tok = inc.tok
+)"""
+        )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), vocab AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT unnest(t) AS tok FROM toks
+  ) GROUP BY 1 ORDER BY count(*) DESC, tok LIMIT {vocab_k}
+), offs AS ({offsets}
+), pe AS (
+  SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - d),
+                                 i -> {{'x': t[i], 'y': t[i+d]}})) AS p
+    FROM offs WHERE len(t) > d
+  )
+  WHERE p.x IN (SELECT tok FROM vocab) AND p.y IN (SELECT tok FROM vocab)
+), cab AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pe GROUP BY 1, 2
+), edges AS (
+  SELECT a AS j, b AS i, c_ab FROM cab WHERE a <> b
+  UNION ALL
+  SELECT b AS j, a AS i, c_ab FROM cab WHERE a <> b
+), wj AS MATERIALIZED (
+  SELECT j, CAST(sum(c_ab) AS BIGINT) AS w_j FROM edges GROUP BY 1
+), sh AS MATERIALIZED (
+  SELECT e.j, e.i, (e.c_ab * 1000000) // w.w_j AS s
+  FROM edges e JOIN wj w USING (j)
+), nodes AS (
+  SELECT j AS tok FROM wj
+), r0 AS (
+  SELECT tok, CAST(1000000000 AS BIGINT) AS r FROM nodes
+),
+{",".join(its)}
+SELECT CAST(row_number() OVER (ORDER BY r.r DESC, r.tok) AS BIGINT) AS rank,
+       r.tok AS token, w.w_j AS w_strength, r.r AS r_e9
+FROM r{iters} r JOIN wj w ON r.tok = w.j
 """
 
 
@@ -14458,6 +14605,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_w1_drift": q_source_w1_drift,
     "source_diversity": q_source_diversity,
     "confident_learning": q_confident_learning,
+    "textrank_keywords": q_textrank_keywords,
     "psi_drift": q_psi_drift,
     "quality_outliers": q_quality_outliers,
     "source_gini": q_source_gini,
@@ -16027,6 +16175,7 @@ FROM kl
 """,
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "confident_learning": _confident_learning_sql(),
+        "textrank_keywords": _textrank_sql(),
         "source_overlap": f"""
 WITH heads AS (
   SELECT DISTINCT source,

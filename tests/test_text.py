@@ -6301,3 +6301,61 @@ def test_confident_learning_matches_python_replica(spark):
     assert len(got) == 4, "all four joint cells must populate"
     assert sum(n for n, _, _ in got.values()) + excluded == len(data)
     assert excluded >= 0
+
+
+def test_textrank_matches_python_replica(spark):
+    """TextRank ranks recomputed driver-side from the Spark cooc
+    counts (the cab chain is locked by test_cooc_ppmi): rebuild
+    edges/shares/iterations independently and require exact row
+    equality.  Also locks: ranks stay positive, the damped fixpoint
+    bound r ≤ 0.15e9 + 0.85·(mass in), and that a low-centrality
+    token ranks last (the injected-dup token co-occurs mostly with
+    itself, so its centrality must trail the main vocabulary)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        TEXTRANK_ITERS,
+        _cooc_cab,
+        q_textrank_keywords,
+    )
+    from tests.conftest import SF_SMOKE
+
+    cab = {
+        (r["a"], r["b"]): r["c_ab"]
+        for r in _cooc_cab(spark, SF_SMOKE).collect()
+    }
+    w = defaultdict(int)
+    outs = defaultdict(list)
+    edges = []
+    for (a, b), c in cab.items():
+        if a == b:
+            continue
+        edges += [(a, b, c), (b, a, c)]
+    for j, i, c in edges:
+        w[j] += c
+    for j, i, c in edges:
+        outs[j].append((i, (c * 10**6) // w[j]))
+    nodes = sorted(w)
+    rank = {t: 10**9 for t in nodes}
+    for _ in range(TEXTRANK_ITERS):
+        inc = dict.fromkeys(nodes, 0)
+        for j, lst in outs.items():
+            for i, s in lst:
+                inc[i] += rank[j] * s
+        rank = {
+            t: 150000000 + (85 * (inc[t] // 10**6)) // 100 for t in nodes
+        }
+    order = sorted(nodes, key=lambda t: (-rank[t], t))
+    want = [(k + 1, t, w[t], rank[t]) for k, t in enumerate(order)]
+
+    got = [
+        (r["rank"], r["token"], r["w_strength"], r["r_e9"])
+        for r in q_textrank_keywords(spark, SF_SMOKE)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    assert all(r > 0 for _, _, _, r in got)
+    assert got[-1][1] == "dup", "injected-dup token must rank last"
