@@ -14336,6 +14336,157 @@ FROM r{iters} r JOIN wj w ON r.tok = w.j
 """
 
 
+# Snippet-extraction spec — MIRRORED in `_best_snippet_sql`; change
+# together.  Luhn-style significant-token density over fixed SNIP_W
+# windows (the corpus has no sentence terminators, so windows ARE the
+# passages — the search-result snippet shape that pairs with
+# bm25_topk): significant set = Luhn's MID-FREQUENCY band — vocab
+# ranks (SNIP_RANK_CUT, COOC_VOCAB_K] by (cnt DESC, tok) minus
+# functions.text.STOPWORDS (cutting the top ranks is what makes the
+# density discriminative: with the full vocab nearly every window
+# saturates — measured); argmax = array_position of the
+# array_max (FIRST max ⇒ the (nsig DESC, pos ASC) tie-break without
+# any explode); width = least(SNIP_W, n) so short docs form one
+# clamped window on both engines.
+SNIP_W = 10
+SNIP_RANK_CUT = 10
+
+
+def q_best_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-snippet extraction (Luhn 1958's significant-word density,
+    the passage form) — per document, the ``SNIP_W``-token window with
+    the most significant tokens: the snippet a search stack shows
+    under a `bm25_topk` hit, and the first member of the
+    summarization family (RAKE/TextRank rank words; this extracts the
+    best PASSAGE).  Emits per doc the window position, its
+    significant count, the Luhn density score (nsig²·1000) DIV width,
+    and the md5 of the space-joined snippet tokens (byte-checkable
+    without shipping text).
+
+    Cross-engine: the window sums, argmax and snippet slice are PURE
+    ARRAY OPS — Spark slice/aggregate/array_max/array_position ↔
+    DuckDB 1-based inclusive t[i:i+W−1] slices with
+    list_sum/list_max/list_position; array_position returns the FIRST
+    max on both engines, which IS the (nsig DESC, pos ASC) rule; the
+    md5 of array_to_string(' ') matches concat_ws.
+
+    Scale shape: ZERO exchanges — one pure Catalyst map per doc, no
+    explode, no window function, no join (the repetition-filter plan
+    class); per-doc work is O(n·SNIP_W) JVM array ops.  The
+    significant set is one bounded vocab agg shipped as literals."""
+    from rxtls_spark.functions.text import STOPWORDS
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = _lm_tokens()
+    vocab_rows = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(COOC_VOCAB_K)
+        .collect()
+    )
+    ranked = sorted(
+        ((r["tok"], r["cnt"]) for r in vocab_rows),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    sig_set = sorted(
+        t
+        for k, (t, _c) in enumerate(ranked)
+        if k >= SNIP_RANK_CUT and t not in STOPWORDS
+    )
+    sig_arr = F.array(*[F.lit(w) for w in sig_set])
+    sig = F.transform(
+        toks, lambda t: F.array_contains(sig_arr, t).cast("long")
+    )
+    n = F.size(toks)
+    npos = F.greatest(n - F.lit(SNIP_W - 1), F.lit(1))
+    nsigs = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.aggregate(
+            F.slice(sig, i, SNIP_W), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    best_nsig = F.array_max(nsigs)
+    best_pos = F.array_position(nsigs, best_nsig)
+    width = F.least(F.lit(SNIP_W), n)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        npos.cast("long").alias("n_windows"),
+        best_pos.cast("long").alias("best_pos"),
+        best_nsig.cast("long").alias("best_nsig"),
+        (best_nsig * best_nsig * F.lit(1000)).cast("long").alias("_num"),
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, best_pos.cast("int"), SNIP_W))
+        ).alias("snippet_md5"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "best_pos",
+        "best_nsig",
+        F.expr(f"_num DIV least({SNIP_W}, n_tokens)").alias("score_e3"),
+        "snippet_md5",
+    )
+
+
+def _best_snippet_sql(
+    w: int = SNIP_W,
+    vocab_k: int = COOC_VOCAB_K,
+    cut: int = SNIP_RANK_CUT,
+) -> str:
+    """best_snippet oracle: the shared vocab CTE minus the RAKE
+    stoplist, 1-based inclusive window slices, list_sum/list_max/
+    list_position (first max == the tie-break), md5 of the joined
+    snippet."""
+    from rxtls_spark.functions.text import STOPWORDS
+
+    stoplist = ", ".join(f"'{x}'" for x in STOPWORDS)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+    FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+  ) WHERE rk > {cut} AND rk <= {vocab_k} AND tok NOT IN ({stoplist})
+), sigl AS (
+  SELECT list(tok ORDER BY tok) AS sl FROM vocab
+), per AS (
+  SELECT doc_id, t,
+         list_transform(t, x -> CAST(list_contains(s.sl, x) AS BIGINT))
+           AS sig,
+         len(t) AS n,
+         greatest(len(t) - {w - 1}, 1) AS npos
+  FROM toks, sigl s
+), wins AS (
+  SELECT doc_id, t, n, npos,
+         list_transform(generate_series(1, npos),
+                        i -> CAST(list_sum(sig[i:i+{w - 1}]) AS BIGINT))
+           AS nsigs
+  FROM per
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(npos AS BIGINT) AS n_windows,
+       CAST(list_position(nsigs, list_max(nsigs)) AS BIGINT) AS best_pos,
+       CAST(list_max(nsigs) AS BIGINT) AS best_nsig,
+       CAST((list_max(nsigs) * list_max(nsigs) * 1000)
+            // least({w}, n) AS BIGINT) AS score_e3,
+       md5(array_to_string(
+         t[list_position(nsigs, list_max(nsigs)):
+           list_position(nsigs, list_max(nsigs)) + {w - 1}], ' '))
+         AS snippet_md5
+FROM wins
+"""
+
+
 # Bradley-Terry spec — MIRRORED in `_bradley_terry_sql`; change
 # together.  Duels: each doc challenges the knuth forward-jump
 # partner (the nsp_pairs co-partitioned equi-join shape, salt 5 so it
@@ -14606,6 +14757,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_diversity": q_source_diversity,
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
+    "best_snippet": q_best_snippet,
     "psi_drift": q_psi_drift,
     "quality_outliers": q_quality_outliers,
     "source_gini": q_source_gini,
@@ -16176,6 +16328,7 @@ FROM kl
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
+        "best_snippet": _best_snippet_sql(),
         "source_overlap": f"""
 WITH heads AS (
   SELECT DISTINCT source,

@@ -6359,3 +6359,83 @@ def test_textrank_matches_python_replica(spark):
     assert got == want
     assert all(r > 0 for _, _, _, r in got)
     assert got[-1][1] == "dup", "injected-dup token must rank last"
+
+
+def test_best_snippet_matches_python_replica(spark):
+    """Window density argmax recomputed in Python from the
+    Spark-tokenized stream through the identical mid-frequency
+    significance band: exact row equality including the snippet md5.
+    Also locks: the scoring plan is a pure map (0 exchanges, no join,
+    no window function), first-max tie-breaking, the short-doc
+    clamped-window rule, and that the smoke corpus spreads best_nsig
+    over ≥4 distinct values (the band is discriminative)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.functions.text import STOPWORDS
+    from rxtls_spark.plans.checks import count_exchanges
+    from rxtls_spark.queries_training import (
+        COOC_VOCAB_K,
+        SNIP_RANK_CUT,
+        SNIP_W,
+        _docs,
+        _lm_tokens,
+        q_best_snippet,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(int)
+    for r in rows:
+        for tk in r["t"]:
+            cnt[tk] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :COOC_VOCAB_K
+    ]
+    sig = {
+        t
+        for k, (t, _c) in enumerate(ranked)
+        if k >= SNIP_RANK_CUT and t not in STOPWORDS
+    }
+
+    want = {}
+    for r in rows:
+        t = r["t"]
+        n = len(t)
+        npos = max(n - SNIP_W + 1, 1)
+        s = [1 if x in sig else 0 for x in t]
+        nsigs = [sum(s[i : i + SNIP_W]) for i in range(npos)]
+        best = max(nsigs)
+        pos = nsigs.index(best) + 1
+        snip = " ".join(t[pos - 1 : pos - 1 + SNIP_W])
+        want[r["doc_id"]] = (
+            n,
+            npos,
+            pos,
+            best,
+            (best * best * 1000) // min(SNIP_W, n),
+            hashlib.md5(snip.encode()).hexdigest(),
+        )
+
+    df = q_best_snippet(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_windows"],
+            r["best_pos"],
+            r["best_nsig"],
+            r["score_e3"],
+            r["snippet_md5"],
+        )
+        for r in df.collect()
+    }
+    assert got == want
+    assert len(Counter(v[3] for v in want.values())) >= 4
