@@ -7784,6 +7784,144 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dunning G² collocation spec — MIRRORED in `_collocations_g2_sql`;
+# change together.  G2_MIN_COUNT gates hapax bigrams OUT of the
+# ranking (their G² is dominated by the k22 bulk term and ties
+# meaninglessly); marginals and N are computed over ALL bigrams
+# BEFORE the gate (the cooc_ppmi raw-stream convention).  The four
+# G² terms come from `_g2_term` — ONE Python helper spliced into BOTH
+# engines (the _heaps_ols_exprs rule: edit the helper, both move).
+G2_TOPK = 30
+G2_MIN_COUNT = 3
+
+
+def _g2_term(k: str, a: str, b: str, n: str) -> str:
+    """One Dunning G² contingency term k·ln(k·N/(a·b)), e3-floored
+    BIGINT, 0 when the cell is empty — spliced verbatim into the
+    Spark expression AND the DuckDB oracle so the float op order is
+    identical.  Every operand is cast DOUBLE BEFORE multiplying (the
+    source_keyness overflow rule — k·N as BIGINT blows past 2^63 at
+    ~10^10 bigram tokens); the doubles stay exact to 2^53 ≈ 9·10^15
+    tokens.  floor() is toward −∞ on both engines, so negative terms
+    (observed < expected cells) agree too."""
+    return (
+        f"CAST(CASE WHEN ({k}) > 0 THEN floor(CAST(({k}) AS DOUBLE)"
+        f" * ln((CAST(({k}) AS DOUBLE) * ({n}))"
+        f" / (CAST(({a}) AS DOUBLE) * ({b}))) * 1000.0)"
+        f" ELSE 0 END AS BIGINT)"
+    )
+
+
+def q_collocations_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993,
+    "Accurate Methods for the Statistics of Surprise and
+    Coincidence") — the classic collocation test that, unlike PMI
+    (`cooc_ppmi`), stays calibrated on LOW counts: per bigram type
+    the 2×2 contingency of (first token = w1) × (second token = w2)
+    over all bigram events, scored G² = 2·Σ k·ln(k·N/(row·col)).
+    High-G² pairs are multiword units a tokenizer/phrase-miner should
+    treat as single terms; the complement of `cooc_ppmi`'s windowed
+    association and `source_keyness`'s corpus-contrast ln-ratio.
+
+    Cross-engine: counts/marginals are exact BIGINTs; each of the
+    four G² terms is the `_g2_term` e3-floored one-expression form
+    spliced into both engines; g2_e3 = 2·Σ terms is a BIGINT sum, and
+    the ranking is (g2_e3 DESC, w1, w2) over the already-exact key.
+
+    Scale shape: token explode → ONE bigram hash agg (the n-gram-LM
+    shuffle), two unigram-marginal aggs of THAT table (bounded by
+    vocab size), N via the 1-row broadcast-scalar crossJoin, two
+    equi-joins back on w1/w2, TakeOrderedAndProject for the top-k.
+    No window functions, no driver collect."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    cnts = (
+        docs.select(F.explode(_bigrams()).alias("bg"))
+        .groupBy(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("k11"))
+    )
+    r1 = cnts.groupBy("w1").agg(F.sum("k11").cast("long").alias("row1"))
+    c1 = cnts.groupBy("w2").agg(F.sum("k11").cast("long").alias("col1"))
+    tot = cnts.agg(F.sum("k11").cast("long").alias("n_tot"))
+    full = (
+        cnts.join(r1, "w1")
+        .join(c1, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("k12", F.expr("CAST(row1 - k11 AS BIGINT)"))
+        .withColumn("k21", F.expr("CAST(col1 - k11 AS BIGINT)"))
+        .withColumn(
+            "k22", F.expr("CAST(n_tot - row1 - col1 + k11 AS BIGINT)")
+        )
+    )
+    g2 = (
+        F.expr(_g2_term("k11", "row1", "col1", "n_tot"))
+        + F.expr(_g2_term("k12", "row1", "n_tot - col1", "n_tot"))
+        + F.expr(_g2_term("k21", "n_tot - row1", "col1", "n_tot"))
+        + F.expr(_g2_term("k22", "n_tot - row1", "n_tot - col1", "n_tot"))
+    )
+    return (
+        full.where(F.col("k11") >= G2_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            F.col("row1").alias("w1_count"),
+            F.col("col1").alias("w2_count"),
+            (F.lit(2) * g2).cast("long").alias("g2_e3"),
+        )
+        .orderBy(F.col("g2_e3").desc(), "w1", "w2")
+        .limit(G2_TOPK)
+    )
+
+
+def _collocations_g2_sql(
+    topk: int = G2_TOPK, min_count: int = G2_MIN_COUNT
+) -> str:
+    """collocations_g2 oracle: the shared bigram chain, BIGINT
+    marginals, the four spliced `_g2_term` expressions (identical
+    float op order), (g2_e3 DESC, w1, w2) top-k."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+), cnts AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         CAST(count(*) AS BIGINT) AS k11
+  FROM bg GROUP BY 1, 2
+), r1 AS (
+  SELECT w1, CAST(sum(k11) AS BIGINT) AS row1 FROM cnts GROUP BY 1
+), c1 AS (
+  SELECT w2, CAST(sum(k11) AS BIGINT) AS col1 FROM cnts GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(k11) AS BIGINT) AS n_tot FROM cnts
+), full_t AS (
+  SELECT cnts.w1, cnts.w2, cnts.k11, r1.row1, c1.col1, tot.n_tot,
+         CAST(r1.row1 - cnts.k11 AS BIGINT) AS k12,
+         CAST(c1.col1 - cnts.k11 AS BIGINT) AS k21,
+         CAST(tot.n_tot - r1.row1 - c1.col1 + cnts.k11 AS BIGINT) AS k22
+  FROM cnts JOIN r1 USING (w1) JOIN c1 USING (w2) CROSS JOIN tot
+)
+SELECT w1, w2, k11, row1 AS w1_count, col1 AS w2_count,
+       CAST(2 * ({_g2_term("k11", "row1", "col1", "n_tot")}
+               + {_g2_term("k12", "row1", "n_tot - col1", "n_tot")}
+               + {_g2_term("k21", "n_tot - row1", "col1", "n_tot")}
+               + {_g2_term("k22", "n_tot - row1", "n_tot - col1", "n_tot")})
+            AS BIGINT) AS g2_e3
+FROM full_t WHERE k11 >= {min_count}
+ORDER BY g2_e3 DESC, w1, w2 LIMIT {topk}
+"""
+
+
 # Min-K% Prob fraction denominator (k = ceil(n_in / MINK_DEN), i.e.
 # the lowest 20% of token log-probs) — MIRRORED in the `min_k_prob`
 # oracle SQL; change together.
@@ -14829,6 +14967,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uncertainty_sample": q_uncertainty_sample,
     "cartography": q_cartography,
     "good_turing": q_good_turing,
+    "collocations_g2": q_collocations_g2,
     "min_k_prob": q_min_k_prob,
     "silhouette": q_silhouette,
     "heaps_law": q_heaps_law,
@@ -17144,6 +17283,7 @@ SELECT s.r, s.n_r,
        CAST(s.r * s.n_r AS BIGINT) AS mass
 FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
 """,
+        "collocations_g2": _collocations_g2_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

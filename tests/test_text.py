@@ -6439,3 +6439,74 @@ def test_best_snippet_matches_python_replica(spark):
     }
     assert got == want
     assert len(Counter(v[3] for v in want.values())) >= 4
+
+
+def test_collocations_g2_matches_python_replica(spark):
+    """Dunning G² recomputed in exact Python (ints + math.log floors)
+    from the Spark-tokenized bigram stream: exact row equality on the
+    top-k including the signed e3-floored score.  Also locks: the
+    min-count gate excludes hapaxes from the RANKING but not from the
+    marginals/N, terms with an empty cell contribute exactly 0, the
+    (g2_e3 DESC, w1, w2) tie-break, and that the smoke corpus spreads
+    g2_e3 over ≥10 distinct values (the statistic is discriminative)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        G2_MIN_COUNT,
+        G2_TOPK,
+        _docs,
+        _lm_tokens,
+        q_collocations_g2,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select(_lm_tokens().alias("t"))
+        .collect()
+    )
+    k11 = defaultdict(int)
+    for r in rows:
+        t = r["t"]
+        for i in range(len(t) - 1):
+            k11[(t[i], t[i + 1])] += 1
+    row1 = defaultdict(int)
+    col1 = defaultdict(int)
+    for (w1, w2), k in k11.items():
+        row1[w1] += k
+        col1[w2] += k
+    n_tot = sum(k11.values())
+
+    def term(k, a, b):
+        if k <= 0:
+            return 0
+        return math.floor(
+            float(k) * math.log((float(k) * n_tot) / (float(a) * b)) * 1000.0
+        )
+
+    scored = []
+    for (w1, w2), k in k11.items():
+        if k < G2_MIN_COUNT:
+            continue
+        a, b = row1[w1], col1[w2]
+        g2 = 2 * (
+            term(k, a, b)
+            + term(a - k, a, n_tot - b)
+            + term(b - k, n_tot - a, b)
+            + term(n_tot - a - b + k, n_tot - a, n_tot - b)
+        )
+        scored.append((w1, w2, k, a, b, g2))
+    scored.sort(key=lambda x: (-x[5], x[0], x[1]))
+    want = scored[:G2_TOPK]
+
+    got = [
+        (r["w1"], r["w2"], r["k11"], r["w1_count"], r["w2_count"], r["g2_e3"])
+        for r in q_collocations_g2(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    assert len({x[5] for x in want}) >= 10
+    assert all(x[2] >= G2_MIN_COUNT for x in got)
