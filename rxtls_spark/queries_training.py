@@ -3687,13 +3687,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_propagation_sql(
-    outdeg: int = PR_OUTDEG, iters: int = LPA_ITERS
-) -> str:
-    """LPA oracle: the pagerank edge CTEs made undirected (UNION ALL
-    both directions — parallel edges kept), then each iteration
-    UNROLLED as (counts, majority-by-window, relabel) CTE triples —
-    all BIGINT, the (cnt DESC, lbl) rule, exact by construction."""
+def _lpa_ctes(outdeg: int = PR_OUTDEG, iters: int = LPA_ITERS) -> str:
+    """The LPA WITH-chain (knuth edges → undirected u → unrolled
+    iteration triples ending at l{iters}) — SHARED by the
+    `label_propagation` AND `graph_modularity` oracles (the
+    _logreg_ctes rule: edit once, both move)."""
     head = f"""WITH ids AS (
   SELECT doc_id FROM documents
 ), nn AS (
@@ -3732,12 +3730,147 @@ c{t} AS (
   FROM ids i JOIN l{t - 1} p USING (doc_id)
   LEFT JOIN m{t} m ON i.doc_id = m.node
 )"""
-    return head + f"""
+    return head
+
+
+def _label_propagation_sql(
+    outdeg: int = PR_OUTDEG, iters: int = LPA_ITERS
+) -> str:
+    """LPA oracle: the pagerank edge CTEs made undirected (UNION ALL
+    both directions — parallel edges kept), then each iteration
+    UNROLLED as (counts, majority-by-window, relabel) CTE triples —
+    all BIGINT, the (cnt DESC, lbl) rule, exact by construction."""
+    return _lpa_ctes(outdeg, iters) + f"""
 SELECT l.doc_id, l.lbl AS label, s.comm_size
 FROM l{iters} l JOIN (
   SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
   FROM l{iters} GROUP BY 1
 ) s USING (lbl)
+"""
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition (Newman & Girvan 2004)
+    over the SAME undirected multigraph `label_propagation` votes on
+    — the quality score that tells a pipeline whether the detected
+    communities are real structure or noise (Q ≈ 0 on the random
+    knuth graph, Q → 1 on strongly modular link farms).  Per
+    community: node count, internal directed-edge count, degree sum,
+    and the modularity contribution dQ = in/(2m) − (deg/(2m))²;
+    Σ dq_e9 ≈ Q·1e9.  The SEVENTH knuth-graph consumer (pagerank /
+    hits / lpa / triangles / link_predict / khop) — changing the edge
+    formula or PR_OUTDEG moves all seven oracles.
+
+    Cross-engine: in_deg / deg_sum / m2 are exact BIGINTs (u counts
+    both directions, so m2 = 2m and in_deg counts each internal edge
+    twice — the standard Σ_c [in_c/2m − (d_c/2m)²] form); dq_e9 is an
+    e9 floor of an expression using ONLY IEEE +,−,×,÷ on doubles that
+    are exact (< 2^53 to ~10^15 edges) — bit-identical cross-engine,
+    a STRONGER guarantee than the ln-based e3 floors.  Isolated
+    nodes coalesce to deg 0 / in 0.
+
+    Scale shape: the LPA label table (3 bounded join-agg rounds) +
+    ONE degree agg of the edge table + ONE two-sided label join for
+    internal edges + a per-community agg; m2 via the 1-row
+    broadcast-scalar crossJoin.  Output is community-count-bounded."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    de = ids.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+    und = (
+        de.select("src", "dst")
+        .unionAll(
+            de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    nl = q_label_propagation(spark, sf_dir).select("doc_id", "label")
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    m2 = und.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    incnt = (
+        und.join(
+            nl.select(
+                F.col("doc_id").alias("s_id"), F.col("label").alias("s_lbl")
+            ),
+            F.col("src") == F.col("s_id"),
+        )
+        .join(
+            nl.select(
+                F.col("doc_id").alias("d_id"), F.col("label").alias("d_lbl")
+            ),
+            F.col("dst") == F.col("d_id"),
+        )
+        .where(F.col("s_lbl") == F.col("d_lbl"))
+        .groupBy(F.col("s_lbl").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("in_deg"))
+    )
+    comm = (
+        nl.join(deg, nl["doc_id"] == deg["node"], "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("deg_sum"),
+        )
+    )
+    return (
+        comm.join(incnt, "label", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            "n_nodes",
+            "deg_sum",
+            F.expr("CAST(coalesce(in_deg, 0) AS BIGINT)").alias("in_deg"),
+            F.expr(
+                "CAST(floor((CAST(coalesce(in_deg, 0) AS DOUBLE) / m2"
+                " - (CAST(deg_sum AS DOUBLE) / m2)"
+                " * (CAST(deg_sum AS DOUBLE) / m2))"
+                " * 1000000000.0) AS BIGINT)"
+            ).alias("dq_e9"),
+        )
+    )
+
+
+def _graph_modularity_sql(
+    outdeg: int = PR_OUTDEG, iters: int = LPA_ITERS
+) -> str:
+    """graph_modularity oracle: the shared `_lpa_ctes` chain, then
+    BIGINT degree/internal-edge/size aggs and the bit-exact e9-floored
+    dQ expression (identical float op order to the Spark side)."""
+    return _lpa_ctes(outdeg, iters) + f""",
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY 1
+), mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2 FROM u
+), nl AS (
+  SELECT doc_id, lbl AS label FROM l{iters}
+), incnt AS (
+  SELECT ls.label, CAST(count(*) AS BIGINT) AS in_deg
+  FROM u JOIN nl ls ON u.src = ls.doc_id
+         JOIN nl ld ON u.dst = ld.doc_id
+  WHERE ls.label = ld.label GROUP BY 1
+), comm AS (
+  SELECT nl.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(coalesce(sum(d.deg), 0) AS BIGINT) AS deg_sum
+  FROM nl LEFT JOIN deg d ON nl.doc_id = d.node GROUP BY 1
+)
+SELECT c.label, c.n_nodes, c.deg_sum,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(floor((CAST(coalesce(i.in_deg, 0) AS DOUBLE) / m2
+                   - (CAST(c.deg_sum AS DOUBLE) / m2)
+                   * (CAST(c.deg_sum AS DOUBLE) / m2))
+                  * 1000000000.0) AS BIGINT) AS dq_e9
+FROM comm c LEFT JOIN incnt i ON c.label = i.label CROSS JOIN mm
 """
 
 
@@ -14939,6 +15072,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "hits": q_hits,
     "label_propagation": q_label_propagation,
+    "graph_modularity": q_graph_modularity,
     "link_predict": q_link_predict,
     "khop_reach": q_khop_reach,
     "kcore": q_kcore,
@@ -17132,6 +17266,7 @@ WHERE rn <= 10
         "url_canonicalize": _url_canonicalize_sql(),
         "hits": _hits_sql(),
         "label_propagation": _label_propagation_sql(),
+        "graph_modularity": _graph_modularity_sql(),
         "link_predict": _link_predict_sql(),
         "khop_reach": _khop_sql(),
         "kcore": _kcore_sql(),

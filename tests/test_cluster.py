@@ -521,3 +521,91 @@ def test_kcore_matches_exact_peel_replica(spark):
             # the final-round admission check: degree against the
             # PRE-final survivor set was >= K
             assert sum(1 for u in adj[v] if u in prev_alive) >= KCORE_K, v
+
+
+def test_graph_modularity_matches_exact_replica(spark):
+    """Modularity recomputed in Python (exact ints + IEEE doubles in
+    the identical op order) over the same undirected multigraph and
+    the LPA replica's labels: exact row equality including dq_e9.
+    Also locks the partition identities Σ n_nodes == N,
+    Σ deg_sum == m2 == Σ in_deg over a label-closed graph... (in_deg
+    only counts intra-community rows, so Σ in_deg ≤ m2), Q = Σ dq in
+    (−1, 1), and that Q ≈ 0 on this random graph (the null)."""
+    from collections import Counter
+    from math import floor
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        LPA_ITERS,
+        PR_OUTDEG,
+        q_graph_modularity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    idset = set(ids)
+    und = []
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                und.append((s, d))
+                und.append((d, s))
+    lbl = {i: i for i in ids}
+    for _ in range(LPA_ITERS):
+        cnt = Counter()
+        for s, d in und:
+            cnt[(d, lbl[s])] += 1
+        best = {}
+        for (node, lb), c in cnt.items():
+            if node not in idset:
+                continue
+            cur = best.get(node)
+            if cur is None or (c, -lb) > (cur[0], -cur[1]):
+                best[node] = (c, lb)
+        lbl = {i: best[i][1] if i in best else lbl[i] for i in ids}
+
+    m2 = len(und)
+    deg = Counter(s for s, _ in und)
+    in_deg = Counter()
+    for s, d in und:
+        if lbl[s] == lbl[d]:
+            in_deg[lbl[s]] += 1
+    n_nodes = Counter(lbl.values())
+    deg_sum = Counter()
+    for i in ids:
+        deg_sum[lbl[i]] += deg[i]
+    want = {
+        c: (
+            n_nodes[c],
+            deg_sum[c],
+            in_deg[c],
+            floor(
+                (in_deg[c] / m2 - (deg_sum[c] / m2) * (deg_sum[c] / m2))
+                * 1000000000.0
+            ),
+        )
+        for c in n_nodes
+    }
+
+    got = {
+        r["label"]: (r["n_nodes"], r["deg_sum"], r["in_deg"], r["dq_e9"])
+        for r in q_graph_modularity(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == n
+    assert sum(v[1] for v in got.values()) == m2
+    assert sum(v[2] for v in got.values()) <= m2
+    q = sum(v[3] for v in got.values()) / 1e9
+    assert -1.0 < q < 1.0
+    # the knuth graph IS a configuration-model-like random graph, so
+    # the LPA partition's Q must sit near 0 — THAT is the
+    # discriminative claim (real modular structure would push Q ≫ 0,
+    # and a broken in_deg/deg_sum pairing pushes it toward −1)
+    assert abs(q) < 0.05, q
