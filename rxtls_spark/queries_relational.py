@@ -1505,7 +1505,165 @@ def q_rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Kendall tau per event type over the
+    daily count series — the nonparametric "is traffic drifting"
+    monitor that pairs with `rel_ewma_daily` (EWMA tracks the level;
+    MK says whether a MONOTONE trend exists at all, robust to spikes
+    because only sign(n_j − n_i) enters).  Emits per type: day count,
+    S = Σ_{i<j} sign, concordant/discordant/tied pair counts, the
+    tie-corrected 18·var(S), tau-a = S/n_pairs (e6), and the
+    continuity-corrected z (e3).
+
+    Cross-engine: S and every pair count are exact BIGINTs from the
+    day-ordered pair join; var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) is
+    pure BIGINT; tau_e6 = (S·1e6) DIV n_pairs is the SIGNED
+    truncating DIV (Spark DIV == DuckDB // toward zero — the
+    zipf_alpha rule); z_e3 is an e3 floor over IEEE ÷/sqrt/× on exact
+    doubles only — sqrt is correctly rounded, so the float is
+    bit-identical cross-engine (the graph_modularity class, not the
+    ln class).
+
+    Scale shape: ONE corpus-scale hash agg onto (type × day) — the
+    series is bounded by types·horizon, so the O(d²) pair self-join
+    and the tie agg run on metadata-scale tables; no window over raw
+    events, no collect."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+    )
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.sum(F.signum(F.col("b.n") - F.col("a.n")))
+        .cast("long")
+        .alias("s_stat"),
+        F.sum((F.col("b.n") > F.col("a.n")).cast("long"))
+        .cast("long")
+        .alias("n_conc"),
+        F.sum((F.col("b.n") < F.col("a.n")).cast("long"))
+        .cast("long")
+        .alias("n_disc"),
+        F.sum((F.col("b.n") == F.col("a.n")).cast("long"))
+        .cast("long")
+        .alias("n_tied"),
+    )
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_ng"),
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie18"),
+            F.sum("t").cast("long").alias("n_days"),
+        )
+    )
+    return (
+        ties.join(pairs, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("CAST(n_days * (n_days - 1) DIV 2 AS BIGINT)").alias(
+                "n_pairs"
+            ),
+            F.expr("CAST(coalesce(s_stat, 0) AS BIGINT)").alias("s_stat"),
+            F.expr("CAST(coalesce(n_conc, 0) AS BIGINT)").alias("n_conc"),
+            F.expr("CAST(coalesce(n_disc, 0) AS BIGINT)").alias("n_disc"),
+            F.expr("CAST(coalesce(n_tied, 0) AS BIGINT)").alias("n_tied"),
+            F.expr(
+                "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18"
+                " AS BIGINT)"
+            ).alias("var18"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            "n_conc",
+            "n_disc",
+            "n_tied",
+            "var18",
+            F.expr(
+                "CAST(CASE WHEN n_pairs > 0"
+                " THEN (s_stat * 1000000) DIV n_pairs ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("tau_e6"),
+            F.expr(
+                "CAST(CASE WHEN var18 > 0 AND s_stat <> 0 THEN"
+                " floor((CAST(CASE WHEN s_stat > 0 THEN s_stat - 1"
+                "             ELSE s_stat + 1 END AS DOUBLE)"
+                " / sqrt(CAST(var18 AS DOUBLE) / 18.0)) * 1000.0)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("z_e3"),
+        )
+    )
+
+
+_REL_TREND_MK_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), daily AS (
+  SELECT event_type, CAST(day AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(sum(sign(b.n - a.n)) AS BIGINT) AS s_stat,
+         CAST(sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_conc,
+         CAST(sum(CASE WHEN b.n < a.n THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disc,
+         CAST(sum(CASE WHEN b.n = a.n THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tied
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+         CAST(sum(t) AS BIGINT) AS n_days
+  FROM (
+    SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+    FROM daily GROUP BY 1, 2
+  ) GROUP BY 1
+), j AS (
+  SELECT t.event_type, t.n_days,
+         CAST(t.n_days * (t.n_days - 1) // 2 AS BIGINT) AS n_pairs,
+         CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat,
+         CAST(coalesce(p.n_conc, 0) AS BIGINT) AS n_conc,
+         CAST(coalesce(p.n_disc, 0) AS BIGINT) AS n_disc,
+         CAST(coalesce(p.n_tied, 0) AS BIGINT) AS n_tied,
+         CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18
+              AS BIGINT) AS var18
+  FROM ties t LEFT JOIN pairs p USING (event_type)
+)
+SELECT event_type, n_days, n_pairs, s_stat, n_conc, n_disc, n_tied, var18,
+       CAST(CASE WHEN n_pairs > 0 THEN (s_stat * 1000000) // n_pairs
+                 ELSE 0 END AS BIGINT) AS tau_e6,
+       CAST(CASE WHEN var18 > 0 AND s_stat <> 0 THEN
+              floor((CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                          ELSE s_stat + 1 END AS DOUBLE)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)) * 1000.0)
+            ELSE 0 END AS BIGINT) AS z_e3
+FROM j
+"""
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_trend_mk": q_rel_trend_mk,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
     "rel_local_supplier_volume": q_local_supplier_volume,
@@ -1546,6 +1704,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_REL: dict[str, str] = {
+    "rel_trend_mk": _REL_TREND_MK_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -1019,3 +1019,91 @@ def test_rel_ewma_daily_matches_replica_and_fold_contracts(spark):
             assert lo - 1 <= s <= hi
     flags = {v[3] for v in got.values()}
     assert flags == {0, 1}
+
+
+def test_rel_trend_mk_matches_exact_replica(spark):
+    """Mann-Kendall recomputed in pure Python (exact ints + IEEE
+    sqrt/÷ in the identical op order) from the Spark-derived daily
+    series: exact row equality including z_e3.  Also locks the pair
+    identities n_conc + n_disc + n_tied == n_pairs and
+    S == n_conc − n_disc, the tie-corrected var18 ≥ 0, and that the
+    smoke series produces at least one tied pair (the correction
+    path actually runs)."""
+    from collections import defaultdict
+    from math import floor, sqrt
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_relational import _t, q_rel_trend_mk
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append((r["day"], r["n"]))
+
+    want = {}
+    for et, xs in series.items():
+        xs.sort()
+        ns = [n for _, n in xs]
+        d = len(ns)
+        s = conc = disc = tied = 0
+        for i in range(d):
+            for j in range(i + 1, d):
+                if ns[j] > ns[i]:
+                    conc += 1
+                    s += 1
+                elif ns[j] < ns[i]:
+                    disc += 1
+                    s -= 1
+                else:
+                    tied += 1
+        tie18 = 0
+        cnt = defaultdict(int)
+        for n in ns:
+            cnt[n] += 1
+        for t in cnt.values():
+            tie18 += t * (t - 1) * (2 * t + 5)
+        var18 = d * (d - 1) * (2 * d + 5) - tie18
+        n_pairs = d * (d - 1) // 2
+        tau = (
+            (s * 1000000) // n_pairs
+            if n_pairs > 0 and s >= 0
+            else -((-s * 1000000) // n_pairs) if n_pairs > 0 else 0
+        )
+        if var18 > 0 and s != 0:
+            s_adj = s - 1 if s > 0 else s + 1
+            z = floor((float(s_adj) / sqrt(float(var18) / 18.0)) * 1000.0)
+        else:
+            z = 0
+        want[et] = (d, n_pairs, s, conc, disc, tied, var18, tau, z)
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["n_pairs"],
+            r["s_stat"],
+            r["n_conc"],
+            r["n_disc"],
+            r["n_tied"],
+            r["var18"],
+            r["tau_e6"],
+            r["z_e3"],
+        )
+        for r in q_rel_trend_mk(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for v in got.values():
+        assert v[3] + v[4] + v[5] == v[1]
+        assert v[2] == v[3] - v[4]
+        assert v[6] >= 0
+    assert any(v[5] > 0 for v in got.values()), "tie path never ran"
