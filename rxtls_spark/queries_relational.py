@@ -1505,6 +1505,111 @@ def q_rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _benford_e6() -> list[tuple[int, int]]:
+    """Benford first-digit expected shares floor(log10(1+1/d)·1e6),
+    computed ONCE in Python and spliced into BOTH engines as integer
+    literals (the _ndcg_weights rule — no engine log10 anywhere)."""
+    import math
+
+    return [
+        (d, math.floor(math.log10(1.0 + 1.0 / d) * 1000000.0))
+        for d in range(1, 10)
+    ]
+
+
+def q_rel_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (Newcomb 1881 /
+    Benford 1938; the fraud/synthetic-data screen auditors run on any
+    financial column): per leading digit 1-9, observed count and e6
+    share vs the spliced Benford expectation, the signed deviation,
+    and a per-digit binomial z.  A generated or tampered price column
+    shows flat digits (z ≫ 0 on 7-9, z ≪ 0 on 1); real multiplicative
+    data tracks log10(1+1/d).
+
+    Cross-engine: digit = first char of CAST(floor(price) AS BIGINT)
+    — floor is bit-exact on doubles and BIGINT→string formatting
+    agrees; counts/shares are BIGINT with truncating DIV; exp_e6 are
+    Python-computed literals; z_e3 is an e3 floor over IEEE ÷/sqrt/×
+    on exact doubles only (the graph_modularity bit-exact class —
+    p = exp_e6/1e6 is one correctly-rounded division of exact values).
+
+    Scale shape: one pure map → ONE 9-key hash agg; the share/total
+    window runs over the 9-row profile — metadata scale.  Exact to
+    ~9·10^12 orders (cnt·1e6 < 2^63)."""
+    exp_case = " ".join(
+        f"WHEN {d} THEN {e}" for d, e in _benford_e6()
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    b = ords.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    w = Window.partitionBy()
+    return (
+        b.select(
+            "digit",
+            "n_orders",
+            F.sum("n_orders").over(w).cast("long").alias("_tot"),
+        )
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("(n_orders * 1000000) DIV _tot").alias("obs_e6"),
+            F.expr(f"CAST(CASE digit {exp_case} END AS BIGINT)").alias(
+                "exp_e6"
+            ),
+            F.col("_tot"),
+        )
+        .select(
+            "digit",
+            "n_orders",
+            "obs_e6",
+            "exp_e6",
+            F.expr("CAST(obs_e6 - exp_e6 AS BIGINT)").alias("dev_e6"),
+            F.expr(
+                "CAST(floor((CAST(n_orders AS DOUBLE)"
+                " - CAST(_tot AS DOUBLE) * (exp_e6 / 1000000.0))"
+                " / sqrt(CAST(_tot AS DOUBLE) * (exp_e6 / 1000000.0)"
+                " * (1.0 - exp_e6 / 1000000.0)) * 1000.0) AS BIGINT)"
+            ).alias("z_e3"),
+        )
+    )
+
+
+def _rel_benford_sql() -> str:
+    """rel_benford_audit oracle: identical digit map, 9-key agg,
+    spliced exp_e6 literals, and the bit-exact z expression."""
+    exp_case = " ".join(f"WHEN {d} THEN {e}" for d, e in _benford_e6())
+    return f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), b AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY 1
+), t AS (
+  SELECT digit, n_orders,
+         CAST(sum(n_orders) OVER () AS BIGINT) AS _tot,
+         CAST((n_orders * 1000000) // sum(n_orders) OVER () AS BIGINT)
+           AS obs_e6,
+         CAST(CASE digit {exp_case} END AS BIGINT) AS exp_e6
+  FROM b
+)
+SELECT digit, n_orders, obs_e6, exp_e6,
+       CAST(obs_e6 - exp_e6 AS BIGINT) AS dev_e6,
+       CAST(floor((CAST(n_orders AS DOUBLE)
+                   - CAST(_tot AS DOUBLE) * (exp_e6 / 1000000.0))
+                  / sqrt(CAST(_tot AS DOUBLE) * (exp_e6 / 1000000.0)
+                  * (1.0 - exp_e6 / 1000000.0)) * 1000.0) AS BIGINT)
+         AS z_e3
+FROM t
+"""
+
+
 def q_rel_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test + Kendall tau per event type over the
     daily count series — the nonparametric "is traffic drifting"
@@ -1664,6 +1769,7 @@ FROM j
 
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_trend_mk": q_rel_trend_mk,
+    "rel_benford_audit": q_rel_benford_audit,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
     "rel_local_supplier_volume": q_local_supplier_volume,
@@ -1705,6 +1811,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_REL: dict[str, str] = {
     "rel_trend_mk": _REL_TREND_MK_SQL,
+    "rel_benford_audit": _rel_benford_sql(),
     "rel_local_supplier_volume": """
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

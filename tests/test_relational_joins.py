@@ -1107,3 +1107,58 @@ def test_rel_trend_mk_matches_exact_replica(spark):
         assert v[2] == v[3] - v[4]
         assert v[6] >= 0
     assert any(v[5] > 0 for v in got.values()), "tie path never ran"
+
+
+def test_rel_benford_audit_matches_exact_replica(spark):
+    """Benford audit recomputed in pure Python (exact ints + IEEE
+    sqrt/÷ in the identical op order) from the collected prices:
+    exact row equality including z_e3.  Also locks: all 9 digits
+    appear, counts sum to the order count, exp_e6 literals sum to
+    ~1e6 (999999 with floors), and the spliced-literal rule (Python
+    log10 never runs in either engine)."""
+    from collections import Counter
+    from math import floor, sqrt
+
+    from rxtls_spark.queries_relational import (
+        _benford_e6,
+        _t,
+        q_rel_benford_audit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    prices = [
+        r["o_totalprice"]
+        for r in _t(spark, SF_SMOKE, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    cnt = Counter(int(str(int(floor(p)))[0]) for p in prices)
+    tot = sum(cnt.values())
+    exp = dict(_benford_e6())
+    want = {}
+    for d in range(1, 10):
+        n = cnt.get(d, 0)
+        if n == 0:
+            continue
+        obs = (n * 1000000) // tot
+        p = exp[d] / 1000000.0
+        z = floor(
+            (float(n) - float(tot) * p) / sqrt(float(tot) * p * (1.0 - p))
+            * 1000.0
+        )
+        want[d] = (n, obs, exp[d], obs - exp[d], z)
+
+    got = {
+        r["digit"]: (
+            r["n_orders"],
+            r["obs_e6"],
+            r["exp_e6"],
+            r["dev_e6"],
+            r["z_e3"],
+        )
+        for r in q_rel_benford_audit(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert set(got) == set(range(1, 10))
+    assert sum(v[0] for v in got.values()) == tot
+    assert 999990 <= sum(e for _, e in _benford_e6()) <= 1000000
