@@ -8055,6 +8055,147 @@ ORDER BY g2_e3 DESC, w1, w2 LIMIT {topk}
 """
 
 
+# Chi-square feature-selection spec — MIRRORED in `_chi2_select_sql`;
+# change together.  Document-frequency 2×2 per token vs the
+# lang_guess=='en' label (the logreg label — `_scored_feats_ctes`
+# consumer); CHI2_MIN_DF gates rare tokens out of the RANKING only.
+CHI2_TOPK = 40
+CHI2_MIN_DF = 5
+
+
+def q_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token feature selection (the classic χ² test on the
+    per-token 2×2 document-frequency contingency vs a binary label —
+    Yang & Pedersen 1997's strongest selector): which tokens are most
+    predictive of the `logreg_quality` label (lang_guess == 'en')?
+    The discrete complement of `source_keyness` (PMI vs a corpus
+    split) and the input-side answer to `doc_rarity`; feeds a
+    classifier the same way `tfidf_topterms` feeds retrieval.
+
+    Cross-engine: a/b/df/P/N are exact BIGINTs (distinct-token
+    explode → hash agg; label totals via the 1-row broadcast-scalar
+    crossJoin); det = a·d − b·c is materialized as ONE double column
+    (every operand cast DOUBLE before multiplying — the
+    source_keyness overflow rule), and chi2_e3 = floor(N·det²/
+    ((a+b)(c+d)(a+c)(b+d))·1e3) uses IEEE ×,÷ only — bit-identical
+    cross-engine (the graph_modularity class); zero-margin guards
+    CASE to 0.  Rank (chi2_e3 DESC, tok), df ≥ CHI2_MIN_DF.
+
+    Scale shape: per-doc array_distinct then explode → ONE token hash
+    agg (the inverted-index shuffle class), label totals one scalar
+    agg, TakeOrderedAndProject top-k.  No window, no driver collect."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    lab = docs.select(
+        "doc_id",
+        F.when(lang_guess() == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    tok_doc = docs.select(
+        "doc_id", F.explode(F.array_distinct(_lm_tokens())).alias("tok")
+    )
+    cnt = (
+        tok_doc.join(lab, "doc_id")
+        .groupBy("tok")
+        .agg(
+            F.sum("y").cast("long").alias("a"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+    )
+    tot = lab.agg(
+        F.sum("y").cast("long").alias("p_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        cnt.where(F.col("df") >= CHI2_MIN_DF)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "df",
+            "a",
+            F.expr("CAST(df - a AS BIGINT)").alias("b"),
+            F.expr("CAST(p_tot - a AS BIGINT)").alias("c"),
+            F.expr("CAST(n_docs - p_tot - (df - a) AS BIGINT)").alias("d"),
+            "p_tot",
+            "n_docs",
+        )
+        .select(
+            "tok",
+            "df",
+            F.col("a").alias("n_pos"),
+            F.col("b").alias("n_neg"),
+            F.expr(
+                "CAST(CASE WHEN df > 0 AND n_docs - df > 0"
+                " AND p_tot > 0 AND n_docs - p_tot > 0 THEN"
+                " floor((CAST(n_docs AS DOUBLE)"
+                " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+                " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c))"
+                " / ((CAST(df AS DOUBLE))"
+                " * (CAST(n_docs AS DOUBLE) - df)"
+                " * CAST(p_tot AS DOUBLE)"
+                " * (CAST(n_docs AS DOUBLE) - p_tot)) * 1000.0)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("chi2_e3"),
+        )
+        .orderBy(F.col("chi2_e3").desc(), "tok")
+        .limit(CHI2_TOPK)
+    )
+
+
+def _chi2_select_sql(
+    topk: int = CHI2_TOPK, min_df: int = CHI2_MIN_DF
+) -> str:
+    """chi2_select oracle: the shared `_scored_feats_ctes` label, the
+    distinct-token unnest, BIGINT contingency, and the bit-exact
+    chi2_e3 expression (identical float op order)."""
+    return f"""
+WITH {_scored_feats_ctes()},
+lab AS (
+  SELECT doc_id,
+         CAST(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM feats WHERE trim(text) <> ''
+), td AS (
+  SELECT doc_id, unnest(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')))
+           AS tok
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (
+  SELECT tok, CAST(sum(y) AS BIGINT) AS a,
+         CAST(count(*) AS BIGINT) AS df
+  FROM td JOIN lab USING (doc_id) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS p_tot,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM lab
+), full_t AS (
+  SELECT tok, df, a,
+         CAST(df - a AS BIGINT) AS b,
+         CAST(p_tot - a AS BIGINT) AS c,
+         CAST(n_docs - p_tot - (df - a) AS BIGINT) AS d,
+         p_tot, n_docs
+  FROM cnt CROSS JOIN tot WHERE df >= {min_df}
+)
+SELECT tok, df, a AS n_pos, b AS n_neg,
+       CAST(CASE WHEN df > 0 AND n_docs - df > 0
+                 AND p_tot > 0 AND n_docs - p_tot > 0 THEN
+              floor((CAST(n_docs AS DOUBLE)
+                     * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                     * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c))
+                    / ((CAST(df AS DOUBLE))
+                       * (CAST(n_docs AS DOUBLE) - df)
+                       * CAST(p_tot AS DOUBLE)
+                       * (CAST(n_docs AS DOUBLE) - p_tot)) * 1000.0)
+            ELSE 0 END AS BIGINT) AS chi2_e3
+FROM full_t
+ORDER BY chi2_e3 DESC, tok LIMIT {topk}
+"""
+
+
 # Min-K% Prob fraction denominator (k = ceil(n_in / MINK_DEN), i.e.
 # the lowest 20% of token log-probs) — MIRRORED in the `min_k_prob`
 # oracle SQL; change together.
@@ -15102,6 +15243,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cartography": q_cartography,
     "good_turing": q_good_turing,
     "collocations_g2": q_collocations_g2,
+    "chi2_select": q_chi2_select,
     "min_k_prob": q_min_k_prob,
     "silhouette": q_silhouette,
     "heaps_law": q_heaps_law,
@@ -17419,6 +17561,7 @@ SELECT s.r, s.n_r,
 FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
 """,
         "collocations_g2": _collocations_g2_sql(),
+        "chi2_select": _chi2_select_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

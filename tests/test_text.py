@@ -6510,3 +6510,85 @@ def test_collocations_g2_matches_python_replica(spark):
     assert got == want
     assert len({x[5] for x in want}) >= 10
     assert all(x[2] >= G2_MIN_COUNT for x in got)
+
+
+def test_chi2_select_matches_python_replica(spark):
+    """Chi-square selection recomputed in exact Python (ints + IEEE
+    doubles in the identical op order) from the Spark-tokenized
+    distinct-token stream and the Spark lang_guess label: exact row
+    equality including chi2_e3.  Also locks: contingency identities
+    (a+b == df, rows sum to doc counts), the df ≥ CHI2_MIN_DF gate,
+    the (chi2_e3 DESC, tok) tie-break, and that the statistic is
+    discriminative on the smoke corpus (≥5 distinct chi2 values,
+    top value > 0)."""
+    from collections import defaultdict
+    from math import floor
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.functions.text import lang_guess
+    from rxtls_spark.queries_training import (
+        CHI2_MIN_DF,
+        CHI2_TOPK,
+        _docs,
+        _lm_tokens,
+        q_chi2_select,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select(
+            _lm_tokens().alias("t"),
+            F.when(lang_guess() == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .collect()
+    )
+    a = defaultdict(int)
+    df_cnt = defaultdict(int)
+    p_tot = sum(r["y"] for r in rows)
+    n_docs = len(rows)
+    for r in rows:
+        for tok in set(r["t"]):
+            df_cnt[tok] += 1
+            a[tok] += r["y"]
+
+    scored = []
+    for tok, dfv in df_cnt.items():
+        if dfv < CHI2_MIN_DF:
+            continue
+        av = a[tok]
+        b = dfv - av
+        c = p_tot - av
+        d = n_docs - p_tot - b
+        if dfv > 0 and n_docs - dfv > 0 and p_tot > 0 and n_docs - p_tot > 0:
+            det = float(av) * d - float(b) * c
+            chi2 = floor(
+                (float(n_docs) * det * det)
+                / (
+                    float(dfv)
+                    * (float(n_docs) - dfv)
+                    * float(p_tot)
+                    * (float(n_docs) - p_tot)
+                )
+                * 1000.0
+            )
+        else:
+            chi2 = 0
+        scored.append((tok, dfv, av, b, chi2))
+    scored.sort(key=lambda x: (-x[4], x[0]))
+    want = scored[:CHI2_TOPK]
+
+    got = [
+        (r["tok"], r["df"], r["n_pos"], r["n_neg"], r["chi2_e3"])
+        for r in q_chi2_select(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    assert all(x[1] == x[2] + x[3] for x in got)
+    assert all(x[1] >= CHI2_MIN_DF for x in got)
+    assert len({x[4] for x in got}) >= 5
+    assert got[0][4] > 0
