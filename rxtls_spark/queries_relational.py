@@ -1610,6 +1610,140 @@ FROM t
 """
 
 
+def q_rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type (Page 1954; the
+    binary-segmentation first split of Scott & Knott) over the daily
+    count series — where did the traffic level SHIFT?  Completes the
+    time-series audit family: rel_trend_mk says IF there's a drift,
+    this says WHERE the level broke; rel_hourly_anomalies flags
+    single outliers, this finds sustained shifts.
+
+    Semantics: over the day-ordered series n_1..n_D, the scaled CUSUM
+    S_k = D·cum_k − k·T (= D²·(cum_k/k − T/D)·k/D, sign-identical to
+    the mean-shift statistic); the changepoint is
+    argmax_{1≤k<D} |S_k| with the (|S| DESC, k ASC) rule — the split
+    AFTER day cp_day.  Emits segment means (e3, truncating DIV) and
+    their signed delta.
+
+    Cross-engine: everything is BIGINT (cum/argmax/means — the
+    pagerank zero-float discipline); the struct-max argmax mirrors
+    the oracle's row_number window; exact to ~10^14 events·days
+    (D·T < 2^63).
+
+    Scale shape: ONE corpus-scale hash agg onto (type × day); the
+    cumsum window and argmax run over the bounded types·horizon
+    table — metadata scale, no window over raw events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("n").over(w).cast("long").alias("cum"),
+        F.sum("n").over(wt).cast("long").alias("total"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n_days"),
+    )
+    cand = cum.where(F.col("k") < F.col("n_days")).select(
+        "event_type",
+        "day",
+        "k",
+        "cum",
+        "total",
+        "n_days",
+        F.expr("CAST(abs(n_days * cum - k * total) AS BIGINT)").alias(
+            "s_abs"
+        ),
+    )
+    best = (
+        cand.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s_abs").alias("s_abs"),
+                    (-F.col("k")).alias("neg_k"),
+                    F.col("day").alias("day"),
+                    F.col("cum").alias("cum"),
+                    F.col("total").alias("total"),
+                    F.col("n_days").alias("n_days"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "event_type",
+            F.col("b.n_days").alias("n_days"),
+            F.col("b.total").alias("total"),
+            (-F.col("b.neg_k")).cast("long").alias("cp_k"),
+            F.col("b.day").alias("cp_day"),
+            F.col("b.s_abs").alias("s_abs"),
+            F.col("b.cum").alias("cum"),
+        )
+        .where(F.col("n_days") > 1)
+    )
+    return best.select(
+        "event_type",
+        "n_days",
+        "total",
+        "cp_k",
+        "cp_day",
+        "s_abs",
+        F.expr("CAST((cum * 1000) DIV cp_k AS BIGINT)").alias(
+            "mean_pre_e3"
+        ),
+        F.expr(
+            "CAST(((total - cum) * 1000) DIV (n_days - cp_k) AS BIGINT)"
+        ).alias("mean_post_e3"),
+        F.expr(
+            "CAST(((total - cum) * 1000) DIV (n_days - cp_k)"
+            " - (cum * 1000) DIV cp_k AS BIGINT)"
+        ).alias("delta_e3"),
+    )
+
+
+_REL_CUSUM_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), daily AS (
+  SELECT event_type, CAST(day AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, day,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS k,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+), cand AS (
+  SELECT *, CAST(abs(n_days * cum - k * total) AS BIGINT) AS s_abs
+  FROM cum WHERE k < n_days
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY s_abs DESC, k) AS rn
+    FROM cand)
+  WHERE rn = 1 AND n_days > 1
+)
+SELECT event_type, n_days, total, k AS cp_k, day AS cp_day, s_abs,
+       CAST((cum * 1000) // k AS BIGINT) AS mean_pre_e3,
+       CAST(((total - cum) * 1000) // (n_days - k) AS BIGINT)
+         AS mean_post_e3,
+       CAST(((total - cum) * 1000) // (n_days - k)
+            - (cum * 1000) // k AS BIGINT) AS delta_e3
+FROM best
+"""
+
+
 def q_rel_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test + Kendall tau per event type over the
     daily count series — the nonparametric "is traffic drifting"
@@ -1770,6 +1904,7 @@ FROM j
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_trend_mk": q_rel_trend_mk,
     "rel_benford_audit": q_rel_benford_audit,
+    "rel_cusum_changepoint": q_rel_cusum_changepoint,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
     "rel_local_supplier_volume": q_local_supplier_volume,
@@ -1812,6 +1947,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_REL: dict[str, str] = {
     "rel_trend_mk": _REL_TREND_MK_SQL,
     "rel_benford_audit": _rel_benford_sql(),
+    "rel_cusum_changepoint": _REL_CUSUM_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

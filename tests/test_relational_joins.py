@@ -1162,3 +1162,72 @@ def test_rel_benford_audit_matches_exact_replica(spark):
     assert set(got) == set(range(1, 10))
     assert sum(v[0] for v in got.values()) == tot
     assert 999990 <= sum(e for _, e in _benford_e6()) <= 1000000
+
+
+def test_rel_cusum_changepoint_matches_exact_replica(spark):
+    """CUSUM argmax recomputed in pure Python integers from the
+    Spark-derived daily series: exact row equality.  Also locks: the
+    changepoint index is in [1, D), S_k = D·cum_k − k·T at the
+    reported k, segment means recombine to the total
+    (cp_k·pre + (D−cp_k)·post ≈ 1000·T within truncation), and the
+    (|S| DESC, k ASC) tie-break."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_relational import _t, q_rel_cusum_changepoint
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append((r["day"], r["n"]))
+
+    want = {}
+    for et, xs in series.items():
+        xs.sort()
+        d = len(xs)
+        if d <= 1:
+            continue
+        total = sum(n for _, n in xs)
+        cum = 0
+        best = None  # (s_abs, -k) max
+        for k, (day, n) in enumerate(xs[:-1], start=1):
+            cum += n
+            s = abs(d * cum - k * total)
+            key = (s, -k)
+            if best is None or key > best[0]:
+                best = (key, k, day, cum)
+        _, k, day, cum = best
+        pre = (cum * 1000) // k
+        post = ((total - cum) * 1000) // (d - k)
+        want[et] = (d, total, k, day, abs(d * cum - k * total), pre, post,
+                    post - pre)
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["total"],
+            r["cp_k"],
+            r["cp_day"],
+            r["s_abs"],
+            r["mean_pre_e3"],
+            r["mean_post_e3"],
+            r["delta_e3"],
+        )
+        for r in q_rel_cusum_changepoint(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for d, total, k, _, _, pre, post, _ in got.values():
+        assert 1 <= k < d
+        recon = k * pre + (d - k) * post
+        assert abs(recon - 1000 * total) < 1000 * d  # truncation bound
