@@ -8196,6 +8196,175 @@ ORDER BY chi2_e3 DESC, tok LIMIT {topk}
 """
 
 
+# Burrows' Delta spec — MIRRORED in `_burrows_delta_sql`; change
+# together.  BURROWS_K marker words by (cnt DESC, tok) corpus rank,
+# collected as literals (the best_snippet vocab rule).
+BURROWS_K = 20
+
+
+def q_source_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources (Burrows
+    2002 "'Delta': a Measure of Stylistic Difference"; the standard
+    authorship-attribution metric): z-score each source's relative
+    frequency of the top-``BURROWS_K`` marker words against the
+    across-source distribution, then Δ(a,b) = mean_t |z_a − z_b|.
+    The STYLE complement of the content-drift family (source_kl =
+    token distribution, source_centroid_sim = embeddings, this =
+    function-word fingerprint — near-invariant to topic).
+
+    Cross-engine: per-source marker frequencies are exact e6 BIGINTs
+    ((c_st·1e6) DIV tot_s); per-token across-source moments are exact
+    BIGINT sums over the DENSIFIED (source × marker) grid (missing
+    pairs coalesce to 0 — skipping them would bias μ/σ); z is IEEE
+    ÷/sqrt on exact doubles (bit-exact, the graph_modularity class)
+    with a σ>0 CASE guard; each |z_a − z_b| is e6-FLOORED to BIGINT
+    BEFORE the pair sum, so the sum is exact and ORDER-FREE (a raw
+    double Σ would be sum-order-sensitive — the one float trap this
+    family must avoid); delta_e6 = sum DIV K.
+
+    Scale shape: two corpus-scale hash aggs ((source, tok) counts +
+    per-source totals); everything after runs on the bounded
+    sources×K grid — the marker list ships as collected literals
+    (metadata-scale), the densify is a pure explode map, the pair
+    self-join is bounded² — no corpus-scale window or collect."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("source", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = docs.select("source", F.explode(_lm_tokens()).alias("tok"))
+    vocab_rows = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(BURROWS_K)
+        .collect()
+    )
+    markers = sorted(r["tok"] for r in vocab_rows)
+    st = (
+        toks.where(F.col("tok").isin(markers))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+    )
+    tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("tot_s")
+    )
+    grid = tot.select(
+        "source",
+        "tot_s",
+        F.explode(F.array(*[F.lit(m) for m in markers])).alias("tok"),
+    )
+    freq = (
+        grid.join(st, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr(
+                "CAST((coalesce(c_st, 0) * 1000000) DIV tot_s AS BIGINT)"
+            ).alias("f_e6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = freq.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("f_e6").cast("long").alias("sum_f"),
+        F.sum(F.expr("f_e6 * f_e6")).cast("long").alias("sum_f2"),
+    )
+    z = freq.join(F.broadcast(stats), "tok").select(
+        "source",
+        "tok",
+        F.expr(
+            "CASE WHEN (CAST(sum_f2 AS DOUBLE)"
+            " - (CAST(sum_f AS DOUBLE) * sum_f) / n_src) > 0.0 THEN"
+            " (CAST(f_e6 AS DOUBLE) - CAST(sum_f AS DOUBLE) / n_src)"
+            " / sqrt((CAST(sum_f2 AS DOUBLE)"
+            " - (CAST(sum_f AS DOUBLE) * sum_f) / n_src) / n_src)"
+            " ELSE 0.0 END"
+        ).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(
+                F.expr("CAST(floor(abs(a.z - b.z) * 1000000.0) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("sum_dz_e6"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms",
+            "sum_dz_e6",
+            F.expr("CAST(sum_dz_e6 DIV n_terms AS BIGINT)").alias(
+                "delta_e6"
+            ),
+        )
+    )
+
+
+def _burrows_delta_sql(k: int = BURROWS_K) -> str:
+    """source_burrows_delta oracle: vocab by (cnt DESC, tok) top-K,
+    densified grid via CROSS JOIN, exact e6 frequencies/moments, the
+    bit-exact z expression, per-term e6 floors before the pair sum."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT source, unnest(
+    regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+    ORDER BY cnt DESC, tok LIMIT {k})
+), st AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+  FROM toks WHERE tok IN (SELECT tok FROM vocab) GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS tot_s FROM toks GROUP BY 1
+), grid AS (
+  SELECT t.source, t.tot_s, v.tok FROM tot t CROSS JOIN vocab v
+), freq AS (
+  SELECT g.source, g.tok,
+         CAST((coalesce(s.c_st, 0) * 1000000) // g.tot_s AS BIGINT) AS f_e6
+  FROM grid g LEFT JOIN st s ON g.source = s.source AND g.tok = s.tok
+), stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_src,
+         CAST(sum(f_e6) AS BIGINT) AS sum_f,
+         CAST(sum(f_e6 * f_e6) AS BIGINT) AS sum_f2
+  FROM freq GROUP BY 1
+), z AS (
+  SELECT f.source, f.tok,
+         CASE WHEN (CAST(s.sum_f2 AS DOUBLE)
+                    - (CAST(s.sum_f AS DOUBLE) * s.sum_f) / s.n_src) > 0.0
+              THEN (CAST(f.f_e6 AS DOUBLE)
+                    - CAST(s.sum_f AS DOUBLE) / s.n_src)
+                   / sqrt((CAST(s.sum_f2 AS DOUBLE)
+                           - (CAST(s.sum_f AS DOUBLE) * s.sum_f) / s.n_src)
+                          / s.n_src)
+              ELSE 0.0 END AS z
+  FROM freq f JOIN stats s USING (tok)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CAST(floor(abs(a.z - b.z) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS sum_dz_e6,
+       CAST(sum(CAST(floor(abs(a.z - b.z) * 1000000.0) AS BIGINT))
+            // count(*) AS BIGINT) AS delta_e6
+FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # Min-K% Prob fraction denominator (k = ceil(n_in / MINK_DEN), i.e.
 # the lowest 20% of token log-probs) — MIRRORED in the `min_k_prob`
 # oracle SQL; change together.
@@ -15244,6 +15413,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "good_turing": q_good_turing,
     "collocations_g2": q_collocations_g2,
     "chi2_select": q_chi2_select,
+    "source_burrows_delta": q_source_burrows_delta,
     "min_k_prob": q_min_k_prob,
     "silhouette": q_silhouette,
     "heaps_law": q_heaps_law,
@@ -17562,6 +17732,7 @@ FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
 """,
         "collocations_g2": _collocations_g2_sql(),
         "chi2_select": _chi2_select_sql(),
+        "source_burrows_delta": _burrows_delta_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

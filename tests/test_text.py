@@ -6592,3 +6592,86 @@ def test_chi2_select_matches_python_replica(spark):
     assert all(x[1] >= CHI2_MIN_DF for x in got)
     assert len({x[4] for x in got}) >= 5
     assert got[0][4] > 0
+
+
+def test_source_burrows_delta_matches_python_replica(spark):
+    """Burrows' Delta recomputed in exact Python (e6 integer
+    frequencies, IEEE z in identical op order, per-term e6 floors)
+    from the Spark-tokenized stream: exact row equality.  Also locks:
+    all source pairs present (C(n,2) rows), n_terms == BURROWS_K
+    everywhere, Delta symmetry-by-construction (a < b ordering), and
+    discriminative spread (≥5 distinct deltas)."""
+    from collections import defaultdict
+    from math import floor, sqrt
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        BURROWS_K,
+        _docs,
+        _lm_tokens,
+        q_source_burrows_delta,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select("source", _lm_tokens().alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(int)
+    st = defaultdict(int)
+    tot = defaultdict(int)
+    for r in rows:
+        for tok in r["t"]:
+            cnt[tok] += 1
+            st[(r["source"], tok)] += 1
+            tot[r["source"]] += 1
+    markers = [
+        t
+        for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BURROWS_K
+        ]
+    ]
+    sources = sorted(tot)
+    f = {
+        (s, m): (st.get((s, m), 0) * 1000000) // tot[s]
+        for s in sources
+        for m in markers
+    }
+    z = {}
+    for m in markers:
+        n = len(sources)
+        sum_f = sum(f[(s, m)] for s in sources)
+        sum_f2 = sum(f[(s, m)] ** 2 for s in sources)
+        var_num = float(sum_f2) - (float(sum_f) * sum_f) / n
+        for s in sources:
+            if var_num > 0.0:
+                z[(s, m)] = (float(f[(s, m)]) - float(sum_f) / n) / sqrt(
+                    var_num / n
+                )
+            else:
+                z[(s, m)] = 0.0
+    want = {}
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            sdz = sum(
+                floor(abs(z[(sa, m)] - z[(sb, m)]) * 1000000.0)
+                for m in markers
+            )
+            want[(sa, sb)] = (BURROWS_K, sdz, sdz // BURROWS_K)
+
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_terms"],
+            r["sum_dz_e6"],
+            r["delta_e6"],
+        )
+        for r in q_source_burrows_delta(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    n = len(sources)
+    assert len(got) == n * (n - 1) // 2
+    assert all(v[0] == BURROWS_K for v in got.values())
+    assert len({v[2] for v in got.values()}) >= 5
