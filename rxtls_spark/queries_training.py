@@ -15068,6 +15068,159 @@ FROM wins
 """
 
 
+# TextTiling spec — MIRRORED in `_texttiling_sql`; change together.
+# TT_W-token non-overlapping blocks ARE the pseudo-sentences (the
+# best_snippet fixed-window convention — the corpus has no sentence
+# terminators); depth uses the PREFIX/SUFFIX-max envelope, a
+# deterministic simplification of Hearst's hill-climbing peaks
+# (identical when sims are unimodal around the gap, and expressible
+# as pure array ops on both engines).  TT_DEPTH_CUT = 40000 sits at
+# ~p85 of the smoke-corpus depth distribution (measured) so both
+# boundary and non-boundary paths exercise at every SF.
+TT_W = 12
+TT_DEPTH_CUT = 40000
+
+
+def q_texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997, CL 23(1)) — per
+    document: cosine cohesion between each adjacent pair of
+    ``TT_W``-token blocks, depth scores against the prefix/suffix
+    peak envelope, and topic boundaries where depth exceeds
+    ``TT_DEPTH_CUT``.  The document-STRUCTURE member of the text
+    family (best_snippet extracts a passage, doc_chunks splits
+    blindly every K tokens — this finds WHERE the topic shifts, the
+    split points a context-window packer or RAG chunker should
+    prefer).  Emits per doc the block/gap/boundary counts, the
+    deepest gap (first-max rule), and the md5 of the boundary index
+    list (byte-checkable without shipping positions).
+
+    Cross-engine: block dot products and norms are exact BIGINTs via
+    nested array folds (Σ_x∈a cnt_b(x) ≡ Σ_t cnt_a·cnt_b); sim_e5 =
+    floor(dot/sqrt(na·nb)·1e5) is IEEE ÷/sqrt on exact doubles — the
+    bit-exact class (sqrt of a perfect square is exact, so identical
+    blocks floor to exactly 100000 on both engines); depths are
+    BIGINT arithmetic on the e5 sims; Spark slice ↔ DuckDB 1-based
+    inclusive t[i:j] clamp short tails identically; the empty-array
+    guards dodge BOTH engine traps (Spark sequence(1,0) is
+    DESCENDING; DuckDB array_to_string([]) is NULL — the mlm
+    coalesce gotcha).
+
+    Scale shape: ZERO exchanges — one pure Catalyst map per doc (the
+    best_snippet/repetition plan class); per-doc work is
+    O(n·TT_W + g²) JVM array ops, no explode, no join, no UDF."""
+    w = TT_W
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+        .withColumn("n", F.size("t"))
+        .withColumn("g", F.expr(f"CAST((n + {w - 1}) DIV {w} AS INT) - 1"))
+    )
+    sims = F.expr(
+        f"""CASE WHEN g >= 1 THEN transform(sequence(1, g), i ->
+  CAST(floor(CAST(aggregate(slice(t, (i-1)*{w}+1, {w}), 0L,
+        (acc, x) -> acc + size(filter(slice(t, i*{w}+1, {w}), y -> y = x))) AS DOUBLE)
+   / sqrt(CAST(aggregate(slice(t, (i-1)*{w}+1, {w}), 0L,
+        (acc2, x2) -> acc2 + size(filter(slice(t, (i-1)*{w}+1, {w}), y2 -> y2 = x2))) AS DOUBLE)
+        * aggregate(slice(t, i*{w}+1, {w}), 0L,
+        (acc3, x3) -> acc3 + size(filter(slice(t, i*{w}+1, {w}), y3 -> y3 = x3))))
+   * 100000.0) AS BIGINT))
+ELSE CAST(array() AS array<bigint>) END"""
+    )
+    depths = F.expr(
+        "CASE WHEN size(sims) >= 1 THEN"
+        " transform(sequence(1, size(sims)), i ->"
+        " (array_max(slice(sims, 1, i)) - element_at(sims, i))"
+        " + (array_max(slice(sims, i, size(sims) - i + 1))"
+        " - element_at(sims, i)))"
+        " ELSE CAST(array() AS array<bigint>) END"
+    )
+    bounds = F.expr(
+        "CASE WHEN size(depths) >= 1 THEN"
+        f" filter(sequence(1, size(depths)),"
+        f" i -> element_at(depths, i) > {TT_DEPTH_CUT})"
+        " ELSE CAST(array() AS array<int>) END"
+    )
+    return (
+        base.withColumn("sims", sims)
+        .withColumn("depths", depths)
+        .withColumn("bounds", bounds)
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.expr("CAST(g + 1 AS BIGINT)").alias("n_blocks"),
+            F.expr("CAST(size(depths) AS BIGINT)").alias("n_gaps"),
+            F.expr("CAST(size(bounds) AS BIGINT)").alias("n_bounds"),
+            F.expr(
+                "CAST(CASE WHEN size(depths) >= 1 THEN array_max(depths)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("max_depth_e5"),
+            F.expr(
+                "CAST(CASE WHEN size(depths) >= 1 THEN"
+                " array_position(depths, array_max(depths))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("best_gap"),
+            F.md5(
+                F.expr(
+                    "concat_ws(',', transform(bounds,"
+                    " b -> CAST(b AS STRING)))"
+                )
+            ).alias("bounds_md5"),
+        )
+    )
+
+
+def _texttiling_sql(w: int = TT_W, cut: int = TT_DEPTH_CUT) -> str:
+    """texttiling oracle: identical block folds over 1-based
+    inclusive slices, the same e5 cosine floor, prefix/suffix-max
+    depths, and the coalesce('') md5 of the boundary list."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), base AS (
+  SELECT doc_id, t, len(t) AS n, (len(t) + {w - 1}) // {w} - 1 AS g
+  FROM toks
+), s AS (
+  SELECT doc_id, n, g,
+    CASE WHEN g >= 1 THEN list_transform(generate_series(1, g), i ->
+      CAST(floor(CAST(list_sum(list_transform(t[(i-1)*{w}+1 : i*{w}], x ->
+             len(list_filter(t[i*{w}+1 : (i+1)*{w}], y -> y = x)))) AS DOUBLE)
+       / sqrt(CAST(list_sum(list_transform(t[(i-1)*{w}+1 : i*{w}], x2 ->
+             len(list_filter(t[(i-1)*{w}+1 : i*{w}], y2 -> y2 = x2)))) AS DOUBLE)
+            * list_sum(list_transform(t[i*{w}+1 : (i+1)*{w}], x3 ->
+             len(list_filter(t[i*{w}+1 : (i+1)*{w}], y3 -> y3 = x3)))))
+       * 100000.0) AS BIGINT))
+    ELSE CAST([] AS BIGINT[]) END AS sims
+  FROM base
+), dep AS (
+  SELECT doc_id, n, g, sims,
+    CASE WHEN len(sims) >= 1 THEN
+      list_transform(generate_series(1, len(sims)), i ->
+        (list_max(sims[1:i]) - sims[i])
+        + (list_max(sims[i:len(sims)]) - sims[i]))
+    ELSE CAST([] AS BIGINT[]) END AS depths
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(g + 1 AS BIGINT) AS n_blocks,
+       CAST(len(depths) AS BIGINT) AS n_gaps,
+       CAST(len(list_filter(generate_series(1, len(depths)),
+                            i -> depths[i] > {cut})) AS BIGINT) AS n_bounds,
+       CAST(CASE WHEN len(depths) >= 1 THEN list_max(depths)
+                 ELSE 0 END AS BIGINT) AS max_depth_e5,
+       CAST(CASE WHEN len(depths) >= 1 THEN
+              list_position(depths, list_max(depths))
+            ELSE 0 END AS BIGINT) AS best_gap,
+       md5(coalesce(array_to_string(
+         list_filter(generate_series(1, len(depths)), i -> depths[i] > {cut}),
+         ','), '')) AS bounds_md5
+FROM dep
+"""
+
+
 # Bradley-Terry spec — MIRRORED in `_bradley_terry_sql`; change
 # together.  Duels: each doc challenges the knuth forward-jump
 # partner (the nsp_pairs co-partitioned equi-join shape, salt 5 so it
@@ -15339,6 +15492,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
     "best_snippet": q_best_snippet,
+    "texttiling_segments": q_texttiling_segments,
     "psi_drift": q_psi_drift,
     "quality_outliers": q_quality_outliers,
     "source_gini": q_source_gini,
@@ -16914,6 +17068,7 @@ FROM kl
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
         "best_snippet": _best_snippet_sql(),
+        "texttiling_segments": _texttiling_sql(),
         "source_overlap": f"""
 WITH heads AS (
   SELECT DISTINCT source,

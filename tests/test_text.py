@@ -6675,3 +6675,88 @@ def test_source_burrows_delta_matches_python_replica(spark):
     assert len(got) == n * (n - 1) // 2
     assert all(v[0] == BURROWS_K for v in got.values())
     assert len({v[2] for v in got.values()}) >= 5
+
+
+def test_texttiling_matches_python_replica(spark):
+    """TextTiling recomputed in Python (exact integer dot/norms, IEEE
+    sqrt/÷ in identical op order, prefix/suffix-max envelope) from
+    the Spark-tokenized stream: exact row equality including the
+    boundary-list md5.  Also locks: the scoring plan is a pure map
+    (0 exchanges), single-block docs emit the (0 gaps, md5(''))
+    row, identical adjacent blocks floor to exactly 100000, and the
+    smoke corpus exercises BOTH the boundary and no-boundary paths."""
+    import hashlib
+    from math import floor, sqrt
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.plans.checks import count_exchanges
+    from rxtls_spark.queries_training import (
+        TT_DEPTH_CUT,
+        TT_W,
+        _docs,
+        _lm_tokens,
+        q_texttiling_segments,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+        .collect()
+    )
+
+    def block(t, i):  # 1-based block index
+        return t[(i - 1) * TT_W : i * TT_W]
+
+    want = {}
+    for r in rows:
+        t = r["t"]
+        n = len(t)
+        g = (n + TT_W - 1) // TT_W - 1
+        sims = []
+        for i in range(1, g + 1):
+            a, b = block(t, i), block(t, i + 1)
+            dot = sum(b.count(x) for x in a)
+            na = sum(a.count(x) for x in a)
+            nb = sum(b.count(x) for x in b)
+            sims.append(
+                floor(float(dot) / sqrt(float(na) * nb) * 100000.0)
+            )
+        depths = [
+            (max(sims[:i]) - sims[i - 1]) + (max(sims[i - 1 :]) - sims[i - 1])
+            for i in range(1, len(sims) + 1)
+        ]
+        bounds = [i for i in range(1, len(depths) + 1)
+                  if depths[i - 1] > TT_DEPTH_CUT]
+        want[r["doc_id"]] = (
+            n,
+            g + 1,
+            len(depths),
+            len(bounds),
+            max(depths) if depths else 0,
+            depths.index(max(depths)) + 1 if depths else 0,
+            hashlib.md5(",".join(str(b) for b in bounds).encode())
+            .hexdigest(),
+        )
+
+    df = q_texttiling_segments(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_blocks"],
+            r["n_gaps"],
+            r["n_bounds"],
+            r["max_depth_e5"],
+            r["best_gap"],
+            r["bounds_md5"],
+        )
+        for r in df.collect()
+    }
+    assert got == want
+    assert any(v[3] > 0 for v in want.values()), "no boundaries fired"
+    assert any(
+        v[3] == 0 for v in want.values()
+    ), "every doc fired a boundary — cut not discriminative"
