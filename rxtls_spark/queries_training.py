@@ -3874,6 +3874,142 @@ FROM comm c LEFT JOIN incnt i ON c.label = i.label CROSS JOIN mm
 """
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the link graph (Newman 2002 "Assortative
+    Mixing in Networks") — the Pearson correlation of endpoint degrees
+    over edges: do hubs link to hubs (r > 0, social-web shape) or to
+    leaves (r < 0, crawl-frontier / link-farm shape)?  The EIGHTH
+    knuth-graph consumer (pagerank/hits/lpa/triangles/link_predict/
+    khop/modularity) — changing the edge formula or ``PR_OUTDEG``
+    moves all eight oracles.  Expect r ≈ 0 on this random graph.
+
+    Semantics: over the undirected multi-edge table u (both
+    directions), x = deg(src), y = deg(dst); because u is symmetric
+    the x/y marginals coincide, so r = (M·Σxy − (Σx)²)/(M·Σx² −
+    (Σx)²) — no sqrt needed (the test asserts the symmetry).
+
+    Cross-engine: sums accumulate as DECIMAL(38,0) ↔ HUGEINT (exact
+    128-bit on BOTH engines — plain BIGINT Σxy overflows at ~10^13
+    edges × hub degrees); outputs cast BIGINT; r_e6 is an e6 floor
+    over IEEE ×,−,÷ on the correctly-rounded doubles of those exact
+    sums — bit-identical cross-engine (the graph_modularity class).
+
+    Scale shape: edges are a pure map; ONE degree agg + one src-key
+    join + one dst-key join + ONE scalar agg.  Output is one row."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()  # metadata-scale scalar (node count)
+
+    dsts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PR_OUTDEG - 1)),
+            lambda j: knuth_hash(F.col("doc_id") * PR_OUTDEG + j) % n,
+        ),
+        lambda d: d != F.col("doc_id"),
+    )
+    de = ids.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+    und = (
+        de.select("src", "dst")
+        .unionAll(
+            de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    xy = (
+        und.join(
+            deg.select(
+                F.col("node").alias("s_n"), F.col("deg").alias("x")
+            ),
+            F.col("src") == F.col("s_n"),
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("d_n"), F.col("deg").alias("y")
+            ),
+            F.col("dst") == F.col("d_n"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m2"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+                "sxy"
+            ),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+                "sx2"
+            ),
+        )
+    )
+    return xy.select(
+        "m2",
+        F.expr("CAST(sx AS BIGINT)").alias("sum_deg"),
+        F.expr("CAST(sxy AS BIGINT)").alias("sum_xy"),
+        F.expr("CAST(sx2 AS BIGINT)").alias("sum_x2"),
+        F.expr(
+            "CAST(CASE WHEN (CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0 THEN"
+            " floor((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / (CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("r_e6"),
+    )
+
+
+def _degree_assortativity_sql(outdeg: int = PR_OUTDEG) -> str:
+    """degree_assortativity oracle: the knuth edge CTEs, HUGEINT
+    sums cast BIGINT, and the bit-exact e6-floored symmetric Pearson
+    expression (identical float op order)."""
+    return f"""
+WITH ids AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), e0 AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, {outdeg - 1})) AS j
+  FROM ids
+), e1 AS (
+  SELECT src,
+         ((((src * {outdeg} + j) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})
+           % (SELECT n FROM nn) AS dst
+  FROM e0
+), e2 AS (
+  SELECT src, dst FROM e1 WHERE dst <> src
+), u AS (
+  SELECT src, dst FROM e2
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e2
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         sum(ds.deg) AS sx,
+         sum(ds.deg * dd.deg) AS sxy,
+         sum(ds.deg * ds.deg) AS sx2
+  FROM u JOIN deg ds ON u.src = ds.node
+         JOIN deg dd ON u.dst = dd.node
+)
+SELECT m2,
+       CAST(sx AS BIGINT) AS sum_deg,
+       CAST(sxy AS BIGINT) AS sum_xy,
+       CAST(sx2 AS BIGINT) AS sum_x2,
+       CAST(CASE WHEN (CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+            THEN floor((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * 1000000.0)
+            ELSE 0 END AS BIGINT) AS r_e6
+FROM agg
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over
     the simple undirected version of the `pagerank` link graph — the
@@ -15537,6 +15673,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits": q_hits,
     "label_propagation": q_label_propagation,
     "graph_modularity": q_graph_modularity,
+    "degree_assortativity": q_degree_assortativity,
     "link_predict": q_link_predict,
     "khop_reach": q_khop_reach,
     "kcore": q_kcore,
@@ -17734,6 +17871,7 @@ WHERE rn <= 10
         "hits": _hits_sql(),
         "label_propagation": _label_propagation_sql(),
         "graph_modularity": _graph_modularity_sql(),
+        "degree_assortativity": _degree_assortativity_sql(),
         "link_predict": _link_predict_sql(),
         "khop_reach": _khop_sql(),
         "kcore": _kcore_sql(),

@@ -609,3 +609,65 @@ def test_graph_modularity_matches_exact_replica(spark):
     # discriminative claim (real modular structure would push Q ≫ 0,
     # and a broken in_deg/deg_sum pairing pushes it toward −1)
     assert abs(q) < 0.05, q
+
+
+def test_degree_assortativity_matches_exact_replica(spark):
+    """Assortativity recomputed in exact Python ints (+ IEEE doubles
+    in identical op order) over the same undirected multigraph: exact
+    equality.  Also locks: the symmetric-marginal identity the
+    sqrt-free form depends on (Σx == Σy, Σx² == Σy² over the
+    two-direction edge table), m2 == |u|, and r ≈ 0 on this random
+    graph."""
+    from collections import Counter
+    from math import floor
+
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_training import (
+        PR_OUTDEG,
+        q_degree_assortativity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    und = []
+    for s in ids:
+        for j in range(PR_OUTDEG):
+            d = (((s * PR_OUTDEG + j) % KNUTH_P) * KNUTH_A) % KNUTH_P % n
+            if d != s:
+                und.append((s, d))
+                und.append((d, s))
+    deg = Counter(s for s, _ in und)
+    m2 = len(und)
+    sx = sum(deg[s] for s, _ in und)
+    sy = sum(deg[d] for _, d in und)
+    sxy = sum(deg[s] * deg[d] for s, d in und)
+    sx2 = sum(deg[s] ** 2 for s, _ in und)
+    sy2 = sum(deg[d] ** 2 for _, d in und)
+    assert sx == sy and sx2 == sy2  # the symmetry the form relies on
+    den = float(m2) * float(sx2) - float(sx) * float(sx)
+    r_e6 = (
+        floor(
+            (float(m2) * float(sxy) - float(sx) * float(sx)) / den
+            * 1000000.0
+        )
+        if den != 0.0
+        else 0
+    )
+
+    rows = q_degree_assortativity(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["m2"],
+        r["sum_deg"],
+        r["sum_xy"],
+        r["sum_x2"],
+        r["r_e6"],
+    ) == (m2, sx, sxy, sx2, r_e6)
+    assert abs(r["r_e6"]) < 100000  # |r| < 0.1 on the random graph
