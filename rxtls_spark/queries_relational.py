@@ -1610,6 +1610,107 @@ FROM t
 """
 
 
+def q_rel_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation of quantity vs extended price
+    over lineitems — the "does price scale with volume" audit (A8's
+    min/max/avg family upgraded to a second-moment statistic, and the
+    relational twin of `degree_assortativity`'s correlation form).
+    (This repo's datagen draws price INDEPENDENT of quantity, so r
+    sits near 0 — the audit's null; real TPC-H's qty×unit-price
+    structure would push it toward 1, and the test locks the null.)
+
+    Cross-engine: inputs quantize to exact BIGINTs FIRST — qty =
+    floor(x+0.5), cents = floor(p·100+0.5) (NEVER a bare
+    double→BIGINT CAST: Spark ANSI truncates where DuckDB rounds);
+    the five moments accumulate as DECIMAL(38,0) ↔ HUGEINT (cents²
+    sums pass 2^63 at ~10^5 rows); r_e6 is an e6 floor over IEEE
+    ×,−,÷,sqrt on the correctly-rounded doubles of those exact sums —
+    bit-identical cross-engine.
+
+    Scale shape: ONE broadcast join (part is a dim) → ONE bounded
+    hash agg (≤ brand count keys) → pure scalar math.  No window, no
+    second pass."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("x"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("y"),
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+                "sxy"
+            ),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+                "sx2"
+            ),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
+                "sy2"
+            ),
+        )
+    )
+    return agg.select(
+        "p_brand",
+        "n_items",
+        F.expr("CAST(sx AS BIGINT)").alias("sum_qty"),
+        F.expr("CAST(sy AS BIGINT)").alias("sum_cents"),
+        F.expr(
+            "CAST(CASE WHEN (CAST(n_items AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0"
+            " AND (CAST(n_items AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0 THEN"
+            " floor((CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n_items AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n_items AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000.0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("r_e6"),
+    )
+
+
+_REL_PRICE_CORR_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+), agg AS (
+  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,
+         sum(li.x) AS sx, sum(li.y) AS sy,
+         sum(li.x * li.y) AS sxy,
+         sum(li.x * li.x) AS sx2,
+         sum(li.y * li.y) AS sy2
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n_items,
+       CAST(sx AS BIGINT) AS sum_qty,
+       CAST(sy AS BIGINT) AS sum_cents,
+       CAST(CASE WHEN (CAST(n_items AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                  AND (CAST(n_items AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+            THEN floor((CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n_items AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n_items AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       * 1000000.0)
+            ELSE 0 END AS BIGINT) AS r_e6
+FROM agg
+"""
+
+
 def q_rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection per event type (Page 1954; the
     binary-segmentation first split of Scott & Knott) over the daily
@@ -1905,6 +2006,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_trend_mk": q_rel_trend_mk,
     "rel_benford_audit": q_rel_benford_audit,
     "rel_cusum_changepoint": q_rel_cusum_changepoint,
+    "rel_price_corr": q_rel_price_corr,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
     "rel_local_supplier_volume": q_local_supplier_volume,
@@ -1948,6 +2050,7 @@ ORACLES_REL: dict[str, str] = {
     "rel_trend_mk": _REL_TREND_MK_SQL,
     "rel_benford_audit": _rel_benford_sql(),
     "rel_cusum_changepoint": _REL_CUSUM_SQL,
+    "rel_price_corr": _REL_PRICE_CORR_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

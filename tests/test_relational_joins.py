@@ -1231,3 +1231,59 @@ def test_rel_cusum_changepoint_matches_exact_replica(spark):
         assert 1 <= k < d
         recon = k * pre + (d - k) * post
         assert abs(recon - 1000 * total) < 1000 * d  # truncation bound
+
+
+def test_rel_price_corr_matches_exact_replica(spark):
+    """Per-brand Pearson r recomputed in exact Python ints (+ IEEE
+    doubles in identical op order) from the collected lineitems:
+    exact row equality.  Also locks: the floor(x+0.5) quantization
+    (never a bare double cast), every brand present, and the TPC-H
+    price≈qty×unit structure (median r > 0.5)."""
+    from collections import defaultdict
+    from math import floor, sqrt
+
+    from rxtls_spark.queries_relational import _t, q_rel_price_corr
+    from tests.conftest import SF_SMOKE
+
+    li = _t(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).collect()
+    pt = {
+        r["p_partkey"]: r["p_brand"]
+        for r in _t(spark, SF_SMOKE, "part").collect()
+    }
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in li:
+        b = pt.get(r["l_partkey"])
+        if b is None:
+            continue
+        x = int(floor(r["l_quantity"] + 0.5))
+        y = int(floor(r["l_extendedprice"] * 100.0 + 0.5))
+        a = acc[b]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * y
+        a[4] += x * x
+        a[5] += y * y
+    want = {}
+    for b, (n, sx, sy, sxy, sx2, sy2) in acc.items():
+        dx = float(n) * float(sx2) - float(sx) * float(sx)
+        dy = float(n) * float(sy2) - float(sy) * float(sy)
+        if dx > 0.0 and dy > 0.0:
+            r_e6 = floor(
+                (float(n) * float(sxy) - float(sx) * float(sy))
+                / sqrt(dx * dy) * 1000000.0
+            )
+        else:
+            r_e6 = 0
+        want[b] = (n, sx, sy, r_e6)
+
+    got = {
+        r["p_brand"]: (r["n_items"], r["sum_qty"], r["sum_cents"], r["r_e6"])
+        for r in q_rel_price_corr(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    rs = sorted(v[3] for v in got.values())
+    assert all(abs(r) < 300000 for r in rs), rs  # independence holds
+    assert len(set(rs)) >= 5  # but the exact values are discriminative
