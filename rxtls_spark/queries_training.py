@@ -8332,6 +8332,97 @@ ORDER BY chi2_e3 DESC, tok LIMIT {topk}
 """
 
 
+# Token-burstiness spec — MIRRORED in `_token_burstiness_sql`;
+# change together.  BURST_MIN_CF gates the ranking (cf==df==1 hapaxes
+# all tie at burst 0); ranking is (burst_e3 DESC, tok).
+BURST_TOPK = 30
+BURST_MIN_CF = 5
+
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale 1995 "Poisson mixtures"; Katz
+    1996): content words CLUMP — once a token appears in a document
+    it tends to repeat — while function words spread Poisson-thin.
+    Per token: corpus frequency cf, document frequency df, burst =
+    ln(cf/df) (0 for never-repeating tokens), Katz's adaptation
+    probability P(repeat | occurs) = (cf−df)/cf, and the mean
+    occurrences per containing doc.  The burstiness ranking is a
+    stopword-free content-word detector — the distributional
+    complement of `doc_rarity` (IDF) and `chi2_select` (label
+    association); a template/boilerplate corpus lights up with
+    extreme burst values.
+
+    Cross-engine: cf/df/katz/mu are exact BIGINTs from one
+    (doc, tok) hash agg; burst_e3 = floor(ln(CAST(cf AS DOUBLE) /
+    CAST(df AS DOUBLE))·1e3) is the established ln-floor class on an
+    integer rational (the source_keyness rule — one expression, cast
+    before divide); rank (burst_e3 DESC, tok), cf ≥ BURST_MIN_CF.
+
+    Scale shape: token explode → ONE (doc, tok) hash agg (the
+    inverted-index shuffle) → ONE token agg → TakeOrderedAndProject
+    top-k.  No window, no collect, no distinct-count."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    dt = (
+        docs.select("doc_id", F.explode(_lm_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = dt.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    return (
+        per.where(F.col("cf") >= BURST_MIN_CF)
+        .select(
+            "tok",
+            "cf",
+            "df",
+            F.expr(
+                "CAST(floor(ln(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE))"
+                " * 1000.0) AS BIGINT)"
+            ).alias("burst_e3"),
+            F.expr("CAST(((cf - df) * 1000000) DIV cf AS BIGINT)").alias(
+                "katz_e6"
+            ),
+            F.expr("CAST((cf * 1000) DIV df AS BIGINT)").alias("mu_e3"),
+        )
+        .orderBy(F.col("burst_e3").desc(), "tok")
+        .limit(BURST_TOPK)
+    )
+
+
+def _token_burstiness_sql(
+    topk: int = BURST_TOPK, min_cf: int = BURST_MIN_CF
+) -> str:
+    """token_burstiness oracle: identical (doc, tok) agg chain, the
+    one-expression ln floor, exact BIGINT katz/mu, same ranking."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), per AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS cf,
+         CAST(count(*) AS BIGINT) AS df
+  FROM dt GROUP BY 1
+)
+SELECT tok, cf, df,
+       CAST(floor(ln(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)) * 1000.0)
+            AS BIGINT) AS burst_e3,
+       CAST(((cf - df) * 1000000) // cf AS BIGINT) AS katz_e6,
+       CAST((cf * 1000) // df AS BIGINT) AS mu_e3
+FROM per WHERE cf >= {min_cf}
+ORDER BY burst_e3 DESC, tok LIMIT {topk}
+"""
+
+
 # Burrows' Delta spec — MIRRORED in `_burrows_delta_sql`; change
 # together.  BURROWS_K marker words by (cnt DESC, tok) corpus rank,
 # collected as literals (the best_snippet vocab rule).
@@ -15705,6 +15796,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collocations_g2": q_collocations_g2,
     "chi2_select": q_chi2_select,
     "source_burrows_delta": q_source_burrows_delta,
+    "token_burstiness": q_token_burstiness,
     "min_k_prob": q_min_k_prob,
     "silhouette": q_silhouette,
     "heaps_law": q_heaps_law,
@@ -18026,6 +18118,7 @@ FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
         "collocations_g2": _collocations_g2_sql(),
         "chi2_select": _chi2_select_sql(),
         "source_burrows_delta": _burrows_delta_sql(),
+        "token_burstiness": _token_burstiness_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

@@ -6760,3 +6760,67 @@ def test_texttiling_matches_python_replica(spark):
     assert any(
         v[3] == 0 for v in want.values()
     ), "every doc fired a boundary — cut not discriminative"
+
+
+def test_token_burstiness_matches_python_replica(spark):
+    """Burstiness recomputed in exact Python (ints + math.log floor on
+    the identical rational) from the Spark-tokenized stream: exact
+    row equality.  Also locks: cf ≥ df always, katz/mu integer
+    identities, the never-repeating class floors to burst 0, and the
+    smoke corpus spreads burst over ≥5 distinct values with a
+    genuinely bursty top (cf > df)."""
+    from collections import defaultdict
+    from math import floor, log
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        BURST_MIN_CF,
+        BURST_TOPK,
+        _docs,
+        _lm_tokens,
+        q_token_burstiness,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select(_lm_tokens().alias("t"))
+        .collect()
+    )
+    cf = defaultdict(int)
+    df_cnt = defaultdict(int)
+    for r in rows:
+        seen = set()
+        for tok in r["t"]:
+            cf[tok] += 1
+            if tok not in seen:
+                seen.add(tok)
+                df_cnt[tok] += 1
+    scored = []
+    for tok, c in cf.items():
+        if c < BURST_MIN_CF:
+            continue
+        d = df_cnt[tok]
+        scored.append(
+            (
+                tok,
+                c,
+                d,
+                floor(log(float(c) / float(d)) * 1000.0),
+                ((c - d) * 1000000) // c,
+                (c * 1000) // d,
+            )
+        )
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    want = scored[:BURST_TOPK]
+
+    got = [
+        (r["tok"], r["cf"], r["df"], r["burst_e3"], r["katz_e6"], r["mu_e3"])
+        for r in q_token_burstiness(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    assert all(c >= d for _, c, d, *_ in got)
+    assert len({x[3] for x in got}) >= 5
+    assert got[0][1] > got[0][2], "top token must actually repeat"
