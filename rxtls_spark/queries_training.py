@@ -9498,6 +9498,199 @@ def q_ndcg_eval(
     )
 
 
+def q_map_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = ANN_EVAL_NPROBE,
+    topk: int = ANN_EVAL_K,
+) -> DataFrame:
+    """MAP@k of the IVF index — the third retrieval metric on the
+    shared eval chain (`ann_recall_eval` = did the right ids return,
+    `ndcg_eval` = graded order quality, this = the BINARY order
+    metric: average precision over the probed ranking, relevance =
+    membership in the exact brute-force top-k).  AP punishes a
+    relevant hit by how late it arrives — two indexes with equal
+    recall separate the moment one buries its hits at the tail.
+
+    Cross-engine exactness: pure BIGINT — rel flags from the
+    (q_id, neighbor_id) equi-join, the running hit count from a
+    k-bounded window, per-hit precision terms (cum·1e6) DIV rn
+    floored PER TERM before the exact sum (the burrows per-term-floor
+    rule: a float Σ would be order-sensitive), ap_e6 = ap_num DIV
+    topk — the R=k MAP@k convention, so empty-probe queries score 0
+    instead of dropping out.
+
+    Scale shape: identical to `ann_recall_eval` — literal centroids,
+    per-row JVM argmin, broadcast probe equi-join, the exact anchor
+    over the 1% query sample only; AP adds one k-row window + agg."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_expr,
+        ivf_probe_expr,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        metric="l2",
+        seed_order=knuth_hash(F.col("vec_id")),
+        round_dp=6,
+    )
+    qs = query_set(emb)
+    emb_cells = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(cents, F.col("embedding"), metric="l2").alias("cell"),
+    )
+    q_cells = qs.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            ivf_probe_expr(cents, F.col("q_emb"), n_probe, metric="l2")
+        ).alias("cell"),
+    )
+    sim_e5 = F.floor(cosine_expr("embedding", "q_emb") * 100000).cast("long")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_e5").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        emb_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), sim_e5.alias("sim_e5")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("q_id", "neighbor_id", "rn")
+    )
+    exact = brute_force_topk(emb, qs, k=topk).select(
+        "q_id", "neighbor_id", F.lit(1).cast("long").alias("rel")
+    )
+    wcum = (
+        Window.partitionBy("q_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = (
+        approx.join(exact, ["q_id", "neighbor_id"], "left")
+        .select(
+            "q_id",
+            "rn",
+            F.coalesce("rel", F.lit(0).cast("long")).alias("rel"),
+        )
+        .withColumn("cum", F.sum("rel").over(wcum).cast("long"))
+        .withColumn(
+            "term",
+            F.expr(
+                "CAST(CASE WHEN rel = 1 THEN (cum * 1000000) DIV rn"
+                " ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+    per_q = marked.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("n_hit"),
+        F.sum("term").cast("long").alias("ap_num"),
+    )
+    return (
+        qs.select("q_id")
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            F.coalesce("ap_num", F.lit(0).cast("long")).alias("ap_num"),
+            F.expr(
+                f"CAST(coalesce(ap_num, 0) DIV {topk} AS BIGINT)"
+            ).alias("ap_e6"),
+        )
+    )
+
+
+def _map_eval_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = KMEANS_DIM,
+    topk: int = ANN_EVAL_K,
+    n_probe: int = ANN_EVAL_NPROBE,
+) -> str:
+    """MAP@k oracle: the recall-eval CTE chain carrying rn on the
+    probed list, rel via left join against the exact set, the
+    k-bounded running-hit window, per-term (cum·1e6)//rn floors, and
+    ap_e6 = Σ // topk."""
+    ctes = _kmeans_cents_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.emb, c.centroid), c.cell
+      ) AS rn
+    FROM e, cents{iters} c)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0
+), probe AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT q.q_id, q.q_emb, c.cell,
+      row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY list_distance(q.q_emb, c.centroid), c.cell
+      ) AS rn
+    FROM q, cents{iters} c)
+  WHERE rn <= {n_probe}
+), approx AS (
+  SELECT q_id, neighbor_id, rn FROM (
+    SELECT q_id, neighbor_id,
+      row_number() OVER (PARTITION BY q_id
+                         ORDER BY sim_e5 DESC, neighbor_id) AS rn
+    FROM (
+      SELECT p.q_id, a.vec_id AS neighbor_id,
+        CAST(floor(list_cosine_similarity(a.emb, p.q_emb) * 100000)
+             AS BIGINT) AS sim_e5
+      FROM probe p JOIN asg a ON p.cell = a.cell
+      WHERE a.vec_id <> p.q_id))
+  WHERE rn <= {topk}
+), exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY CAST(floor(list_cosine_similarity(e.emb, q.q_emb) * 100000)
+                      AS BIGINT) DESC, e.vec_id) AS rn
+    FROM e, q WHERE e.vec_id <> q.q_id)
+  WHERE rn <= {topk}
+), marked AS (
+  SELECT a.q_id, a.rn,
+         CAST(CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS rel
+  FROM approx a LEFT JOIN exact x
+    ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id
+), cums AS (
+  SELECT q_id, rn, rel,
+         CAST(sum(rel) OVER (PARTITION BY q_id ORDER BY rn
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum
+  FROM marked
+), per_q AS (
+  SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_hit,
+         CAST(sum(CASE WHEN rel = 1 THEN (cum * 1000000) // rn
+                       ELSE 0 END) AS BIGINT) AS ap_num
+  FROM cums GROUP BY 1
+)
+SELECT q.q_id,
+       CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(p.ap_num, 0) AS BIGINT) AS ap_num,
+       CAST(coalesce(p.ap_num, 0) // {topk} AS BIGINT) AS ap_e6
+FROM q LEFT JOIN per_q p ON q.q_id = p.q_id
+"""
+    )
+
+
 # k-center greedy coreset constants — MIRRORED in `_kcenter_sql`
 # (unrolled pick chain); change together.  Seed = min vec_id; the
 # seed's cover sentinel is -200000 on BOTH engines (outside the
@@ -15824,6 +16017,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force": q_ann_brute_force,
     "ann_recall_eval": q_ann_recall_eval,
     "ndcg_eval": q_ndcg_eval,
+    "map_eval": q_map_eval,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
@@ -17887,6 +18081,7 @@ FROM docs GROUP BY 1 HAVING count(*) > 1
 """,
         "ann_recall_eval": _ann_recall_sql(),
         "ndcg_eval": _ndcg_sql(),
+        "map_eval": _map_eval_sql(),
         "bitext_mine": f"""
 WITH de AS (
   SELECT d.doc_id, d.lang,

@@ -1333,3 +1333,41 @@ def test_dbscan_matches_python_replica(spark):
         "smoke data must exercise both core and border roles"
     )
     assert len(got) < len(asg), "smoke data must leave some noise"
+
+
+def test_map_eval_bounds_and_full_probe_is_perfect(spark):
+    """Structural MAP locks: (1) ap_e6 in [0, 1e6] and n_hit ≤ k;
+    (2) the AP identity — when every retrieved item is relevant AND
+    fills the list, each term is exactly 1e6 so ap_e6 == 1e6;
+    (3) probing ALL cells makes the candidate list the exact list,
+    so every query scores n_hit == k and ap_e6 == 1e6 (the
+    recall-eval full-probe proof, order-sensitive); (4) consistency
+    with ann_recall_eval — identical n_hit per query at the default
+    probe."""
+    from rxtls_spark.queries_training import (
+        ANN_EVAL_K,
+        KMEANS_K,
+        q_ann_recall_eval,
+        q_map_eval,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r["q_id"]: r for r in q_map_eval(spark, SF_SMOKE).collect()}
+    assert got
+    rec = {
+        r["q_id"]: r["n_hit"]
+        for r in q_ann_recall_eval(spark, SF_SMOKE).collect()
+    }
+    assert {q: r["n_hit"] for q, r in got.items()} == rec
+    for r in got.values():
+        assert 0 <= r["n_hit"] <= ANN_EVAL_K
+        assert 0 <= r["ap_e6"] <= 1_000_000
+        assert r["ap_num"] <= 1_000_000 * ANN_EVAL_K
+        if r["n_hit"] == 0:
+            assert r["ap_e6"] == 0
+
+    full = q_map_eval(spark, SF_SMOKE, n_probe=KMEANS_K).collect()
+    assert full
+    for r in full:
+        assert r["n_hit"] == ANN_EVAL_K
+        assert r["ap_e6"] == 1_000_000, r
