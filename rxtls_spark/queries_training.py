@@ -9691,6 +9691,155 @@ FROM q LEFT JOIN per_q p ON q.q_id = p.q_id
     )
 
 
+# Rocchio pseudo-relevance-feedback spec — MIRRORED in
+# `_rocchio_sql`; change together.  Feedback set = bm25 rank ≤
+# ROCCHIO_R (BM25_* constants flow in via the spliced `_bm25_sql`);
+# α/β are e3 integers, rank (score_e3 DESC, tok).
+ROCCHIO_R = 10
+ROCCHIO_TOPK = 15
+ROCCHIO_ALPHA_E3 = 1000
+ROCCHIO_BETA_E3 = 750
+
+
+def q_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance-feedback query expansion (Rocchio
+    1971 via Salton; the PRF form of Buckley et al., TREC-3): take
+    the `bm25_topk` query's top-``ROCCHIO_R`` hits AS IF relevant,
+    pool their term frequencies, and emit the expansion vocabulary
+    w(t) = α·[t ∈ query] + β·(tf̄_t · idf_t) — the terms a search
+    stack adds to the query on the second pass.  Completes the IR
+    family: bm25 ranks, rrf fuses rankings, this feeds the ranking
+    BACK into the query.
+
+    Cross-engine: sum_tf/df/N are exact BIGINTs; fb_e3 =
+    floor((sum_tf/R)·ln(N/df)·1e3) is ONE expression with every
+    operand cast DOUBLE before the fold (ln-floor class on integer
+    rationals — the token_burstiness form; df ≥ 1 because feedback
+    docs are corpus docs); score_e3 = α·is_q + (β·fb_e3) DIV 1000 is
+    pure BIGINT; is_q re-derives the SAME (cnt DESC, tok) query-term
+    ranking on both engines; final rank (score_e3 DESC, tok).
+
+    Scale shape: the bm25 pass (0-exchange scoring +
+    TakeOrderedAndProject) → an R-row broadcast semi-join → one
+    bounded feedback-vocab agg; corpus df is ONE distinct-token hash
+    agg joined against the BROADCAST feedback vocabulary; N via the
+    1-row broadcast-scalar crossJoin; top-k via
+    TakeOrderedAndProject."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = _lm_tokens()
+    qterms = [
+        r["tok"]
+        for r in docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(BM25_N_TERMS)
+        .collect()
+    ]
+    fb_ids = (
+        q_bm25_topk(spark, sf_dir)
+        .where(F.col("rank") <= ROCCHIO_R)
+        .select("doc_id")
+    )
+    fb_tf = (
+        docs.join(F.broadcast(fb_ids), "doc_id")
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("sum_tf"))
+    )
+    df_t = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    qarr = F.array(*[F.lit(t) for t in qterms])
+    return (
+        df_t.join(F.broadcast(fb_tf), "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "tok",
+            F.array_contains(qarr, F.col("tok"))
+            .cast("long")
+            .alias("is_q"),
+            "sum_tf",
+            "df",
+            F.expr(
+                f"CAST(floor((CAST(sum_tf AS DOUBLE) / {ROCCHIO_R}.0)"
+                " * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+                " * 1000.0) AS BIGINT)"
+            ).alias("fb_e3"),
+        )
+        .select(
+            "tok",
+            "is_q",
+            "sum_tf",
+            "df",
+            "fb_e3",
+            F.expr(
+                f"CAST({ROCCHIO_ALPHA_E3} * is_q"
+                f" + ({ROCCHIO_BETA_E3} * fb_e3) DIV 1000 AS BIGINT)"
+            ).alias("score_e3"),
+        )
+        .orderBy(F.col("score_e3").desc(), "tok")
+        .limit(ROCCHIO_TOPK)
+    )
+
+
+def _rocchio_sql(
+    r: int = ROCCHIO_R,
+    topk: int = ROCCHIO_TOPK,
+    alpha_e3: int = ROCCHIO_ALPHA_E3,
+    beta_e3: int = ROCCHIO_BETA_E3,
+) -> str:
+    """rocchio_expand oracle: the full `_bm25_sql` as the feedback
+    subquery (the rrf splice precedent — bm25 constants flow in),
+    identical tf/df/N chains, the one-expression ln floor, pure
+    BIGINT α/β mix."""
+    return f"""
+WITH lex AS (
+  SELECT doc_id FROM ({_bm25_sql()}) WHERE rank <= {r}
+), toks AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), qterms AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c
+    FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ORDER BY c DESC, tok LIMIT {BM25_N_TERMS})
+), fb_tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS sum_tf
+  FROM (SELECT unnest(t) AS tok FROM toks JOIN lex USING (doc_id))
+  GROUP BY 1
+), df_t AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+  GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks
+), scored AS (
+  SELECT d.tok,
+         CAST(CASE WHEN d.tok IN (SELECT tok FROM qterms)
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_q,
+         f.sum_tf, d.df,
+         CAST(floor((CAST(f.sum_tf AS DOUBLE) / {r}.0)
+                    * ln(CAST(nn.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+                    * 1000.0) AS BIGINT) AS fb_e3
+  FROM df_t d JOIN fb_tf f USING (tok) CROSS JOIN nn
+)
+SELECT tok, is_q, sum_tf, df, fb_e3,
+       CAST({alpha_e3} * is_q + ({beta_e3} * fb_e3) // 1000 AS BIGINT)
+         AS score_e3
+FROM scored
+ORDER BY score_e3 DESC, tok LIMIT {topk}
+"""
+
+
 # k-center greedy coreset constants — MIRRORED in `_kcenter_sql`
 # (unrolled pick chain); change together.  Seed = min vec_id; the
 # seed's cover sentinel is -200000 on BOTH engines (outside the
@@ -16018,6 +16167,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_eval": q_ann_recall_eval,
     "ndcg_eval": q_ndcg_eval,
     "map_eval": q_map_eval,
+    "rocchio_expand": q_rocchio_expand,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
@@ -18082,6 +18232,7 @@ FROM docs GROUP BY 1 HAVING count(*) > 1
         "ann_recall_eval": _ann_recall_sql(),
         "ndcg_eval": _ndcg_sql(),
         "map_eval": _map_eval_sql(),
+        "rocchio_expand": _rocchio_sql(),
         "bitext_mine": f"""
 WITH de AS (
   SELECT d.doc_id, d.lang,

@@ -6824,3 +6824,80 @@ def test_token_burstiness_matches_python_replica(spark):
     assert all(c >= d for _, c, d, *_ in got)
     assert len({x[3] for x in got}) >= 5
     assert got[0][1] > got[0][2], "top token must actually repeat"
+
+
+def test_rocchio_expand_matches_python_replica(spark):
+    """Rocchio PRF recomputed in exact Python (ints + math.log floor
+    in the identical expression order) from the Spark bm25 feedback
+    set and tokenized stream: exact row equality.  Also locks: the
+    feedback set is exactly bm25's top-R, query terms carry the α
+    bonus, df ≥ 1 everywhere (feedback ⊂ corpus), and the expansion
+    actually surfaces non-query terms."""
+    from collections import defaultdict
+    from math import floor, log
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        BM25_N_TERMS,
+        ROCCHIO_ALPHA_E3,
+        ROCCHIO_BETA_E3,
+        ROCCHIO_R,
+        ROCCHIO_TOPK,
+        _docs,
+        _lm_tokens,
+        q_bm25_topk,
+        q_rocchio_expand,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+        .collect()
+    )
+    fb = {
+        r["doc_id"]
+        for r in q_bm25_topk(spark, SF_SMOKE).collect()
+        if r["rank"] <= ROCCHIO_R
+    }
+    assert len(fb) == ROCCHIO_R
+    cnt = defaultdict(int)
+    sum_tf = defaultdict(int)
+    df_cnt = defaultdict(int)
+    n_docs = len(rows)
+    for r in rows:
+        for tok in r["t"]:
+            cnt[tok] += 1
+            if r["doc_id"] in fb:
+                sum_tf[tok] += 1
+        for tok in set(r["t"]):
+            df_cnt[tok] += 1
+    qterms = {
+        t
+        for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BM25_N_TERMS
+        ]
+    }
+    scored = []
+    for tok, stf in sum_tf.items():
+        d = df_cnt[tok]
+        fb_e3 = floor(
+            (float(stf) / float(ROCCHIO_R))
+            * log(float(n_docs) / float(d)) * 1000.0
+        )
+        is_q = 1 if tok in qterms else 0
+        score = ROCCHIO_ALPHA_E3 * is_q + (ROCCHIO_BETA_E3 * fb_e3) // 1000
+        scored.append((tok, is_q, stf, d, fb_e3, score))
+    scored.sort(key=lambda x: (-x[5], x[0]))
+    want = scored[:ROCCHIO_TOPK]
+
+    got = [
+        (r["tok"], r["is_q"], r["sum_tf"], r["df"], r["fb_e3"],
+         r["score_e3"])
+        for r in q_rocchio_expand(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    assert all(x[3] >= 1 for x in got)
+    assert any(x[1] == 0 for x in got), "expansion must add new terms"
