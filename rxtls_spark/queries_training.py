@@ -8332,6 +8332,104 @@ ORDER BY chi2_e3 DESC, tok LIMIT {topk}
 """
 
 
+def q_lang_source_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between language and source (Cramér
+    1946) — ONE number answering "is language determined by source?"
+    for mixture planning: V ≈ 0 means sources are language-balanced
+    (stratified sampling can treat them independently), V → 1 means
+    language IS source (dedup/mixture decisions must condition on
+    it).  The corpus-level summary over the same contingency grid
+    `lang_confusion` inspects cell-by-cell.
+
+    Cross-engine: cell/margin counts are exact BIGINTs over the
+    bounded lang×source grid; each cell's chi² term (o−e)²/e is IEEE
+    ×,÷ on exact doubles, e6-FLOORED PER CELL before the exact BIGINT
+    sum (the burrows sum-order rule); V = sqrt(chi2/(N·(k−1))) is
+    IEEE sqrt/÷ on the floored sum — bit-identical cross-engine.
+
+    Scale shape: ONE corpus-scale hash agg onto the bounded grid;
+    margins/N and the fold all run on metadata-scale tables; one-row
+    output."""
+    docs = _docs(spark, sf_dir).select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rl = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("row_n"))
+    cs = cells.groupBy("source").agg(
+        F.sum("o").cast("long").alias("col_n")
+    )
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    terms = (
+        cells.join(rl, "lang")
+        .join(cs, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(floor(((CAST(o AS DOUBLE)"
+                " - (CAST(row_n AS DOUBLE) * col_n) / n_docs)"
+                " * (CAST(o AS DOUBLE)"
+                " - (CAST(row_n AS DOUBLE) * col_n) / n_docs))"
+                " / ((CAST(row_n AS DOUBLE) * col_n) / n_docs)"
+                " * 1000000.0) AS BIGINT)"
+            ).alias("term_e6")
+        )
+    )
+    chi = terms.agg(F.sum("term_e6").cast("long").alias("chi2_e6"))
+    return chi.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "chi2_e6",
+        F.expr(
+            "CAST(CASE WHEN least(n_langs, n_sources) > 1 THEN"
+            " floor(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)"
+            " / (CAST(n_docs AS DOUBLE)"
+            " * (least(n_langs, n_sources) - 1))) * 1000000.0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("v_e6"),
+    )
+
+
+_LANG_SOURCE_CRAMER_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), rl AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS row_n FROM cells GROUP BY 1
+), cs AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS col_n FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM cells
+), terms AS (
+  SELECT CAST(floor(((CAST(c.o AS DOUBLE)
+                      - (CAST(r.row_n AS DOUBLE) * s.col_n) / t.n_docs)
+                     * (CAST(c.o AS DOUBLE)
+                        - (CAST(r.row_n AS DOUBLE) * s.col_n) / t.n_docs))
+                    / ((CAST(r.row_n AS DOUBLE) * s.col_n) / t.n_docs)
+                    * 1000000.0) AS BIGINT) AS term_e6
+  FROM cells c JOIN rl r USING (lang) JOIN cs s USING (source)
+       CROSS JOIN tot t
+), chi AS (
+  SELECT CAST(sum(term_e6) AS BIGINT) AS chi2_e6 FROM terms
+)
+SELECT t.n_docs, t.n_langs, t.n_sources, c.chi2_e6,
+       CAST(CASE WHEN least(t.n_langs, t.n_sources) > 1 THEN
+              floor(sqrt((CAST(c.chi2_e6 AS DOUBLE) / 1000000.0)
+                         / (CAST(t.n_docs AS DOUBLE)
+                            * (least(t.n_langs, t.n_sources) - 1)))
+                    * 1000000.0)
+            ELSE 0 END AS BIGINT) AS v_e6
+FROM chi c CROSS JOIN tot t
+"""
+
+
 # Token-burstiness spec — MIRRORED in `_token_burstiness_sql`;
 # change together.  BURST_MIN_CF gates the ranking (cf==df==1 hapaxes
 # all tie at burst 0); ranking is (burst_e3 DESC, tok).
@@ -16139,6 +16237,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_select": q_chi2_select,
     "source_burrows_delta": q_source_burrows_delta,
     "token_burstiness": q_token_burstiness,
+    "lang_source_cramer": q_lang_source_cramer,
     "min_k_prob": q_min_k_prob,
     "silhouette": q_silhouette,
     "heaps_law": q_heaps_law,
@@ -18465,6 +18564,7 @@ FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
         "chi2_select": _chi2_select_sql(),
         "source_burrows_delta": _burrows_delta_sql(),
         "token_burstiness": _token_burstiness_sql(),
+        "lang_source_cramer": _LANG_SOURCE_CRAMER_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

@@ -6901,3 +6901,49 @@ def test_rocchio_expand_matches_python_replica(spark):
     assert got == want
     assert all(x[3] >= 1 for x in got)
     assert any(x[1] == 0 for x in got), "expansion must add new terms"
+
+
+def test_lang_source_cramer_matches_python_replica(spark):
+    """Cramér's V recomputed in exact Python (ints + IEEE doubles in
+    identical op order, per-cell e6 floors) from the collected
+    (lang, source) pairs: exact equality.  Also locks: margins sum to
+    N, V in [0, 1e6], and V > 0 (the synthetic corpus skews language
+    by source, so independence must be rejected)."""
+    from collections import Counter
+    from math import floor, sqrt
+
+    from rxtls_spark.queries_training import _docs, q_lang_source_cramer
+    from tests.conftest import SF_SMOKE
+
+    pairs = [
+        (r["lang"], r["source"])
+        for r in _docs(spark, SF_SMOKE).select("lang", "source").collect()
+    ]
+    cells = Counter(pairs)
+    row_n = Counter(l for l, _ in pairs)
+    col_n = Counter(s for _, s in pairs)
+    n = len(pairs)
+    chi2_e6 = 0
+    for (l, s), o in cells.items():
+        e = (float(row_n[l]) * col_n[s]) / n
+        chi2_e6 += floor((float(o) - e) * (float(o) - e) / e * 1000000.0)
+    k = min(len(row_n), len(col_n))
+    v_e6 = (
+        floor(sqrt((float(chi2_e6) / 1000000.0) / (float(n) * (k - 1)))
+              * 1000000.0)
+        if k > 1
+        else 0
+    )
+
+    rows = q_lang_source_cramer(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["n_docs"],
+        r["n_langs"],
+        r["n_sources"],
+        r["chi2_e6"],
+        r["v_e6"],
+    ) == (n, len(row_n), len(col_n), chi2_e6, v_e6)
+    assert sum(row_n.values()) == n == sum(col_n.values())
+    assert 0 < r["v_e6"] <= 1_000_000
