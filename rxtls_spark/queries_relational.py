@@ -1610,6 +1610,106 @@ FROM t
 """
 
 
+def q_rel_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type (Holt 1957) —
+    the LEVEL+TREND forecast that upgrades `rel_ewma_daily` (EWMA
+    tracks level only, so it lags every ramp; Holt's trend term
+    closes that lag, and `rel_trend_mk`/`rel_cusum_changepoint` are
+    its hypothesis-test companions).  Per (type, day): count, the
+    smoothed level, the smoothed trend, and the one-step forecast
+    error 1000·n − (l+b).
+
+    Semantics (α = β = 1/4, e3-scaled): l_1 = 1000·n_1, b_1 = 0;
+    l_t = (1000·n_t + 3·(l+b)) DIV 4;
+    b_t = ((l_t − l) + 3·b) DIV 4.
+
+    Cross-engine: a pure BIGINT fold — Spark runs it as an
+    aggregate() fold over the array_sort'ed per-type series (the
+    rel_ewma_daily discipline), DuckDB as WITH RECURSIVE over rn;
+    trend/error go NEGATIVE, which is safe because Spark DIV and
+    DuckDB // both truncate toward zero (the zipf rule — Python
+    replicas need trunc_div).
+
+    Scale path: ONE corpus-scale hash agg onto (type × day); the
+    fold runs over that bounded series only."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
+    )
+    folded = ser.select(
+        "event_type",
+        F.expr(
+            "aggregate(xs,"
+            " CAST(array() AS array<struct<day:bigint,n:bigint,"
+            "l_e3:bigint,b_e3:bigint,err_e3:bigint>>),"
+            " (acc, x) -> concat(acc, array("
+            "  CASE WHEN size(acc) = 0 THEN named_struct("
+            "   'day', x.day, 'n', x.n, 'l_e3', x.n * 1000,"
+            "   'b_e3', CAST(0 AS BIGINT), 'err_e3', CAST(0 AS BIGINT))"
+            "  ELSE named_struct("
+            "   'day', x.day, 'n', x.n,"
+            "   'l_e3', (1000 * x.n + 3 * (element_at(acc, -1).l_e3"
+            "            + element_at(acc, -1).b_e3)) DIV 4,"
+            "   'b_e3', (((1000 * x.n + 3 * (element_at(acc, -1).l_e3"
+            "            + element_at(acc, -1).b_e3)) DIV 4)"
+            "            - element_at(acc, -1).l_e3"
+            "            + 3 * element_at(acc, -1).b_e3) DIV 4,"
+            "   'err_e3', 1000 * x.n - (element_at(acc, -1).l_e3"
+            "            + element_at(acc, -1).b_e3))"
+            "  END)))"
+        ).alias("ys"),
+    )
+    y = folded.select("event_type", F.explode("ys").alias("y"))
+    return y.select(
+        "event_type",
+        F.col("y.day").alias("day"),
+        F.col("y.n").alias("n_events"),
+        F.col("y.l_e3").alias("level_e3"),
+        F.col("y.b_e3").alias("trend_e3"),
+        F.col("y.err_e3").alias("err_e3"),
+    )
+
+
+_REL_HOLT_SQL = """
+WITH RECURSIVE e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), daily AS (
+  SELECT event_type, CAST(day AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), ord AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), hw AS (
+  SELECT event_type, day, n, rn, n * 1000 AS l_e3,
+         CAST(0 AS BIGINT) AS b_e3, CAST(0 AS BIGINT) AS err_e3
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.n, o.rn,
+         (1000 * o.n + 3 * (hw.l_e3 + hw.b_e3)) // 4,
+         (((1000 * o.n + 3 * (hw.l_e3 + hw.b_e3)) // 4)
+          - hw.l_e3 + 3 * hw.b_e3) // 4,
+         1000 * o.n - (hw.l_e3 + hw.b_e3)
+  FROM ord o JOIN hw
+    ON o.event_type = hw.event_type AND o.rn = hw.rn + 1
+)
+SELECT event_type, day, n AS n_events,
+       CAST(l_e3 AS BIGINT) AS level_e3,
+       CAST(b_e3 AS BIGINT) AS trend_e3,
+       CAST(err_e3 AS BIGINT) AS err_e3
+FROM hw
+"""
+
+
 def q_rel_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand Pearson correlation of quantity vs extended price
     over lineitems — the "does price scale with volume" audit (A8's
@@ -2007,6 +2107,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_benford_audit": q_rel_benford_audit,
     "rel_cusum_changepoint": q_rel_cusum_changepoint,
     "rel_price_corr": q_rel_price_corr,
+    "rel_holt_trend": q_rel_holt_trend,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
     "rel_local_supplier_volume": q_local_supplier_volume,
@@ -2051,6 +2152,7 @@ ORACLES_REL: dict[str, str] = {
     "rel_benford_audit": _rel_benford_sql(),
     "rel_cusum_changepoint": _REL_CUSUM_SQL,
     "rel_price_corr": _REL_PRICE_CORR_SQL,
+    "rel_holt_trend": _REL_HOLT_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

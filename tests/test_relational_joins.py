@@ -1287,3 +1287,63 @@ def test_rel_price_corr_matches_exact_replica(spark):
     rs = sorted(v[3] for v in got.values())
     assert all(abs(r) < 300000 for r in rs), rs  # independence holds
     assert len(set(rs)) >= 5  # but the exact values are discriminative
+
+
+def test_rel_holt_trend_matches_exact_replica(spark):
+    """Holt recurrence recomputed in pure Python integers (trunc_div
+    for the signed DIVs) from the Spark-derived daily series: exact
+    row equality.  Also locks: row 1 is (1000·n, 0, 0), the forecast
+    identity err = 1000·n − (l_prev + b_prev), and that the smoke
+    series actually produces NEGATIVE trend values somewhere (the
+    signed-DIV path runs)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_relational import _t, q_rel_holt_trend
+    from tests.conftest import SF_SMOKE
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append((r["day"], r["n"]))
+
+    want = {}
+    for et, xs in series.items():
+        xs.sort()
+        l = b = None
+        for day, n in xs:
+            if l is None:
+                l, b, err = 1000 * n, 0, 0
+            else:
+                fc = l + b
+                nl = tdiv(1000 * n + 3 * fc, 4)
+                b = tdiv((nl - l) + 3 * b, 4)
+                err = 1000 * n - fc
+                l = nl
+            want[(et, day)] = (n, l, b, err)
+
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n_events"],
+            r["level_e3"],
+            r["trend_e3"],
+            r["err_e3"],
+        )
+        for r in q_rel_holt_trend(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[2] < 0 for v in got.values()), "signed path never ran"
