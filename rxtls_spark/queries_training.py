@@ -9789,6 +9789,136 @@ FROM q LEFT JOIN per_q p ON q.q_id = p.q_id
     )
 
 
+# Matryoshka-eval spec — MIRRORED in `_matryoshka_sql`; change
+# together.  MRL_DIM is the truncation prefix (dims 1..16 of the
+# 64-dim embedding — the MRL "use the first k dims" contract).
+MRL_DIM = 16
+
+
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al., NeurIPS
+    2022 "Matryoshka Representation Learning"): how much retrieval
+    quality survives when the 64-dim embedding is truncated to its
+    first ``MRL_DIM`` dims — the memory/recall trade every
+    vector-store deployment prices before shipping short vectors.
+    Per query (the 1% eval sample): overlap@k between the exact
+    full-dim top-k and the exact prefix-dim top-k, their Jaccard,
+    and where the TRUE top-1 lands in the prefix ranking (0 = lost).
+
+    Cross-engine: both rankings are the e5-floored-cosine
+    (sim DESC, neighbor_id) discipline; the prefix side slices dims
+    1..MRL_DIM on both engines (Spark slice ↔ DuckDB emb[1:d]);
+    overlap/jaccard/top1 are pure BIGINT joins of the two k-bounded
+    lists.
+
+    Scale shape: two brute-force passes over the BROADCAST query
+    sample (map-side streams, per-query top-k aggregates — the
+    ann_recall_eval anchor shape; the corpus is never self-joined);
+    everything after runs on 2·k rows per query."""
+    from rxtls_spark.operators.similarity import (
+        brute_force_topk,
+        query_set,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = query_set(emb)
+    full = brute_force_topk(emb, qs, k=ANN_EVAL_K).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rn_full")
+    )
+    emb_p = emb.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {MRL_DIM})").alias("embedding")
+    )
+    qs_p = qs.select(
+        "q_id", F.expr(f"slice(q_emb, 1, {MRL_DIM})").alias("q_emb")
+    )
+    pre = brute_force_topk(emb_p, qs_p, k=ANN_EVAL_K).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rn_pre")
+    )
+    ov = (
+        full.join(pre, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    t1 = (
+        full.where(F.col("rn_full") == 1)
+        .join(pre, ["q_id", "neighbor_id"], "left")
+        .select(
+            "q_id",
+            F.coalesce("rn_pre", F.lit(0).cast("long")).alias(
+                "top1_pre_rank"
+            ),
+        )
+    )
+    return (
+        qs.select("q_id")
+        .join(ov, "q_id", "left")
+        .join(t1, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias(
+                "n_overlap"
+            ),
+            F.expr(
+                "CAST((coalesce(n_overlap, 0) * 1000000)"
+                f" DIV (2 * {ANN_EVAL_K} - coalesce(n_overlap, 0))"
+                " AS BIGINT)"
+            ).alias("jaccard_e6"),
+            F.coalesce("top1_pre_rank", F.lit(0).cast("long")).alias(
+                "top1_pre_rank"
+            ),
+        )
+    )
+
+
+def _matryoshka_sql(d: int = MRL_DIM, topk: int = ANN_EVAL_K) -> str:
+    """matryoshka_eval oracle: the e/q CTEs, both e5-floored ranked
+    lists (full vs emb[1:d] prefix), BIGINT overlap/jaccard/top1."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0
+), fullr AS (
+  SELECT q_id, neighbor_id, rn FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY CAST(floor(list_cosine_similarity(e.emb, q.q_emb) * 100000)
+                      AS BIGINT) DESC, e.vec_id) AS rn
+    FROM e, q WHERE e.vec_id <> q.q_id)
+  WHERE rn <= {topk}
+), prer AS (
+  SELECT q_id, neighbor_id, rn FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY CAST(floor(list_cosine_similarity(
+                   e.emb[1:{d}], q.q_emb[1:{d}]) * 100000)
+                      AS BIGINT) DESC, e.vec_id) AS rn
+    FROM e, q WHERE e.vec_id <> q.q_id)
+  WHERE rn <= {topk}
+), ov AS (
+  SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM fullr f JOIN prer p
+    ON f.q_id = p.q_id AND f.neighbor_id = p.neighbor_id
+  GROUP BY 1
+), t1 AS (
+  SELECT f.q_id,
+         CAST(coalesce(min(p.rn), 0) AS BIGINT) AS top1_pre_rank
+  FROM fullr f LEFT JOIN prer p
+    ON f.q_id = p.q_id AND f.neighbor_id = p.neighbor_id
+  WHERE f.rn = 1 GROUP BY 1
+)
+SELECT q.q_id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST((coalesce(o.n_overlap, 0) * 1000000)
+            // (2 * {topk} - coalesce(o.n_overlap, 0)) AS BIGINT)
+         AS jaccard_e6,
+       CAST(coalesce(t.top1_pre_rank, 0) AS BIGINT) AS top1_pre_rank
+FROM q LEFT JOIN ov o ON q.q_id = o.q_id
+       LEFT JOIN t1 t ON q.q_id = t.q_id
+"""
+
+
 # Rocchio pseudo-relevance-feedback spec — MIRRORED in
 # `_rocchio_sql`; change together.  Feedback set = bm25 rank ≤
 # ROCCHIO_R (BM25_* constants flow in via the spliced `_bm25_sql`);
@@ -16267,6 +16397,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ndcg_eval": q_ndcg_eval,
     "map_eval": q_map_eval,
     "rocchio_expand": q_rocchio_expand,
+    "matryoshka_eval": q_matryoshka_eval,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
@@ -18332,6 +18463,7 @@ FROM docs GROUP BY 1 HAVING count(*) > 1
         "ndcg_eval": _ndcg_sql(),
         "map_eval": _map_eval_sql(),
         "rocchio_expand": _rocchio_sql(),
+        "matryoshka_eval": _matryoshka_sql(),
         "bitext_mine": f"""
 WITH de AS (
   SELECT d.doc_id, d.lang,

@@ -1371,3 +1371,44 @@ def test_map_eval_bounds_and_full_probe_is_perfect(spark):
     for r in full:
         assert r["n_hit"] == ANN_EVAL_K
         assert r["ap_e6"] == 1_000_000, r
+
+
+def test_matryoshka_eval_bounds_and_full_prefix_is_identity(spark):
+    """Structural matryoshka locks: (1) overlap/jaccard bounds and
+    the jaccard identity j = o/(2k−o); (2) consistency — top1
+    present in the overlap implies top1_pre_rank ≥ 1; (3) truncation
+    to the FULL dim is the identity: every query overlaps k-for-k
+    with top1_pre_rank == 1 and jaccard == 1e6; (4) the real prefix
+    actually loses something somewhere (the eval is informative)."""
+    from rxtls_spark.queries_training import (
+        ANN_EVAL_K,
+        KMEANS_DIM,
+        MRL_DIM,
+        q_matryoshka_eval,
+    )
+    from tests.conftest import SF_SMOKE
+
+    assert MRL_DIM < KMEANS_DIM
+    got = q_matryoshka_eval(spark, SF_SMOKE).collect()
+    assert got
+    for r in got:
+        o = r["n_overlap"]
+        assert 0 <= o <= ANN_EVAL_K
+        assert r["jaccard_e6"] == (o * 1000000) // (2 * ANN_EVAL_K - o)
+        assert 0 <= r["top1_pre_rank"] <= ANN_EVAL_K
+    assert any(
+        r["n_overlap"] < ANN_EVAL_K or r["top1_pre_rank"] != 1 for r in got
+    ), "16-dim prefix lost nothing — eval uninformative"
+
+    import rxtls_spark.queries_training as qt
+
+    old = qt.MRL_DIM
+    try:
+        qt.MRL_DIM = KMEANS_DIM
+        full = qt.q_matryoshka_eval(spark, SF_SMOKE).collect()
+    finally:
+        qt.MRL_DIM = old
+    for r in full:
+        assert r["n_overlap"] == ANN_EVAL_K
+        assert r["jaccard_e6"] == 1_000_000
+        assert r["top1_pre_rank"] == 1
