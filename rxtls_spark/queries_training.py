@@ -11371,6 +11371,130 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence per source vs the corpus over the
+    shared DSIR 64-bucket hashed-unigram space — the SYMMETRIC,
+    bounded ([0, ln 2]) companion to `source_kl`: KL explodes when a
+    source merely *misses* corpus mass, JSD stays finite and
+    comparable across sources, which is what a mixture dashboard
+    ranks by.  JSD = ½KL(P‖M) + ½KL(Q‖M), M the per-source mixture.
+
+    Cross-engine: the Laplace-smoothed ratios p/m and q/m reduce to
+    2A/(A+B) and 2B/(A+B) with A = (c+1)·(n+64), B = (cb+1)·(n_s+64)
+    — computed in DOUBLE (cast before multiply: the BIGINT products
+    overflow at ~10^13 tokens) with identical expression text, then
+    the e3 ln-floor; both partial sums weight by the raw counts and
+    normalize by truncating DIV at the end (the source_kl
+    discipline), so everything after the floors is exact BIGINT.
+
+    Scale shape: identical to source_kl — ONE corpus-scale hash agg
+    to the (source × 64) grid; everything else metadata-scale."""
+    hexmap = _hex_digit_map()
+    cnts = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("source", F.explode(_lm_tokens()).alias("tok"))
+        .select("source", _token_bucket(F.col("tok"), hexmap).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    srcs = cnts.select("source").distinct()
+    buckets = spark.range(64).select(F.col("id").cast("int").alias("bucket"))
+    sb = (
+        srcs.crossJoin(F.broadcast(buckets))  # bounded: sources × 64
+        .join(cnts, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+    )
+    ns = sb.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    qb = sb.groupBy("bucket").agg(F.sum("c").cast("long").alias("cb"))
+    nn = sb.agg(F.sum("c").cast("long").alias("n"))
+    joined = (
+        sb.join(ns, "source")
+        .join(F.broadcast(qb), "bucket")
+        .crossJoin(F.broadcast(nn))
+    )
+    a_expr = "(CAST(c + 1 AS DOUBLE) * (n + 64))"
+    b_expr = "(CAST(cb + 1 AS DOUBLE) * (n_s + 64))"
+    lnpm = (
+        f"CAST(floor(ln((2.0 * {a_expr}) / ({a_expr} + {b_expr}))"
+        " * 1000.0) AS BIGINT)"
+    )
+    lnqm = (
+        f"CAST(floor(ln((2.0 * {b_expr}) / ({a_expr} + {b_expr}))"
+        " * 1000.0) AS BIGINT)"
+    )
+    agg = joined.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.max("n").cast("long").alias("_n"),
+        F.sum(F.expr(f"(c + 1) * ({lnpm})")).cast("long").alias("p_num"),
+        F.sum(F.expr(f"(cb + 1) * ({lnqm})")).cast("long").alias("q_num"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "p_num",
+        "q_num",
+        F.expr(
+            "CAST((p_num DIV (n_tokens + 64) + q_num DIV (_n + 64))"
+            " DIV 2 AS BIGINT)"
+        ).alias("jsd_e3"),
+    )
+
+
+_SOURCE_JSD_SQL = """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT source,
+         ((strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)) % 64 AS bucket
+  FROM (SELECT source, unnest(t) AS tk FROM toks)
+), counts AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), srcs AS (
+  SELECT DISTINCT source FROM counts
+), grid AS (
+  SELECT s.source, g.b AS bucket FROM srcs s, generate_series(0, 63) g(b)
+), sb AS (
+  SELECT g.source, g.bucket, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON g.source = c.source AND g.bucket = c.bucket
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sb GROUP BY 1
+), qb AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS cb FROM sb GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM sb
+), js AS (
+  SELECT sb.source, CAST(max(ns.n_s) AS BIGINT) AS n_tokens,
+    CAST(max(nn.n) AS BIGINT) AS _n,
+    CAST(sum((sb.c + 1) * (
+      CAST(floor(ln((2.0 * (CAST(sb.c + 1 AS DOUBLE) * (nn.n + 64)))
+                    / ((CAST(sb.c + 1 AS DOUBLE) * (nn.n + 64))
+                       + (CAST(qb.cb + 1 AS DOUBLE) * (ns.n_s + 64))))
+                 * 1000.0) AS BIGINT)
+    )) AS BIGINT) AS p_num,
+    CAST(sum((qb.cb + 1) * (
+      CAST(floor(ln((2.0 * (CAST(qb.cb + 1 AS DOUBLE) * (ns.n_s + 64)))
+                    / ((CAST(sb.c + 1 AS DOUBLE) * (nn.n + 64))
+                       + (CAST(qb.cb + 1 AS DOUBLE) * (ns.n_s + 64))))
+                 * 1000.0) AS BIGINT)
+    )) AS BIGINT) AS q_num
+  FROM sb JOIN ns ON sb.source = ns.source
+          JOIN qb ON sb.bucket = qb.bucket, nn
+  GROUP BY 1
+)
+SELECT source, n_tokens, p_num, q_num,
+       CAST((p_num // (n_tokens + 64) + q_num // (_n + 64)) // 2
+            AS BIGINT) AS jsd_e3
+FROM js
+"""
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection per duplicate cluster — the
     production rule real pipelines use instead of keep-min-id: keep the
@@ -16259,6 +16383,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_components": q_knn_components,
     "triangle_count": q_triangle_count,
     "source_kl": q_source_kl,
+    "source_jsd": q_source_jsd,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
     "temperature_mix": q_temperature_mix,
@@ -17867,6 +17992,7 @@ SELECT source, n_tokens, kl_ne3,
        CAST(kl_ne3 // (n_tokens + 64) AS BIGINT) AS kl_e3
 FROM kl
 """,
+        "source_jsd": _SOURCE_JSD_SQL,
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),

@@ -6947,3 +6947,69 @@ def test_lang_source_cramer_matches_python_replica(spark):
     ) == (n, len(row_n), len(col_n), chi2_e6, v_e6)
     assert sum(row_n.values()) == n == sum(col_n.values())
     assert 0 < r["v_e6"] <= 1_000_000
+
+
+def test_source_jsd_matches_python_replica(spark):
+    """JSD recomputed in exact Python (md5 buckets, IEEE double A/B
+    products + math.log floors in identical op order, exact integer
+    weighted sums and truncating DIVs) from the collected corpus:
+    exact row equality.  Also locks: jsd_e3 within the [−2, 694]
+    floored-[0, ln2] band, symmetry of the construction (p_num and
+    q_num both present), and cross-source spread (≥5 distinct
+    values)."""
+    import hashlib
+    from collections import defaultdict
+    from math import floor, log
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        _docs,
+        _lm_tokens,
+        q_source_jsd,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select("source", _lm_tokens().alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(int)
+    for r in rows:
+        for tk in r["t"]:
+            h = hashlib.md5(tk.encode()).hexdigest()
+            b = (int(h[0], 16) * 16 + int(h[1], 16)) % 64
+            cnt[(r["source"], b)] += 1
+    sources = {s for s, _ in cnt}
+    ns = {s: sum(cnt.get((s, b), 0) for b in range(64)) for s in sources}
+    cb = {b: sum(cnt.get((s, b), 0) for s in sources) for b in range(64)}
+    n = sum(ns.values())
+
+    want = {}
+    for s in sources:
+        p_num = q_num = 0
+        for b in range(64):
+            c = cnt.get((s, b), 0)
+            a_v = float(c + 1) * (n + 64)
+            b_v = float(cb[b] + 1) * (ns[s] + 64)
+            lnpm = floor(log((2.0 * a_v) / (a_v + b_v)) * 1000.0)
+            lnqm = floor(log((2.0 * b_v) / (a_v + b_v)) * 1000.0)
+            p_num += (c + 1) * lnpm
+            q_num += (cb[b] + 1) * lnqm
+        jsd = tdiv(tdiv(p_num, ns[s] + 64) + tdiv(q_num, n + 64), 2)
+        want[s] = (ns[s], p_num, q_num, jsd)
+
+    got = {
+        r["source"]: (r["n_tokens"], r["p_num"], r["q_num"], r["jsd_e3"])
+        for r in q_source_jsd(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for v in got.values():
+        assert -2 <= v[3] <= 694
+    assert len({v[3] for v in got.values()}) >= 5
