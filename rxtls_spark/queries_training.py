@@ -11495,6 +11495,172 @@ FROM js
 """
 
 
+# Geometric-median spec — MIRRORED in `_source_geomedian_sql`;
+# change together.  Weiszfeld over the first GM_DIM dims of the
+# embedding (the matryoshka prefix convention keeps the unrolled SQL
+# bounded), GM_ITERS fixed-point steps from the 6-dp floor-stable
+# mean (the kmeans centroid discipline — floor(x·1e6+0.5)/1e6 after
+# EVERY iteration so float-sum-order noise can't propagate);
+# zero-distance points drop out of the step (w = 0), and a source
+# whose weights all vanish keeps its previous iterate.
+GM_DIM = 8
+GM_ITERS = 3
+
+
+def q_source_geomedian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source geometric median of embeddings (Weiszfeld 1937; the
+    robust-statistics centroid Cohen et al. 2016 scaled) — the
+    outlier-resistant twin of `source_centroid_sim`'s MEAN centroid:
+    one poisoned/outlier vector drags a mean arbitrarily far but
+    moves the geometric median at most marginally (breakdown point
+    1/2), so robust data-poisoning audits compare the two.  Emits
+    per (source, dim): n_vecs, the mean (e6) and the Weiszfeld
+    iterate (e6) — their gap IS the outlier signal.
+
+    Cross-engine: the iteration runs over per-source aggregates with
+    6-dp floor-stable rounding after every step (the
+    train_ivf_centroids contract — sum-order ulp noise cannot cross
+    the 5e-7 grid); d = sqrt of the index-order squared fold and
+    w = 1/d are IEEE on identical literals; Spark holds the
+    (sources × 8) iterate on the driver as literals (the kmeans/
+    bradley_terry precedent) while DuckDB unrolls y0..y{iters} CTEs.
+
+    Scale shape: ONE corpus-scale agg per iteration (sources × 8
+    outputs, map-side partial — the kmeans loop shape, no explode);
+    the join side is the broadcast iterate table."""
+    import math
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    emb = _emb(spark, sf_dir)
+    base = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            "source",
+            *[
+                F.element_at("embedding", d + 1)
+                .cast("double")
+                .alias(f"x{d}")
+                for d in range(GM_DIM)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def stable6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    m0 = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.avg(f"x{d}").alias(f"m{d}") for d in range(GM_DIM)],
+    ).collect()
+    n_vecs = {r["source"]: r["n"] for r in m0}
+    mean = {
+        r["source"]: [stable6(float(r[f"m{d}"])) for d in range(GM_DIM)]
+        for r in m0
+    }
+    y = {s: list(v) for s, v in mean.items()}
+    for _ in range(GM_ITERS):
+        ydf = spark.createDataFrame(
+            [(s, *v) for s, v in sorted(y.items())],
+            "source string, "
+            + ", ".join(f"y{d} double" for d in range(GM_DIM)),
+        )
+        sq = " + ".join(
+            f"((x{d} - y{d}) * (x{d} - y{d}))" for d in range(GM_DIM)
+        )
+        w = F.expr(
+            f"CASE WHEN sqrt({sq}) > 0.0 THEN 1.0 / sqrt({sq})"
+            " ELSE 0.0 END"
+        )
+        agg = (
+            base.join(F.broadcast(ydf), "source")
+            .select("source", w.alias("w"), *[f"x{d}" for d in range(GM_DIM)])
+            .groupBy("source")
+            .agg(
+                F.sum("w").alias("sw"),
+                *[
+                    F.sum(F.col("w") * F.col(f"x{d}")).alias(f"s{d}")
+                    for d in range(GM_DIM)
+                ],
+            )
+            .collect()
+        )
+        for r in agg:
+            if float(r["sw"]) > 0.0:
+                y[r["source"]] = [
+                    stable6(float(r[f"s{d}"]) / float(r["sw"]))
+                    for d in range(GM_DIM)
+                ]
+    rows = []
+    for s in sorted(y):
+        for d in range(GM_DIM):
+            rows.append(
+                (
+                    s,
+                    d + 1,
+                    int(n_vecs[s]),
+                    math.floor(mean[s][d] * 1e6 + 0.5),
+                    math.floor(y[s][d] * 1e6 + 0.5),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "source string, dim long, n_vecs long, mean_e6 long, gmed_e6 long",
+    )
+
+
+def _source_geomedian_sql(
+    dim: int = GM_DIM, iters: int = GM_ITERS
+) -> str:
+    """source_geomedian oracle: the doc→embedding join sliced to the
+    prefix dims, the 6-dp floor-stable mean as y0, each Weiszfeld
+    step unrolled as (w, y) CTE pairs with the identical index-order
+    distance fold, then an 8-branch UNION ALL long format."""
+    xs = ", ".join(
+        f"CAST(e.embedding[{d + 1}] AS DOUBLE) AS x{d}"
+        for d in range(dim)
+    )
+    head = f"""WITH base AS MATERIALIZED (
+  SELECT d.source, {xs}
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), y0 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         {", ".join(f"floor(avg(x{d}) * 1000000 + 0.5) / 1000000 AS m{d}"
+                    for d in range(dim))}
+  FROM base GROUP BY source
+)"""
+    for t in range(1, iters + 1):
+        sq = " + ".join(
+            f"((b.x{d} - y.m{d}) * (b.x{d} - y.m{d}))" for d in range(dim)
+        )
+        head += f""",
+w{t} AS (
+  SELECT b.source,
+         CASE WHEN sqrt({sq}) > 0.0 THEN 1.0 / sqrt({sq})
+              ELSE 0.0 END AS w,
+         {", ".join(f"b.x{d}" for d in range(dim))}
+  FROM base b JOIN y{t - 1} y USING (source)
+), y{t} AS (
+  SELECT w.source, y.n,
+         {", ".join(
+            f"CASE WHEN sum(w.w) > 0.0 THEN"
+            f" floor(sum(w.w * w.x{d}) / sum(w.w) * 1000000 + 0.5)"
+            f" / 1000000 ELSE max(y.m{d}) END AS m{d}"
+            for d in range(dim))}
+  FROM w{t} w JOIN y{t - 1} y USING (source)
+  GROUP BY w.source, y.n
+)"""
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT a.source, CAST({d + 1} AS BIGINT) AS dim,
+       CAST(a.n AS BIGINT) AS n_vecs,
+       CAST(floor(a.m{d} * 1000000 + 0.5) AS BIGINT) AS mean_e6,
+       CAST(floor(b.m{d} * 1000000 + 0.5) AS BIGINT) AS gmed_e6
+FROM y0 a JOIN y{iters} b USING (source)"""
+        for d in range(dim)
+    )
+    return head + "\n" + branches
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection per duplicate cluster — the
     production rule real pipelines use instead of keep-min-id: keep the
@@ -16384,6 +16550,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "source_kl": q_source_kl,
     "source_jsd": q_source_jsd,
+    "source_geomedian": q_source_geomedian,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
     "temperature_mix": q_temperature_mix,
@@ -17993,6 +18160,7 @@ SELECT source, n_tokens, kl_ne3,
 FROM kl
 """,
         "source_jsd": _SOURCE_JSD_SQL,
+        "source_geomedian": _source_geomedian_sql(),
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),

@@ -1412,3 +1412,76 @@ def test_matryoshka_eval_bounds_and_full_prefix_is_identity(spark):
         assert r["n_overlap"] == ANN_EVAL_K
         assert r["jaccard_e6"] == 1_000_000
         assert r["top1_pre_rank"] == 1
+
+
+def test_source_geomedian_matches_python_replica(spark):
+    """Weiszfeld recomputed in Python (plain float sums + the identical
+    6-dp floor-stable rounding after every step) from the collected
+    prefix vectors: exact row equality — the rounding grid is what
+    makes sum-order noise unobservable, same contract as kmeans.
+    Also locks: 8 rows per source, n_vecs matches, the iterate moved
+    off the mean somewhere (iteration actually ran), and the median
+    stays inside the per-dim data range (a convexity consequence)."""
+    from collections import defaultdict
+    from math import floor, sqrt
+
+    from rxtls_spark.queries_training import (
+        GM_DIM,
+        GM_ITERS,
+        _docs,
+        _emb,
+        q_source_geomedian,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "source").collect()
+    }
+    vecs = defaultdict(list)
+    for r in _emb(spark, SF_SMOKE).collect():
+        s = docs.get(r["vec_id"])
+        if s is not None:
+            vecs[s].append([float(x) for x in r["embedding"][:GM_DIM]])
+
+    def stable6(v):
+        return floor(v * 1e6 + 0.5) / 1e6
+
+    want = {}
+    for s, xs in vecs.items():
+        n = len(xs)
+        mean = [stable6(sum(x[d] for x in xs) / n) for d in range(GM_DIM)]
+        y = list(mean)
+        for _ in range(GM_ITERS):
+            sw = 0.0
+            sx = [0.0] * GM_DIM
+            for x in xs:
+                d2 = 0.0
+                for d in range(GM_DIM):
+                    d2 += (x[d] - y[d]) * (x[d] - y[d])
+                dist = sqrt(d2)
+                if dist > 0.0:
+                    w = 1.0 / dist
+                    sw += w
+                    for d in range(GM_DIM):
+                        sx[d] += w * x[d]
+            if sw > 0.0:
+                y = [stable6(sx[d] / sw) for d in range(GM_DIM)]
+        for d in range(GM_DIM):
+            want[(s, d + 1)] = (
+                n,
+                floor(mean[d] * 1e6 + 0.5),
+                floor(y[d] * 1e6 + 0.5),
+            )
+
+    got = {
+        (r["source"], r["dim"]): (r["n_vecs"], r["mean_e6"], r["gmed_e6"])
+        for r in q_source_geomedian(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) == len(vecs) * GM_DIM
+    assert any(v[1] != v[2] for v in got.values()), "iteration never moved"
+    for (s, dimn), (_, _, gm) in got.items():
+        lo = min(x[dimn - 1] for x in vecs[s]) * 1e6 - 1
+        hi = max(x[dimn - 1] for x in vecs[s]) * 1e6 + 1
+        assert lo <= gm <= hi, (s, dimn)
