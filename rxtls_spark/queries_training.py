@@ -11495,6 +11495,76 @@ FROM js
 """
 
 
+# Compressibility gate: ratio ≥ COMPRESS_GATE_E3/1e3 flags
+# templated/repetitive text (the Gopher-style deflate filter); 2.3×
+# sits at ~p90 of the smoke-corpus ratio distribution (measured —
+# the TT_DEPTH_CUT tuning rule; natural prose lands ~2.0×).  No
+# DuckDB oracle BY NATURE (zlib isn't expressible in SQL) — the
+# driver records the rows-only check and pytest locks bytes exactly
+# (the content_hashes/xxh3 precedent).
+COMPRESS_GATE_E3 = 2300
+
+
+def _zlib_len_udf():
+    """Arrow-batched zlib(level=6) compressed-length UDF — built
+    lazily so the module imports without a Spark session; marked
+    nondeterministic so Catalyst plans it exactly once (the parse-UDF
+    invariant)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def zlen(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    return zlen.asNondeterministic()
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document deflate compressibility (the Gopher/MassiveText
+    repetition screen, Rae et al. 2021 §A1.3: heavily-templated text
+    compresses far below natural prose): raw bytes, zlib-6 bytes,
+    ratio_e3 = (n_bytes·1e3) DIV z_bytes, and the ≥2.3× gate flag.
+    The CODEC-level complement of `repetition` (surface n-gram
+    folds) and `char_entropy` (unigram model): deflate's LZ77 window
+    catches long-range duplication both miss.
+
+    No SQL oracle by nature (zlib in DuckDB does not exist) — the
+    driver records rows-only; pytest locks the bytes against Python
+    zlib directly and the plan to ONE ArrowEvalPython.
+
+    Scale shape: one Arrow-batched pandas UDF projection (the
+    lm_score_broadcast plan class — 0 exchanges, no join); zlib is
+    the per-row cost and is exactly the work the operator exists to
+    spend."""
+    z = _zlib_len_udf()
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        z(F.col("text")).alias("z_bytes"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "z_bytes",
+        F.expr("CAST((n_bytes * 1000) DIV z_bytes AS BIGINT)").alias(
+            "ratio_e3"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN (n_bytes * 1000) DIV z_bytes"
+            f" >= {COMPRESS_GATE_E3} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_templated"),
+    )
+
+
 # Geometric-median spec — MIRRORED in `_source_geomedian_sql`;
 # change together.  Weiszfeld over the first GM_DIM dims of the
 # embedding (the matryoshka prefix convention keeps the unrolled SQL
@@ -16551,6 +16621,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_kl": q_source_kl,
     "source_jsd": q_source_jsd,
     "source_geomedian": q_source_geomedian,
+    "compression_ratio": q_compression_ratio,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
     "temperature_mix": q_temperature_mix,

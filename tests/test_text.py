@@ -7013,3 +7013,53 @@ def test_source_jsd_matches_python_replica(spark):
     for v in got.values():
         assert -2 <= v[3] <= 694
     assert len({v[3] for v in got.values()}) >= 5
+
+
+def test_compression_ratio_matches_zlib_exactly(spark):
+    """zlib-6 lengths recomputed directly in Python: exact byte
+    equality per doc (the content_hashes byte-lock pattern for
+    non-SQL ops).  Also locks: the plan is ONE ArrowEvalPython with
+    0 exchanges (the UDF is planned once — nondeterministic mark),
+    ratio/gate integer identities, compression always wins on this
+    corpus (z < n), and the gate is discriminative (some docs
+    templated, some not)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.plans.checks import count_exchanges, plan_string
+    from rxtls_spark.queries_training import (
+        COMPRESS_GATE_E3,
+        _docs,
+        q_compression_ratio,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q_compression_ratio(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    plan = plan_string(df, mode="simple")
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert set(got) == set(texts)
+    n_gate = 0
+    for did, t in texts.items():
+        r = got[did]
+        n = len(t.encode("utf-8"))
+        z = len(zlib.compress(t.encode("utf-8"), 6))
+        assert (r["n_bytes"], r["z_bytes"]) == (n, z), did
+        assert r["ratio_e3"] == (n * 1000) // z
+        assert r["is_templated"] == (
+            1 if (n * 1000) // z >= COMPRESS_GATE_E3 else 0
+        )
+        if n >= 200:  # tiny docs pay the zlib header (ratio < 1 is real)
+            assert z < n, did
+        n_gate += r["is_templated"]
+    assert 0 < n_gate < len(texts), "gate not discriminative"
