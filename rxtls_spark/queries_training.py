@@ -11495,6 +11495,174 @@ FROM js
 """
 
 
+def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source VOCABULARY similarity, sketch vs truth: the
+    exact Jaccard of the distinct-token sets next to its
+    ``CAL_PERMS``-permutation minhash estimate (Broder 1997) — the
+    corpus-granularity member of the dedup family (doc-level =
+    dedup_minhash_lsh; pairwise trust = minhash_calibration; this
+    answers "can I compare whole SOURCES by signature instead of
+    shuffling their vocabularies?"), with the signed error per pair
+    as the go/no-go evidence.
+
+    Cross-engine: the permutation family is the minhash_calibration
+    spec verbatim (h_k(x) = (((x + k·CAL_STEP) % P)·A) % P on the
+    md5-13-hex key — CAL_* constants flow in); signatures are exact
+    BIGINT mins, intersection an equi-join count, jacc/est/err
+    truncating-DIV e5 integers.
+
+    Scale shape: ONE distinct (source, tok) hash agg feeds BOTH
+    sides — the signature (a sources×PERMS bounded agg, map-side
+    partial) and the exact intersection (one token-keyed equi-join);
+    the pair tables are bounded sources²."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+
+    st = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("source", F.explode(F.array_distinct(_lm_tokens())).alias("tok"))
+        .distinct()
+        .withColumn(
+            "x", F.expr("CAST(conv(substring(md5(tok), 1, 13), 16, 10) AS BIGINT)")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_set")
+    )
+    sig = st.groupBy("source").agg(
+        *[
+            F.min(
+                F.expr(
+                    f"(((x + {k} * {CAL_STEP}) % {KNUTH_P})"
+                    f" * {KNUTH_A}) % {KNUTH_P}"
+                )
+            )
+            .cast("long")
+            .alias(f"h{k}")
+            for k in range(CAL_PERMS)
+        ]
+    )
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    match_expr = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
+        for k in range(CAL_PERMS)
+    )
+    matches = sa.join(
+        sb, F.col("sa.source") < F.col("sb.source")
+    ).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        F.expr(f"CAST({match_expr} AS BIGINT)").alias("matches"),
+    )
+    na = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_set").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_set").alias("n_b")
+    )
+    return (
+        matches.join(inter, ["source_a", "source_b"], "left")
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.expr("CAST(coalesce(inter, 0) AS BIGINT)").alias("inter"),
+            F.expr(
+                "CAST((coalesce(inter, 0) * 100000)"
+                " DIV (n_a + n_b - coalesce(inter, 0)) AS BIGINT)"
+            ).alias("jacc_e5"),
+            "matches",
+            F.expr(
+                f"CAST((matches * 100000) DIV {CAL_PERMS} AS BIGINT)"
+            ).alias("est_e5"),
+            F.expr(
+                f"CAST((matches * 100000) DIV {CAL_PERMS}"
+                " - (coalesce(inter, 0) * 100000)"
+                " DIV (n_a + n_b - coalesce(inter, 0)) AS BIGINT)"
+            ).alias("err_e5"),
+        )
+    )
+
+
+def _source_minhash_jaccard_sql(
+    perms: int | None = None, step: int | None = None
+) -> str:
+    """source_minhash_jaccard oracle: identical distinct-token chain,
+    the calibration permutation family on the '0x'-cast md5-13-hex
+    key, per-perm min columns, equi-join intersection, e5 DIVs."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+
+    perms = CAL_PERMS if perms is None else perms
+    step = CAL_STEP if step is None else step
+
+    hs = ",\n         ".join(
+        f"CAST(min((((x + {k} * {step}) % {KNUTH_P}) * {KNUTH_A})"
+        f" % {KNUTH_P}) AS BIGINT) AS h{k}"
+        for k in range(perms)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
+        for k in range(perms)
+    )
+    return f"""
+WITH st AS MATERIALIZED (
+  SELECT DISTINCT source, tok,
+         CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT) AS x
+  FROM (
+    SELECT source, unnest(list_distinct(
+      regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok
+    FROM documents WHERE trim(text) <> '')
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_set FROM st GROUP BY 1
+), sig AS (
+  SELECT source,
+         {hs}
+  FROM st GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+), m AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+         CAST({match_expr} AS BIGINT) AS matches
+  FROM sig sa JOIN sig sb ON sa.source < sb.source
+)
+SELECT m.source_a, m.source_b,
+       na.n_set AS n_a, nb.n_set AS n_b,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       CAST((coalesce(i.inter, 0) * 100000)
+            // (na.n_set + nb.n_set - coalesce(i.inter, 0)) AS BIGINT)
+         AS jacc_e5,
+       m.matches,
+       CAST((m.matches * 100000) // {perms} AS BIGINT) AS est_e5,
+       CAST((m.matches * 100000) // {perms}
+            - (coalesce(i.inter, 0) * 100000)
+            // (na.n_set + nb.n_set - coalesce(i.inter, 0)) AS BIGINT)
+         AS err_e5
+FROM m LEFT JOIN inter i USING (source_a, source_b)
+       JOIN sizes na ON m.source_a = na.source
+       JOIN sizes nb ON m.source_b = nb.source
+"""
+
+
 # Compressibility gate: ratio ≥ COMPRESS_GATE_E3/1e3 flags
 # templated/repetitive text (the Gopher-style deflate filter); 2.3×
 # sits at ~p90 of the smoke-corpus ratio distribution (measured —
@@ -16622,6 +16790,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_jsd": q_source_jsd,
     "source_geomedian": q_source_geomedian,
     "compression_ratio": q_compression_ratio,
+    "source_minhash_jaccard": q_source_minhash_jaccard,
     "source_overlap": q_source_overlap,
     "cluster_canonical": q_cluster_canonical,
     "temperature_mix": q_temperature_mix,
@@ -18232,6 +18401,7 @@ FROM kl
 """,
         "source_jsd": _SOURCE_JSD_SQL,
         "source_geomedian": _source_geomedian_sql(),
+        "source_minhash_jaccard": _source_minhash_jaccard_sql(),
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
