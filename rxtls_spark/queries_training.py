@@ -16242,6 +16242,232 @@ FROM r{iters} r JOIN wj w ON r.tok = w.j
 """
 
 
+# SGNS word-embedding spec — MIRRORED in `_sgns_sql`; change
+# together.  Rides the `_cooc_cab` chain (COOC_W/COOC_VOCAB_K flow
+# in — the THIRD consumer with cooc_ppmi/textrank).  Full-batch
+# skip-gram with negative sampling: positives = both directions of
+# every non-self co-occurrence pair weighted c_ab; ONE deterministic
+# negative per positive (context shifted SGNS_NEG_JUMP places in the
+# alphabetical vocab ring — a rank equi-join, no RNG); init from the
+# knuth hash of (rank-1)·2D+d as exact e6 rationals; per-iteration
+# MEAN gradients are 6-dp floor-stable (the logreg discipline — exp
+# ulp + sum-order noise stays ~1e-12, far under the 5e-7 grid), so
+# the parameter matrices evolve as identical doubles on both engines.
+SGNS_DIM = 4
+SGNS_ITERS = 3
+SGNS_NEG_JUMP = 7
+
+
+def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec SGNS embedding training as a first-class query
+    (Mikolov et al. 2013, the full-batch deterministic form) — the
+    third trained model whose TRAINING LOOP is value-hash-checked
+    (kmeans = clustering, logreg = classification, this = word
+    embeddings): skip-gram pairs from the shared `_cooc_cab` window
+    counts, one rank-ring negative per positive, SGNS_ITERS
+    full-batch GD steps on mean gradients, output = both final
+    parameter matrices as (rank, token, dim, v_e6, u_e6).
+
+    Cross-engine: the pair table is bounded ≤4V², so Spark collects
+    it and replays training in exact Python floats (the
+    textrank/bradley_terry driver-literal precedent) while DuckDB
+    unrolls per-iteration CTE pairs; every update applies 6-dp
+    floor-stable MEAN gradients (floor(Σ w·err·x / W·1e6+0.5)/1e6 —
+    identical op order), so v/u stay identical doubles and the final
+    e6 floors are exact integers.
+
+    Scale shape: the corpus-scale work is ONE pair hash agg (the
+    cooc_ppmi plan); training runs on the bounded V×D parameter set
+    — O(V²·D·iters) driver/bounded-CTE math that never touches the
+    corpus."""
+    import math
+
+    cab = [
+        (r["a"], r["b"], r["c_ab"])
+        for r in _cooc_cab(spark, sf_dir).where(F.col("a") != F.col("b")).collect()
+    ]
+    nodes = sorted({a for a, _, _ in cab} | {b for _, b, _ in cab})
+    v_cnt = len(nodes)
+    rank = {t: i + 1 for i, t in enumerate(nodes)}
+    pairs = []
+    for a, b, w in cab:
+        for c, o in ((a, b), (b, a)):
+            pairs.append((c, o, w, 1.0))
+            neg = nodes[(rank[o] - 1 + SGNS_NEG_JUMP) % v_cnt]
+            pairs.append((c, neg, w, 0.0))
+    w_tot = sum(w for _, _, w, _ in pairs)
+
+    def kn(x: int) -> int:
+        return ((x % 1000000007) * 2654435761) % 1000000007
+
+    def init(r: int, d: int, off: int) -> float:
+        return (kn((r - 1) * 2 * SGNS_DIM + off + d) % 2001 - 1000) / 1000000.0
+
+    v = {t: [init(rank[t], d, 0) for d in range(SGNS_DIM)] for t in nodes}
+    u = {
+        t: [init(rank[t], d, SGNS_DIM) for d in range(SGNS_DIM)]
+        for t in nodes
+    }
+
+    def stable6(x: float) -> float:
+        return math.floor(x * 1000000 + 0.5) / 1000000
+
+    for _ in range(SGNS_ITERS):
+        gv = {t: [0.0] * SGNS_DIM for t in nodes}
+        gu = {t: [0.0] * SGNS_DIM for t in nodes}
+        for c, o, w, y in pairs:
+            dot = 0.0
+            for d in range(SGNS_DIM):
+                dot += v[c][d] * u[o][d]
+            err = 1.0 / (1.0 + math.exp(-dot)) - y
+            for d in range(SGNS_DIM):
+                gv[c][d] += w * err * u[o][d]
+                gu[o][d] += w * err * v[c][d]
+        for t in nodes:
+            for d in range(SGNS_DIM):
+                v[t][d] = v[t][d] - 0.5 * stable6(gv[t][d] / w_tot * 1.0)
+                u[t][d] = u[t][d] - 0.5 * stable6(gu[t][d] / w_tot * 1.0)
+    rows = []
+    for t in nodes:
+        for d in range(SGNS_DIM):
+            rows.append(
+                (
+                    rank[t],
+                    t,
+                    d,
+                    math.floor(v[t][d] * 1000000 + 0.5),
+                    math.floor(u[t][d] * 1000000 + 0.5),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "rank long, token string, dim long, v_e6 long, u_e6 long"
+    )
+
+
+def _sgns_sql(
+    w: int = COOC_W,
+    vocab_k: int = COOC_VOCAB_K,
+    dim: int = SGNS_DIM,
+    iters: int = SGNS_ITERS,
+    jump: int = SGNS_NEG_JUMP,
+) -> str:
+    """sgns_embeddings oracle: the cooc CTE chain to cab, the
+    alphabetical rank ring, knuth-rational init, and unrolled
+    (score, grad, update) CTE triples with the logreg-form 6-dp
+    floor-stable mean gradients."""
+    offsets = " UNION ALL ".join(
+        f"SELECT doc_id, t, {d} AS d FROM toks" for d in range(1, w + 1)
+    )
+    kn = "((({x}) % 1000000007) * 2654435761) % 1000000007"
+    v_init = ", ".join(
+        "CAST(("
+        + kn.format(x=f"(rank - 1) * {2 * dim} + {d}")
+        + f" % 2001 - 1000) AS DOUBLE) / 1000000.0 AS v{d}"
+        for d in range(dim)
+    )
+    u_init = ", ".join(
+        "CAST(("
+        + kn.format(x=f"(rank - 1) * {2 * dim} + {dim + d}")
+        + f" % 2001 - 1000) AS DOUBLE) / 1000000.0 AS u{d}"
+        for d in range(dim)
+    )
+    dot = " + ".join(f"v.v{d} * u.u{d}" for d in range(dim))
+    its = []
+    for k in range(1, iters + 1):
+        gvs = ", ".join(
+            f"floor(sum(s.w * s.err * s.u{d}) / (SELECT w_tot FROM wt)"
+            f" * 1000000 + 0.5) / 1000000 AS g{d}"
+            for d in range(dim)
+        )
+        gus = ", ".join(
+            f"floor(sum(s.w * s.err * s.v{d}) / (SELECT w_tot FROM wt)"
+            f" * 1000000 + 0.5) / 1000000 AS g{d}"
+            for d in range(dim)
+        )
+        vups = ", ".join(
+            f"p.v{d} - 0.5 * coalesce(g.g{d}, 0.0) AS v{d}"
+            for d in range(dim)
+        )
+        uups = ", ".join(
+            f"p.u{d} - 0.5 * coalesce(g.g{d}, 0.0) AS u{d}"
+            for d in range(dim)
+        )
+        svs = ", ".join(f"v.v{d}" for d in range(dim))
+        sus = ", ".join(f"u.u{d}" for d in range(dim))
+        its.append(
+            f"""s{k} AS (
+  SELECT p.c, p.o, p.w, p.y,
+         1.0 / (1.0 + exp(-({dot}))) - p.y AS err,
+         {svs}, {sus}
+  FROM pairs p JOIN v{k - 1} v ON p.c = v.tok
+               JOIN u{k - 1} u ON p.o = u.tok
+), gv{k} AS (
+  SELECT s.c AS tok, {gvs} FROM s{k} s GROUP BY 1
+), gu{k} AS (
+  SELECT s.o AS tok, {gus} FROM s{k} s GROUP BY 1
+), v{k} AS (
+  SELECT p.tok, p.rank, {vups}
+  FROM v{k - 1} p LEFT JOIN gv{k} g ON p.tok = g.tok
+), u{k} AS (
+  SELECT p.tok, p.rank, {uups}
+  FROM u{k - 1} p LEFT JOIN gu{k} g ON p.tok = g.tok
+)"""
+        )
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT v.rank, v.tok AS token, CAST({d} AS BIGINT) AS dim,
+       CAST(floor(v.v{d} * 1000000 + 0.5) AS BIGINT) AS v_e6,
+       CAST(floor(u.u{d} * 1000000 + 0.5) AS BIGINT) AS u_e6
+FROM v{iters} v JOIN u{iters} u USING (tok)"""
+        for d in range(dim)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), vocab AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT unnest(t) AS tok FROM toks
+  ) GROUP BY 1 ORDER BY count(*) DESC, tok LIMIT {vocab_k}
+), offs AS ({offsets}
+), pe AS (
+  SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - d),
+                                 i -> {{'x': t[i], 'y': t[i+d]}})) AS p
+    FROM offs WHERE len(t) > d
+  )
+  WHERE p.x IN (SELECT tok FROM vocab) AND p.y IN (SELECT tok FROM vocab)
+), cab AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pe
+  WHERE a <> b GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS rank
+  FROM (SELECT a AS tok FROM cab UNION SELECT b AS tok FROM cab)
+), nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), pos AS (
+  SELECT a AS c, b AS o, c_ab AS w FROM cab
+  UNION ALL
+  SELECT b AS c, a AS o, c_ab AS w FROM cab
+), pairs AS MATERIALIZED (
+  SELECT c, o, w, 1.0 AS y FROM pos
+  UNION ALL
+  SELECT p.c, n2.tok AS o, p.w, 0.0 AS y
+  FROM pos p JOIN nodes n1 ON p.o = n1.tok
+             JOIN nodes n2
+               ON n2.rank = ((n1.rank - 1 + {jump})
+                             % (SELECT n FROM nv)) + 1
+), wt AS (
+  SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM pairs
+), v0 AS (
+  SELECT tok, rank, {v_init} FROM nodes
+), u0 AS (
+  SELECT tok, rank, {u_init} FROM nodes
+),
+{",".join(its)}
+{branches}
+"""
+
+
 # Snippet-extraction spec — MIRRORED in `_best_snippet_sql`; change
 # together.  Luhn-style significant-token density over fixed SNIP_W
 # windows (the corpus has no sentence terminators, so windows ARE the
@@ -16820,6 +17046,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_diversity": q_source_diversity,
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
+    "sgns_embeddings": q_sgns_embeddings,
     "best_snippet": q_best_snippet,
     "texttiling_segments": q_texttiling_segments,
     "psi_drift": q_psi_drift,
@@ -18405,6 +18632,7 @@ FROM kl
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
+        "sgns_embeddings": _sgns_sql(),
         "best_snippet": _best_snippet_sql(),
         "texttiling_segments": _texttiling_sql(),
         "source_overlap": f"""

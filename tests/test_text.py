@@ -7148,3 +7148,142 @@ def test_source_minhash_jaccard_matches_python_replica(spark):
     # (J ≈ 0.97-1.0 at smoke scale) — ≥2 distinct values proves the
     # exact side discriminates at all; real corpora spread wide
     assert len({v[3] for v in got.values()}) >= 2
+
+
+def test_sgns_embeddings_matches_independent_replica(spark):
+    """SGNS recomputed from scratch in the test (its own cooc
+    counting over the Spark-tokenized stream, its own pair/negative
+    construction, its own training loop with the 6-dp floor rule):
+    exact row equality with the query output.  Also locks: ranks are
+    the 1..V alphabetical enumeration, V·D rows, training MOVED the
+    parameters off their init, and the full-batch loss strictly
+    decreases across the run (it is gradient descent)."""
+    from collections import defaultdict
+    from math import exp, floor, log
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        COOC_VOCAB_K,
+        COOC_W,
+        SGNS_DIM,
+        SGNS_ITERS,
+        SGNS_NEG_JUMP,
+        _docs,
+        _lm_tokens,
+        q_sgns_embeddings,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select(_lm_tokens().alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(int)
+    for r in rows:
+        for tk in r["t"]:
+            cnt[tk] += 1
+    vocab = {
+        t
+        for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :COOC_VOCAB_K
+        ]
+    }
+    cab = defaultdict(int)
+    for r in rows:
+        t = r["t"]
+        for d in range(1, COOC_W + 1):
+            for i in range(len(t) - d):
+                x, y = t[i], t[i + d]
+                if x in vocab and y in vocab and x != y:
+                    cab[(min(x, y), max(x, y))] += 1
+
+    nodes = sorted({a for a, _ in cab} | {b for _, b in cab})
+    vn = len(nodes)
+    rank = {t: i + 1 for i, t in enumerate(nodes)}
+    pairs = []
+    for (a, b), w in cab.items():
+        for c, o in ((a, b), (b, a)):
+            pairs.append((c, o, w, 1.0))
+            pairs.append(
+                (c, nodes[(rank[o] - 1 + SGNS_NEG_JUMP) % vn], w, 0.0)
+            )
+    w_tot = sum(w for _, _, w, _ in pairs)
+
+    def kn(x):
+        return ((x % 1000000007) * 2654435761) % 1000000007
+
+    v = {
+        t: [
+            (kn((rank[t] - 1) * 2 * SGNS_DIM + d) % 2001 - 1000) / 1000000.0
+            for d in range(SGNS_DIM)
+        ]
+        for t in nodes
+    }
+    u = {
+        t: [
+            (kn((rank[t] - 1) * 2 * SGNS_DIM + SGNS_DIM + d) % 2001 - 1000)
+            / 1000000.0
+            for d in range(SGNS_DIM)
+        ]
+        for t in nodes
+    }
+    init_v = {t: list(x) for t, x in v.items()}
+
+    def loss():
+        tot = 0.0
+        for c, o, w, y in pairs:
+            dot = sum(v[c][d] * u[o][d] for d in range(SGNS_DIM))
+            p = 1.0 / (1.0 + exp(-dot))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            tot += w * -(y * log(p) + (1 - y) * log(1 - p))
+        return tot / w_tot
+
+    losses = [loss()]
+    for _ in range(SGNS_ITERS):
+        gv = {t: [0.0] * SGNS_DIM for t in nodes}
+        gu = {t: [0.0] * SGNS_DIM for t in nodes}
+        for c, o, w, y in pairs:
+            dot = 0.0
+            for d in range(SGNS_DIM):
+                dot += v[c][d] * u[o][d]
+            err = 1.0 / (1.0 + exp(-dot)) - y
+            for d in range(SGNS_DIM):
+                gv[c][d] += w * err * u[o][d]
+                gu[o][d] += w * err * v[c][d]
+        for t in nodes:
+            for d in range(SGNS_DIM):
+                v[t][d] -= 0.5 * (
+                    floor(gv[t][d] / w_tot * 1000000 + 0.5) / 1000000
+                )
+                u[t][d] -= 0.5 * (
+                    floor(gu[t][d] / w_tot * 1000000 + 0.5) / 1000000
+                )
+        losses.append(loss())
+
+    want = {}
+    for t in nodes:
+        for d in range(SGNS_DIM):
+            want[(t, d)] = (
+                rank[t],
+                floor(v[t][d] * 1000000 + 0.5),
+                floor(u[t][d] * 1000000 + 0.5),
+            )
+
+    got = {
+        (r["token"], r["dim"]): (r["rank"], r["v_e6"], r["u_e6"])
+        for r in q_sgns_embeddings(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) == vn * SGNS_DIM
+    assert sorted({r for r, _, _ in got.values()}) == list(range(1, vn + 1))
+    assert any(
+        abs(v[t][d] - init_v[t][d]) > 1e-9
+        for t in nodes
+        for d in range(SGNS_DIM)
+    ), "training never moved"
+    assert all(
+        b < a for a, b in zip(losses, losses[1:])
+    ), f"loss must strictly decrease: {losses}"
