@@ -8,6 +8,7 @@ ROWS_ONLY = {
     "content_hashes",
     "domains_csv_lines",
     "distinct_domains_approx",
+    "compression_ratio",  # zlib not SQL-expressible; pytest byte-locked
 }
 
 
