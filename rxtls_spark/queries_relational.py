@@ -1610,6 +1610,147 @@ FROM t
 """
 
 
+def q_rel_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap member
+    of the relational family (as-of joins align points, scd2 builds
+    intervals, sessions define them; this asks how many OVERLAP at
+    once, the capacity-planning number an ops dashboard tracks):
+    30-min-gap sessions (the `rel_event_sessions` spec verbatim),
+    clipped to day boundaries, swept with the classic ±1 event line.
+
+    Semantics: deltas (+1 at clip-start, −1 at clip-end+1) ordered
+    (t, delta) ASC — ends process BEFORE starts at the same instant,
+    so back-to-back sessions never double-count; the running sum uses
+    the DEFAULT RANGE frame, so tied rows share one value and the
+    within-tie order is irrelevant (the roc_auc frame rule — exact
+    cross-engine without any extra tie-break); peak_t = earliest
+    instant achieving the peak via the (cum DESC, t ASC) struct-max.
+    All BIGINT.
+
+    Scale shape: sessionize = the standard per-user window; the sweep
+    windows partition by DAY (the daily-analytics shard — salt by
+    (day, hour) first if one day's events outgrow an executor);
+    per-day outputs."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("es") - F.lag("es", 1).over(w)
+    sess = (
+        e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("es").cast("long").alias("s"),
+            F.max("es").cast("long").alias("e_end"),
+        )
+    )
+    clipped = sess.select(
+        "s",
+        "e_end",
+        F.explode(
+            F.expr("sequence(s DIV 86400, e_end DIV 86400)")
+        ).alias("day"),
+    ).select(
+        "day",
+        F.expr("greatest(s, day * 86400)").alias("t0"),
+        F.expr("least(e_end, day * 86400 + 86399)").alias("t1"),
+    )
+    deltas = clipped.select(
+        "day", F.col("t0").alias("t"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        clipped.select(
+            "day",
+            (F.col("t1") + 1).alias("t"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    wd = Window.partitionBy("day").orderBy("t", "delta")
+    cum = deltas.withColumn("cum", F.sum("delta").over(wd).cast("long"))
+    return (
+        cum.groupBy("day")
+        .agg(
+            F.sum(F.expr("CASE WHEN delta = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_sessions"),
+            F.max(F.struct(F.col("cum").alias("cum"), (-F.col("t")).alias("neg_t"))).alias("b"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            F.col("b.cum").alias("peak"),
+            (-F.col("b.neg_t")).cast("long").alias("peak_t"),
+        )
+    )
+
+
+_REL_PEAK_CONCURRENCY_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, es,
+         CASE WHEN lag(es) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR es - lag(es) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sid AS (
+  SELECT user_id, es,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM marked
+), sess AS (
+  SELECT user_id, session_id,
+         CAST(min(es) AS BIGINT) AS s,
+         CAST(max(es) AS BIGINT) AS e_end
+  FROM sid GROUP BY 1, 2
+), clipped AS (
+  SELECT day,
+         CAST(greatest(s, day * 86400) AS BIGINT) AS t0,
+         CAST(least(e_end, day * 86400 + 86399) AS BIGINT) AS t1
+  FROM (
+    SELECT s, e_end, unnest(generate_series(s // 86400, e_end // 86400))
+             AS day
+    FROM sess)
+), deltas AS (
+  SELECT day, t0 AS t, CAST(1 AS BIGINT) AS delta FROM clipped
+  UNION ALL
+  SELECT day, t1 + 1 AS t, CAST(-1 AS BIGINT) AS delta FROM clipped
+), cum AS (
+  SELECT day, t, delta,
+         CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, delta)
+              AS BIGINT) AS cum
+  FROM deltas
+), best AS (
+  SELECT day, t, cum,
+         row_number() OVER (PARTITION BY day ORDER BY cum DESC, t) AS rn
+  FROM cum
+)
+SELECT c.day,
+       CAST(sum(CASE WHEN c.delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(max(b.cum) AS BIGINT) AS peak,
+       CAST(max(b.t) AS BIGINT) AS peak_t
+FROM cum c JOIN best b ON c.day = b.day AND b.rn = 1
+GROUP BY 1
+"""
+
+
 def q_rel_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing per event type (Holt 1957) —
     the LEVEL+TREND forecast that upgrades `rel_ewma_daily` (EWMA
@@ -2108,6 +2249,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_cusum_changepoint": q_rel_cusum_changepoint,
     "rel_price_corr": q_rel_price_corr,
     "rel_holt_trend": q_rel_holt_trend,
+    "rel_peak_concurrency": q_rel_peak_concurrency,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
     "rel_local_supplier_volume": q_local_supplier_volume,
@@ -2153,6 +2295,7 @@ ORACLES_REL: dict[str, str] = {
     "rel_cusum_changepoint": _REL_CUSUM_SQL,
     "rel_price_corr": _REL_PRICE_CORR_SQL,
     "rel_holt_trend": _REL_HOLT_SQL,
+    "rel_peak_concurrency": _REL_PEAK_CONCURRENCY_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

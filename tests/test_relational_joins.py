@@ -1347,3 +1347,76 @@ def test_rel_holt_trend_matches_exact_replica(spark):
     }
     assert got == want
     assert any(v[2] < 0 for v in got.values()), "signed path never ran"
+
+
+def test_rel_peak_concurrency_matches_bruteforce(spark):
+    """Sweep-line peak recomputed by BRUTE FORCE (per day, count
+    sessions covering each candidate instant — the O(n²) definition
+    the sweep must equal): exact row equality.  Also locks: ends
+    process before starts at equal instants (back-to-back sessions
+    never double-count — verified by the brute force using CLOSED
+    intervals), peak ≥ 1 on active days, n_sessions sums to the
+    clipped session-day count, and peak_t is the EARLIEST peak
+    instant."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_relational import (
+        _t,
+        q_rel_peak_concurrency,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_timestamp("ts").alias("es"),
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    sessions = []
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        cur = []
+        prev = None
+        for r in rs:
+            if prev is None or r["es"] - prev > 1800:
+                if cur:
+                    sessions.append((min(cur), max(cur)))
+                cur = []
+            cur.append(r["es"])
+            prev = r["es"]
+        if cur:
+            sessions.append((min(cur), max(cur)))
+
+    clipped = defaultdict(list)
+    for s, e in sessions:
+        for day in range(s // 86400, e // 86400 + 1):
+            clipped[day].append(
+                (max(s, day * 86400), min(e, day * 86400 + 86399))
+            )
+    want = {}
+    for day, ivs in clipped.items():
+        # brute force: candidate instants = all clip starts; closed
+        # intervals, so concurrency(t) = #{[a,b] : a <= t <= b}
+        best = (0, None)
+        for t0, _ in sorted(ivs):
+            c = sum(1 for a, b in ivs if a <= t0 <= b)
+            if c > best[0]:
+                best = (c, t0)
+        want[day] = (len(ivs), best[0], best[1])
+
+    got = {
+        r["day"]: (r["n_sessions"], r["peak"], r["peak_t"])
+        for r in q_rel_peak_concurrency(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert all(v[1] >= 1 for v in got.values())
+    assert any(v[1] > 1 for v in got.values()), "no overlap anywhere"
