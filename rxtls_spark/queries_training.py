@@ -1791,6 +1791,133 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Query-likelihood spec — MIRRORED in `_qlm_sql`; change together.
+# Dirichlet prior μ = QLM_MU; the query is the bm25 term set (the
+# same (cnt DESC, tok) top-BM25_N_TERMS ranking), so bm25/QLM/dense
+# rank the SAME query three ways.
+QLM_MU = 2000
+
+
+def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    1998; Zhai & Lafferty 2001 §Dirichlet) — the probabilistic
+    language-model ranker that completes the retrieval trio (bm25 =
+    tf-idf family, rrf's dense leg = vectors, this = LM): score(d) =
+    Σ_q ln p(t|θ_d) with p = (tf + μ·p(t|C))/(dl + μ), over the SAME
+    deterministic query `bm25_topk` uses.
+
+    Cross-engine: each term's smoothed probability reduces to the
+    integer rational (tf·N + μ·cf) / (N·(dl + μ)) — both sides built
+    as BIGINTs (exact to ~10^15 corpus tokens; beyond that the
+    double conversion is correctly rounded identically), cast DOUBLE
+    before the divide, e3 ln-floored PER TERM (fixed term order, the
+    bm25 discipline) and summed as BIGINTs; rank (score_e3 DESC,
+    doc_id), TakeOrderedAndProject top-k.
+
+    Scale shape: the bm25 shape exactly — one token-count pass picks
+    terms, one bounded agg ships (N, cf_t) as driver literals,
+    scoring is a pure per-row fold (size(filter(·)) per term, no
+    explode, no join, 0 exchanges before the final top-k)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = _lm_tokens()
+    term_rows = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(BM25_N_TERMS)
+        .collect()
+    )
+    terms = [r["tok"] for r in term_rows]
+    stats = docs.select(F.explode(toks).alias("tok")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).alias(f"cf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n_tot = int(stats["n_tot"])
+    cfs = [int(stats[f"cf{i}"]) for i in range(len(terms))]
+
+    dl = F.size(toks).cast("long")
+    base = docs.select("doc_id", dl.alias("dl"), toks.alias("t"))
+    score = None
+    for t, cf in zip(terms, cfs):
+        term_col = F.expr(
+            f"CAST(floor(ln(CAST((size(filter(t, x -> x = '{t}'))"
+            f" * {n_tot} + {QLM_MU} * {cf}) AS DOUBLE)"
+            f" / CAST(({n_tot} * (dl + {QLM_MU})) AS DOUBLE))"
+            " * 1000.0) AS BIGINT)"
+        )
+        score = term_col if score is None else score + term_col
+    from pyspark.sql.window import Window as _W
+
+    ranked = (
+        base.select("doc_id", "dl", score.alias("score_e3"))
+        .orderBy(F.col("score_e3").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        "score_e3",
+        F.row_number()
+        .over(_W.orderBy(F.col("score_e3").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+def _qlm_sql(
+    mu: int = QLM_MU,
+    n_terms: int | None = None,
+    topk: int | None = None,
+) -> str:
+    """qlm_topk oracle: the bm25 term CTE, corpus totals, the
+    identical integer-rational smoothed probability per term
+    (e3-floored, fixed term order), (score DESC, doc_id) top-k."""
+    n_terms = BM25_N_TERMS if n_terms is None else n_terms
+    topk = BM25_TOPK if topk is None else topk
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), flat AS MATERIALIZED (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), qterms AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS qi FROM (
+    SELECT tok, count(*) AS c FROM flat GROUP BY 1
+    ORDER BY c DESC, tok LIMIT {n_terms})
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tot FROM flat
+), cf AS (
+  SELECT q.qi, q.tok, CAST(count(f.tok) AS BIGINT) AS cf
+  FROM qterms q LEFT JOIN flat f ON q.tok = f.tok
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS dl,
+         CAST(sum(
+           floor(ln(CAST((len(list_filter(d.t, x -> x = c.tok)) * tot.n_tot
+                          + {mu} * c.cf) AS DOUBLE)
+                    / CAST((tot.n_tot * (len(d.t) + {mu})) AS DOUBLE))
+                 * 1000.0)
+         ) AS BIGINT) AS score_e3
+  FROM toks d CROSS JOIN cf c CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT doc_id, dl AS n_tokens, score_e3,
+       CAST(row_number() OVER (ORDER BY score_e3 DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY score_e3 DESC, doc_id LIMIT {topk}
+"""
+
+
 # RRF constants — MIRRORED in `_rrf_fusion_sql`; change together.
 # The doc_id == vec_id row correspondence between documents and
 # embeddings is part of the spec (first query to consume it).
@@ -17057,6 +17184,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "dsir_topfrac": q_dsir_topfrac,
     "bm25_topk": q_bm25_topk,
+    "qlm_topk": q_qlm_topk,
     "rrf_fusion": q_rrf_fusion,
     "tfidf_topterms": q_tfidf_topterms,
     "bigram_lm_score": q_bigram_lm_score,
@@ -19099,6 +19227,7 @@ WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
 """,
         "bm25_topk": _bm25_sql(),
         "rrf_fusion": _rrf_fusion_sql(),
+        "qlm_topk": _qlm_sql(),
         "tfidf_topterms": _tfidf_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
         "stupid_backoff": _stupid_backoff_sql(),

@@ -7287,3 +7287,72 @@ def test_sgns_embeddings_matches_independent_replica(spark):
     assert all(
         b < a for a, b in zip(losses, losses[1:])
     ), f"loss must strictly decrease: {losses}"
+
+
+def test_qlm_topk_matches_python_replica(spark):
+    """Dirichlet QLM recomputed in exact Python (integer-rational
+    smoothed probabilities, math.log e3 floors per term in the fixed
+    term order) from the Spark-tokenized stream: exact top-k row
+    equality including ranks.  Also locks: scores are negative
+    (log-probs), longer docs are not trivially favored (the
+    Dirichlet normalization), and the ranking differs from raw
+    doc length order somewhere (the model is not degenerate)."""
+    from collections import defaultdict
+    from math import floor, log
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        BM25_N_TERMS,
+        BM25_TOPK,
+        QLM_MU,
+        _docs,
+        _lm_tokens,
+        q_qlm_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(int)
+    n_tot = 0
+    for r in rows:
+        for tk in r["t"]:
+            cnt[tk] += 1
+            n_tot += 1
+    terms = [
+        t
+        for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BM25_N_TERMS
+        ]
+    ]
+    scored = []
+    for r in rows:
+        t = r["t"]
+        dl = len(t)
+        s = 0
+        for q in terms:
+            tf = sum(1 for x in t if x == q)
+            num = tf * n_tot + QLM_MU * cnt[q]
+            den = n_tot * (dl + QLM_MU)
+            s += floor(log(float(num) / float(den)) * 1000.0)
+        scored.append((r["doc_id"], dl, s))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    want = [
+        (d, dl, s, k + 1) for k, (d, dl, s) in enumerate(scored[:BM25_TOPK])
+    ]
+
+    got = [
+        (r["doc_id"], r["n_tokens"], r["score_e3"], r["rank"])
+        for r in q_qlm_topk(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    assert all(s < 0 for _, _, s, _ in got)
+    by_len = sorted(got, key=lambda x: -x[1])
+    assert [x[0] for x in by_len] != [x[0] for x in got], (
+        "ranking degenerated to doc length"
+    )
