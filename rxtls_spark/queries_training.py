@@ -16595,6 +16595,283 @@ WITH toks AS MATERIALIZED (
 """
 
 
+# PPMI-SVD spec — MIRRORED in `_ppmi_svd_sql`; change together.
+# The FOURTH `_cooc_cab` consumer (COOC_W/COOC_VOCAB_K flow in).
+# Top-2 eigenpairs of the symmetric PPMI matrix by power iteration
+# with Hotelling deflation; every iterate is normalized then 6-dp
+# floor-stable rounded (the kmeans/sgns grid — ln-ulp and sum-order
+# noise in the matvec stay ~1e-13, far under 5e-7); λ ships e6 and
+# deflation uses the EXACT λ_e6/1e6 double so M₂ is identical on
+# both engines; the power-iteration sign follows the deterministic
+# knuth init.
+PSVD_ITERS = 6
+
+
+def q_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based word embeddings via truncated eigendecomposition
+    of the PPMI matrix (Levy & Goldberg 2014, "Neural Word Embedding
+    as Implicit Matrix Factorization" — the paper that showed SGNS
+    IS this factorization): the two LARGEST-MAGNITUDE eigenpairs of
+    the symmetric vocabulary PPMI matrix by deflated power iteration
+    (PPMI is indefinite, so λ2 may be negative — the |λ|-dominant
+    pair is what power iteration converges to, and the test locks
+    that reading).  Completes
+    the trained-model trilogy (kmeans = clustering, logreg =
+    classification, sgns = predictive embeddings, this = the
+    count-based embeddings they implicitly factorize) — comparing
+    sgns columns with these is the Levy-Goldberg experiment as a
+    query pair.
+
+    Cross-engine: the matrix entries are the cooc_ppmi one-expression
+    double-cast PPMI values; each iteration is matvec → normalize →
+    6-dp floor-stable round, so iterates evolve as identical doubles
+    (the sgns/logreg grid argument absorbs ln-ulp and sum-order
+    noise); λ = e6-floored Rayleigh numerator over the final unit
+    iterate, and deflation subtracts (λ_e6/1e6)·v₁v₁ᵀ — exact same
+    double both engines.  Spark replays the collected ≤V² matrix in
+    driver floats (the textrank precedent), DuckDB unrolls
+    per-iteration CTEs.
+
+    Scale shape: corpus-scale work is the ONE cooc pair agg; the
+    O(V²·iters) factorization never touches the corpus."""
+    import math
+
+    cab = {
+        (r["a"], r["b"]): r["c_ab"]
+        for r in _cooc_cab(spark, sf_dir).collect()
+    }
+    marg: dict[str, int] = {}
+    n_tot = 0
+    for (a, b), c in cab.items():
+        marg[a] = marg.get(a, 0) + c
+        marg[b] = marg.get(b, 0) + c  # (a,a) deliberately counts twice
+        n_tot += 2 * c if a == b else c
+    # the cooc_ppmi marginal convention: endpoint counts from the pair
+    # table with (a,a) twice; N = total endpoint mass / ... use the
+    # same N as cooc_ppmi: sum over pairs of c (unordered), diagonal
+    # counted once — mirror _cooc_ppmi's definition below in SQL.
+    n_pairs = sum(cab.values())
+    nodes = sorted(marg)
+    rank = {t: i + 1 for i, t in enumerate(nodes)}
+
+    def ppmi(a: str, b: str) -> float:
+        c = cab.get((min(a, b), max(a, b)), 0)
+        if c == 0:
+            return 0.0
+        v = math.log(
+            (float(c) * n_pairs) / (float(marg[a]) * marg[b])
+        )
+        return v if v > 0.0 else 0.0
+
+    edges: dict[str, list[tuple[str, float]]] = {t: [] for t in nodes}
+    for (a, b), c in cab.items():
+        v = ppmi(a, b)
+        if v > 0.0:
+            edges[a].append((b, v))
+            if a != b:
+                edges[b].append((a, v))
+
+    def kn(x: int) -> int:
+        return ((x % 1000000007) * 2654435761) % 1000000007
+
+    def stable6(x: float) -> float:
+        return math.floor(x * 1000000 + 0.5) / 1000000
+
+    def power(defl: tuple[float, dict[str, float]] | None):
+        v_init = {
+            t: (kn(rank[t]) % 2001 - 1000) / 1000000.0 for t in nodes
+        }
+        v = dict(v_init)
+        for _ in range(PSVD_ITERS):
+            w = {t: 0.0 for t in nodes}
+            for a in nodes:
+                va = v[a]
+                for b, m in edges[a]:
+                    w[b] += m * va
+            if defl is not None:
+                lam, v1 = defl
+                dot = 0.0
+                for t in nodes:
+                    dot += v1[t] * v[t]
+                for t in nodes:
+                    w[t] -= lam * v1[t] * dot
+            nrm = math.sqrt(sum(x * x for x in w.values()))
+            if nrm > 0.0:
+                v = {t: stable6(w[t] / nrm) for t in nodes}
+            else:  # mirror the SQL CASE: fall back to the init vector
+                v = dict(v_init)
+        # Rayleigh numerator vᵀMv (or deflated M) with the final v
+        num = 0.0
+        for a in nodes:
+            va = v[a]
+            for b, m in edges[a]:
+                num += va * m * v[b]
+        if defl is not None:
+            lam, v1 = defl
+            dot = 0.0
+            for t in nodes:
+                dot += v1[t] * v[t]
+            num -= lam * dot * dot
+        return v, math.floor(num * 1000000 + 0.5)
+
+    v1, lam1_e6 = power(None)
+    v2, lam2_e6 = power((lam1_e6 / 1000000.0, v1))
+    rows = []
+    for t in nodes:
+        rows.append(
+            (rank[t], t, 1, math.floor(v1[t] * 1000000 + 0.5), lam1_e6)
+        )
+        rows.append(
+            (rank[t], t, 2, math.floor(v2[t] * 1000000 + 0.5), lam2_e6)
+        )
+    return spark.createDataFrame(
+        rows,
+        "rank long, token string, comp long, val_e6 long, lambda_e6 long",
+    )
+
+
+def _ppmi_svd_sql(
+    w: int | None = None,
+    vocab_k: int | None = None,
+    iters: int = PSVD_ITERS,
+) -> str:
+    """ppmi_svd oracle: the cooc CTE chain to cab, symmetric PPMI
+    edges (positive entries only), knuth init, unrolled
+    matvec→normalize→round iterations for v1, then the deflated pass
+    for v2 with the exact λ₁_e6/1e6 outer-product subtraction."""
+    w = COOC_W if w is None else w
+    vocab_k = COOC_VOCAB_K if vocab_k is None else vocab_k
+    offsets = " UNION ALL ".join(
+        f"SELECT doc_id, t, {d} AS d FROM toks" for d in range(1, w + 1)
+    )
+
+    def chain(prefix: str, defl: bool) -> str:
+        its = []
+        for k in range(1, iters + 1):
+            mv = f"""{prefix}w{k} AS MATERIALIZED (
+  SELECT n.tok, n.rank, coalesce(s.v, 0.0) AS wv
+  FROM nodes n LEFT JOIN (
+    SELECT e.b AS tok, sum(e.m * p.val) AS v
+    FROM edges e JOIN {prefix}v{k - 1} p ON e.a = p.tok GROUP BY 1
+  ) s ON n.tok = s.tok
+)"""
+            if defl:
+                mv += f""", {prefix}d{k} AS MATERIALIZED (
+  SELECT (SELECT sum(v1.val * p.val)
+          FROM fin1 v1 JOIN {prefix}v{k - 1} p USING (tok)) AS dot
+), {prefix}wd{k} AS MATERIALIZED (
+  SELECT w.tok, w.rank,
+         w.wv - (SELECT lam FROM lam1d) * v1.val
+              * (SELECT dot FROM {prefix}d{k}) AS wv
+  FROM {prefix}w{k} w JOIN fin1 v1 USING (tok)
+)"""
+                src = f"{prefix}wd{k}"
+            else:
+                src = f"{prefix}w{k}"
+            its.append(
+                mv
+                + f""", {prefix}n{k} AS MATERIALIZED (
+  SELECT sqrt(sum(wv * wv)) AS nrm FROM {src}
+), {prefix}v{k} AS MATERIALIZED (
+  SELECT tok, rank,
+         CASE WHEN (SELECT nrm FROM {prefix}n{k}) > 0.0
+              THEN floor(wv / (SELECT nrm FROM {prefix}n{k})
+                         * 1000000 + 0.5) / 1000000
+              ELSE val0 END AS val
+  FROM {src} JOIN init USING (tok, rank)
+)"""
+            )
+        return ",\n".join(its)
+
+    ray1 = """ray1 AS MATERIALIZED (
+  SELECT CAST(floor((
+    SELECT sum(va.val * e.m * vb.val)
+    FROM edges e JOIN fin1 va ON e.a = va.tok
+                 JOIN fin1 vb ON e.b = vb.tok
+  ) * 1000000 + 0.5) AS BIGINT) AS lam_e6
+), lam1d AS MATERIALIZED (
+  SELECT CAST(lam_e6 AS DOUBLE) / 1000000.0 AS lam FROM ray1
+)"""
+    ray2 = """ray2 AS (
+  SELECT CAST(floor(((
+    SELECT sum(va.val * e.m * vb.val)
+    FROM edges e JOIN fin2 va ON e.a = va.tok
+                 JOIN fin2 vb ON e.b = vb.tok
+  ) - (SELECT lam FROM lam1d)
+    * (SELECT sum(v1.val * v2.val) FROM fin1 v1 JOIN fin2 v2 USING (tok))
+    * (SELECT sum(v1.val * v2.val) FROM fin1 v1 JOIN fin2 v2 USING (tok))
+  ) * 1000000 + 0.5) AS BIGINT) AS lam_e6
+)"""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), vocab AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT unnest(t) AS tok FROM toks
+  ) GROUP BY 1 ORDER BY count(*) DESC, tok LIMIT {vocab_k}
+), offs AS ({offsets}
+), pe AS (
+  SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - d),
+                                 i -> {{'x': t[i], 'y': t[i+d]}})) AS p
+    FROM offs WHERE len(t) > d
+  )
+  WHERE p.x IN (SELECT tok FROM vocab) AND p.y IN (SELECT tok FROM vocab)
+), cab AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pe GROUP BY 1, 2
+), marg AS MATERIALIZED (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS m FROM (
+    SELECT a AS tok, c_ab AS c FROM cab
+    UNION ALL
+    SELECT b AS tok, c_ab AS c FROM cab
+  ) GROUP BY 1
+), nt AS (
+  SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM cab
+), nodes AS MATERIALIZED (
+  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS rank
+  FROM marg
+), pm AS (
+  SELECT c.a, c.b,
+         ln((CAST(c.c_ab AS DOUBLE) * nt.n_pairs)
+            / (CAST(ma.m AS DOUBLE) * mb.m)) AS v
+  FROM cab c JOIN marg ma ON c.a = ma.tok
+             JOIN marg mb ON c.b = mb.tok
+             CROSS JOIN nt
+), edges AS MATERIALIZED (
+  SELECT a, b, v AS m FROM pm WHERE v > 0.0
+  UNION ALL
+  SELECT b AS a, a AS b, v AS m FROM pm WHERE v > 0.0 AND a <> b
+), init AS MATERIALIZED (
+  SELECT tok, rank,
+         CAST(((((rank) % 1000000007) * 2654435761) % 1000000007)
+              % 2001 - 1000 AS DOUBLE) / 1000000.0 AS val0
+  FROM nodes
+), p1v0 AS (
+  SELECT tok, rank, val0 AS val FROM init
+),
+{chain("p1", False)},
+fin1 AS MATERIALIZED (SELECT tok, rank, val FROM p1v{iters}),
+{ray1},
+p2v0 AS (
+  SELECT tok, rank, val0 AS val FROM init
+),
+{chain("p2", True)},
+fin2 AS MATERIALIZED (SELECT tok, rank, val FROM p2v{iters}),
+{ray2}
+SELECT n.rank, n.tok AS token, CAST(1 AS BIGINT) AS comp,
+       CAST(floor(f.val * 1000000 + 0.5) AS BIGINT) AS val_e6,
+       r.lam_e6 AS lambda_e6
+FROM nodes n JOIN fin1 f USING (tok) CROSS JOIN ray1 r
+UNION ALL
+SELECT n.rank, n.tok AS token, CAST(2 AS BIGINT) AS comp,
+       CAST(floor(f.val * 1000000 + 0.5) AS BIGINT) AS val_e6,
+       r.lam_e6 AS lambda_e6
+FROM nodes n JOIN fin2 f USING (tok) CROSS JOIN ray2 r
+"""
+
+
 # Snippet-extraction spec — MIRRORED in `_best_snippet_sql`; change
 # together.  Luhn-style significant-token density over fixed SNIP_W
 # windows (the corpus has no sentence terminators, so windows ARE the
@@ -17174,6 +17451,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
     "sgns_embeddings": q_sgns_embeddings,
+    "ppmi_svd": q_ppmi_svd,
     "best_snippet": q_best_snippet,
     "texttiling_segments": q_texttiling_segments,
     "psi_drift": q_psi_drift,
@@ -18761,6 +19039,7 @@ FROM kl
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
         "sgns_embeddings": _sgns_sql(),
+        "ppmi_svd": _ppmi_svd_sql(),
         "best_snippet": _best_snippet_sql(),
         "texttiling_segments": _texttiling_sql(),
         "source_overlap": f"""

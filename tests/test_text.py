@@ -7356,3 +7356,122 @@ def test_qlm_topk_matches_python_replica(spark):
     assert [x[0] for x in by_len] != [x[0] for x in got], (
         "ranking degenerated to doc length"
     )
+
+
+def test_ppmi_svd_matches_independent_replica(spark):
+    """PPMI power iteration recomputed from scratch in the test (own
+    cooc counting, own PPMI matrix, own deflated power loop with the
+    6-dp floor rule): exact row equality.  Also locks the
+    eigen-structure: λ1 > 0 dominant by magnitude (|λ2| ≤ λ1,
+    λ2 ≠ 0 — PPMI is INDEFINITE, so the second pair may carry a
+    negative eigenvalue; power iteration finds largest |λ|), both
+    iterates unit-norm within the rounding grid, and
+    near-orthogonality |v1·v2| < 0.01 (the deflation actually
+    removed the first component)."""
+    from collections import defaultdict
+    from math import floor, log, sqrt
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        COOC_VOCAB_K,
+        COOC_W,
+        PSVD_ITERS,
+        _docs,
+        _lm_tokens,
+        q_ppmi_svd,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select(_lm_tokens().alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(int)
+    for r in rows:
+        for tk in r["t"]:
+            cnt[tk] += 1
+    vocab = {
+        t
+        for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :COOC_VOCAB_K
+        ]
+    }
+    cab = defaultdict(int)
+    for r in rows:
+        t = r["t"]
+        for d in range(1, COOC_W + 1):
+            for i in range(len(t) - d):
+                x, y = t[i], t[i + d]
+                if x in vocab and y in vocab:
+                    cab[(min(x, y), max(x, y))] += 1
+    marg = defaultdict(int)
+    for (a, b), c in cab.items():
+        marg[a] += c
+        marg[b] += c
+    n_pairs = sum(cab.values())
+    nodes = sorted(marg)
+    rank = {t: i + 1 for i, t in enumerate(nodes)}
+    edges = {t: [] for t in nodes}
+    for (a, b), c in cab.items():
+        v = log((float(c) * n_pairs) / (float(marg[a]) * marg[b]))
+        if v > 0.0:
+            edges[a].append((b, v))
+            if a != b:
+                edges[b].append((a, v))
+
+    def kn(x):
+        return ((x % 1000000007) * 2654435761) % 1000000007
+
+    def stable6(x):
+        return floor(x * 1000000 + 0.5) / 1000000
+
+    def power(defl):
+        v_init = {t: (kn(rank[t]) % 2001 - 1000) / 1000000.0 for t in nodes}
+        v = dict(v_init)
+        for _ in range(PSVD_ITERS):
+            w = {t: 0.0 for t in nodes}
+            for a in nodes:
+                va = v[a]
+                for b, m in edges[a]:
+                    w[b] += m * va
+            if defl is not None:
+                lam, v1 = defl
+                dot = sum(v1[t] * v[t] for t in nodes)
+                for t in nodes:
+                    w[t] -= lam * v1[t] * dot
+            nrm = sqrt(sum(x * x for x in w.values()))
+            if nrm > 0.0:
+                v = {t: stable6(w[t] / nrm) for t in nodes}
+            else:
+                v = dict(v_init)
+        num = 0.0
+        for a in nodes:
+            for b, m in edges[a]:
+                num += v[a] * m * v[b]
+        if defl is not None:
+            lam, v1 = defl
+            dot = sum(v1[t] * v[t] for t in nodes)
+            num -= lam * dot * dot
+        return v, floor(num * 1000000 + 0.5)
+
+    v1, l1 = power(None)
+    v2, l2 = power((l1 / 1000000.0, v1))
+    want = {}
+    for t in nodes:
+        want[(t, 1)] = (rank[t], floor(v1[t] * 1000000 + 0.5), l1)
+        want[(t, 2)] = (rank[t], floor(v2[t] * 1000000 + 0.5), l2)
+
+    got = {
+        (r["token"], r["comp"]): (r["rank"], r["val_e6"], r["lambda_e6"])
+        for r in q_ppmi_svd(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert l1 > 0 and l2 != 0 and abs(l2) <= l1
+    for v in (v1, v2):
+        nrm = sum(x * x for x in v.values())
+        assert abs(nrm - 1.0) < 1e-3
+    dot = sum(v1[t] * v2[t] for t in nodes)
+    assert abs(dot) < 0.01, dot
