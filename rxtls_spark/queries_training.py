@@ -10046,6 +10046,161 @@ FROM q LEFT JOIN ov o ON q.q_id = o.q_id
 """
 
 
+def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval cost of int8 scalar quantization — the eval that
+    prices `embedding_quantize`'s 4× storage cut in RECALL terms
+    (quantize told you the MSE; this tells you what the ANN consumer
+    actually loses): per query, overlap/Jaccard/top-1 agreement
+    between exact full-precision top-k and top-k over the
+    DEQUANTIZED store (symmetric setting — queries quantized too,
+    the worst honest case).  The third member of the truncation-eval
+    family (matryoshka_eval = fewer dims, this = fewer bits,
+    ann_recall_eval = fewer probes).
+
+    Cross-engine: the per-dim [lo, hi] grid and the code/dequant
+    arithmetic are the embedding_quantize spec verbatim (identical
+    doubles — engine round() agreement on these operands is already
+    driver-proven there); both rankings are the e5-floored-cosine
+    (sim DESC, id) discipline; overlap/jaccard/top1 pure BIGINT.
+
+    Scale shape: one min/max agg (metadata-scale literals), dequant
+    is a pure map, then two broadcast brute-force anchor passes over
+    the 1% query sample (the matryoshka_eval shape)."""
+    from rxtls_spark.operators.similarity import (
+        brute_force_topk,
+        query_set,
+    )
+
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    aggs = []
+    for i in range(dim):
+        x = F.element_at("embedding", i + 1).cast("double")
+        aggs += [F.min(x).alias(f"lo{i}"), F.max(x).alias(f"hi{i}")]
+    b = emb.agg(*aggs).collect()[0]
+    lo = [b[f"lo{i}"] for i in range(dim)]
+    hi = [b[f"hi{i}"] for i in range(dim)]
+
+    def dequant(i: int):
+        x = F.element_at("embedding", i + 1).cast("double")
+        span = hi[i] - lo[i]
+        if span == 0.0:
+            return F.lit(lo[i])
+        code = (F.round((x - F.lit(lo[i])) / F.lit(span) * 255) - 128).cast(
+            "int"
+        )
+        return (code + 128).cast("double") / 255.0 * F.lit(span) + F.lit(
+            lo[i]
+        )
+
+    deq = F.array(*[dequant(i) for i in range(dim)])
+    emb_q = emb.select("vec_id", deq.alias("embedding"))
+    full = brute_force_topk(emb, query_set(emb), k=ANN_EVAL_K).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rn_full")
+    )
+    qnt = brute_force_topk(emb_q, query_set(emb_q), k=ANN_EVAL_K).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rn_q")
+    )
+    ov = (
+        full.join(qnt, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    t1 = (
+        full.where(F.col("rn_full") == 1)
+        .join(qnt, ["q_id", "neighbor_id"], "left")
+        .select(
+            "q_id",
+            F.coalesce("rn_q", F.lit(0).cast("long")).alias("top1_q_rank"),
+        )
+    )
+    return (
+        query_set(emb)
+        .select("q_id")
+        .join(ov, "q_id", "left")
+        .join(t1, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias(
+                "n_overlap"
+            ),
+            F.expr(
+                "CAST((coalesce(n_overlap, 0) * 1000000)"
+                f" DIV (2 * {ANN_EVAL_K} - coalesce(n_overlap, 0))"
+                " AS BIGINT)"
+            ).alias("jaccard_e6"),
+            F.coalesce("top1_q_rank", F.lit(0).cast("long")).alias(
+                "top1_q_rank"
+            ),
+        )
+    )
+
+
+def _quantized_recall_sql(topk: int | None = None) -> str:
+    """quantized_recall oracle: the embedding_quantize stats/dequant
+    chain rebuilt into per-row DOUBLE arrays (list(... ORDER BY i)),
+    then the matryoshka two-ranking comparison."""
+    topk = ANN_EVAL_K if topk is None else topk
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), stats AS MATERIALIZED (
+  SELECT i, min(emb[i]) AS lo, max(emb[i]) AS hi
+  FROM e, generate_series(1, 64) t(i)
+  GROUP BY i
+), deq AS MATERIALIZED (
+  SELECT e.vec_id,
+         list(CASE WHEN s.hi = s.lo THEN s.lo
+              ELSE (CAST(round((e.emb[t.i] - s.lo) / (s.hi - s.lo) * 255)
+                         - 128 AS INTEGER) + 128) / 255.0 * (s.hi - s.lo)
+                   + s.lo END ORDER BY t.i) AS emb
+  FROM e, generate_series(1, 64) t(i)
+  JOIN stats s ON s.i = t.i
+  GROUP BY e.vec_id
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0
+), qq AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM deq WHERE vec_id % 100 = 0
+), fullr AS (
+  SELECT q_id, neighbor_id, rn FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY CAST(floor(list_cosine_similarity(e.emb, q.q_emb) * 100000)
+                      AS BIGINT) DESC, e.vec_id) AS rn
+    FROM e, q WHERE e.vec_id <> q.q_id)
+  WHERE rn <= {topk}
+), qr AS (
+  SELECT q_id, neighbor_id, rn FROM (
+    SELECT q.q_id, d.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY CAST(floor(list_cosine_similarity(d.emb, q.q_emb) * 100000)
+                      AS BIGINT) DESC, d.vec_id) AS rn
+    FROM deq d, qq q WHERE d.vec_id <> q.q_id)
+  WHERE rn <= {topk}
+), ov AS (
+  SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM fullr f JOIN qr p
+    ON f.q_id = p.q_id AND f.neighbor_id = p.neighbor_id
+  GROUP BY 1
+), t1 AS (
+  SELECT f.q_id,
+         CAST(coalesce(min(p.rn), 0) AS BIGINT) AS top1_q_rank
+  FROM fullr f LEFT JOIN qr p
+    ON f.q_id = p.q_id AND f.neighbor_id = p.neighbor_id
+  WHERE f.rn = 1 GROUP BY 1
+)
+SELECT q.q_id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST((coalesce(o.n_overlap, 0) * 1000000)
+            // (2 * {topk} - coalesce(o.n_overlap, 0)) AS BIGINT)
+         AS jaccard_e6,
+       CAST(coalesce(t.top1_q_rank, 0) AS BIGINT) AS top1_q_rank
+FROM q LEFT JOIN ov o ON q.q_id = o.q_id
+       LEFT JOIN t1 t ON q.q_id = t.q_id
+"""
+
+
 # Rocchio pseudo-relevance-feedback spec — MIRRORED in
 # `_rocchio_sql`; change together.  Feedback set = bm25 rank ≤
 # ROCCHIO_R (BM25_* constants flow in via the spliced `_bm25_sql`);
@@ -17563,6 +17718,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_eval": q_map_eval,
     "rocchio_expand": q_rocchio_expand,
     "matryoshka_eval": q_matryoshka_eval,
+    "quantized_recall": q_quantized_recall,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans": q_kmeans,
@@ -19635,6 +19791,7 @@ FROM docs GROUP BY 1 HAVING count(*) > 1
         "map_eval": _map_eval_sql(),
         "rocchio_expand": _rocchio_sql(),
         "matryoshka_eval": _matryoshka_sql(),
+        "quantized_recall": _quantized_recall_sql(),
         "bitext_mine": f"""
 WITH de AS (
   SELECT d.doc_id, d.lang,

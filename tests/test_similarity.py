@@ -1414,6 +1414,33 @@ def test_matryoshka_eval_bounds_and_full_prefix_is_identity(spark):
         assert r["top1_pre_rank"] == 1
 
 
+def test_quantized_recall_bounds_and_retention(spark):
+    """Structural quantized_recall locks: (1) overlap/jaccard bounds
+    and the jaccard identity j = o/(2k−o); (2) top1 consistency —
+    top1_q_rank is 0 (lost) or a valid 1..k rank; (3) int8 with 255
+    levels is NEARLY lossless, so every query retains a majority of
+    its exact top-k (mean retention would hide a broken dequant);
+    (4) the eval is informative — quantization loses something
+    somewhere (otherwise the query measures nothing)."""
+    from rxtls_spark.queries_training import (
+        ANN_EVAL_K,
+        q_quantized_recall,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = q_quantized_recall(spark, SF_SMOKE).collect()
+    assert got
+    for r in got:
+        o = r["n_overlap"]
+        assert 0 <= o <= ANN_EVAL_K
+        assert r["jaccard_e6"] == (o * 1000000) // (2 * ANN_EVAL_K - o)
+        assert 0 <= r["top1_q_rank"] <= ANN_EVAL_K
+        assert 2 * o >= ANN_EVAL_K, "int8 dequant lost a majority — broken"
+    assert any(
+        r["n_overlap"] < ANN_EVAL_K or r["top1_q_rank"] != 1 for r in got
+    ), "quantization lost nothing — eval uninformative"
+
+
 def test_source_geomedian_matches_python_replica(spark):
     """Weiszfeld recomputed in Python (plain float sums + the identical
     6-dp floor-stable rounding after every step) from the collected
