@@ -16201,6 +16201,99 @@ FROM agg
 """
 
 
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness — Yule's K characteristic (Yule
+    1944, "The Statistical Study of Literary Vocabulary"), Herdan's C
+    (log type-token ratio), and the hapax/dis-legomena counts from
+    the frequency spectrum: the classical stylometric complement to
+    `source_diversity` (that one measures concentration over 64
+    HASHED buckets — scale-bounded but blind to true vocabulary size;
+    this one works over the real type space, so a template farm that
+    spreads boilerplate across many buckets still shows a tiny V and
+    a huge K).  Yule's K is length-invariant by design — the one
+    richness number comparable across sources of different sizes.
+
+    Semantics over the shared `_lm_tokens()` stream (another
+    consumer — tokenizer changes move bigram_lm_score / good_turing /
+    collocations_g2 / THIS): per source N = Σc, V = #types,
+    V1/V2 = types with c==1/2, S2 = Σc²;
+    K·1e6 = ((S2 − N)·1e10) DIV N² and hapax_e6 = (V1·1e6) DIV V.
+
+    Cross-engine: S2 and the K numerator/denominator accumulate as
+    DECIMAL(38,0) ↔ HUGEINT (the degree_assortativity rule — BIGINT
+    Σc² overflows at ~3e9-token hot types; ×1e10 stays < 1e38); all
+    operands non-negative so DIV/`//` agree; herdan_e5 =
+    ⌊ln(V)/ln(N)·1e5⌋ is the e-floored-ln improbable-to-flip class
+    (guarded N>1, V>1 — else 0).
+
+    Scale shape: ONE corpus-scale (source × token) hash agg (partial
+    map-side combine does the heavy lifting), then a per-source agg
+    to |sources| rows — no joins, no windows, no driver data."""
+    cnts = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("source", F.explode(_lm_tokens()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = cnts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("dis"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2d"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "hapax",
+        "dis",
+        F.expr(
+            "CAST(((s2d - n_tokens) * 10000000000)"
+            " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
+        ).alias("yule_k_e6"),
+        F.expr("(hapax * 1000000) DIV n_types").alias("hapax_e6"),
+        F.expr(
+            "CAST(CASE WHEN n_types > 1 AND n_tokens > 1 THEN"
+            " floor(ln(CAST(n_types AS DOUBLE))"
+            " / ln(CAST(n_tokens AS DOUBLE)) * 100000.0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("herdan_e5"),
+    )
+
+
+_VOCAB_RICHNESS_SQL = """
+WITH toks AS (
+  SELECT source,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), counts AS (
+  SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(t) AS tk FROM toks) GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+         sum(CAST(c AS HUGEINT) * c) AS s2d
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, n_types, hapax, dis,
+       CAST(((s2d - n_tokens) * 10000000000)
+            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+         AS yule_k_e6,
+       CAST((hapax * 1000000) // n_types AS BIGINT) AS hapax_e6,
+       CAST(CASE WHEN n_types > 1 AND n_tokens > 1 THEN
+         floor(ln(CAST(n_types AS DOUBLE))
+               / ln(CAST(n_tokens AS DOUBLE)) * 100000.0)
+         ELSE 0 END AS BIGINT) AS herdan_e5
+FROM agg
+"""
+
+
 # Co-occurrence/PPMI spec — MIRRORED in `_cooc_ppmi_sql`; change
 # together.  Windowed skip pairs (t_i, t_{i+d}) for d in 1..COOC_W
 # over the RAW `_lm_tokens()` stream (pairing before the vocab filter
@@ -17603,6 +17696,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ks_drift": q_source_ks_drift,
     "source_w1_drift": q_source_w1_drift,
     "source_diversity": q_source_diversity,
+    "vocab_richness": q_vocab_richness,
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
     "sgns_embeddings": q_sgns_embeddings,
@@ -19192,6 +19286,7 @@ FROM kl
         "source_geomedian": _source_geomedian_sql(),
         "source_minhash_jaccard": _source_minhash_jaccard_sql(),
         "source_diversity": _SOURCE_DIVERSITY_SQL,
+        "vocab_richness": _VOCAB_RICHNESS_SQL,
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
         "sgns_embeddings": _sgns_sql(),

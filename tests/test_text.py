@@ -7475,3 +7475,65 @@ def test_ppmi_svd_matches_independent_replica(spark):
         assert abs(nrm - 1.0) < 1e-3
     dot = sum(v1[t] * v2[t] for t in nodes)
     assert abs(dot) < 0.01, dot
+
+
+def test_vocab_richness_matches_python_replica(spark):
+    """Exact-integer replica of Yule's K / Herdan's C / hapax per
+    source from the collected smoke texts: same tokenizer, Python
+    bignum S2 (no overflow by construction), integer // for K and
+    hapax_e6, floored ln-ratio for herdan — row-for-row equality.
+    Also locks the spectrum identities V1 + V2 <= V <= N and
+    K > 0 (S2 > N whenever any type repeats)."""
+    import math
+    import re
+    from collections import Counter
+
+    from rxtls_spark.queries_training import q_vocab_richness
+    from tests.conftest import SF_SMOKE
+
+    per_src: dict[str, Counter] = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    ):
+        if not r["text"].strip():
+            continue
+        toks = re.split("[ \t\n\x0B\f\r]+", r["text"].strip().lower())
+        per_src.setdefault(r["source"], Counter()).update(toks)
+
+    want = {}
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        v = len(cnt)
+        v1 = sum(1 for c in cnt.values() if c == 1)
+        v2 = sum(1 for c in cnt.values() if c == 2)
+        s2 = sum(c * c for c in cnt.values())
+        herdan = (
+            math.floor(math.log(v) / math.log(n) * 100000.0)
+            if v > 1 and n > 1
+            else 0
+        )
+        want[src] = (
+            n,
+            v,
+            v1,
+            v2,
+            ((s2 - n) * 10**10) // (n * n),
+            (v1 * 10**6) // v,
+            herdan,
+        )
+
+    got = q_vocab_richness(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, v, v1, v2, k, he6, hc = want[r["source"]]
+        assert r["n_tokens"] == n
+        assert r["n_types"] == v
+        assert r["hapax"] == v1
+        assert r["dis"] == v2
+        assert r["yule_k_e6"] == k
+        assert r["hapax_e6"] == he6
+        assert r["herdan_e5"] == hc
+        assert v1 + v2 <= v <= n
+        assert k > 0
