@@ -5775,6 +5775,95 @@ def q_el2n_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(scored, "doc_id").select("doc_id", "el2n_e3")
 
 
+# GraNd selection size — MIRRORED in `_grand_sql`; change together.
+# The logreg constants flow in via the shared `_logreg_ctes` chain.
+GRAND_K = 100
+
+
+def q_grand_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraNd data pruning (Paul et al. 2021, same paper as EL2N) —
+    rank examples by expected GRADIENT norm rather than error norm;
+    under the logistic surrogate the per-example loss gradient is
+    (p−y)·[1,x1,x2,x3], so GraNd = |p−y|·√(1+x1²+x2²+x3²) — EL2N
+    times the feature norm, which is exactly why the paper treats
+    them as siblings (EL2N drops the input-magnitude factor).  Both
+    scores ship side-by-side so the rank disagreement — the
+    feature-norm effect — is the output, not a hidden choice.
+
+    Cross-engine: weights retrain via the shared deterministic GD
+    (`_logreg_train` == `_logreg_ctes`); √ is correctly-rounded IEEE
+    on identical rational doubles (bit-exact cross-engine), exp()
+    appears once per row and the e3 floor absorbs its ulp (the el2n
+    discipline); the |p−y| · sqrt(...) multiplication ORDER is
+    mirrored in the SQL.  Selection is fixed-k (grand_e3 DESC,
+    doc_id) — TakeOrderedAndProject, exact on both engines.
+
+    Scale shape: training is the bounded agg loop; scoring is a pure
+    map; selection is fixed-k top-k (k=GRAND_K — never a
+    corpus-fraction driver merge)."""
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    nrm = F.sqrt(
+        F.lit(1.0)
+        + F.col("x1") * F.col("x1")
+        + F.col("x2") * F.col("x2")
+        + F.col("x3") * F.col("x3")
+    )
+    grand = F.floor(
+        F.abs(p - F.col("y")) * nrm * F.lit(1000.0) + F.lit(0.5)
+    ).cast("long")
+    el2n = F.floor(F.abs(p - F.col("y")) * F.lit(1000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        fx.select(
+            "doc_id", grand.alias("grand_e3"), el2n.alias("el2n_e3")
+        )
+        .orderBy(F.desc("grand_e3"), "doc_id")
+        .limit(GRAND_K)
+    )
+
+
+def _grand_sql(
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+    k: int | None = None,
+) -> str:
+    """GraNd oracle: the shared GD CTE chain to the final weights,
+    the e3-floored |p−y|·sqrt(1+x1²+x2²+x3²) score (multiplication
+    order mirrored), fixed-k (grand_e3 DESC, doc_id) selection."""
+    k = GRAND_K if k is None else k
+    parts = _logreg_ctes(iters, lr)
+    m = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{m})))"
+    nrm = "sqrt(1.0 + x1 * x1 + x2 * x2 + x3 * x3)"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT doc_id,
+         CAST(floor(abs({p} - y) * {nrm} * 1000 + 0.5) AS BIGINT)
+           AS grand_e3,
+         CAST(floor(abs({p} - y) * 1000 + 0.5) AS BIGINT) AS el2n_e3
+  FROM fx, w{iters} w
+), ranked AS (
+  SELECT doc_id, grand_e3, el2n_e3,
+         row_number() OVER (ORDER BY grand_e3 DESC, doc_id) AS rk
+  FROM sc
+)
+SELECT doc_id, grand_e3, el2n_e3 FROM ranked WHERE rk <= {k}
+"""
+    )
+
+
 # Gradient-alignment selection batch size — MIRRORED in the
 # `gradient_align` oracle SQL; change together.  The val split is the
 # holdout permille rule (VAL_FROM <= pm < TEST_FROM), so the holdout
@@ -17766,6 +17855,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logreg_quality": q_logreg_quality,
     "logreg_infer": q_logreg_infer,
     "el2n_prune": q_el2n_prune,
+    "grand_prune": q_grand_prune,
     "calibration_bins": q_calibration_bins,
     "brier_decomp": q_brier_decomp,
     "conformal_coverage": q_conformal_coverage,
@@ -19980,6 +20070,7 @@ WHERE rn <= 10
         "logreg_quality": _logreg_sql(),
         "logreg_infer": _logreg_infer_sql(),
         "el2n_prune": _el2n_sql(),
+        "grand_prune": _grand_sql(),
         "calibration_bins": _calibration_sql(),
         "brier_decomp": _brier_sql(),
         "conformal_coverage": _conformal_sql(),

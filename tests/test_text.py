@@ -7537,3 +7537,50 @@ def test_vocab_richness_matches_python_replica(spark):
         assert r["herdan_e5"] == hc
         assert v1 + v2 <= v <= n
         assert k > 0
+
+
+def test_grand_prune_matches_python_replica_and_bounds(spark):
+    """grand_e3/el2n_e3 recomputed in Python (math.exp/sqrt over the
+    trained weights and engine features — identical float expression
+    order), the kept set is the exact fixed-k (grand DESC, doc_id)
+    selection, and the paper identities hold row-wise: grand >= el2n
+    (feature norm >= 1) and grand <= 2*el2n + 1 (norm <= 2 on these
+    bounded features).  Also locks that the two rankings actually
+    DISAGREE somewhere (the feature-norm effect is the point)."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        GRAND_K,
+        _logreg_train,
+        logreg_features,
+        q_grand_prune,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    feats = {
+        r["doc_id"]: (r["x1"], r["x2"], r["x3"], r["y"]) for r in fx.collect()
+    }
+    _, wv = _logreg_train(fx)
+    want = {}
+    for d, (x1, x2, x3, y) in feats.items():
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        p = 1.0 / (1.0 + math.exp(-m))
+        nrm = math.sqrt(1.0 + x1 * x1 + x2 * x2 + x3 * x3)
+        want[d] = (
+            math.floor(abs(p - y) * nrm * 1000 + 0.5),
+            math.floor(abs(p - y) * 1000 + 0.5),
+        )
+    kept = sorted(want, key=lambda d: (-want[d][0], d))[:GRAND_K]
+
+    got = q_grand_prune(spark, SF_SMOKE).collect()
+    assert len(got) == GRAND_K
+    assert {r["doc_id"]: (r["grand_e3"], r["el2n_e3"]) for r in got} == {
+        d: want[d] for d in kept
+    }
+    for r in got:
+        assert r["el2n_e3"] <= r["grand_e3"] <= 2 * r["el2n_e3"] + 1
+    el2n_kept = sorted(want, key=lambda d: (-want[d][1], d))[:GRAND_K]
+    assert set(kept) != set(el2n_kept) or any(
+        want[d][0] != want[d][1] for d in kept
+    ), "GraNd degenerated to EL2N — feature norm had no effect"
