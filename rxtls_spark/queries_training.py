@@ -16383,6 +16383,158 @@ FROM agg
 """
 
 
+# Winnowing fingerprint spec — MIRRORED in `_winnow_sql`; change
+# together.  Token k-grams hashed via the md5-13-hex key (the
+# bloom_dedup conv(_,16,10) == '0x'||_ pairing) reduced mod 2^35,
+# packed with the gram position as key = h35·2^20 + (2^20−1−pos) so a
+# single window MIN implements the rightmost-min-on-ties rule; POS_CAP
+# bounds doc length (1M grams — a hard assumption documented below).
+WINNOW_K = 4
+WINNOW_W = 8
+_WINNOW_POS_CAP = 1 << 20
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every WINNOW_K-token gram, slide
+    a WINNOW_W-hash window, keep the RIGHTMOST MINIMUM of each window
+    — the selected set has guaranteed density ≤ 2/(w+1)·n and the
+    core guarantee that any match of length ≥ w+k−1 grams shares at
+    least one fingerprint.  The principled cousin of
+    `doc_fingerprints` (fixed-stride rolling hash, no guarantee) and
+    the local-similarity counterpart of `span_dedup` (which keys
+    EVERY stride); per-doc output: gram count, fingerprint count,
+    and the md5 digest of the sorted fingerprint multiset — the
+    compact representation a MOSS-style matcher would join on.
+
+    Cross-engine trick: among equal hashes the LARGER position must
+    win (rightmost rule), so each gram ships as the single BIGINT
+    key = h35·2^20 + (2^20−1−pos); one plain window MIN then IS the
+    tie-broken selection — no struct mins, no argmax, pure BIGINT
+    (h35 = md5-13-hex % 2^35 keeps the pack < 2^55).  Positions are
+    1-based on BOTH engines (Spark posexplode+1 ↔ DuckDB
+    generate_series); full windows only (pos ≤ max(1, n−w+1)), which
+    for docs shorter than w degrades to the whole-doc minimum —
+    winnowing's own convention.
+
+    Scale shape: pure map → ONE per-doc window (partitioned by
+    doc_id — no skew, bounded partitions) → distinct → per-doc agg;
+    no joins, no driver data.  The 2^20 position cap is a documented
+    hard assumption (1M grams/doc); web documents sit orders of
+    magnitude below it."""
+    from pyspark.sql.window import Window
+
+    k, w = WINNOW_K, WINNOW_W
+    toks = _lm_tokens()
+    grams = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.size("t").alias("n_toks"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i, F.lit(k))
+                    ),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n_toks") - F.lit(k - 1)).alias("n_grams"),
+            (F.col("p0") + 1).alias("pos"),
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 13), 16, 10).cast(
+                    "long"
+                )
+                % F.lit(1 << 35)
+            ).alias("h35"),
+        )
+    )
+    key = (
+        F.col("h35") * F.lit(_WINNOW_POS_CAP)
+        + F.lit(_WINNOW_POS_CAP - 1)
+        - F.col("pos")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            F.min(key).over(win).alias("k_min"),
+        )
+        .where(
+            F.col("pos")
+            <= F.greatest(F.lit(1), F.col("n_grams") - F.lit(w - 1))
+        )
+        .select("doc_id", "n_grams", "k_min")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("k_min")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("fp_md5"),
+    )
+
+
+def _winnow_sql(k: int | None = None, w: int | None = None) -> str:
+    """winnow_fingerprints oracle: the same gram/pack/window-min
+    pipeline — DuckDB 1-based list slicing t[i:i+k-1] builds the
+    identical gram strings, ROWS frame + QUALIFY the same full-window
+    selection, list(DISTINCT .. ORDER BY ..) the same digest."""
+    k = WINNOW_K if k is None else k
+    w = WINNOW_W if w is None else w
+    cap = _WINNOW_POS_CAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), pos0 AS (
+  SELECT doc_id, t,
+         CAST(len(t) - {k - 1} AS BIGINT) AS n_grams,
+         CAST(unnest(generate_series(1, len(t) - {k - 1})) AS BIGINT) AS pos
+  FROM toks WHERE len(t) >= {k}
+), grams AS (
+  SELECT doc_id, n_grams, pos,
+         CAST(('0x' || substr(md5(array_to_string(
+                 t[pos:pos + {k - 1}], ' ')), 1, 13))
+              AS BIGINT) % {1 << 35} AS h35
+  FROM pos0
+), mins AS (
+  SELECT doc_id, n_grams,
+         min(h35 * {cap} + {cap - 1} - pos)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS k_min
+  FROM grams
+  QUALIFY pos <= greatest(1, n_grams - {w - 1})
+), sel AS (
+  SELECT DISTINCT doc_id, n_grams, k_min FROM mins
+)
+SELECT doc_id,
+       CAST(max(n_grams) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       md5(array_to_string(list_transform(
+             list(DISTINCT k_min ORDER BY k_min),
+             x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+FROM sel GROUP BY 1
+"""
+
+
 # Co-occurrence/PPMI spec — MIRRORED in `_cooc_ppmi_sql`; change
 # together.  Windowed skip pairs (t_i, t_{i+d}) for d in 1..COOC_W
 # over the RAW `_lm_tokens()` stream (pairing before the vocab filter
@@ -17786,6 +17938,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_w1_drift": q_source_w1_drift,
     "source_diversity": q_source_diversity,
     "vocab_richness": q_vocab_richness,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
     "sgns_embeddings": q_sgns_embeddings,
@@ -19377,6 +19530,7 @@ FROM kl
         "source_minhash_jaccard": _source_minhash_jaccard_sql(),
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "vocab_richness": _VOCAB_RICHNESS_SQL,
+        "winnow_fingerprints": _winnow_sql(),
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
         "sgns_embeddings": _sgns_sql(),

@@ -7584,3 +7584,87 @@ def test_grand_prune_matches_python_replica_and_bounds(spark):
     assert set(kept) != set(el2n_kept) or any(
         want[d][0] != want[d][1] for d in kept
     ), "GraNd degenerated to EL2N — feature norm had no effect"
+
+
+def _py_winnow(toks, k, w):
+    """Textbook winnowing (Schleimer 2003): k-gram md5-based hashes,
+    rightmost minimum of each full w-window; returns the packed-key
+    set the query emits (h35 * 2^20 + 2^20 - 1 - pos, pos 1-based)."""
+    import hashlib
+
+    cap = 1 << 20
+    n = len(toks) - (k - 1)
+    if n < 1:
+        return None, set()
+    hs = []
+    for i in range(n):
+        g = " ".join(toks[i : i + k])
+        h35 = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:13], 16) % (
+            1 << 35
+        )
+        hs.append(h35)
+    sel = set()
+    for s in range(max(1, n - w + 1)):
+        win = hs[s : s + w]
+        mn = min(win)
+        pos = s + max(i for i, h in enumerate(win) if h == mn) + 1
+        sel.add(mn * cap + cap - 1 - pos)
+    return n, sel
+
+
+def test_winnow_fingerprints_matches_python_replica(spark):
+    """Row-for-row equality with the classic sequential winnowing
+    algorithm run in Python over the same tokens (proves the packed
+    single-BIGINT window MIN implements rightmost-min-on-ties), the
+    2/(w+1) density shape (n_fp <= full-window count), and the MOSS
+    guarantee on the replica: a copy that drops the first w+k-1
+    tokens still shares a fingerprint hash with the original."""
+    import hashlib
+    import re
+
+    from rxtls_spark.queries_training import (
+        WINNOW_K,
+        WINNOW_W,
+        q_winnow_fingerprints,
+    )
+    from tests.conftest import SF_SMOKE
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"].strip()
+    }
+    want = {}
+    for d, text in texts.items():
+        toks = re.split("[ \t\n\x0B\f\r]+", text.strip().lower())
+        n, sel = _py_winnow(toks, WINNOW_K, WINNOW_W)
+        if n is not None:
+            digest = hashlib.md5(
+                ",".join(str(x) for x in sorted(sel)).encode()
+            ).hexdigest()
+            want[d] = (n, len(sel), digest)
+
+    got = q_winnow_fingerprints(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    informative = False
+    for r in got:
+        n, nfp, digest = want[r["doc_id"]]
+        assert (r["n_grams"], r["n_fp"], r["fp_md5"]) == (n, nfp, digest)
+        assert nfp <= max(1, n - WINNOW_W + 1)
+        if 1 < nfp < max(1, n - WINNOW_W + 1):
+            informative = True
+    assert informative, "winnowing selected everything or nothing"
+
+    # MOSS guarantee on the replica: shared run >= w+k-1 tokens
+    # implies a shared fingerprint HASH (position-independent part).
+    d0 = max(texts, key=lambda d: len(texts[d]))
+    toks = re.split("[ \t\n\x0B\f\r]+", texts[d0].strip().lower())
+    assert len(toks) >= 3 * (WINNOW_W + WINNOW_K)
+    _, sa = _py_winnow(toks, WINNOW_K, WINNOW_W)
+    _, sb = _py_winnow(
+        toks[WINNOW_W + WINNOW_K - 1 :], WINNOW_K, WINNOW_W
+    )
+    cap = 1 << 20
+    assert {x // cap for x in sa} & {x // cap for x in sb}
