@@ -16535,6 +16535,234 @@ FROM sel GROUP BY 1
 """
 
 
+# Dawid-Skene spec — MIRRORED in `_dawid_skene_sql`; change together.
+# Three synthetic annotators over the gold lang_guess=='en' label with
+# INJECTED error rates: flip when the md5('ds{j}|'‖doc_id)-13-hex
+# permille < ERR_j.  The draws MUST be md5, not knuth — knuth is
+# LINEAR, so knuth(doc_id·m+j) across j is perfectly correlated and
+# silently violates DS's conditional-independence assumption (measured:
+# pure-class label patterns, EM worse than majority vote).  The EM
+# should RECOVER ≈ these rates — the test's validation.  M-steps are
+# exact integer rationals (Python bignum ↔ HUGEINT), E-steps the
+# bit-exact IEEE ×,÷ class e6-floored.
+DS_ERR = (100, 200, 300)
+DS_ITERS = 5
+
+
+def _ds_em(combos: dict[tuple[int, int, int], int]):
+    """Dawid-Skene EM over the 8-combo histogram in exact ints +
+    IEEE doubles — the arithmetic is MIRRORED expression-for-
+    expression in `_dawid_skene_sql`'s unrolled CTEs."""
+    from math import floor
+
+    mu = {c: ((c[0] + c[1] + c[2]) * 1000000) // 3 for c in combos}
+    ntot = sum(combos.values())
+    pi = a = b = None
+    for _ in range(DS_ITERS):
+        s1 = sum(n * mu[c] for c, n in combos.items())
+        s0 = sum(n * (1000000 - mu[c]) for c, n in combos.items())
+        pi = s1 // ntot
+        a = [
+            (
+                sum(n * mu[c] for c, n in combos.items() if c[j] == 1)
+                * 1000000
+            )
+            // max(s1, 1)
+            for j in range(3)
+        ]
+        b = [
+            (
+                sum(
+                    n * (1000000 - mu[c])
+                    for c, n in combos.items()
+                    if c[j] == 0
+                )
+                * 1000000
+            )
+            // max(s0, 1)
+            for j in range(3)
+        ]
+        for c in combos:
+            p1 = pi / 1000000.0
+            p0 = (1000000 - pi) / 1000000.0
+            for j in range(3):
+                p1 = p1 * (
+                    a[j] / 1000000.0
+                    if c[j] == 1
+                    else (1000000 - a[j]) / 1000000.0
+                )
+                p0 = p0 * (
+                    (1000000 - b[j]) / 1000000.0
+                    if c[j] == 1
+                    else b[j] / 1000000.0
+                )
+            mu[c] = floor(p1 / (p1 + p0) * 1000000.0 + 0.5)
+    return mu, pi, a, b
+
+
+def q_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid-Skene annotator aggregation (Dawid & Skene 1979; the
+    crowd-labeling EM every labeling pipeline reinvents): three
+    deterministic synthetic annotators report the gold
+    lang_guess=='en' label corrupted at ``DS_ERR`` knuth-permille
+    flip rates; EM jointly estimates class prior π, per-annotator
+    sensitivity α_j / specificity β_j, and the per-label-pattern
+    posterior — WITHOUT seeing gold.  Output: one row per observed
+    (y1,y2,y3) pattern with its count and posterior, the fitted
+    parameters repeated as columns (the model card).  The weighted
+    posterior beats naive majority vote exactly when annotator
+    reliabilities differ — which the injected 10/20/30% rates
+    guarantee.
+
+    Cross-engine: the corpus collapses to the ≤8-row label-pattern
+    histogram (ONE agg), so EM runs driver-side in EXACT arithmetic
+    (the bradley_terry / isotonic bounded-table precedent): M-steps
+    are integer rationals (Python bignum ↔ DuckDB HUGEINT, all
+    operands non-negative so `//` agrees), E-steps are the bit-exact
+    IEEE ×,÷ class — left-assoc factor products mirrored textually —
+    e6-floored (stable +0.5 form).
+
+    Scale shape: one corpus-scale map + hash agg to ≤8 rows; the
+    O(ITERS·8) EM never touches the corpus."""
+    g = F.when(lang_guess() == "en", F.lit(1)).otherwise(F.lit(0))
+    docs = _docs(spark, sf_dir).select(g.alias("g"), "doc_id")
+
+    def draw(j: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"ds{j}|"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+
+    ys = docs.select(
+        *[
+            F.when(draw(j) < DS_ERR[j], 1 - F.col("g"))
+            .otherwise(F.col("g"))
+            .alias(f"y{j + 1}")
+            for j in range(3)
+        ]
+    )
+    hist = (
+        ys.groupBy("y1", "y2", "y3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    combos = {(r["y1"], r["y2"], r["y3"]): r["n"] for r in hist}
+    mu, pi, a, b = _ds_em(combos)
+    rows = [
+        (
+            c[0],
+            c[1],
+            c[2],
+            n,
+            mu[c],
+            pi,
+            a[0],
+            b[0],
+            a[1],
+            b[1],
+            a[2],
+            b[2],
+        )
+        for c, n in sorted(combos.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "y1 long, y2 long, y3 long, n_docs long, mu_e6 long, pi_e6 long,"
+        " a1_e6 long, b1_e6 long, a2_e6 long, b2_e6 long,"
+        " a3_e6 long, b3_e6 long",
+    )
+
+
+def _dawid_skene_sql(iters: int | None = None) -> str:
+    """dawid_skene oracle: the knuth-flip annotator construction off
+    the shared feats chain, the ≤8-row histogram, then ITERS unrolled
+    (M, E) CTE pairs — every one MATERIALIZED (the BPE chained-CTE
+    lesson) — mirroring `_ds_em` expression-for-expression."""
+    iters = DS_ITERS if iters is None else iters
+    flips = ", ".join(
+        f"CASE WHEN CAST(('0x' || substr(md5('ds{j}|' ||"
+        " CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 1000"
+        f" < {DS_ERR[j]} THEN 1 - g ELSE g END AS y{j + 1}"
+        for j in range(3)
+    )
+    parts = [
+        _scored_feats_ctes(),
+        """lbl AS (
+  SELECT doc_id, CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END AS g
+  FROM feats
+)""",
+        f"ys AS (SELECT {flips} FROM lbl)",
+        """mu0 AS MATERIALIZED (
+  SELECT y1, y2, y3, CAST(count(*) AS BIGINT) AS n,
+         CAST(((y1 + y2 + y3) * 1000000) // 3 AS BIGINT) AS mu
+  FROM ys GROUP BY 1, 2, 3
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"mu{t - 1}"
+        ajs = ", ".join(
+            f"CAST((sum(CASE WHEN y{j + 1} = 1 THEN n * mu ELSE 0 END)"
+            f" * 1000000) // greatest(sum(n * mu), 1) AS BIGINT) AS a{j + 1}"
+            for j in range(3)
+        )
+        bjs = ", ".join(
+            f"CAST((sum(CASE WHEN y{j + 1} = 0 THEN n * (1000000 - mu)"
+            " ELSE 0 END) * 1000000)"
+            " // greatest(sum(n * (1000000 - mu)), 1) AS BIGINT)"
+            f" AS b{j + 1}"
+            for j in range(3)
+        )
+        p1f = " * ".join(
+            f"(CASE WHEN y{j + 1} = 1 THEN CAST(a{j + 1} AS DOUBLE)"
+            f" / 1000000.0 ELSE CAST(1000000 - a{j + 1} AS DOUBLE)"
+            " / 1000000.0 END)"
+            for j in range(3)
+        )
+        p0f = " * ".join(
+            f"(CASE WHEN y{j + 1} = 1 THEN CAST(1000000 - b{j + 1}"
+            f" AS DOUBLE) / 1000000.0 ELSE CAST(b{j + 1} AS DOUBLE)"
+            " / 1000000.0 END)"
+            for j in range(3)
+        )
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT CAST(sum(n * mu) // sum(n) AS BIGINT) AS pi, {ajs}, {bjs}
+  FROM {prev}
+), mu{t} AS MATERIALIZED (
+  SELECT m.y1, m.y2, m.y3, m.n,
+         CAST(floor(
+           (CAST(pi AS DOUBLE) / 1000000.0 * {p1f})
+           / ((CAST(pi AS DOUBLE) / 1000000.0 * {p1f})
+              + (CAST(1000000 - pi AS DOUBLE) / 1000000.0 * {p0f}))
+           * 1000000.0 + 0.5) AS BIGINT) AS mu
+  FROM {prev} m, p{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT m.y1, m.y2, m.y3, m.n AS n_docs, m.mu AS mu_e6,
+       p.pi AS pi_e6, p.a1 AS a1_e6, p.b1 AS b1_e6,
+       p.a2 AS a2_e6, p.b2 AS b2_e6, p.a3 AS a3_e6, p.b3 AS b3_e6
+FROM mu{iters} m, p{iters} p
+"""
+    )
+
+
 # Co-occurrence/PPMI spec — MIRRORED in `_cooc_ppmi_sql`; change
 # together.  Windowed skip pairs (t_i, t_{i+d}) for d in 1..COOC_W
 # over the RAW `_lm_tokens()` stream (pairing before the vocab filter
@@ -17939,6 +18167,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_diversity": q_source_diversity,
     "vocab_richness": q_vocab_richness,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "dawid_skene": q_dawid_skene,
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
     "sgns_embeddings": q_sgns_embeddings,
@@ -19531,6 +19760,7 @@ FROM kl
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "vocab_richness": _VOCAB_RICHNESS_SQL,
         "winnow_fingerprints": _winnow_sql(),
+        "dawid_skene": _dawid_skene_sql(),
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
         "sgns_embeddings": _sgns_sql(),

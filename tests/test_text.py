@@ -7668,3 +7668,79 @@ def test_winnow_fingerprints_matches_python_replica(spark):
     )
     cap = 1 << 20
     assert {x // cap for x in sa} & {x // cap for x in sb}
+
+
+def test_dawid_skene_recovers_injected_error_rates(spark):
+    """End-to-end validation of the EM: (1) exact replica — combos
+    rebuilt in Python from the gold label + md5-permille flips
+    reproduce the query rows bit-for-bit; (2) RECOVERY — the fitted
+    sensitivities order as the injected 10/20/30%% error rates and
+    each recovered positive-error rate lands within ±120 permille of
+    its injection (EM soft-posterior bias + smoke sampling noise);
+    (3) the DS posterior's gold accuracy >= majority vote's (the
+    reason the estimator exists — it downweights the noisy rater)."""
+    import hashlib
+
+    from rxtls_spark.queries_training import (
+        DS_ERR,
+        _ds_em,
+        logreg_features,
+        q_dawid_skene,
+    )
+    from tests.conftest import SF_SMOKE
+
+    gold = {
+        r["doc_id"]: int(r["y"])
+        for r in logreg_features(
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        )
+        .select("doc_id", "y")
+        .collect()
+    }
+
+    def draw(d: int, j: int) -> int:
+        h = hashlib.md5(f"ds{j}|{d}".encode()).hexdigest()[:13]
+        return int(h, 16) % 1000
+
+    combos = {}
+    pattern_gold = {}
+    for d, g in gold.items():
+        c = tuple(
+            1 - g if draw(d, j) < DS_ERR[j] else g for j in range(3)
+        )
+        combos[c] = combos.get(c, 0) + 1
+        pg = pattern_gold.setdefault(c, [0, 0])
+        pg[g] += 1
+    mu, pi, a, b = _ds_em(combos)
+
+    got = {
+        (r["y1"], r["y2"], r["y3"]): r for r in q_dawid_skene(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(combos)
+    for c, r in got.items():
+        assert r["n_docs"] == combos[c]
+        assert r["mu_e6"] == mu[c]
+        assert (r["pi_e6"], r["a1_e6"], r["a2_e6"], r["a3_e6"]) == (
+            pi,
+            a[0],
+            a[1],
+            a[2],
+        )
+        assert (r["b1_e6"], r["b2_e6"], r["b3_e6"]) == (b[0], b[1], b[2])
+
+    # recovery: 1 - alpha_j ~= ERR_j (permille), annotators ordered
+    assert a[0] > a[1] > a[2]
+    for j in range(3):
+        rec = (1000000 - a[j]) // 1000
+        assert abs(rec - DS_ERR[j]) <= 120, (j, rec, DS_ERR[j])
+
+    # posterior accuracy >= majority vote accuracy against gold
+    ds_ok = sum(
+        pattern_gold[c][1] if mu[c] >= 500000 else pattern_gold[c][0]
+        for c in combos
+    )
+    mv_ok = sum(
+        pattern_gold[c][1] if sum(c) >= 2 else pattern_gold[c][0]
+        for c in combos
+    )
+    assert ds_ok >= mv_ok
