@@ -12846,6 +12846,221 @@ FROM pairs
 """
 
 
+# Linear-CKA spec — MIRRORED in `_cka_sql`; change together.  X = the
+# first CKA_DX e4-floored embedding coords (the random_projection
+# floor), Y = the RP_DIM ±1-projection coords (the `_rp_signs`
+# literals flow in — sign/salt changes move BOTH oracles).  Centered
+# cross-moments are the n·M − S·T integer form in DECIMAL(38,0) ↔
+# HUGEINT (exact to ~1e12 rows × e4 coords); the three Frobenius
+# folds are ONE shared text helper (`_cka_frob` — the _heaps_ols_exprs
+# rule) over the exact entries cast DOUBLE in (j,k) row-major order.
+CKA_DX = 8
+
+
+def _cka_frob(prefix: str, nj: int, nk: int) -> str:
+    """Frobenius-norm-squared fold text over centered-moment columns
+    {prefix}{j}_{k} — ONE helper spliced into BOTH engines (left-
+    assoc + chain, so the double fold order is identical)."""
+    return " + ".join(
+        f"CAST({prefix}{j}_{k} AS DOUBLE) * CAST({prefix}{j}_{k} AS DOUBLE)"
+        for j in range(nj)
+        for k in range(nk)
+    )
+
+
+_CKA_FINAL = (
+    "CASE WHEN f2xx > 0 AND f2yy > 0 THEN"
+    " CAST(floor(f2xy / sqrt(f2xx * f2yy) * 1000000.0) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END AS cka_e6"
+)
+
+
+def q_cka_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA representation alignment (Kornblith et al. 2019,
+    "Similarity of Neural Network Representations Revisited") between
+    the CKA_DX-dim matryoshka prefix and the RP_DIM-dim ±1 random
+    projection of the FULL embedding — the one-number audit of how
+    much of the full representation's structure the cheap prefix
+    already carries versus a JL sketch of everything: linear CKA =
+    ‖Y'ᵀX'‖²_F / (‖X'ᵀX'‖_F · ‖Y'ᵀY'‖_F) over column-centered
+    features, invariant to rotation and isotropic scaling — exactly
+    why it is the standard for comparing embedding spaces.
+
+    Cross-engine: coords are the random_projection e4 floors (exact
+    BIGINT); raw moments accumulate DECIMAL(38,0) ↔ HUGEINT; each
+    centered entry is the EXACT integer n·M_jk − S_j·T_k (no
+    division, no mean floats — the n· multiplication keeps centering
+    exact); the three Frobenius folds share ONE generated expression
+    text (`_cka_frob`) and the final ÷/sqrt/floor is the bit-exact
+    IEEE class.  CKA(X,X) = 1 identically — the pytest proof.
+
+    Scale shape: pure map → ONE scalar agg (3·64+16+1 partial-agg
+    columns, map-side combined) → two metadata-scale projections.
+    Output is one row; nothing touches the driver."""
+    dx, dy = CKA_DX, RP_DIM
+    signs = _rp_signs()
+    emb = _emb(spark, sf_dir).select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(10000.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xe")
+    )
+    feat = emb.select(
+        *[F.element_at("xe", j + 1).alias(f"x{j}") for j in range(dx)],
+        *[
+            sum(
+                (
+                    F.element_at("xe", i + 1)
+                    if s == 1
+                    else -F.element_at("xe", i + 1)
+                )
+                for i, s in enumerate(signs[k])
+            ).alias(f"y{k}")
+            for k in range(dy)
+        ],
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [
+        F.sum(F.col(f"x{j}").cast(dec)).alias(f"sx{j}") for j in range(dx)
+    ]
+    aggs += [
+        F.sum(F.col(f"y{k}").cast(dec)).alias(f"ty{k}") for k in range(dy)
+    ]
+    for j in range(dx):
+        for k in range(dy):
+            aggs.append(
+                F.sum((F.col(f"x{j}") * F.col(f"y{k}")).cast(dec)).alias(
+                    f"mxy{j}_{k}"
+                )
+            )
+    for j in range(dx):
+        for k in range(dx):
+            aggs.append(
+                F.sum((F.col(f"x{j}") * F.col(f"x{k}")).cast(dec)).alias(
+                    f"mxx{j}_{k}"
+                )
+            )
+    for j in range(dy):
+        for k in range(dy):
+            aggs.append(
+                F.sum((F.col(f"y{j}") * F.col(f"y{k}")).cast(dec)).alias(
+                    f"myy{j}_{k}"
+                )
+            )
+    agg = feat.agg(*aggs)
+    cent = agg.selectExpr(
+        "n",
+        *[
+            f"CAST(n AS DECIMAL(38,0)) * mxy{j}_{k} - sx{j} * ty{k}"
+            f" AS cxy{j}_{k}"
+            for j in range(dx)
+            for k in range(dy)
+        ],
+        *[
+            f"CAST(n AS DECIMAL(38,0)) * mxx{j}_{k} - sx{j} * sx{k}"
+            f" AS cxx{j}_{k}"
+            for j in range(dx)
+            for k in range(dx)
+        ],
+        *[
+            f"CAST(n AS DECIMAL(38,0)) * myy{j}_{k} - ty{j} * ty{k}"
+            f" AS cyy{j}_{k}"
+            for j in range(dy)
+            for k in range(dy)
+        ],
+    )
+    frob = cent.selectExpr(
+        "n",
+        f"({_cka_frob('cxy', dx, dy)}) AS f2xy",
+        f"({_cka_frob('cxx', dx, dx)}) AS f2xx",
+        f"({_cka_frob('cyy', dy, dy)}) AS f2yy",
+    )
+    return frob.selectExpr("CAST(n AS BIGINT) AS n_vecs", _CKA_FINAL)
+
+
+def _cka_sql(dx: int | None = None) -> str:
+    """cka_alignment oracle: identical e4 floors and spliced ±1 sign
+    folds, HUGEINT raw moments, the same n·M − S·T centered entries,
+    and the SHARED `_cka_frob`/`_CKA_FINAL` texts."""
+    dx = CKA_DX if dx is None else dx
+    dy = RP_DIM
+    signs = _rp_signs()
+    ys = ",\n         ".join(
+        "("
+        + " ".join(
+            ("+ " if s == 1 else "- ") + f"xe[{i + 1}]"
+            for i, s in enumerate(signs[k])
+        ).lstrip("+ ")
+        + f") AS y{k}"
+        for k in range(dy)
+    )
+    xs = ",\n         ".join(f"xe[{j + 1}] AS x{j}" for j in range(dx))
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    sums += [f"sum(x{j}) AS sx{j}" for j in range(dx)]
+    sums += [f"sum(y{k}) AS ty{k}" for k in range(dy)]
+    sums += [
+        f"sum(x{j} * y{k}) AS mxy{j}_{k}"
+        for j in range(dx)
+        for k in range(dy)
+    ]
+    sums += [
+        f"sum(x{j} * x{k}) AS mxx{j}_{k}"
+        for j in range(dx)
+        for k in range(dx)
+    ]
+    sums += [
+        f"sum(y{j} * y{k}) AS myy{j}_{k}"
+        for j in range(dy)
+        for k in range(dy)
+    ]
+    cents = (
+        [
+            f"CAST(n AS HUGEINT) * mxy{j}_{k} - sx{j} * ty{k}"
+            f" AS cxy{j}_{k}"
+            for j in range(dx)
+            for k in range(dy)
+        ]
+        + [
+            f"CAST(n AS HUGEINT) * mxx{j}_{k} - sx{j} * sx{k}"
+            f" AS cxx{j}_{k}"
+            for j in range(dx)
+            for k in range(dx)
+        ]
+        + [
+            f"CAST(n AS HUGEINT) * myy{j}_{k} - ty{j} * ty{k}"
+            f" AS cyy{j}_{k}"
+            for j in range(dy)
+            for k in range(dy)
+        ]
+    )
+    return f"""
+WITH xe AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS xe
+  FROM embeddings
+), feat AS (
+  SELECT {xs},
+         {ys}
+  FROM xe
+), agg AS (
+  SELECT {", ".join(sums)} FROM feat
+), cent AS (
+  SELECT n, {", ".join(cents)} FROM agg
+), frob AS (
+  SELECT n,
+         ({_cka_frob("cxy", dx, dy)}) AS f2xy,
+         ({_cka_frob("cxx", dx, dx)}) AS f2xx,
+         ({_cka_frob("cyy", dy, dy)}) AS f2yy
+  FROM cent
+)
+SELECT CAST(n AS BIGINT) AS n_vecs, {_CKA_FINAL}
+FROM frob
+"""
+
+
 def q_hamming_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign binarization of embeddings into 64-bit Hamming codes +
     the calibration audit — the memory-cut scale path for near-dup
@@ -18264,6 +18479,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mlm_transform": q_mlm_transform,
     "nsp_pairs": q_nsp_pairs,
     "random_projection": q_random_projection,
+    "cka_alignment": q_cka_alignment,
     "hamming_codes": q_hamming_codes,
     "quantile_normalize": q_quantile_normalize,
     "best_of_n": q_best_of_n,
@@ -20467,6 +20683,7 @@ WHERE rn <= 10
         "mlm_transform": _mlm_sql(),
         "nsp_pairs": _nsp_sql(),
         "random_projection": _random_projection_sql(),
+        "cka_alignment": _cka_sql(),
         "hamming_codes": _hamming_codes_sql(),
         "quantile_normalize": _quantile_normalize_sql(),
         "best_of_n": _best_of_n_sql(),

@@ -1512,3 +1512,76 @@ def test_source_geomedian_matches_python_replica(spark):
         lo = min(x[dimn - 1] for x in vecs[s]) * 1e6 - 1
         hi = max(x[dimn - 1] for x in vecs[s]) * 1e6 + 1
         assert lo <= gm <= hi, (s, dimn)
+
+
+def test_cka_alignment_matches_python_replica(spark):
+    """Exact replica: e4-floored coords, ±1 sign folds, bignum
+    integer centered moments n·M − S·T, then the identical left-assoc
+    double Frobenius folds and final floor — bit equality with the
+    query.  Properties: 0 < cka < 1 on real data (prefix is neither
+    orthogonal to nor identical with the JL sketch), and the
+    self-similarity identity CKA(X,X) == 1 (up to one final-ulp)."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        CKA_DX,
+        RP_DIM,
+        _rp_signs,
+        q_cka_alignment,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    signs = _rp_signs()
+    X, Y = [], []
+    for r in rows:
+        xe = [math.floor(float(v) * 10000.0 + 0.5) for v in r["embedding"]]
+        X.append(xe[:CKA_DX])
+        Y.append(
+            [
+                sum(s * xe[i] for i, s in enumerate(signs[k]))
+                for k in range(RP_DIM)
+            ]
+        )
+
+    def cka(A, B):
+        n = len(A)
+        da, db = len(A[0]), len(B[0])
+        S = [sum(r[j] for r in A) for j in range(da)]
+        T = [sum(r[k] for r in B) for k in range(db)]
+
+        def cent(P, Q, sp, sq):
+            return [
+                [
+                    n * sum(p[j] * q[k] for p, q in zip(P, Q))
+                    - sp[j] * sq[k]
+                    for k in range(len(sq))
+                ]
+                for j in range(len(sp))
+            ]
+
+        def frob(M):
+            acc = 0.0
+            for row in M:
+                for v in row:
+                    acc = acc + float(v) * float(v)
+            return acc
+
+        f2xy = frob(cent(A, B, S, T))
+        f2xx = frob(cent(A, A, S, S))
+        f2yy = frob(cent(B, B, T, T))
+        if f2xx > 0 and f2yy > 0:
+            return math.floor(f2xy / math.sqrt(f2xx * f2yy) * 1000000.0)
+        return 0
+
+    got = q_cka_alignment(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    assert got[0]["n_vecs"] == len(rows)
+    want = cka(X, Y)
+    assert got[0]["cka_e6"] == want
+    assert 0 < want < 1000000
+    assert cka(X, X) in (999999, 1000000)
