@@ -173,6 +173,126 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t-closeness spec — MIRRORED in `_t_closeness_sql`; change together.
+# QI classes are the k_anonymity (source, lang, len_bucket) triple
+# (KANON_LEN_BUCKET flows in); the sensitive attribute is the ordinal
+# quality_bucket(); distance is the ordinal EMD Σ|ΔCDF|/(m−1) of Li
+# 2007 §4 on e9 integer CDFs.  The threshold is sized so BOTH
+# verdicts populate on the synthetic corpus (small QI classes drift
+# far from the global quality distribution) — retune with the data
+# model.
+T_CLOSE_E9 = 250_000_000
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (Li, Li & Venkatasubramanian 2007) —
+    the third privacy gate after `k_anonymity`'s k/l checks: a QI
+    class can be large AND diverse yet still leak if its SENSITIVE-
+    ATTRIBUTE distribution differs sharply from the corpus-wide one
+    (the skew attack l-diversity misses).  Sensitive attribute =
+    the ordinal quality bucket; per QI class the ordinal EMD
+    (Li §4: Σ|CDF_class − CDF_global| over the m observed buckets,
+    normalized by m−1, last bucket's zero term excluded via rank<m)
+    against the global distribution, verdict 'suppress_t' above
+    ``T_CLOSE_E9``.
+
+    Cross-engine: buckets are the exact `quality_bucket()` integers;
+    CDFs the e9 integer form (cum·1e9 DIV n — the source_ks_drift
+    bound); |Δ| sums ≤ (m−1)·1e9 BIGINT; final DIV (m−1) truncating
+    on non-negatives.  Densified class×bucket grid (missing buckets
+    coalesce 0 — the burrows grid rule).
+
+    Scale shape: ONE corpus-scale hash agg to (QI × ≤1001) rows;
+    the global histogram window is a single ≤1001-row partition; the
+    grid/cum/EMD stages are metadata-scale.  The class CDF window
+    partitions by QI — bounded partitions, no skew."""
+    from pyspark.sql.window import Window
+
+    scored = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.expr(f"n_chars DIV {KANON_LEN_BUCKET}").cast("long").alias(
+            "len_bucket"
+        ),
+        quality_score().alias("quality"),
+    )
+    hist = scored.groupBy(
+        "source", "lang", "len_bucket", quality_bucket().alias("qb")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hist.groupBy("source", "lang", "len_bucket").agg(
+        F.sum("c").cast("long").alias("n_docs")
+    )
+    gb = hist.groupBy("qb").agg(F.sum("c").cast("long").alias("cg"))
+    wg = Window.orderBy("qb")
+    wall = Window.partitionBy()
+    gcdf = gb.select(
+        "qb",
+        F.row_number().over(wg).cast("long").alias("idx"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+        F.expr(
+            "(sum(cg) OVER (ORDER BY qb) * 1000000000)"
+            " DIV sum(cg) OVER ()"
+        ).alias("cdf_g"),
+    )
+    grid = tot.crossJoin(F.broadcast(gcdf))
+    cum = (
+        grid.join(hist, ["source", "lang", "len_bucket", "qb"], "left")
+        .select(
+            "source",
+            "lang",
+            "len_bucket",
+            "n_docs",
+            "qb",
+            "idx",
+            "m",
+            "cdf_g",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c0"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("c0")
+            .over(
+                Window.partitionBy("source", "lang", "len_bucket").orderBy(
+                    "qb"
+                )
+            )
+            .cast("long"),
+        )
+    )
+    per = cum.select(
+        "source",
+        "lang",
+        "len_bucket",
+        "n_docs",
+        "m",
+        F.expr(
+            "CASE WHEN idx < m THEN"
+            " abs((cum * 1000000000) DIV n_docs - cdf_g)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("d"),
+    )
+    agg = per.groupBy("source", "lang", "len_bucket").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.max("m").cast("long").alias("m"),
+        F.sum("d").cast("long").alias("sum_d"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "len_bucket",
+        "n_docs",
+        F.expr(
+            "CASE WHEN m > 1 THEN sum_d DIV (m - 1)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("emd_e9"),
+        F.expr(
+            "CASE WHEN (CASE WHEN m > 1 THEN sum_d DIV (m - 1)"
+            f" ELSE CAST(0 AS BIGINT) END) > {T_CLOSE_E9}"
+            " THEN 'suppress_t' ELSE 'ok' END"
+        ).alias("verdict"),
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: flag corpus documents sharing
     any word-3-gram with the eval set (doc_id%50==0 plays the held-out
@@ -18367,6 +18487,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": q_lang_confusion,
     "pii_scrub": q_pii_scrub,
     "k_anonymity": q_k_anonymity,
+    "t_closeness": q_t_closeness,
     "contamination": q_contamination,
     "doc_chunks": q_doc_chunks,
     "repetition": q_repetition,
@@ -20150,6 +20271,61 @@ SELECT doc_id, n_chars, n_tokens, round(alpha_ratio, 5) AS alpha_ratio,
     AS quality,
   lang_guess
 FROM feats
+""",
+        # t_closeness: the source_ks_drift e9-CDF discipline on the
+        # densified QI×bucket grid; ordinal EMD sum DIV (m-1).
+        "t_closeness": _TEXT_CTE + f"""
+, q0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats)
+, q AS (
+  SELECT d.source, d.lang,
+         CAST(d.n_chars // {KANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+         CAST(floor(q0.quality * 100000 + 0.5) AS BIGINT) // 100 AS qb
+  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+)
+, hist AS (SELECT source, lang, len_bucket, qb,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM q GROUP BY 1, 2, 3, 4)
+, tot AS (SELECT source, lang, len_bucket,
+                 CAST(sum(c) AS BIGINT) AS n_docs
+          FROM hist GROUP BY 1, 2, 3)
+, gb AS (SELECT qb, CAST(sum(c) AS BIGINT) AS cg FROM hist GROUP BY 1)
+, gcdf AS (
+  SELECT qb,
+         CAST(row_number() OVER (ORDER BY qb) AS BIGINT) AS idx,
+         CAST(count(*) OVER () AS BIGINT) AS m,
+         CAST((sum(cg) OVER (ORDER BY qb) * 1000000000)
+              // sum(cg) OVER () AS BIGINT) AS cdf_g
+  FROM gb
+)
+, grid AS (SELECT t.source, t.lang, t.len_bucket, t.n_docs,
+                  g.qb, g.idx, g.m, g.cdf_g
+           FROM tot t, gcdf g)
+, cum AS (
+  SELECT g.source, g.lang, g.len_bucket, g.n_docs, g.qb, g.idx, g.m,
+         g.cdf_g,
+         CAST(sum(coalesce(h.c, 0)) OVER (
+           PARTITION BY g.source, g.lang, g.len_bucket
+           ORDER BY g.qb) AS BIGINT) AS cum
+  FROM grid g LEFT JOIN hist h
+    ON g.source = h.source AND g.lang = h.lang
+   AND g.len_bucket = h.len_bucket AND g.qb = h.qb
+)
+, agg AS (
+  SELECT source, lang, len_bucket,
+         CAST(max(n_docs) AS BIGINT) AS n_docs,
+         CAST(max(m) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN idx < m THEN
+                    abs((cum * 1000000000) // n_docs - cdf_g)
+                  ELSE 0 END) AS BIGINT) AS sum_d
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT source, lang, len_bucket, n_docs,
+       CAST(CASE WHEN m > 1 THEN sum_d // (m - 1) ELSE 0 END AS BIGINT)
+         AS emd_e9,
+       CASE WHEN (CASE WHEN m > 1 THEN sum_d // (m - 1) ELSE 0 END)
+              > {T_CLOSE_E9}
+            THEN 'suppress_t' ELSE 'ok' END AS verdict
+FROM agg
 """,
         "k_anonymity": f"""
 WITH qi AS (

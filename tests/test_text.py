@@ -7744,3 +7744,75 @@ def test_dawid_skene_recovers_injected_error_rates(spark):
         for c in combos
     )
     assert ds_ok >= mv_ok
+
+
+def test_t_closeness_matches_python_replica(spark):
+    """Exact-integer replica of the ordinal EMD from the collected
+    per-doc (QI, quality bucket) pairs: e9 CDFs, |ΔCDF| summed over
+    all but the last observed bucket, // (m-1) — row-for-row.  Locks
+    the EMD range [0, 1e9], that both verdicts fire on the synthetic
+    corpus, and the Li-2007 skew intuition: the mean EMD of singleton
+    classes exceeds the mean EMD of the largest classes."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        KANON_LEN_BUCKET,
+        T_CLOSE_E9,
+        q_t_closeness,
+        quality_bucket,
+        quality_score,
+        _docs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .select(
+            "source",
+            "lang",
+            F.expr(f"n_chars DIV {KANON_LEN_BUCKET}").alias("len_bucket"),
+            quality_score().alias("quality"),
+        )
+        .select("source", "lang", "len_bucket", quality_bucket().alias("qb"))
+        .collect()
+    )
+    per_cls: dict = {}
+    glob: dict = {}
+    for r in rows:
+        key = (r["source"], r["lang"], r["len_bucket"])
+        per_cls.setdefault(key, {}).setdefault(r["qb"], 0)
+        per_cls[key][r["qb"]] += 1
+        glob[r["qb"]] = glob.get(r["qb"], 0) + 1
+    bks = sorted(glob)
+    m = len(bks)
+    n_tot = sum(glob.values())
+    gcdf, cum = [], 0
+    for b in bks:
+        cum += glob[b]
+        gcdf.append(cum * 10**9 // n_tot)
+    want = {}
+    for key, h in per_cls.items():
+        n_c = sum(h.values())
+        cum_c, sum_d = 0, 0
+        for i, b in enumerate(bks):
+            cum_c += h.get(b, 0)
+            if i < m - 1:
+                sum_d += abs(cum_c * 10**9 // n_c - gcdf[i])
+        emd = sum_d // (m - 1) if m > 1 else 0
+        want[key] = (n_c, emd, "suppress_t" if emd > T_CLOSE_E9 else "ok")
+
+    got = q_t_closeness(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    verdicts = set()
+    for r in got:
+        key = (r["source"], r["lang"], r["len_bucket"])
+        assert (r["n_docs"], r["emd_e9"], r["verdict"]) == want[key], key
+        assert 0 <= r["emd_e9"] <= 10**9
+        verdicts.add(r["verdict"])
+    assert verdicts == {"ok", "suppress_t"}
+
+    singles = [e for n, e, _ in want.values() if n == 1]
+    big_n = sorted(n for n, _, _ in want.values())[-5]
+    bigs = [e for n, e, _ in want.values() if n >= big_n]
+    assert singles and bigs
+    assert sum(singles) / len(singles) > sum(bigs) / len(bigs)
