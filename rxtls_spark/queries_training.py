@@ -2038,6 +2038,156 @@ ORDER BY score_e3 DESC, doc_id LIMIT {topk}
 """
 
 
+def _pl2_term(tf: str, cf: str, dl: str, n_docs: str, total: str) -> str:
+    """One PL2 term-score expression — ONE helper spliced into BOTH
+    engines (the _g2_term rule): tfn = tf·log2(1 + avgdl/dl) with
+    c=1 (avgdl enters as the exact total/n_docs rational), λ = cf/N,
+    Poisson-normalized gain (tfn·log2(tfn/λ) + (λ−tfn)·log2 e +
+    ½·log2(2π·tfn))/(tfn+1), e3-floored BIGINT per term (tf=0 → 0).
+    tf/cf/dl/n_docs/total are spliced texts so Spark passes integer
+    literals where the oracle passes columns — identical doubles."""
+    tfn = (
+        f"(CAST({tf} AS DOUBLE) * log2(1.0 + CAST({total} AS DOUBLE)"
+        f" / (CAST({n_docs} AS DOUBLE) * CAST({dl} AS DOUBLE))))"
+    )
+    lam = f"(CAST({cf} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
+    return (
+        f"CASE WHEN {tf} > 0 THEN"
+        f" CAST(floor(({tfn} * log2({tfn} / {lam})"
+        f" + ({lam} - {tfn}) / ln(2.0)"
+        f" + 0.5 * log2(2.0 * pi() * {tfn}))"
+        f" / ({tfn} + 1.0) * 1000.0) AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL2 divergence-from-randomness retrieval (Amati & van
+    Rijsbergen 2002) — the fourth member of the ranking family on the
+    SAME deterministic query (bm25 = tf-idf, qlm = language model,
+    rrf's dense leg = vectors, this = DFR): a term informs exactly as
+    far as its in-document frequency diverges from the Poisson rate a
+    random scatter would produce, with Laplace aftereffect
+    normalization — the model Terrier ships as its default.
+
+    Cross-engine: every per-term score is `_pl2_term` — ONE expression
+    text spliced into both engines; log2/ln/pi() float ops are the
+    e3-floor-absorbed class; each term floors to BIGINT BEFORE the
+    sum, so the cross-term sum is exact and order-free (the qlm
+    oracle's convention).  Rank (pl2_e3 DESC, doc_id), top-k.
+
+    Scale shape: the bm25/qlm shape — one token-count pass picks
+    terms, one bounded agg ships (n_docs, total, cf_t) literals,
+    scoring is a pure per-row fold, TakeOrderedAndProject top-k."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    toks = _lm_tokens()
+    term_rows = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(BM25_N_TERMS)
+        .collect()
+    )
+    terms = [r["tok"] for r in term_rows]
+    stats = docs.select(F.size(toks).alias("dl"), toks.alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("total"),
+        *[
+            F.sum(F.size(F.filter("t", lambda x: x == F.lit(t))))
+            .cast("long")
+            .alias(f"cf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n_docs, total = int(stats["n"]), int(stats["total"])
+    cfs = [int(stats[f"cf{i}"]) for i in range(len(terms))]
+
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"), toks.alias("t")
+    )
+    score = None
+    for t, cf in zip(terms, cfs):
+        term_col = F.expr(
+            _pl2_term(
+                f"size(filter(t, x -> x = '{t}'))",
+                str(cf),
+                "dl",
+                str(n_docs),
+                str(total),
+            )
+        )
+        score = term_col if score is None else score + term_col
+    from pyspark.sql.window import Window as _W
+
+    return (
+        base.select("doc_id", "dl", score.alias("pl2_e3"))
+        .orderBy(F.col("pl2_e3").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            "pl2_e3",
+            F.row_number()
+            .over(_W.orderBy(F.col("pl2_e3").desc(), "doc_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def _pl2_sql(
+    n_terms: int | None = None, topk: int | None = None
+) -> str:
+    """pl2_topk oracle: the qlm term/cf CTE shape with doc-count +
+    token-total stats, the SAME `_pl2_term` text per term (columns
+    where Spark splices literals), (pl2_e3 DESC, doc_id) top-k."""
+    n_terms = BM25_N_TERMS if n_terms is None else n_terms
+    topk = BM25_TOPK if topk is None else topk
+    term = _pl2_term(
+        "len(list_filter(d.t, x -> x = c.tok))",
+        "c.cf",
+        "len(d.t)",
+        "tot.n_docs",
+        "tot.total",
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), flat AS MATERIALIZED (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), qterms AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM flat GROUP BY 1
+    ORDER BY c DESC, tok LIMIT {n_terms})
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS total
+  FROM toks
+), cf AS (
+  SELECT q.tok, CAST(count(f.tok) AS BIGINT) AS cf
+  FROM qterms q LEFT JOIN flat f ON q.tok = f.tok
+  GROUP BY 1
+), scored AS (
+  SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS dl,
+         CAST(sum({term}) AS BIGINT) AS pl2_e3
+  FROM toks d CROSS JOIN cf c CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT doc_id, dl AS n_tokens, pl2_e3,
+       CAST(row_number() OVER (ORDER BY pl2_e3 DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY pl2_e3 DESC, doc_id LIMIT {topk}
+"""
+
+
 # RRF constants — MIRRORED in `_rrf_fusion_sql`; change together.
 # The doc_id == vec_id row correspondence between documents and
 # embeddings is part of the spec (first query to consume it).
@@ -16718,6 +16868,249 @@ FROM agg
 """
 
 
+# Anisotropy spec — MIRRORED in `_anisotropy_sql`; change together.
+# Per-row unit-normalize (norm fold expands textually in index order
+# — the source_centroid_sim rule) then e4-floor to ints; the pairwise
+# mean cosine is EXACT via Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u‖² — per-dim
+# sums S_j and the self term D in DECIMAL(38,0) ↔ HUGEINT, mean =
+# signed truncating DIV by n(n−1)·100 (e8 products → e6 output).
+ANISO_DIM = 64
+
+
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit (Ethayarajh 2019, "How
+    Contextual are Contextualized Word Representations?"): the
+    expected cosine between two random vectors — ~0 for an isotropic
+    space, → 1 when all vectors crowd a narrow cone (the degeneration
+    that silently breaks cosine-threshold dedup like `semantic_dedup`
+    and calibration like `minhash_calibration`; the number a pipeline
+    checks BEFORE trusting any cosine cutoff).
+
+    The trick that makes it exact at any scale: over unit vectors,
+    Σ_{i≠j} u_i·u_j = ‖Σ_i u_i‖² − Σ_i ‖u_i‖² — so the all-pairs mean
+    needs only the per-dim coordinate sums S_j and the self-dot total
+    D, never a pair join.  Coordinates are per-row normalized (norm
+    fold in index order, IEEE ÷/sqrt bit-exact) then e4-floored to
+    BIGINTs; S_j and D accumulate DECIMAL(38,0) ↔ HUGEINT; P = Σ_j
+    S_j² exact; mean_cos_e6 = (P − D) DIV (n(n−1)·100) — signed
+    truncating DIV (both engines truncate toward zero).  mean_self_e6
+    = D DIV (n·100) ≈ 1e6 is the built-in normalization check.
+
+    Scale shape: pure per-row map → ONE scalar agg (65 partial-agg
+    columns) → a metadata-scale projection; output is one row."""
+    dim = ANISO_DIM
+    x = [
+        F.element_at("embedding", j + 1).cast("double")
+        for j in range(dim)
+    ]
+    n2 = x[0] * x[0]
+    for j in range(1, dim):
+        n2 = n2 + x[j] * x[j]
+    nrm = F.sqrt(n2)
+    q = [
+        F.floor(x[j] / nrm * F.lit(10000.0) + F.lit(0.5)).cast("long")
+        for j in range(dim)
+    ]
+    emb = (
+        _emb(spark, sf_dir)
+        .where(nrm > 0)
+        .select(*[q[j].alias(f"q{j}") for j in range(dim)])
+    )
+    dec = "decimal(38,0)"
+    self2 = F.col("q0") * F.col("q0")
+    for j in range(1, dim):
+        self2 = self2 + F.col(f"q{j}") * F.col(f"q{j}")
+    agg = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.col(f"q{j}").cast(dec)).alias(f"s{j}")
+            for j in range(dim)
+        ],
+        F.sum(self2.cast(dec)).alias("d"),
+    )
+    p = " + ".join(f"s{j} * s{j}" for j in range(dim))
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_vecs",
+        f"CAST(CASE WHEN n > 1 THEN (({p}) - d)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * (n - 1) * 100)"
+        " ELSE 0 END AS BIGINT) AS mean_cos_e6",
+        "CAST(d DIV (CAST(n AS DECIMAL(38,0)) * 100) AS BIGINT)"
+        " AS mean_self_e6",
+    )
+
+
+def _anisotropy_sql(dim: int | None = None) -> str:
+    """embedding_anisotropy oracle: identical index-order norm fold,
+    e4 floors, HUGEINT sums and the same ‖Σu‖² − Σ‖u‖² mean."""
+    dim = ANISO_DIM if dim is None else dim
+    n2 = " + ".join(
+        f"CAST(embedding[{j + 1}] AS DOUBLE)"
+        f" * CAST(embedding[{j + 1}] AS DOUBLE)"
+        for j in range(dim)
+    )
+    qs = ", ".join(
+        f"CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) / nrm * 10000"
+        f" + 0.5) AS BIGINT) AS q{j}"
+        for j in range(dim)
+    )
+    self2 = " + ".join(f"q{j} * q{j}" for j in range(dim))
+    sums = ", ".join(f"sum(q{j}) AS s{j}" for j in range(dim))
+    p = " + ".join(f"s{j} * s{j}" for j in range(dim))
+    return f"""
+WITH nr AS (
+  SELECT embedding, sqrt({n2}) AS nrm FROM embeddings
+), qv AS (
+  SELECT {qs} FROM nr WHERE nrm > 0
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {sums},
+         sum({self2}) AS d
+  FROM qv
+)
+SELECT CAST(n AS BIGINT) AS n_vecs,
+       CAST(CASE WHEN n > 1 THEN (({p}) - d)
+            // (CAST(n AS HUGEINT) * (n - 1) * 100)
+            ELSE 0 END AS BIGINT) AS mean_cos_e6,
+       CAST(d // (CAST(n AS HUGEINT) * 100) AS BIGINT) AS mean_self_e6
+FROM agg
+"""
+
+
+# Branching-entropy spec — MIRRORED in `_branching_sql`; change
+# together.  Pairs come from the shared `_bigrams()` strings keyed by
+# split_part(bg,' ',1)/(2) (the bigram_lm join-key convention), so
+# tokenizer changes move this oracle with the bigram family; entropy
+# is the source_diversity e3-floored-ln fold −Σ c·⌊ln(c/C)·1e3⌋ DIV C;
+# ranking (c_left DESC, tok), top BRANCH_TOPK.
+BRANCH_TOPK = 50
+
+
+def q_branching_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branching entropy + accessor variety per token (Harris 1955's
+    morpheme-boundary signal; Feng et al. 2004 accessor variety; Jin
+    & Tanaka-Ishii 2006 branching entropy) — the unsupervised
+    segmentation/termhood statistic: a token whose RIGHT context is
+    low-entropy sits inside a multiword unit ("york" after "new"),
+    one with high right-branching entropy ends a unit.  Per
+    top-``BRANCH_TOPK`` token (by left-endpoint count): both
+    accessor varieties (distinct left/right neighbors) and both
+    branching entropies — the table a collocation extractor reads
+    next to `collocations_g2` (G² scores the PAIR; this scores the
+    BOUNDARY).
+
+    Cross-engine exact: neighbor counts come from the distinct-pair
+    table (marginals = endpoint sums — the cooc convention); entropy
+    is the source_diversity discipline ent_ne3 = −Σ_b c_ab·
+    ⌊ln(c_ab/C_a)·1e3⌋, ent_e3 = ent_ne3 DIV C_a (all BIGINT, the
+    ln floor is the improbable-to-flip class); missing-side stats
+    coalesce 0 (a top token may never appear as a right endpoint).
+
+    Scale shape: ONE corpus-scale pair hash agg; the marginal
+    windows partition by token over DISTINCT-pair rows (bounded by
+    the observed right/left vocabulary of each token); top-k is
+    TakeOrderedAndProject; the side join is vocab-scale."""
+    from pyspark.sql.window import Window
+
+    live = _docs(spark, sf_dir).where(F.trim("text") != "")
+    cab = (
+        live.select(F.explode(_bigrams()).alias("bg"))
+        .select(
+            F.expr("split_part(bg, ' ', 1)").alias("a"),
+            F.expr("split_part(bg, ' ', 2)").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    def stats(key: str, cn: str, avn: str, entn: str):
+        w = Window.partitionBy(key)
+        per = cab.withColumn("ct", F.sum("c").over(w).cast("long"))
+        term = (
+            -F.col("c")
+            * F.floor(
+                F.log(F.col("c") / F.col("ct").cast("double")) * 1000.0
+            ).cast("long")
+        )
+        return (
+            per.select(key, "ct", term.alias("term"))
+            .groupBy(key)
+            .agg(
+                F.max("ct").cast("long").alias(cn),
+                F.count(F.lit(1)).cast("long").alias(avn),
+                F.sum("term").cast("long").alias("ne3"),
+            )
+            .select(
+                F.col(key).alias("tok"),
+                cn,
+                avn,
+                F.expr(f"ne3 DIV {cn}").alias(entn),
+            )
+        )
+
+    ls = stats("a", "c_left", "av_r", "ent_r_e3")
+    rs = stats("b", "c_right", "av_l", "ent_l_e3")
+    top = ls.orderBy(F.desc("c_left"), "tok").limit(BRANCH_TOPK)
+    return top.join(rs, "tok", "left").select(
+        "tok",
+        "c_left",
+        "av_r",
+        "ent_r_e3",
+        F.coalesce("c_right", F.lit(0).cast("long")).alias("c_right"),
+        F.coalesce("av_l", F.lit(0).cast("long")).alias("av_l"),
+        F.coalesce("ent_l_e3", F.lit(0).cast("long")).alias("ent_l_e3"),
+    )
+
+
+def _branching_sql(topk: int | None = None) -> str:
+    """branching_entropy oracle: the shared bigram chain, the same
+    distinct-pair marginals/windows, the source_diversity e3-ln
+    fold, (c_left DESC, tok) top-k, left-join coalesce 0."""
+    topk = BRANCH_TOPK if topk is None else topk
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM toks
+), bgx AS (
+  SELECT unnest(g2) AS bg FROM pairs
+), cab AS (
+  SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM bgx GROUP BY 1, 2
+), lper AS (
+  SELECT a, c, CAST(sum(c) OVER (PARTITION BY a) AS BIGINT) AS ct
+  FROM cab
+), ls AS (
+  SELECT a AS tok, CAST(max(ct) AS BIGINT) AS c_left,
+         CAST(count(*) AS BIGINT) AS av_r,
+         CAST(sum(-c * CAST(floor(ln(c / CAST(ct AS DOUBLE)) * 1000.0)
+                            AS BIGINT)) AS BIGINT) AS ne3
+  FROM lper GROUP BY 1
+), rper AS (
+  SELECT b, c, CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS ct
+  FROM cab
+), rs AS (
+  SELECT b AS tok, CAST(max(ct) AS BIGINT) AS c_right,
+         CAST(count(*) AS BIGINT) AS av_l,
+         CAST(sum(-c * CAST(floor(ln(c / CAST(ct AS DOUBLE)) * 1000.0)
+                            AS BIGINT)) AS BIGINT) AS ne3
+  FROM rper GROUP BY 1
+), top AS (
+  SELECT tok, c_left, av_r, CAST(ne3 // c_left AS BIGINT) AS ent_r_e3
+  FROM ls ORDER BY c_left DESC, tok LIMIT {topk}
+)
+SELECT t.tok, t.c_left, t.av_r, t.ent_r_e3,
+       CAST(coalesce(r.c_right, 0) AS BIGINT) AS c_right,
+       CAST(coalesce(r.av_l, 0) AS BIGINT) AS av_l,
+       CAST(coalesce(r.ne3 // r.c_right, 0) AS BIGINT) AS ent_l_e3
+FROM top t LEFT JOIN rs r ON t.tok = r.tok
+"""
+
+
 # Winnowing fingerprint spec — MIRRORED in `_winnow_sql`; change
 # together.  Token k-grams hashed via the md5-13-hex key (the
 # bloom_dedup conv(_,16,10) == '0x'||_ pairing) reduced mod 2^35,
@@ -18503,6 +18896,8 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_diversity": q_source_diversity,
     "vocab_richness": q_vocab_richness,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "branching_entropy": q_branching_entropy,
+    "embedding_anisotropy": q_embedding_anisotropy,
     "dawid_skene": q_dawid_skene,
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
@@ -18519,6 +18914,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_topfrac": q_dsir_topfrac,
     "bm25_topk": q_bm25_topk,
     "qlm_topk": q_qlm_topk,
+    "pl2_topk": q_pl2_topk,
     "rrf_fusion": q_rrf_fusion,
     "tfidf_topterms": q_tfidf_topterms,
     "bigram_lm_score": q_bigram_lm_score,
@@ -20097,6 +20493,8 @@ FROM kl
         "source_diversity": _SOURCE_DIVERSITY_SQL,
         "vocab_richness": _VOCAB_RICHNESS_SQL,
         "winnow_fingerprints": _winnow_sql(),
+        "branching_entropy": _branching_sql(),
+        "embedding_anisotropy": _anisotropy_sql(),
         "dawid_skene": _dawid_skene_sql(),
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),
@@ -20624,6 +21022,7 @@ WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
         "bm25_topk": _bm25_sql(),
         "rrf_fusion": _rrf_fusion_sql(),
         "qlm_topk": _qlm_sql(),
+        "pl2_topk": _pl2_sql(),
         "tfidf_topterms": _tfidf_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
         "stupid_backoff": _stupid_backoff_sql(),

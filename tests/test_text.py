@@ -7816,3 +7816,200 @@ def test_t_closeness_matches_python_replica(spark):
     bigs = [e for n, e, _ in want.values() if n >= big_n]
     assert singles and bigs
     assert sum(singles) / len(singles) > sum(bigs) / len(bigs)
+
+
+def test_branching_entropy_matches_python_replica(spark):
+    """Exact replica of both branching entropies / accessor varieties
+    from the collected texts (same tokenizer, e3-ln floor fold,
+    (c_left DESC, tok) top-k, coalesce-0 right side), plus the
+    structural locks: entropy bounds 0 <= ent_e3 <= ln(av)·1e3 (max
+    entropy is the uniform distribution) and identity Σ_b c(a,b) =
+    c_left(a)."""
+    import math
+    import re
+    from collections import Counter
+
+    from rxtls_spark.queries_training import (
+        BRANCH_TOPK,
+        q_branching_entropy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    cab = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        if not r["text"].strip():
+            continue
+        t = re.split("[ \t\n\x0B\f\r]+", r["text"].strip().lower())
+        for i in range(len(t) - 1):
+            cab[(t[i], t[i + 1])] += 1
+
+    def side(idx):
+        marg = Counter()
+        for k, c in cab.items():
+            marg[k[idx]] += c
+        stats = {}
+        for tok in marg:
+            ne3 = 0
+            av = 0
+            for k, c in cab.items():
+                if k[idx] == tok:
+                    av += 1
+                    ne3 += -c * math.floor(
+                        math.log(c / float(marg[tok])) * 1000.0
+                    )
+            stats[tok] = (marg[tok], av, ne3 // marg[tok])
+        return stats
+
+    ls, rs = side(0), side(1)
+    top = sorted(ls, key=lambda t: (-ls[t][0], t))[:BRANCH_TOPK]
+
+    got = q_branching_entropy(spark, SF_SMOKE).collect()
+    assert len(got) == len(top)
+    assert {r["tok"] for r in got} == set(top)
+    for r in got:
+        cl, avr, entr = ls[r["tok"]]
+        cr, avl, entl = rs.get(r["tok"], (0, 0, 0))
+        assert (r["c_left"], r["av_r"], r["ent_r_e3"]) == (cl, avr, entr)
+        assert (r["c_right"], r["av_l"], r["ent_l_e3"]) == (cr, avl, entl)
+        assert 0 <= entr <= math.log(max(avr, 1)) * 1000 + 1000
+        if cr:
+            assert 0 <= entl <= math.log(max(avl, 1)) * 1000 + 1000
+
+
+def test_embedding_anisotropy_matches_python_replica(spark):
+    """Exact replica from the collected vectors: identical index-order
+    norm fold, e4 floors, bignum S_j/D sums, the ‖Σu‖² − Σ‖u‖² pair
+    identity and truncating DIVs (Python // floors — use the trunc
+    helper).  Also proves the identity against the O(n²) brute-force
+    pairwise dot sum on a 50-vector slice, and locks the
+    normalization check mean_self_e6 ≈ 1e6."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        ANISO_DIM,
+        q_embedding_anisotropy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    qs = []
+    for r in rows:
+        x = [float(v) for v in r["embedding"]]
+        n2 = x[0] * x[0]
+        for j in range(1, ANISO_DIM):
+            n2 = n2 + x[j] * x[j]
+        nrm = math.sqrt(n2)
+        if nrm > 0:
+            qs.append(
+                [
+                    math.floor(x[j] / nrm * 10000.0 + 0.5)
+                    for j in range(ANISO_DIM)
+                ]
+            )
+    n = len(qs)
+    S = [sum(q[j] for q in qs) for j in range(ANISO_DIM)]
+    D = sum(sum(c * c for c in q) for q in qs)
+    P = sum(s * s for s in S)
+    want_cos = tdiv(P - D, n * (n - 1) * 100)
+    want_self = tdiv(D, n * 100)
+
+    got = q_embedding_anisotropy(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    assert got[0]["n_vecs"] == n
+    assert got[0]["mean_cos_e6"] == want_cos
+    assert got[0]["mean_self_e6"] == want_self
+    assert abs(want_self - 1000000) <= 10
+    assert abs(want_cos) < 1000000
+
+    sl = qs[:50]
+    brute = sum(
+        sum(a * b for a, b in zip(sl[i], sl[j]))
+        for i in range(50)
+        for j in range(50)
+        if i != j
+    )
+    ps = [sum(q[j] for q in sl) for j in range(ANISO_DIM)]
+    assert brute == sum(s * s for s in ps) - sum(
+        sum(c * c for c in q) for q in sl
+    )
+
+
+def test_pl2_topk_matches_python_replica(spark):
+    """PL2 recomputed in Python floats with the exact `_pl2_term`
+    operation order (tfn/λ rationals, log2/ln, per-term e3 floor then
+    exact sum) over the collected texts — full top-k row equality
+    including ranks.  Also locks the DFR sanity: a doc with zero
+    query-term hits scores 0, and the top-1 doc has at least one
+    query term."""
+    import math
+    import re
+    from collections import Counter
+
+    from rxtls_spark.queries_training import (
+        BM25_N_TERMS,
+        BM25_TOPK,
+        q_pl2_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    texts = {
+        r["doc_id"]: re.split(
+            "[ \t\n\x0B\f\r]+", r["text"].strip().lower()
+        )
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"].strip()
+    }
+    cnt = Counter(t for ts in texts.values() for t in ts)
+    terms = sorted(cnt, key=lambda t: (-cnt[t], t))[:BM25_N_TERMS]
+    n_docs = len(texts)
+    total = sum(len(ts) for ts in texts.values())
+
+    def pl2(ts):
+        dl = len(ts)
+        s = 0
+        for t in terms:
+            tf = sum(1 for x in ts if x == t)
+            if tf <= 0:
+                continue
+            tfn = float(tf) * math.log2(
+                1.0 + float(total) / (float(n_docs) * float(dl))
+            )
+            lam = float(cnt[t]) / float(n_docs)
+            s += math.floor(
+                (
+                    tfn * math.log2(tfn / lam)
+                    + (lam - tfn) / math.log(2.0)
+                    + 0.5 * math.log2(2.0 * math.pi * tfn)
+                )
+                / (tfn + 1.0)
+                * 1000.0
+            )
+        return s
+
+    want = {d: (len(ts), pl2(ts)) for d, ts in texts.items()}
+    order = sorted(want, key=lambda d: (-want[d][1], d))[:BM25_TOPK]
+
+    got = q_pl2_topk(spark, SF_SMOKE).collect()
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == order
+    for r in got:
+        dl, sc = want[r["doc_id"]]
+        assert (r["n_tokens"], r["pl2_e3"]) == (dl, sc)
+    top1 = order[0]
+    assert any(t in texts[top1] for t in terms)
+    no_hit = [d for d, ts in texts.items() if not any(t in ts for t in terms)]
+    for d in no_hit:
+        assert want[d][1] == 0
