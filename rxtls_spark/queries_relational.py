@@ -1851,6 +1851,119 @@ FROM hw
 """
 
 
+# Capped-balance spec — MIRRORED in `_REL_CAPPED_BALANCE_SQL`; change
+# together.  Flow sign is knuth(event_id) parity (+1 even / −1 odd —
+# the rel_ab_ztest NULL-split formula), so daily nets are a small
+# random walk; the cap/floor are sized so BOTH clamp branches fire on
+# the synthetic log (retune with the data model).
+BAL_CAP = 3
+
+
+def q_rel_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per event type (warehouse/inventory
+    semantics: receipts and issues accumulate, but stock can neither
+    go negative nor exceed capacity ``BAL_CAP``) — the canonical
+    NON-WINDOW-EXPRESSIBLE running statistic: because every clamp
+    resets the recurrence, no prefix-sum/min/max trick rewrites it as
+    a plain window (unlike cumsum or the scd2 islands), so engines
+    fall back to imperative UDFs — here it is the bounded-series fold
+    instead (the rel_holt_trend discipline).  Per (type, day): the
+    net flow, the clamped balance, and the spill (units lost to the
+    cap or unmet demand below the floor — the quantity a capacity
+    planner actually reads).
+
+    Cross-engine: net = Σ ±1 by knuth(event_id) parity (exact
+    BIGINT); the fold is pure BIGINT least/greatest — Spark
+    aggregate() over the array_sort'ed series ↔ DuckDB WITH
+    RECURSIVE over rn; spill is SIGNED (positive = overflow,
+    negative = shortage).
+
+    Scale path: ONE corpus-scale hash agg onto (type × day); the
+    fold runs over that bounded series only."""
+    from rxtls_spark.functions.hashing import knuth_hash
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+        F.when(knuth_hash(F.col("event_id")) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sgn"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("sgn").cast("long").alias("net")
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "net"))).alias("xs")
+    )
+    folded = ser.select(
+        "event_type",
+        F.expr(
+            f"aggregate(xs,"
+            " CAST(array() AS array<struct<day:bigint,net:bigint,"
+            "bal:bigint,spill:bigint>>),"
+            " (acc, x) -> concat(acc, array("
+            " CASE WHEN size(acc) = 0 THEN named_struct("
+            "  'day', x.day, 'net', x.net,"
+            f" 'bal', least(greatest(x.net, CAST(0 AS BIGINT)),"
+            f"  CAST({BAL_CAP} AS BIGINT)),"
+            f" 'spill', x.net - least(greatest(x.net, CAST(0 AS BIGINT)),"
+            f"  CAST({BAL_CAP} AS BIGINT)))"
+            " ELSE named_struct("
+            "  'day', x.day, 'net', x.net,"
+            "  'bal', least(greatest(element_at(acc, -1).bal + x.net,"
+            f"  CAST(0 AS BIGINT)), CAST({BAL_CAP} AS BIGINT)),"
+            "  'spill', element_at(acc, -1).bal + x.net"
+            "   - least(greatest(element_at(acc, -1).bal + x.net,"
+            f"  CAST(0 AS BIGINT)), CAST({BAL_CAP} AS BIGINT)))"
+            " END)))"
+        ).alias("ys"),
+    )
+    y = folded.select("event_type", F.explode("ys").alias("y"))
+    return y.select(
+        "event_type",
+        F.col("y.day").alias("day"),
+        F.col("y.net").alias("net"),
+        F.col("y.bal").alias("balance"),
+        F.col("y.spill").alias("spill"),
+    )
+
+
+_REL_CAPPED_BALANCE_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CASE WHEN (((event_id % 1000000007) * 2654435761)
+                    % 1000000007) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM events
+), daily AS (
+  SELECT event_type, CAST(day AS BIGINT) AS day,
+         CAST(sum(sgn) AS BIGINT) AS net
+  FROM e GROUP BY 1, 2
+), ord AS (
+  SELECT event_type, day, net,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), bal AS (
+  SELECT event_type, day, net, rn,
+         least(greatest(net, 0), {BAL_CAP}) AS bal,
+         net - least(greatest(net, 0), {BAL_CAP}) AS spill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.net, o.rn,
+         least(greatest(b.bal + o.net, 0), {BAL_CAP}),
+         b.bal + o.net - least(greatest(b.bal + o.net, 0), {BAL_CAP})
+  FROM ord o JOIN bal b
+    ON o.event_type = b.event_type AND o.rn = b.rn + 1
+)
+SELECT event_type, day, net,
+       CAST(bal AS BIGINT) AS balance,
+       CAST(spill AS BIGINT) AS spill
+FROM bal
+"""
+
+
 def q_rel_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand Pearson correlation of quantity vs extended price
     over lineitems — the "does price scale with volume" audit (A8's
@@ -2249,6 +2362,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_cusum_changepoint": q_rel_cusum_changepoint,
     "rel_price_corr": q_rel_price_corr,
     "rel_holt_trend": q_rel_holt_trend,
+    "rel_capped_balance": q_rel_capped_balance,
     "rel_peak_concurrency": q_rel_peak_concurrency,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
@@ -2295,6 +2409,7 @@ ORACLES_REL: dict[str, str] = {
     "rel_cusum_changepoint": _REL_CUSUM_SQL,
     "rel_price_corr": _REL_PRICE_CORR_SQL,
     "rel_holt_trend": _REL_HOLT_SQL,
+    "rel_capped_balance": _REL_CAPPED_BALANCE_SQL,
     "rel_peak_concurrency": _REL_PEAK_CONCURRENCY_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,

@@ -16868,6 +16868,223 @@ FROM agg
 """
 
 
+# Sliced-W1 spec — MIRRORED in `_sliced_w1_sql`; change together.
+# Projections are the random_projection spec verbatim (e4 floors +
+# `_rp_signs` ±1 folds — sign/salt changes move THREE oracles now);
+# buckets = proj DIV SW1_BUCKET (signed truncating DIV, ≈129 buckets
+# at ±64e4 range); per (pair, direction) the W1 is the source_w1_drift
+# rule — e9 CDFs over the densified direction-bucket grid, Σ|Δcdf|·gap
+# with the lead-NULL last bucket excluded — then mean over directions.
+SW1_BUCKET = 10000
+
+
+def q_source_sliced_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced Wasserstein-1 distance between source EMBEDDING clouds
+    (Rabin et al. 2011; Bonneel 2015 — the standard cheap OT
+    surrogate): project every embedding onto the RP_DIM fixed ±1
+    directions, take the 1-D W1 between each source pair per
+    direction, average.  The embedding-space complement of
+    `source_w1_drift` (quality marginals) and `source_centroid_sim`
+    (first moments only): two sources can share a centroid yet have
+    disjoint clouds — sliced W1 sees the shape, and it is exactly the
+    quantity a mixture designer tracks as 'distribution distance'
+    between data sources before reweighting.
+
+    Cross-engine exact: projections are the random_projection e4
+    integer coords folded with the `_rp_signs` literals; bucket =
+    proj DIV SW1_BUCKET (signed DIV truncates toward zero on both
+    engines); per (pair, direction) W1 = Σ|Δcdf|·gap on e9 integer
+    CDFs over observed buckets (the source_w1_drift form, last
+    bucket excluded by the lead-NULL rule); the direction mean is
+    Σ w1_k DIV RP_DIM.  The doc_id == vec_id correspondence supplies
+    `source` (the rrf/source_centroid_sim convention).
+
+    Scale shape: pure map → ONE corpus-scale (source × dir × ≤129
+    bucket) hash agg; the grid/CDF windows and the all-pairs join run
+    on that bounded table — metadata-scale at any corpus size."""
+    from pyspark.sql.window import Window
+
+    signs = _rp_signs()
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(10000.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xe"),
+    )
+    proj = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "source",
+        *[
+            sum(
+                (
+                    F.element_at("xe", i + 1)
+                    if s == 1
+                    else -F.element_at("xe", i + 1)
+                )
+                for i, s in enumerate(signs[k])
+            ).alias(f"y{k}")
+            for k in range(RP_DIM)
+        ],
+    )
+    longf = proj.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("dir"),
+                        F.expr(f"y{k} DIV {SW1_BUCKET}").alias("bk"),
+                    )
+                    for k in range(RP_DIM)
+                ]
+            )
+        ).alias("e"),
+    ).select("source", F.col("e.dir").alias("dir"), F.col("e.bk").alias("bk"))
+    hist = longf.groupBy("source", "dir", "bk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hist.groupBy("source").agg(
+        F.expr(f"CAST(sum(c) DIV {RP_DIM} AS BIGINT)").alias("n")
+    )
+    bks = hist.select("dir", "bk").distinct()
+    nxt = bks.withColumn(
+        "bk_next",
+        F.lead("bk").over(Window.partitionBy("dir").orderBy("bk")),
+    )
+    grid = tot.crossJoin(F.broadcast(bks))
+    cum = (
+        grid.join(hist, ["source", "dir", "bk"], "left")
+        .select(
+            "source",
+            "n",
+            "dir",
+            "bk",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c0"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("c0")
+            .over(Window.partitionBy("source", "dir").orderBy("bk"))
+            .cast("long"),
+        )
+    )
+    cdf = cum.select(
+        "source",
+        "n",
+        "dir",
+        "bk",
+        F.expr("(cum * 1000000000) DIV n").alias("cdf"),
+    )
+    a = cdf.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        "dir",
+        "bk",
+        F.col("cdf").alias("cdf_a"),
+    )
+    b = cdf.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        "dir",
+        "bk",
+        F.col("cdf").alias("cdf_b"),
+    )
+    pairs = (
+        a.join(b, ["dir", "bk"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(nxt, ["dir", "bk"])
+        .where(F.col("bk_next").isNotNull())
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum(
+                F.abs(F.col("cdf_a") - F.col("cdf_b"))
+                * (F.col("bk_next") - F.col("bk"))
+            )
+            .cast("long")
+            .alias("sum_w1"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.expr(f"sum_w1 DIV {RP_DIM}").alias("sw1_e9b"),
+    )
+
+
+def _sliced_w1_sql(bucket: int | None = None) -> str:
+    """source_sliced_w1 oracle: the spliced ±1 sign folds and e4
+    floors, signed-DIV buckets, the source_w1_drift CDF/gap chain per
+    direction, Σ DIV RP_DIM direction mean."""
+    bucket = SW1_BUCKET if bucket is None else bucket
+    signs = _rp_signs()
+    ys = ",\n         ".join(
+        "("
+        + " ".join(
+            ("+ " if s == 1 else "- ") + f"xe[{i + 1}]"
+            for i, s in enumerate(signs[k])
+        ).lstrip("+ ")
+        + f") AS y{k}"
+        for k in range(RP_DIM)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT source, CAST({k} AS BIGINT) AS dir,"
+        f" y{k} // {bucket} AS bk FROM proj"
+        for k in range(RP_DIM)
+    )
+    return f"""
+WITH xe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS xe
+  FROM embeddings
+), proj AS (
+  SELECT d.source,
+         {ys}
+  FROM xe JOIN documents d ON d.doc_id = xe.vec_id
+), longf AS (
+{unions}
+), hist AS (
+  SELECT source, dir, bk, CAST(count(*) AS BIGINT) AS c
+  FROM longf GROUP BY 1, 2, 3
+), tot AS (
+  SELECT source, CAST(sum(c) // {RP_DIM} AS BIGINT) AS n
+  FROM hist GROUP BY 1
+), bks AS (SELECT DISTINCT dir, bk FROM hist),
+nxt AS (
+  SELECT dir, bk, lead(bk) OVER (PARTITION BY dir ORDER BY bk) AS bk_next
+  FROM bks
+), grid AS (SELECT t.source, t.n, b.dir, b.bk FROM tot t, bks b),
+cum AS (
+  SELECT g.source, g.n, g.dir, g.bk,
+         CAST(sum(coalesce(h.c, 0)) OVER (
+           PARTITION BY g.source, g.dir ORDER BY g.bk) AS BIGINT) AS cum
+  FROM grid g LEFT JOIN hist h
+    ON g.source = h.source AND g.dir = h.dir AND g.bk = h.bk
+), cdf AS (
+  SELECT source, n, dir, bk,
+         CAST((cum * 1000000000) // n AS BIGINT) AS cdf
+  FROM cum
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(max(a.n) AS BIGINT) AS n_a,
+       CAST(max(b.n) AS BIGINT) AS n_b,
+       CAST(sum(abs(a.cdf - b.cdf) * (x.bk_next - x.bk)) // {RP_DIM}
+            AS BIGINT) AS sw1_e9b
+FROM cdf a
+JOIN cdf b ON a.dir = b.dir AND a.bk = b.bk AND a.source < b.source
+JOIN nxt x ON a.dir = x.dir AND a.bk = x.bk
+WHERE x.bk_next IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # Anisotropy spec — MIRRORED in `_anisotropy_sql`; change together.
 # Per-row unit-normalize (norm fold expands textually in index order
 # — the source_centroid_sim rule) then e4-floor to ints; the pairwise
@@ -18898,6 +19115,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "branching_entropy": q_branching_entropy,
     "embedding_anisotropy": q_embedding_anisotropy,
+    "source_sliced_w1": q_source_sliced_w1,
     "dawid_skene": q_dawid_skene,
     "confident_learning": q_confident_learning,
     "textrank_keywords": q_textrank_keywords,
@@ -20495,6 +20713,7 @@ FROM kl
         "winnow_fingerprints": _winnow_sql(),
         "branching_entropy": _branching_sql(),
         "embedding_anisotropy": _anisotropy_sql(),
+        "source_sliced_w1": _sliced_w1_sql(),
         "dawid_skene": _dawid_skene_sql(),
         "confident_learning": _confident_learning_sql(),
         "textrank_keywords": _textrank_sql(),

@@ -1420,3 +1420,64 @@ def test_rel_peak_concurrency_matches_bruteforce(spark):
     assert got == want
     assert all(v[1] >= 1 for v in got.values())
     assert any(v[1] > 1 for v in got.values()), "no overlap anywhere"
+
+
+def test_rel_capped_balance_matches_python_replica(spark):
+    """The clamped-balance fold recomputed sequentially in Python from
+    the per-day knuth-parity nets — exact row equality — plus the
+    invariants that make the operator worth having: balance always in
+    [0, CAP], spill > 0 only at the cap, spill < 0 only at the floor,
+    and BOTH clamp branches actually fire on the synthetic log (the
+    cap sizing is part of the spec).  Also locks the conservation
+    identity balance_t = balance_{t-1} + net_t - spill_t."""
+    from rxtls_spark.functions.hashing import KNUTH_A, KNUTH_P
+    from rxtls_spark.queries_relational import (
+        BAL_CAP,
+        _t,
+        q_rel_capped_balance,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+            "event_id",
+        )
+        .collect()
+    )
+    nets: dict = {}
+    for r in rows:
+        sgn = 1 if ((r["event_id"] % KNUTH_P) * KNUTH_A) % KNUTH_P % 2 == 0 else -1
+        key = (r["event_type"], r["day"])
+        nets[key] = nets.get(key, 0) + sgn
+    want = {}
+    for et in {k[0] for k in nets}:
+        bal = 0
+        for day in sorted(d for e, d in nets if e == et):
+            net = nets[(et, day)]
+            raw = bal + net
+            nb = min(max(raw, 0), BAL_CAP)
+            want[(et, day)] = (net, nb, raw - nb)
+            bal = nb
+
+    got = q_rel_capped_balance(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    hit_cap = hit_floor = False
+    prev: dict = {}
+    for r in sorted(got, key=lambda r: (r["event_type"], r["day"])):
+        key = (r["event_type"], r["day"])
+        assert (r["net"], r["balance"], r["spill"]) == want[key], key
+        assert 0 <= r["balance"] <= BAL_CAP
+        if r["spill"] > 0:
+            assert r["balance"] == BAL_CAP
+            hit_cap = True
+        if r["spill"] < 0:
+            assert r["balance"] == 0
+            hit_floor = True
+        p = prev.get(r["event_type"], 0)
+        assert r["balance"] == p + r["net"] - r["spill"]
+        prev[r["event_type"]] = r["balance"]
+    assert hit_cap and hit_floor

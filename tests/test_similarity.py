@@ -1585,3 +1585,96 @@ def test_cka_alignment_matches_python_replica(spark):
     assert got[0]["cka_e6"] == want
     assert 0 < want < 1000000
     assert cka(X, X) in (999999, 1000000)
+
+
+def test_source_sliced_w1_matches_python_replica(spark):
+    """Exact-integer replica: e4 floors, ±1 sign folds, signed
+    truncating bucket DIV, e9 CDFs over the per-direction observed
+    buckets, Σ|Δcdf|·gap with the last bucket excluded, mean over
+    directions — pair-for-pair equality.  Locks sw1 >= 0 everywhere,
+    at least one strictly positive pair (informative), and the
+    metric property that a source has zero distance to itself
+    (checked on the replica)."""
+    import math
+
+    from rxtls_spark.queries_training import (
+        RP_DIM,
+        SW1_BUCKET,
+        _rp_signs,
+        q_source_sliced_w1,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    signs = _rp_signs()
+    hist: dict = {}
+    n_src: dict = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    ):
+        if r["vec_id"] not in docs:
+            continue
+        src = docs[r["vec_id"]]
+        xe = [math.floor(float(v) * 10000.0 + 0.5) for v in r["embedding"]]
+        n_src[src] = n_src.get(src, 0) + 1
+        for k in range(RP_DIM):
+            y = sum(s * xe[i] for i, s in enumerate(signs[k]))
+            bk = tdiv(y, SW1_BUCKET)
+            hist[(src, k, bk)] = hist.get((src, k, bk), 0) + 1
+
+    dirs_bks = {
+        k: sorted({b for (s, kk, b) in hist if kk == k})
+        for k in range(RP_DIM)
+    }
+
+    def cdf(src, k):
+        out, cum = [], 0
+        for b in dirs_bks[k]:
+            cum += hist.get((src, k, b), 0)
+            out.append(cum * 10**9 // n_src[src])
+        return out
+
+    srcs = sorted(n_src)
+    want = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            tot_w1 = 0
+            for k in range(RP_DIM):
+                ca, cb = cdf(sa, k), cdf(sb, k)
+                bks = dirs_bks[k]
+                for j in range(len(bks) - 1):
+                    tot_w1 += abs(ca[j] - cb[j]) * (bks[j + 1] - bks[j])
+            want[(sa, sb)] = tot_w1 // RP_DIM
+
+    got = q_source_sliced_w1(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        key = (r["source_a"], r["source_b"])
+        assert r["sw1_e9b"] == want[key], key
+        assert r["sw1_e9b"] >= 0
+        assert (r["n_a"], r["n_b"]) == (n_src[key[0]], n_src[key[1]])
+    assert any(v > 0 for v in want.values())
+
+    # metric sanity on the replica: self-distance is exactly zero
+    s0 = srcs[0]
+    self_w1 = sum(
+        abs(a - b) * g
+        for k in range(RP_DIM)
+        for a, b, g in zip(
+            cdf(s0, k),
+            cdf(s0, k),
+            [y - x for x, y in zip(dirs_bks[k], dirs_bks[k][1:])],
+        )
+    )
+    assert self_w1 == 0
