@@ -3201,6 +3201,158 @@ FROM c
 """
 
 
+# ROUGE-L spec — MIRRORED in `_rouge_pairs_sql`; change together.
+# Same variant pool as bleu_pairs/edit_verify; both sides TRUNCATE to
+# the first ROUGE_MAX_TOK tokens (the O(cap²) DP bound — eval-harness
+# convention), and the LCS is the identical nested fold: Spark
+# aggregate-in-aggregate ↔ DuckDB list_reduce with the seed PREPENDED
+# and indices as BIGINT singletons (list_reduce demands state type ==
+# element type — the reason for the [i] encoding).
+ROUGE_MAX_TOK = 64
+
+
+def q_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L overlap scoring over the near-dup candidate pairs (Lin
+    2004) — the recall-side companion of `bleu_pairs` on the SAME
+    variant pool: BLEU's clipped n-grams measure copied PHRASES,
+    ROUGE-L's longest common subsequence measures preserved ORDER
+    (a shuffled copy keeps BLEU-1 high but collapses LCS), so the
+    two together separate rewording from reordering — the verifier
+    pair a dedup reviewer actually wants.  Per (doc, variant):
+    capped token lengths, the exact LCS, and integer-rational
+    recall/precision/F1 — r = l/|a|, p = l/|b|, f = 2l/(|a|+|b|).
+
+    Cross-engine: the LCS is a classic one-row DP run as a NESTED
+    fold — outer over a's tokens carrying the DP row, inner over b's
+    positions building the next row with new[j] = max(old[j],
+    new[j-1], old[j-1] + [a_i = b_j]) — all BIGINT, no floats
+    anywhere; the e6 ratios are truncating DIVs on non-negatives.
+    `same` → f = 1e6 exactly (the anchor); pytest proves the fold
+    against a textbook Python DP.
+
+    Scale shape: pure per-row array math over the bounded candidate
+    pairs — zero exchanges past the pair build; the O(cap²) DP cost
+    is bounded by ROUGE_MAX_TOK, never by document length."""
+    base = (
+        _docs(spark, sf_dir)
+        .where((F.col("doc_id") % 20 == 0) & (F.trim("text") != ""))
+        .select("doc_id", F.col("text").alias("a"))
+    )
+    variants = base.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("same"), F.lit("append"), F.lit("sub"),
+                    F.lit("half"),
+                ),
+                F.array(
+                    F.col("a"),
+                    F.concat(F.col("a"), F.lit(" extra!")),
+                    F.regexp_replace("a", "a", "b"),
+                    F.substring(
+                        F.col("a"), 1, (F.length("a") / 2).cast("int")
+                    ),
+                ),
+            )
+        ).alias("variant", "b"),
+        "a",
+    )
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
+    cap = ROUGE_MAX_TOK
+    t = variants.select(
+        "doc_id",
+        "variant",
+        F.slice(F.split(F.trim(F.col("a")), ws), 1, cap).alias("ta"),
+        F.slice(F.split(F.trim(F.col("b")), ws), 1, cap).alias("tb"),
+    )
+    lcs = F.expr(
+        "element_at(aggregate("
+        " sequence(1, size(ta)),"
+        " transform(sequence(0, size(tb)), x -> CAST(0 AS BIGINT)),"
+        " (old, i) -> aggregate("
+        "   sequence(1, size(tb)),"
+        "   array(CAST(0 AS BIGINT)),"
+        "   (nr, j) -> concat(nr, array(greatest("
+        "     element_at(old, j + 1),"
+        "     element_at(nr, -1),"
+        "     CASE WHEN element_at(tb, j) = element_at(ta, i)"
+        "          THEN element_at(old, j) + 1"
+        "          ELSE CAST(0 AS BIGINT) END)))"
+        " )), size(tb) + 1)"
+    )
+    return t.select(
+        "doc_id",
+        "variant",
+        F.size("ta").cast("long").alias("len_a"),
+        F.size("tb").cast("long").alias("len_b"),
+        lcs.alias("lcs"),
+    ).selectExpr(
+        "doc_id",
+        "variant",
+        "len_a",
+        "len_b",
+        "lcs",
+        "(lcs * 1000000) DIV len_a AS rouge_r_e6",
+        "(lcs * 1000000) DIV len_b AS rouge_p_e6",
+        "(2 * lcs * 1000000) DIV (len_a + len_b) AS rouge_f_e6",
+    )
+
+
+def _rouge_pairs_sql(cap: int | None = None) -> str:
+    """rouge_pairs oracle: identical variant pool and caps, the LCS
+    as list_reduce-in-list_reduce (seed prepended, [i] index
+    singletons), identical DIV ratios."""
+    cap = ROUGE_MAX_TOK if cap is None else cap
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
+    lcs = """list_reduce(
+  list_prepend(list_transform(generate_series(0, len(tb)),
+                              x -> CAST(0 AS BIGINT)),
+               list_transform(generate_series(1, len(ta)),
+                              i -> [CAST(i AS BIGINT)])),
+  (old, el) -> list_reduce(
+     list_prepend(CAST([0] AS BIGINT[]),
+                  list_transform(generate_series(1, len(tb)),
+                                 j -> [CAST(j AS BIGINT)])),
+     (nr, jel) -> list_append(nr, greatest(
+        old[jel[1] + 1], nr[len(nr)],
+        CASE WHEN tb[jel[1]] = ta[el[1]] THEN old[jel[1]] + 1
+             ELSE CAST(0 AS BIGINT) END))
+  )
+)[len(tb) + 1]"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text AS a FROM documents
+  WHERE doc_id % 20 = 0 AND trim(text) <> ''
+), v AS (
+  SELECT doc_id, 'same' AS variant, a, a AS b FROM base
+  UNION ALL
+  SELECT doc_id, 'append', a, a || ' extra!' FROM base
+  UNION ALL
+  SELECT doc_id, 'sub', a, regexp_replace(a, 'a', 'b', 'g') FROM base
+  UNION ALL
+  SELECT doc_id, 'half', a, substring(a, 1, length(a) // 2) FROM base
+), t AS (
+  SELECT doc_id, variant,
+         regexp_split_to_array(trim(a), '{ws}')[1:{cap}] AS ta,
+         regexp_split_to_array(trim(b), '{ws}')[1:{cap}] AS tb
+  FROM v
+), sc AS (
+  SELECT doc_id, variant,
+         CAST(len(ta) AS BIGINT) AS len_a,
+         CAST(len(tb) AS BIGINT) AS len_b,
+         CAST({lcs} AS BIGINT) AS lcs
+  FROM t
+)
+SELECT doc_id, variant, len_a, len_b, lcs,
+       CAST((lcs * 1000000) // len_a AS BIGINT) AS rouge_r_e6,
+       CAST((lcs * 1000000) // len_b AS BIGINT) AS rouge_p_e6,
+       CAST((2 * lcs * 1000000) // (len_a + len_b) AS BIGINT)
+         AS rouge_f_e6
+FROM sc
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard on the injected dup pairs — pure JVM array
     math (split/transform/array_intersect/array_union), SQL-mirrored.
@@ -19225,6 +19377,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "edit_verify": q_edit_verify,
     "bleu_pairs": q_bleu_pairs,
+    "rouge_pairs": q_rouge_pairs,
     "split_leakage": q_split_leakage,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -21488,6 +21641,7 @@ WHERE rn <= 10
         "hll_distinct": _hll_distinct_sql(),
         "secret_scan": _secret_scan_sql(),
         "bleu_pairs": _bleu_pairs_sql(),
+        "rouge_pairs": _rouge_pairs_sql(),
         "bradley_terry": _bradley_terry_sql(),
         "isotonic_fit": _isotonic_sql(),
         "dbscan_clusters": _dbscan_sql(),

@@ -8013,3 +8013,65 @@ def test_pl2_topk_matches_python_replica(spark):
     no_hit = [d for d, ts in texts.items() if not any(t in ts for t in terms)]
     for d in no_hit:
         assert want[d][1] == 0
+
+
+def test_rouge_pairs_matches_python_dp(spark):
+    """The nested-fold LCS proven against a textbook O(nm) Python DP
+    on every pair, exact ratio equality, plus the semantic locks:
+    `same` scores f == 1e6 exactly; `append` has lcs == len_a (a is a
+    prefix-subsequence of b) with p < 1e6 when b gained tokens inside
+    the cap; ROUGE-L never exceeds 1e6; and the BLEU-vs-ROUGE split
+    is real somewhere (a variant where order-free overlap and LCS
+    disagree would need a shuffle variant — here we lock lcs <=
+    min(len_a, len_b) instead)."""
+    import re
+
+    from rxtls_spark.queries_training import ROUGE_MAX_TOK, q_rouge_pairs
+    from tests.conftest import SF_SMOKE
+
+    ws = "[ \t\n\x0B\f\r]+"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["doc_id"] % 20 == 0 and r["text"].strip()
+    }
+
+    def toks(s):
+        return re.split(ws, s.strip())[:ROUGE_MAX_TOK]
+
+    def lcs(a, b):
+        old = [0] * (len(b) + 1)
+        for x in a:
+            nr = [0]
+            for j, y in enumerate(b, 1):
+                nr.append(max(old[j], nr[-1], old[j - 1] + (x == y)))
+            old = nr
+        return old[len(b)]
+
+    want = {}
+    for d, a in texts.items():
+        for v, b in (
+            ("same", a),
+            ("append", a + " extra!"),
+            ("sub", a.replace("a", "b")),
+            ("half", a[: len(a) // 2]),
+        ):
+            ta, tb = toks(a), toks(b)
+            want[(d, v)] = (len(ta), len(tb), lcs(ta, tb))
+
+    got = q_rouge_pairs(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        la, lb, l = want[(r["doc_id"], r["variant"])]
+        assert (r["len_a"], r["len_b"], r["lcs"]) == (la, lb, l)
+        assert r["rouge_r_e6"] == l * 10**6 // la
+        assert r["rouge_p_e6"] == l * 10**6 // lb
+        assert r["rouge_f_e6"] == 2 * l * 10**6 // (la + lb)
+        assert l <= min(la, lb)
+        assert r["rouge_f_e6"] <= 10**6
+        if r["variant"] == "same":
+            assert r["rouge_f_e6"] == 10**6
+        if r["variant"] == "append":
+            assert l == la
