@@ -17480,6 +17480,188 @@ FROM top t LEFT JOIN rs r ON t.tok = r.tok
 """
 
 
+# Moore-Lewis spec — MIRRORED in `_moore_lewis_sql`; change together.
+# In-domain = lang_guess()=='en' (the shared logreg label); both LMs
+# live on the `_token_bucket` md5 64-bucket space with the source_kl
+# Laplace form floor(ln((c+1)/(n+64.0))·1e3) — bucket-function or
+# smoothing changes move dsir/source_kl/source_jsd AND this; selection
+# is fixed-k (score DESC, doc_id).
+MOLE_K = 100
+
+
+def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection (Moore & Lewis
+    2010, "Intelligent Selection of Language Model Training Data") —
+    the classic targeted-data selector DSIR descends from: score each
+    document by ln p_in-domain(doc) − ln p_general(doc) and keep the
+    top slice; documents the in-domain LM likes MORE than the general
+    LM are the ones that pull a model toward the domain.  Differs
+    from `dsir_weights` (importance ratio on raw bucket counts, no
+    LM) and `rho_loss_select` (held-out loss difference): this is
+    the likelihood-ratio ORIGINAL.  In-domain here = the 'en' slice.
+
+    Cross-engine exact: both unigram LMs live on the shared 64-bucket
+    hashed space with the source_kl Laplace e3-floors; the per-doc
+    score Σ_b c_db·(lp_in_b − lp_gen_b) is pure BIGINT (signed);
+    selection is fixed-k (score DESC, doc_id) TakeOrderedAndProject.
+    The audit columns ship with it: is_en per kept doc — in-domain
+    docs should dominate the top slice (the pytest lock).
+
+    Scale shape: ONE corpus-scale (doc × ≤64 bucket) hash agg, two
+    bounded 64-row LM tables broadcast back, a pure-map score join,
+    fixed-k top-k.  Nothing driver-side but the 64-row literals."""
+    hexmap = _hex_digit_map()
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.when(lang_guess() == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_en"),
+            F.explode(_lm_tokens()).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_en",
+            _token_bucket(F.col("tok"), hexmap).alias("bucket"),
+        )
+    )
+    db = base.groupBy("doc_id", "is_en", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    buckets = spark.range(64).select(F.col("id").cast("int").alias("bucket"))
+    gen = (
+        buckets.join(
+            db.groupBy("bucket").agg(F.sum("c").cast("long").alias("cg")),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket", F.coalesce("cg", F.lit(0).cast("long")).alias("cg")
+        )
+    )
+    ind = (
+        buckets.join(
+            db.where(F.col("is_en") == 1)
+            .groupBy("bucket")
+            .agg(F.sum("c").cast("long").alias("ci")),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket", F.coalesce("ci", F.lit(0).cast("long")).alias("ci")
+        )
+    )
+    lm = (
+        gen.join(ind, "bucket")
+        .crossJoin(
+            F.broadcast(
+                gen.agg(F.sum("cg").cast("long").alias("ng")).crossJoin(
+                    ind.agg(F.sum("ci").cast("long").alias("ni"))
+                )
+            )
+        )
+        .select(
+            "bucket",
+            (
+                F.floor(
+                    F.log((F.col("ci") + 1) / (F.col("ni") + F.lit(64.0)))
+                    * 1000.0
+                ).cast("long")
+                - F.floor(
+                    F.log((F.col("cg") + 1) / (F.col("ng") + F.lit(64.0)))
+                    * 1000.0
+                ).cast("long")
+            ).alias("diff_e3"),
+        )
+    )
+    scored = (
+        db.join(F.broadcast(lm), "bucket")
+        .groupBy("doc_id", "is_en")
+        .agg(
+            F.sum("c").cast("long").alias("n_toks"),
+            F.sum(F.col("c") * F.col("diff_e3"))
+            .cast("long")
+            .alias("ce_diff_e3"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    return (
+        scored.orderBy(F.desc("ce_diff_e3"), "doc_id")
+        .limit(MOLE_K)
+        .select(
+            "doc_id",
+            "is_en",
+            "n_toks",
+            "ce_diff_e3",
+            F.row_number()
+            .over(_W.orderBy(F.desc("ce_diff_e3"), "doc_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def _moore_lewis_sql(k: int | None = None) -> str:
+    """moore_lewis oracle: the md5 64-bucket chain, the identical
+    Laplace e3-floors for both LMs, signed BIGINT per-doc score,
+    fixed-k (score DESC, doc_id)."""
+    k = MOLE_K if k is None else k
+    return _TEXT_CTE + f"""
+, lbl AS (
+  SELECT doc_id, CASE WHEN lang_guess = 'en' THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS is_en
+  FROM feats
+), toksx AS (
+  SELECT d.doc_id,
+         regexp_split_to_array(trim(lower(d.text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents d WHERE trim(d.text) <> ''
+), tb AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)) % 64
+           AS bucket
+  FROM (SELECT doc_id, unnest(t) AS tk FROM toksx)
+), db AS (
+  SELECT b.doc_id, l.is_en, b.bucket, CAST(count(*) AS BIGINT) AS c
+  FROM tb b JOIN lbl l ON b.doc_id = l.doc_id
+  GROUP BY 1, 2, 3
+), grid AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+gen AS (
+  SELECT g.bucket, CAST(coalesce(sum(db.c), 0) AS BIGINT) AS cg
+  FROM grid g LEFT JOIN db ON g.bucket = db.bucket GROUP BY 1
+), ind AS (
+  SELECT g.bucket, CAST(coalesce(sum(CASE WHEN db.is_en = 1 THEN db.c
+                                     ELSE 0 END), 0) AS BIGINT) AS ci
+  FROM grid g LEFT JOIN db ON g.bucket = db.bucket GROUP BY 1
+), tots AS (
+  SELECT (SELECT CAST(sum(cg) AS BIGINT) FROM gen) AS ng,
+         (SELECT CAST(sum(ci) AS BIGINT) FROM ind) AS ni
+), lm AS (
+  SELECT gen.bucket,
+         CAST(floor(ln((ind.ci + 1) / (tots.ni + 64.0)) * 1000.0) AS BIGINT)
+         - CAST(floor(ln((gen.cg + 1) / (tots.ng + 64.0)) * 1000.0)
+                AS BIGINT) AS diff_e3
+  FROM gen JOIN ind ON gen.bucket = ind.bucket CROSS JOIN tots
+), mls AS (
+  SELECT db.doc_id, db.is_en,
+         CAST(sum(db.c) AS BIGINT) AS n_toks,
+         CAST(sum(db.c * lm.diff_e3) AS BIGINT) AS ce_diff_e3
+  FROM db JOIN lm ON db.bucket = lm.bucket
+  GROUP BY 1, 2
+)
+SELECT doc_id, is_en, n_toks, ce_diff_e3,
+       CAST(row_number() OVER (ORDER BY ce_diff_e3 DESC, doc_id) AS BIGINT)
+         AS rank
+FROM mls
+ORDER BY ce_diff_e3 DESC, doc_id LIMIT {k}
+"""
+
+
 # Winnowing fingerprint spec — MIRRORED in `_winnow_sql`; change
 # together.  Token k-grams hashed via the md5-13-hex key (the
 # bloom_dedup conv(_,16,10) == '0x'||_ pairing) reduced mod 2^35,
@@ -19281,6 +19463,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_profile": q_script_profile,
     "lm_score_broadcast": q_lm_score_broadcast,
     "dsir_weights": q_dsir_weights,
+    "moore_lewis": q_moore_lewis,
     "dsir_topfrac": q_dsir_topfrac,
     "bm25_topk": q_bm25_topk,
     "qlm_topk": q_qlm_topk,
@@ -20820,6 +21003,7 @@ FROM keyed
 ORDER BY key_e DESC, doc_id
 LIMIT {WSAMPLE_K}
 """,
+        "moore_lewis": _moore_lewis_sql(),
         "source_kl": """
 WITH toks AS (
   SELECT source, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t

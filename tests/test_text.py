@@ -8075,3 +8075,81 @@ def test_rouge_pairs_matches_python_dp(spark):
             assert r["rouge_f_e6"] == 10**6
         if r["variant"] == "append":
             assert l == la
+
+
+def test_moore_lewis_matches_python_replica(spark):
+    """Exact-integer replica from collected (doc, is_en, bucket)
+    rows: the identical Laplace e3-ln floors for both LMs, the
+    signed per-doc Σ c·Δlp, fixed-k (score DESC, doc_id) — full
+    row equality including ranks.  Semantic lock: the top slice is
+    dominated by in-domain docs (>= 80%) AND in-domain mean score
+    exceeds out-of-domain mean (the likelihood-ratio point)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        MOLE_K,
+        _docs,
+        _hex_digit_map,
+        _lm_tokens,
+        _token_bucket,
+        lang_guess,
+        q_moore_lewis,
+    )
+    from tests.conftest import SF_SMOKE
+
+    hexmap = _hex_digit_map()
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.when(lang_guess() == "en", 1).otherwise(0).alias("is_en"),
+            F.explode(_lm_tokens()).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_en",
+            _token_bucket(F.col("tok"), hexmap).alias("bucket"),
+        )
+        .collect()
+    )
+    per_doc: dict = {}
+    en_of: dict = {}
+    cg = [0] * 64
+    ci = [0] * 64
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], {}).setdefault(r["bucket"], 0)
+        per_doc[r["doc_id"]][r["bucket"]] += 1
+        en_of[r["doc_id"]] = r["is_en"]
+        cg[r["bucket"]] += 1
+        if r["is_en"]:
+            ci[r["bucket"]] += 1
+    ng, ni = sum(cg), sum(ci)
+    diff = [
+        math.floor(math.log((ci[b] + 1) / (ni + 64.0)) * 1000.0)
+        - math.floor(math.log((cg[b] + 1) / (ng + 64.0)) * 1000.0)
+        for b in range(64)
+    ]
+    want = {
+        d: (
+            en_of[d],
+            sum(h.values()),
+            sum(c * diff[b] for b, c in h.items()),
+        )
+        for d, h in per_doc.items()
+    }
+    order = sorted(want, key=lambda d: (-want[d][2], d))[:MOLE_K]
+
+    got = q_moore_lewis(spark, SF_SMOKE).collect()
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == order
+    for r in got:
+        en, nt, sc = want[r["doc_id"]]
+        assert (r["is_en"], r["n_toks"], r["ce_diff_e3"]) == (en, nt, sc)
+    kept_en = sum(r["is_en"] for r in got)
+    assert kept_en >= 0.8 * len(got)
+    en_scores = [v[2] for v in want.values() if v[0] == 1]
+    non_scores = [v[2] for v in want.values() if v[0] == 0]
+    assert en_scores and non_scores
+    assert sum(en_scores) / len(en_scores) > sum(non_scores) / len(non_scores)
