@@ -17480,6 +17480,126 @@ FROM top t LEFT JOIN rs r ON t.tok = r.tok
 """
 
 
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor over the embedding kNN graph (Breunig et
+    al. 2000) — the density-RATIO outlier score that catches what
+    global screens miss: a vector can sit at a normal distance from
+    the corpus (quality_outliers-style z-scores pass it) yet be
+    isolated RELATIVE to its own neighborhood's density — mislabeled
+    scrapes, encoding glitches, and off-manifold embeddings show up
+    exactly there.  LOF ≈ 1 → inlier; ≫ 1 → local outlier.
+
+    Built ENTIRELY on the proven `knn_graph` edges (another
+    `_kmeans_cents_ctes`/KNN_K consumer — kmeans/KNN changes flow
+    in): d = 1e5 − cos_e5 (integer cosine distance), k-dist(p) =
+    max d over p's kept neighbors, reach(p→o) = max(k-dist(o),
+    d(p,o)), lrd(p) = (n_p·1e9) DIV max(Σ reach, 1), lof(p) =
+    (Σ_o lrd(o) · 1000) DIV (n_p · lrd(p)) — every step an exact
+    BIGINT on both engines (truncating DIVs on non-negatives; the
+    e9/e3 scales keep products under 2^63 to ~10^9 neighbors/node).
+
+    Scale shape: the knn edges are N·k rows; k-dist/lrd/lof are two
+    hash aggs and two N·k equi-joins on vec_id — no new corpus scan
+    beyond the knn build itself."""
+    edges = q_knn_graph(spark, sf_dir).select(
+        "vec_id",
+        "nbr_id",
+        (F.lit(100000) - F.col("cos_e5")).alias("d"),
+    )
+    stats = edges.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+        F.max("d").cast("long").alias("kdist"),
+    )
+    reach = (
+        edges.join(
+            stats.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("kdist").alias("kdist_o"),
+            ),
+            "nbr_id",
+        )
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.greatest("kdist_o", "d").alias("reach"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("reach").cast("long").alias("sum_reach"))
+    )
+    lrd = (
+        stats.join(reach, "vec_id")
+        .select(
+            "vec_id",
+            "n_nbrs",
+            "kdist",
+            F.expr(
+                "(n_nbrs * 1000000000) DIV greatest(sum_reach, 1)"
+            ).alias("lrd_e9"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    num = (
+        edges.join(
+            lrd.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("lrd_e9").alias("lrd_o"),
+            ),
+            "nbr_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("lrd_o").cast("long").alias("sum_lrd_o"))
+    )
+    return (
+        lrd.join(num, "vec_id")
+        .select(
+            "vec_id",
+            "n_nbrs",
+            F.col("kdist").alias("kdist_e5"),
+            "lrd_e9",
+            F.expr(
+                "(sum_lrd_o * 1000) DIV greatest(n_nbrs * lrd_e9, 1)"
+            ).alias("lof_e3"),
+        )
+    )
+
+
+def _lof_sql() -> str:
+    """lof_outliers oracle: the FULL `_knn_graph_sql` spliced as a
+    subquery CTE (the rrf/_bm25_sql precedent — kmeans/KNN constants
+    flow in), then the identical integer k-dist/reach/lrd/lof
+    chain."""
+    return f"""
+WITH knn AS (
+{_knn_graph_sql()}
+), edges AS (
+  SELECT vec_id, nbr_id, 100000 - cos_e5 AS d FROM knn
+), stats AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+         CAST(max(d) AS BIGINT) AS kdist
+  FROM edges GROUP BY 1
+), reach AS (
+  SELECT e.vec_id, CAST(sum(greatest(s.kdist, e.d)) AS BIGINT) AS sum_reach
+  FROM edges e JOIN stats s ON e.nbr_id = s.vec_id
+  GROUP BY 1
+), lrd AS (
+  SELECT s.vec_id, s.n_nbrs, s.kdist,
+         CAST((s.n_nbrs * 1000000000) // greatest(r.sum_reach, 1)
+              AS BIGINT) AS lrd_e9
+  FROM stats s JOIN reach r ON s.vec_id = r.vec_id
+), num AS (
+  SELECT e.vec_id, CAST(sum(l.lrd_e9) AS BIGINT) AS sum_lrd_o
+  FROM edges e JOIN lrd l ON e.nbr_id = l.vec_id
+  GROUP BY 1
+)
+SELECT l.vec_id, l.n_nbrs,
+       CAST(l.kdist AS BIGINT) AS kdist_e5,
+       l.lrd_e9,
+       CAST((n.sum_lrd_o * 1000) // greatest(l.n_nbrs * l.lrd_e9, 1)
+            AS BIGINT) AS lof_e3
+FROM lrd l JOIN num n ON l.vec_id = n.vec_id
+"""
+
+
 # Moore-Lewis spec — MIRRORED in `_moore_lewis_sql`; change together.
 # In-domain = lang_guess()=='en' (the shared logreg label); both LMs
 # live on the `_token_bucket` md5 64-bucket space with the source_kl
@@ -19578,6 +19698,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcenter_coreset": q_kcenter_coreset,
     "cluster_purity": q_cluster_purity,
     "knn_graph": q_knn_graph,
+    "lof_outliers": q_lof_outliers,
     "embedding_quantize": q_embedding_quantize,
     "ann_ivf_pq": q_ann_ivf_pq,
     "embedding_stats": q_embedding_stats,
@@ -21767,6 +21888,7 @@ WHERE rn <= 10
         "kcenter_coreset": _kcenter_sql(),
         "cluster_purity": _cluster_purity_sql(),
         "knn_graph": _knn_graph_sql(),
+        "lof_outliers": _lof_sql(),
         "hard_negatives": _hard_negatives_sql(),
         "knn_components": _knn_components_sql(),
         "triangle_count": _triangle_count_sql(),

@@ -1678,3 +1678,53 @@ def test_source_sliced_w1_matches_python_replica(spark):
         )
     )
     assert self_w1 == 0
+
+
+def test_lof_outliers_matches_python_replica(spark):
+    """LOF recomputed in exact Python ints from the knn_graph edges
+    (k-dist, reach, lrd, lof — the same truncating DIVs) — row
+    equality — plus Breunig's semantics: scores concentrate near 1e3
+    (a uniform-ish synthetic cloud has few strong local outliers:
+    median within [700, 1500]), every score positive, and the max
+    LOF point's k-dist sits above its neighborhood's typical k-dist
+    (the density-ratio intuition)."""
+    from rxtls_spark.queries_training import q_knn_graph, q_lof_outliers
+    from tests.conftest import SF_SMOKE
+
+    edges = {}
+    for r in q_knn_graph(spark, SF_SMOKE).collect():
+        edges.setdefault(r["vec_id"], []).append(
+            (r["nbr_id"], 100000 - r["cos_e5"])
+        )
+    kdist = {v: max(d for _, d in es) for v, es in edges.items()}
+    n_nbrs = {v: len(es) for v, es in edges.items()}
+    lrd = {}
+    for v, es in edges.items():
+        sr = sum(max(kdist[o], d) for o, d in es)
+        lrd[v] = n_nbrs[v] * 10**9 // max(sr, 1)
+    want = {}
+    for v, es in edges.items():
+        sl = sum(lrd[o] for o, _ in es)
+        want[v] = (
+            n_nbrs[v],
+            kdist[v],
+            lrd[v],
+            sl * 1000 // max(n_nbrs[v] * lrd[v], 1),
+        )
+
+    got = q_lof_outliers(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (
+            r["n_nbrs"],
+            r["kdist_e5"],
+            r["lrd_e9"],
+            r["lof_e3"],
+        ) == want[r["vec_id"]], r["vec_id"]
+        assert r["lof_e3"] > 0
+    scores = sorted(r["lof_e3"] for r in got)
+    med = scores[len(scores) // 2]
+    assert 700 <= med <= 1500, med
+    top = max(got, key=lambda r: (r["lof_e3"], r["vec_id"]))
+    nbr_kd = [kdist[o] for o, _ in edges[top["vec_id"]]]
+    assert top["kdist_e5"] > sorted(nbr_kd)[len(nbr_kd) // 2]
