@@ -1851,6 +1851,135 @@ FROM hw
 """
 
 
+def q_rel_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) —
+    the experimentation-platform workhorse that shrinks A/B variance
+    using pre-period behavior as a control covariate: Y' = Y −
+    θ·(X − X̄) with θ the OLS slope of post-metric Y on pre-metric X.
+    Here X = each user's pre-period event count, Y = post-period
+    purchase count (pre/post split at the log's midpoint day), and
+    the output is the fitted θ, the achieved variance-reduction
+    fraction, and ρ² — CUPED's theoretical ceiling (reduction = ρ²
+    exactly when θ is unfloored; the e6 floor costs ≤ 1 ulp-class
+    term, which the pytest locks).
+
+    Cross-engine exact: per-user counts are BIGINTs; raw moments
+    accumulate DECIMAL(38,0) ↔ HUGEINT; θ_e6 = signed
+    ((n·Sxy−Sx·Sy)·1e6) DIV (n·Sxx−Sx²); the achieved reduction
+    avoids any second data pass via the identity var(Y−cX) = var(Y)
+    − 2c·cov + c²·var(X) — VA12 = varY·1e12 − 2θ_e6·cov·1e6 +
+    θ_e6²·varX stays < 1e37 at 1e9 users × 1e3 counts; ρ² is the
+    one-expression bit-exact IEEE double on the exact operands.
+
+    Scale shape: one corpus-scale (user) hash agg, one 2-column
+    bounds agg for the cutoff, one 1-row moments agg — no second
+    pass, no driver data."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_purchase"),
+    )
+    bounds = ev.agg(
+        F.expr("CAST((min(day) + max(day)) DIV 2 AS BIGINT)").alias("cut")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("day") >= F.col("cut"))
+                    & (F.col("is_purchase") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
+        " ((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx)"
+        " ELSE 0 END AS BIGINT) AS theta_e6",
+        "CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS vy",
+        "CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS cv",
+        "CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS vx",
+    ).selectExpr(
+        "n_users",
+        "theta_e6",
+        "CAST(CASE WHEN vy > 0 THEN"
+        " (vy * 1000000000000 - (vy * 1000000000000"
+        "   - 2 * theta_e6 * cv * 1000000 + theta_e6 * theta_e6 * vx))"
+        " DIV (vy * 1000000) ELSE 0 END AS BIGINT) AS reduction_e6",
+        "CAST(CASE WHEN vx > 0 AND vy > 0 THEN"
+        " floor(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)"
+        " / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) * 1000000.0)"
+        " ELSE 0 END AS BIGINT) AS corr2_e6",
+    )
+
+
+_REL_CUPED_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events
+), bounds AS (
+  SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS cut FROM ev
+), u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day < (SELECT cut FROM bounds)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN day >= (SELECT cut FROM bounds)
+                        AND is_purchase = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM u
+), th AS (
+  SELECT n,
+         CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+           ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+           ELSE 0 END AS BIGINT) AS theta_e6,
+         CAST(n AS HUGEINT) * syy - sy * sy AS vy,
+         CAST(n AS HUGEINT) * sxy - sx * sy AS cv,
+         CAST(n AS HUGEINT) * sxx - sx * sx AS vx
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_users, theta_e6,
+       CAST(CASE WHEN vy > 0 THEN
+         (vy * 1000000000000 - (vy * 1000000000000
+           - 2 * theta_e6 * cv * 1000000 + theta_e6 * theta_e6 * vx))
+         // (vy * 1000000) ELSE 0 END AS BIGINT) AS reduction_e6,
+       CAST(CASE WHEN vx > 0 AND vy > 0 THEN
+         floor(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)
+               / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) * 1000000.0)
+         ELSE 0 END AS BIGINT) AS corr2_e6
+FROM th
+"""
+
+
 # Capped-balance spec — MIRRORED in `_REL_CAPPED_BALANCE_SQL`; change
 # together.  Flow sign is knuth(event_id) parity (+1 even / −1 odd —
 # the rel_ab_ztest NULL-split formula), so daily nets are a small
@@ -2363,6 +2492,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_price_corr": q_rel_price_corr,
     "rel_holt_trend": q_rel_holt_trend,
     "rel_capped_balance": q_rel_capped_balance,
+    "rel_cuped": q_rel_cuped,
     "rel_peak_concurrency": q_rel_peak_concurrency,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
@@ -2410,6 +2540,7 @@ ORACLES_REL: dict[str, str] = {
     "rel_price_corr": _REL_PRICE_CORR_SQL,
     "rel_holt_trend": _REL_HOLT_SQL,
     "rel_capped_balance": _REL_CAPPED_BALANCE_SQL,
+    "rel_cuped": _REL_CUPED_SQL,
     "rel_peak_concurrency": _REL_PEAK_CONCURRENCY_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,

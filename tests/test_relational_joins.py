@@ -1481,3 +1481,66 @@ def test_rel_capped_balance_matches_python_replica(spark):
         assert r["balance"] == p + r["net"] - r["spill"]
         prev[r["event_type"]] = r["balance"]
     assert hit_cap and hit_floor
+
+
+def test_rel_cuped_matches_python_replica(spark):
+    """CUPED recomputed with exact Python bignums from per-user
+    (pre-count, post-purchase) pairs: identical θ_e6 signed DIV, the
+    var(Y−cX) identity for the achieved reduction, the one-expression
+    IEEE ρ² — exact equality.  Locks the Deng-2013 theory: 0 <=
+    reduction <= corr2 (flooring θ can only lose), corr2 < 1e6, and
+    reduction > 0 on the synthetic log (activity does predict
+    purchases — the covariate is informative)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_relational import _t, q_rel_cuped
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+            (F.col("event_type") == "purchase").alias("p"),
+        )
+        .collect()
+    )
+    days = [r["day"] for r in rows]
+    cut = (min(days) + max(days)) // 2
+    per: dict = {}
+    for r in rows:
+        x, y = per.get(r["user_id"], (0, 0))
+        if r["day"] < cut:
+            x += 1
+        elif r["p"]:
+            y += 1
+        per[r["user_id"]] = (x, y)
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    syy = sum(y * y for _, y in per.values())
+    vx, vy, cv = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    theta = tdiv(cv * 10**6, vx) if vx > 0 else 0
+    va12 = vy * 10**12 - 2 * theta * cv * 10**6 + theta * theta * vx
+    red = tdiv(vy * 10**12 - va12, vy * 10**6) if vy > 0 else 0
+    corr2 = (
+        math.floor(float(cv) * float(cv) / (float(vx) * float(vy)) * 1e6)
+        if vx > 0 and vy > 0
+        else 0
+    )
+
+    got = q_rel_cuped(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_users"], r["theta_e6"]) == (n, theta)
+    assert (r["reduction_e6"], r["corr2_e6"]) == (red, corr2)
+    assert 0 < red <= corr2 < 10**6
