@@ -17480,6 +17480,174 @@ FROM top t LEFT JOIN rs r ON t.tok = r.tok
 """
 
 
+# Set-similarity-join spec — MIRRORED in `_set_simjoin_sql`; change
+# together.  Jaccard threshold τ = PPJ_NUM/PPJ_DEN; token universe =
+# per-doc DISTINCT `_lm_tokens()` ranked globally by (df ASC, tok)
+# (rarest first — the selectivity that makes prefix filtering work);
+# prefix length = n − ⌈τ·n⌉ + 1 with ⌈·⌉ = (NUM·n + DEN − 1) DIV DEN.
+# Rides `_DUPS_CTE`/with_injected_dups — dup-injection changes move
+# this oracle too.
+PPJ_NUM = 19
+PPJ_DEN = 20
+
+
+def q_set_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join with prefix filtering (the
+    PPJoin family — Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008)
+    — the EXACT counterpart of `dedup_minhash_lsh`: all document
+    pairs with token-set Jaccard ≥ τ, NO false negatives (the
+    prefix-filter theorem: two sets with J ≥ τ must share a token in
+    their first n − ⌈τ·n⌉ + 1 rarest tokens), no probabilistic
+    bands.  LSH answers 'probably similar cheaply'; this answers
+    'provably all pairs above τ' — the verification pass a dedup
+    audit runs over LSH's output region, here run standalone over
+    the injected-dup universe.
+
+    Cross-engine exact: global token ranks are row_number over
+    (df ASC, tok) — a deterministic total order; prefix lengths are
+    the integer ceiling form; verification is pure set arithmetic
+    (inter·DEN ≥ NUM·(na + nb − inter)) and jacc_e6 an integer DIV.
+
+    Scale shape: the vocab rank window is ONE sort of the distinct
+    vocabulary (metadata-scale next to the corpus; at web scale this
+    is the zipf-vocab sort); candidates explode only ~(1−τ)·|d|+1
+    RARE tokens per doc, so the equi-join on rank is sparse by
+    construction — the whole point of PPJoin; verification touches
+    candidate pairs only."""
+    from pyspark.sql.window import Window
+
+    from rxtls_spark.operators.dedup import with_injected_dups
+
+    docs = (
+        with_injected_dups(
+            _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        )
+        .where(F.trim("text") != "")
+        .select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_lm_tokens())).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    ranked_vocab = vocab.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy("df", "tok"))
+        .cast("long")
+        .alias("r"),
+    )
+    arrs = (
+        toks.join(ranked_vocab, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("r")).alias("rs"))
+        .select(
+            "doc_id",
+            "rs",
+            F.size("rs").cast("long").alias("n"),
+            F.expr(
+                f"size(rs) - (({PPJ_NUM} * size(rs) + {PPJ_DEN - 1})"
+                f" DIV {PPJ_DEN}) + 1"
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pre = arrs.select(
+        "doc_id", F.explode(F.slice("rs", 1, F.col("p").cast("int"))).alias("r")
+    )
+    cand = (
+        pre.select(F.col("doc_id").alias("a"), "r")
+        .join(pre.select(F.col("doc_id").alias("b"), "r"), "r")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    aa = arrs.select(
+        F.col("doc_id").alias("a"),
+        F.col("rs").alias("rs_a"),
+        F.col("n").alias("n_a"),
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("b"),
+        F.col("rs").alias("rs_b"),
+        F.col("n").alias("n_b"),
+    )
+    ver = (
+        cand.join(aa, "a")
+        .join(bb, "b")
+        .select(
+            "a",
+            "b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("rs_a", "rs_b"))
+            .cast("long")
+            .alias("inter"),
+        )
+        .where(
+            F.col("inter") * PPJ_DEN
+            >= PPJ_NUM * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+    )
+    return ver.select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        "n_a",
+        "n_b",
+        "inter",
+        F.expr("(inter * 1000000) DIV (n_a + n_b - inter)").alias(
+            "jacc_e6"
+        ),
+    )
+
+
+def _set_simjoin_sql(num: int | None = None, den: int | None = None) -> str:
+    """set_simjoin oracle: the `_DUPS_CTE` universe, the identical
+    (df ASC, tok) global rank, integer-ceiling prefixes, rank
+    equi-join candidates, list_intersect verification."""
+    num = PPJ_NUM if num is None else num
+    den = PPJ_DEN if den is None else den
+    return _DUPS_CTE + f"""
+, live AS (
+  SELECT doc_id, text FROM docs WHERE trim(text) <> ''
+), toksx AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(text)),
+                '[ \\t\\n\\x0B\\f\\r]+'))) AS tok
+  FROM live
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toksx GROUP BY 1
+), rv AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY df, tok) AS BIGINT) AS r
+  FROM vocab
+), arrs AS (
+  SELECT t.doc_id, list(rv.r ORDER BY rv.r) AS rs,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - (({num} * count(*) + {den - 1}) // {den}) + 1
+              AS BIGINT) AS p
+  FROM toksx t JOIN rv ON t.tok = rv.tok
+  GROUP BY 1
+), pre AS (
+  SELECT doc_id, unnest(rs[1:CAST(p AS INTEGER)]) AS r FROM arrs
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM pre x JOIN pre y ON x.r = y.r AND x.doc_id < y.doc_id
+), ver AS (
+  SELECT c.a, c.b, aa.n AS n_a, bb.n AS n_b,
+         CAST(len(list_intersect(aa.rs, bb.rs)) AS BIGINT) AS inter
+  FROM cand c
+  JOIN arrs aa ON c.a = aa.doc_id
+  JOIN arrs bb ON c.b = bb.doc_id
+)
+SELECT a AS doc_a, b AS doc_b, n_a, n_b, inter,
+       CAST((inter * 1000000) // (n_a + n_b - inter) AS BIGINT) AS jacc_e6
+FROM ver
+WHERE inter * {den} >= {num} * (n_a + n_b - inter)
+"""
+
+
 def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Outlier Factor over the embedding kNN graph (Breunig et
     al. 2000) — the density-RATIO outlier score that catches what
@@ -19699,6 +19867,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_purity": q_cluster_purity,
     "knn_graph": q_knn_graph,
     "lof_outliers": q_lof_outliers,
+    "set_simjoin": q_set_simjoin,
     "embedding_quantize": q_embedding_quantize,
     "ann_ivf_pq": q_ann_ivf_pq,
     "embedding_stats": q_embedding_stats,
@@ -21889,6 +22058,7 @@ WHERE rn <= 10
         "cluster_purity": _cluster_purity_sql(),
         "knn_graph": _knn_graph_sql(),
         "lof_outliers": _lof_sql(),
+        "set_simjoin": _set_simjoin_sql(),
         "hard_negatives": _hard_negatives_sql(),
         "knn_components": _knn_components_sql(),
         "triangle_count": _triangle_count_sql(),

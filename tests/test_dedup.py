@@ -392,3 +392,66 @@ def test_cdc_chunk_dedup_matches_replica_and_shift_resilience(spark):
             assert got[near]["dup_chunks"] >= len(ch) - 1
             checked += 1
     assert checked > 0
+
+
+def test_set_simjoin_no_false_negatives_vs_brute_force(spark):
+    """The prefix-filter THEOREM checked empirically: the query's
+    pair set equals the brute-force all-pairs Jaccard >= tau set
+    exactly (no false negatives is the theorem; no false positives
+    because verification is exact), with the same integer jacc_e6,
+    and every injected exact-copy pair present at jacc == 1e6."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        PPJ_DEN,
+        PPJ_NUM,
+        q_set_simjoin,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    docs = dict(base)
+    for d, t in base.items():
+        if d % 20 == 0:
+            docs[d + 1_000_000_000] = t
+            docs[d + 2_000_000_000] = t + " extra!"
+    sets = {
+        d: frozenset(re.split("[ \t\n\x0B\f\r]+", t.strip().lower()))
+        for d, t in docs.items()
+        if t.strip()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        for b in ids[i + 1 :]:
+            sb = sets[b]
+            inter = len(sa & sb)
+            if inter * PPJ_DEN >= PPJ_NUM * (len(sa) + len(sb) - inter):
+                want[(a, b)] = (
+                    len(sa),
+                    len(sb),
+                    inter,
+                    inter * 10**6 // (len(sa) + len(sb) - inter),
+                )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_a"],
+            r["n_b"],
+            r["inter"],
+            r["jacc_e6"],
+        )
+        for r in q_set_simjoin(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for d in base:
+        if d % 20 == 0 and base[d].strip():
+            assert got[(d, d + 1_000_000_000)][3] == 10**6
