@@ -15233,7 +15233,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = sk.crossJoin(F.broadcast(exact))
     two47 = 1 << (HLL_REM_BITS + 1)
     raw = (
-        f"((0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
+        f"((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
         f" * {two47}.0 / CAST(s_num AS DOUBLE))"
     )
     lin = f"({HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - n_used AS DOUBLE)))"
@@ -15269,7 +15270,8 @@ def _hll_distinct_sql() -> str:
     expression."""
     two47 = 1 << (HLL_REM_BITS + 1)
     raw = (
-        f"((0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
+        f"((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
         f" * {two47}.0 / CAST(s_num AS DOUBLE))"
     )
     lin = f"({HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - n_used AS DOUBLE)))"
@@ -17477,6 +17479,236 @@ SELECT t.tok, t.c_left, t.av_r, t.ent_r_e3,
        CAST(coalesce(r.av_l, 0) AS BIGINT) AS av_l,
        CAST(coalesce(r.ne3 // r.c_right, 0) AS BIGINT) AS ent_l_e3
 FROM top t LEFT JOIN rs r ON t.tok = r.tok
+"""
+
+
+def _hll_est(nu: str, sn: str) -> str:
+    """The HLL estimate expression (raw/linear-counting CASE) over
+    named register-summary columns — ONE text helper spliced into
+    BOTH engines (the _g2_term rule), parameterized so hll_intersect
+    can apply it to the per-source AND merged-union summaries."""
+    two47 = 1 << (HLL_REM_BITS + 1)
+    # CAST the literals: Spark parses bare decimals as DECIMAL and
+    # constant-folds the prefix in decimal arithmetic (8th-digit
+    # divergence vs DuckDB's doubles — measured as a floor flip).
+    raw = (
+        f"((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
+        f" * {two47}.0 / CAST({sn} AS DOUBLE))"
+    )
+    lin = f"({HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - {nu} AS DOUBLE)))"
+    return (
+        f"CAST(floor(CASE WHEN {HLL_M} - CAST({nu} AS INT) > 0"
+        f" AND {raw} <= 2.5 * {HLL_M}.0 THEN {lin}"
+        f" ELSE {raw} END * 1000) AS BIGINT)"
+    )
+
+
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source OVERLAP estimates from merged HLL sketches —
+    the sketch-algebra step that makes `hll_distinct` useful as
+    infrastructure (Flajolet's key property: HLL registers MERGE by
+    max, so |A∪B| comes from two already-built per-source sketches
+    without touching the data again, and |A∩B| ≈ Ê(A)+Ê(B)−Ê(A∪B)
+    by inclusion-exclusion): per source pair, the three estimates,
+    the signed intersection estimate, and the EXACT shared-bigram
+    count as the audit column — the comparison a capacity planner
+    reads before trusting sketch unions corpus-wide.
+
+    Cross-engine: registers use the M_j = 0 empty convention so the
+    harmonic sum is uniformly Σ 2^(47−M_j) over the densified
+    sources×64 grid (empty registers contribute 2^47 — identical to
+    hll_distinct's (m−used)·2^47 term); merge = greatest per bucket;
+    the estimate is `_hll_est`, ONE expression text on exact BIGINT
+    summaries; inclusion-exclusion subtracts the e3 floors (exact
+    BIGINT, signed — small overlaps can go negative, that's the
+    sketch's real behavior).
+
+    Scale shape: ONE corpus-scale (source × 64) register agg; the
+    pair merge runs on the bounded grid (sources² × 64); the exact
+    audit is one distinct + one equi-self-join on type — the only
+    corpus-sized part, and exactly what the sketch replaces."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("source", "text")
+        .where(F.trim("text") != "")
+    )
+    tg = docs.select("source", F.explode(_bigrams()).alias("g"))
+    keyed = tg.select(
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(g), 1, 13), 16, 10) AS bigint)"
+        ).alias("x"),
+    ).select(
+        "source",
+        (F.col("x") % HLL_M).alias("b"),
+        F.expr(_hll_rho_case(f"(x DIV {HLL_M})")).cast("long").alias("rho"),
+    )
+    regs0 = keyed.groupBy("source", "b").agg(
+        F.max("rho").cast("long").alias("m_j")
+    )
+    srcs = regs0.select("source").distinct()
+    grid = srcs.crossJoin(
+        F.broadcast(
+            spark.range(HLL_M).select(F.col("id").cast("long").alias("b"))
+        )
+    )
+    regs = grid.join(regs0, ["source", "b"], "left").select(
+        "source",
+        "b",
+        F.coalesce("m_j", F.lit(0).cast("long")).alias("m_j"),
+    )
+
+    def summarize(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.sum((F.col("m_j") > 0).cast("long")).cast("long").alias(
+                "n_used"
+            ),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({HLL_REM_BITS + 1} - m_j AS INT))"
+                )
+            )
+            .cast("long")
+            .alias("s_num"),
+        )
+
+    per = summarize(regs, ["source"]).selectExpr(
+        "source", f"{_hll_est('n_used', 's_num')} AS est_e3"
+    )
+    a = regs.select(
+        F.col("source").alias("source_a"), "b", F.col("m_j").alias("ma")
+    )
+    b = regs.select(
+        F.col("source").alias("source_b"), "b", F.col("m_j").alias("mb")
+    )
+    merged = (
+        a.join(b, "b")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "b",
+            F.greatest("ma", "mb").alias("m_j"),
+        )
+    )
+    un = summarize(merged, ["source_a", "source_b"]).selectExpr(
+        "source_a",
+        "source_b",
+        f"{_hll_est('n_used', 's_num')} AS est_union_e3",
+    )
+    exact = (
+        tg.distinct()
+        .groupBy("g")
+        .agg(F.collect_set("source").alias("ss"))
+        .select(F.explode("ss").alias("source_a"), "ss")
+        .select(
+            "source_a", F.explode("ss").alias("source_b")
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_inter"))
+    )
+    ea = per.select(
+        F.col("source").alias("source_a"), F.col("est_e3").alias("est_a_e3")
+    )
+    eb = per.select(
+        F.col("source").alias("source_b"), F.col("est_e3").alias("est_b_e3")
+    )
+    return (
+        un.join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_a_e3",
+            "est_b_e3",
+            "est_union_e3",
+            (
+                F.col("est_a_e3") + F.col("est_b_e3") - F.col("est_union_e3")
+            ).alias("est_inter_e3"),
+            F.coalesce("n_exact_inter", F.lit(0).cast("long")).alias(
+                "n_exact_inter"
+            ),
+        )
+    )
+
+
+def _hll_intersect_sql() -> str:
+    """hll_intersect oracle: identical key/rho/register chain with
+    the densified M=0 convention, greatest-merge, the SAME spliced
+    `_hll_est` text, inclusion-exclusion on the e3 floors, and the
+    exact shared-type audit join."""
+    return f"""
+WITH tg AS (
+  SELECT d.source, unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1])) AS g
+  FROM (SELECT source,
+               regexp_split_to_array(trim(lower(text)),
+                                     '[ \\t\\n\\x0B\\f\\r]+') AS t
+        FROM documents WHERE trim(text) <> '') d
+), kx AS (
+  SELECT source, ('0x' || substr(md5(g), 1, 13))::BIGINT AS x FROM tg
+), keyed AS (
+  SELECT source, x % {HLL_M} AS b,
+         {_hll_rho_case(f"(x // {HLL_M})")} AS rho
+  FROM kx
+), regs0 AS (
+  SELECT source, b, CAST(max(rho) AS BIGINT) AS m_j
+  FROM keyed GROUP BY 1, 2
+), srcs AS (SELECT DISTINCT source FROM regs0),
+grid AS (
+  SELECT s.source, CAST(gb.i AS BIGINT) AS b
+  FROM srcs s, (SELECT unnest(generate_series(0, {HLL_M - 1})) AS i) gb
+), regs AS (
+  SELECT g.source, g.b, CAST(coalesce(r.m_j, 0) AS BIGINT) AS m_j
+  FROM grid g LEFT JOIN regs0 r ON g.source = r.source AND g.b = r.b
+), per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN m_j > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_used,
+         CAST(sum((CAST(1 AS BIGINT) << CAST({HLL_REM_BITS + 1} - m_j
+                                             AS INTEGER))) AS BIGINT)
+           AS s_num
+  FROM regs GROUP BY 1
+), pere AS (
+  SELECT source, {_hll_est('n_used', 's_num')} AS est_e3 FROM per
+), merged AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.b,
+         greatest(a.m_j, b.m_j) AS m_j
+  FROM regs a JOIN regs b ON a.b = b.b AND a.source < b.source
+), unio AS (
+  SELECT source_a, source_b,
+         CAST(sum(CASE WHEN m_j > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_used,
+         CAST(sum((CAST(1 AS BIGINT) << CAST({HLL_REM_BITS + 1} - m_j
+                                             AS INTEGER))) AS BIGINT)
+           AS s_num
+  FROM merged GROUP BY 1, 2
+), une AS (
+  SELECT source_a, source_b,
+         {_hll_est('n_used', 's_num')} AS est_union_e3
+  FROM unio
+), dtypes AS (SELECT DISTINCT source, g FROM tg),
+exact AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_exact_inter
+  FROM dtypes a JOIN dtypes b
+    ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT u.source_a, u.source_b,
+       ea.est_e3 AS est_a_e3, eb.est_e3 AS est_b_e3,
+       u.est_union_e3,
+       ea.est_e3 + eb.est_e3 - u.est_union_e3 AS est_inter_e3,
+       CAST(coalesce(x.n_exact_inter, 0) AS BIGINT) AS n_exact_inter
+FROM une u
+JOIN pere ea ON u.source_a = ea.source
+JOIN pere eb ON u.source_b = eb.source
+LEFT JOIN exact x
+  ON u.source_a = x.source_a AND u.source_b = x.source_b
 """
 
 
@@ -19846,6 +20078,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "poisson_bootstrap": q_poisson_bootstrap,
     "boilerplate_lines": q_boilerplate_lines,
     "hll_distinct": q_hll_distinct,
+    "hll_intersect": q_hll_intersect,
     "edit_verify": q_edit_verify,
     "bleu_pairs": q_bleu_pairs,
     "rouge_pairs": q_rouge_pairs,
@@ -22115,6 +22348,7 @@ WHERE rn <= 10
         "poisson_bootstrap": _poisson_bootstrap_sql(),
         "boilerplate_lines": _boilerplate_sql(),
         "hll_distinct": _hll_distinct_sql(),
+        "hll_intersect": _hll_intersect_sql(),
         "secret_scan": _secret_scan_sql(),
         "bleu_pairs": _bleu_pairs_sql(),
         "rouge_pairs": _rouge_pairs_sql(),

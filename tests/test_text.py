@@ -8153,3 +8153,93 @@ def test_moore_lewis_matches_python_replica(spark):
     non_scores = [v[2] for v in want.values() if v[0] == 0]
     assert en_scores and non_scores
     assert sum(en_scores) / len(en_scores) > sum(non_scores) / len(non_scores)
+
+
+def test_hll_intersect_matches_python_replica(spark):
+    """Full sketch replica in exact Python ints + IEEE doubles: md5
+    keys, rho registers with the M=0 densified convention, greatest-
+    merge, the identical estimate expression, inclusion-exclusion on
+    the e3 floors, and the exact shared-type audit — row equality.
+    Locks the sketch-algebra semantics: union est >= each side's est
+    (registers only grow under max-merge), and the intersection
+    estimate tracks the exact count within the m=64 error band
+    (median relative error < 25%)."""
+    import hashlib
+    import math
+    import re
+
+    from rxtls_spark.queries_training import (
+        HLL_M,
+        HLL_REM_BITS,
+        q_hll_intersect,
+    )
+    from tests.conftest import SF_SMOKE
+
+    per_src_types: dict = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    ):
+        if not r["text"].strip():
+            continue
+        t = re.split("[ \t\n\x0B\f\r]+", r["text"].strip().lower())
+        gs = {f"{a} {b}" for a, b in zip(t, t[1:])}
+        per_src_types.setdefault(r["source"], set()).update(gs)
+    # NOTE: exact audit is on distinct (source, g) — union of doc sets
+
+    def regs_of(types):
+        regs = [0] * HLL_M
+        for g in types:
+            x = int(hashlib.md5(g.encode()).hexdigest()[:13], 16)
+            b, rem = x % HLL_M, x // HLL_M
+            rho = HLL_REM_BITS + 1  # zero remainder convention
+            for k in range(1, HLL_REM_BITS + 1):
+                if rem >= 1 << (HLL_REM_BITS - k):
+                    rho = k
+                    break
+            regs[b] = max(regs[b], rho)
+        return regs
+
+    def est(regs):
+        s = sum(1 << (HLL_REM_BITS + 1 - m) for m in regs)
+        nu = sum(1 for m in regs if m > 0)
+        raw = (
+            (0.7213 / (1.0 + 1.079 / float(HLL_M)))
+            * float(HLL_M)
+            * float(HLL_M)
+            * float(1 << (HLL_REM_BITS + 1))
+            / float(s)
+        )
+        if HLL_M - nu > 0 and raw <= 2.5 * HLL_M:
+            v = HLL_M * math.log(HLL_M / float(HLL_M - nu))
+        else:
+            v = raw
+        return math.floor(v * 1000)
+
+    regs = {s: regs_of(t) for s, t in per_src_types.items()}
+    srcs = sorted(regs)
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_hll_intersect(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    rel_errs = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            ea, eb = est(regs[sa]), est(regs[sb])
+            eu = est([max(x, y) for x, y in zip(regs[sa], regs[sb])])
+            exact = len(per_src_types[sa] & per_src_types[sb])
+            r = got[(sa, sb)]
+            assert (r["est_a_e3"], r["est_b_e3"], r["est_union_e3"]) == (
+                ea,
+                eb,
+                eu,
+            )
+            assert r["est_inter_e3"] == ea + eb - eu
+            assert r["n_exact_inter"] == exact
+            assert eu >= max(ea, eb)
+            if exact:
+                rel_errs.append(abs(r["est_inter_e3"] / 1000 - exact) / exact)
+    rel_errs.sort()
+    assert rel_errs[len(rel_errs) // 2] < 0.25
