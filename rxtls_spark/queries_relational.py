@@ -1851,6 +1851,118 @@ FROM hw
 """
 
 
+def q_rel_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of revenue change per brand (the
+    FP&A "PVM bridge"): between the log's first and second half
+    (midpoint shipdate day), split each brand's ΔRevenue into a
+    volume effect (quantity change at OLD average price) and a price
+    effect (the remainder) — the two-term Laspeyres bridge whose sum
+    is ΔR EXACTLY in rationals: vol = (qB−qA)·(rA/qA), price = rB −
+    qB·(rA/qA), vol + price ≡ rB − rA.
+
+    Cross-engine exact: quantities/prices quantize FIRST with
+    floor(x+0.5) / floor(p·100+0.5) (the rel_price_corr rule — bare
+    double casts diverge); the scaled integer forms (qB−qA)·rA and
+    rB·qA − qB·rA live in DECIMAL(38,0) ↔ HUGEINT (≈1e28 at 100-TB
+    brand volumes), and the emitted cent effects are their SIGNED
+    truncating DIV by qA — so the residual ΔR − vol − price is the
+    pure truncation remainder, |resid| ≤ 2 cents (the pytest lock;
+    brands must have qA > 0 to appear).
+
+    Scale path: broadcast part join, ONE (brand × period) hash agg,
+    then metadata-scale arithmetic on |brands| rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("unix_timestamp(l_shipdate) DIV 86400")
+        .cast("long")
+        .alias("day"),
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("q"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "r"
+        ),
+    )
+    bounds = li.agg(
+        F.expr("CAST((min(day) + max(day)) DIV 2 AS BIGINT)").alias("cut")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    per = (
+        li.crossJoin(F.broadcast(bounds))
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("cut"), F.col("q")).otherwise(0))
+            .cast("long")
+            .alias("q_a"),
+            F.sum(F.when(F.col("day") >= F.col("cut"), F.col("q")).otherwise(0))
+            .cast("long")
+            .alias("q_b"),
+            F.sum(F.when(F.col("day") < F.col("cut"), F.col("r")).otherwise(0))
+            .cast("long")
+            .alias("r_a"),
+            F.sum(F.when(F.col("day") >= F.col("cut"), F.col("r")).otherwise(0))
+            .cast("long")
+            .alias("r_b"),
+        )
+        .where(F.col("q_a") > 0)
+    )
+    return per.selectExpr(
+        "brand",
+        "q_a",
+        "q_b",
+        "r_a",
+        "r_b",
+        "CAST((CAST(q_b AS DECIMAL(38,0)) - q_a) * r_a"
+        " DIV CAST(q_a AS DECIMAL(38,0)) AS BIGINT) AS vol_eff_c",
+        "CAST((CAST(r_b AS DECIMAL(38,0)) * q_a"
+        " - CAST(q_b AS DECIMAL(38,0)) * r_a)"
+        " DIV CAST(q_a AS DECIMAL(38,0)) AS BIGINT) AS price_eff_c",
+        "CAST((r_b - r_a)"
+        " - (CAST(q_b AS DECIMAL(38,0)) - q_a) * r_a"
+        "   DIV CAST(q_a AS DECIMAL(38,0))"
+        " - (CAST(r_b AS DECIMAL(38,0)) * q_a"
+        "    - CAST(q_b AS DECIMAL(38,0)) * r_a)"
+        "   DIV CAST(q_a AS DECIMAL(38,0)) AS BIGINT) AS resid_c",
+    )
+
+
+_REL_PVM_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS day,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS r
+  FROM lineitem
+), bounds AS (
+  SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS cut FROM li
+), per AS (
+  SELECT p.p_brand AS brand,
+         CAST(sum(CASE WHEN li.day < (SELECT cut FROM bounds)
+                       THEN li.q ELSE 0 END) AS BIGINT) AS q_a,
+         CAST(sum(CASE WHEN li.day >= (SELECT cut FROM bounds)
+                       THEN li.q ELSE 0 END) AS BIGINT) AS q_b,
+         CAST(sum(CASE WHEN li.day < (SELECT cut FROM bounds)
+                       THEN li.r ELSE 0 END) AS BIGINT) AS r_a,
+         CAST(sum(CASE WHEN li.day >= (SELECT cut FROM bounds)
+                       THEN li.r ELSE 0 END) AS BIGINT) AS r_b
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT brand, q_a, q_b, r_a, r_b,
+       CAST((CAST(q_b AS HUGEINT) - q_a) * r_a
+            // CAST(q_a AS HUGEINT) AS BIGINT) AS vol_eff_c,
+       CAST((CAST(r_b AS HUGEINT) * q_a - CAST(q_b AS HUGEINT) * r_a)
+            // CAST(q_a AS HUGEINT) AS BIGINT) AS price_eff_c,
+       CAST((r_b - r_a)
+            - (CAST(q_b AS HUGEINT) - q_a) * r_a // CAST(q_a AS HUGEINT)
+            - (CAST(r_b AS HUGEINT) * q_a - CAST(q_b AS HUGEINT) * r_a)
+              // CAST(q_a AS HUGEINT) AS BIGINT) AS resid_c
+FROM per
+WHERE q_a > 0
+"""
+
+
 def q_rel_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) —
     the experimentation-platform workhorse that shrinks A/B variance
@@ -2493,6 +2605,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_holt_trend": q_rel_holt_trend,
     "rel_capped_balance": q_rel_capped_balance,
     "rel_cuped": q_rel_cuped,
+    "rel_pvm": q_rel_pvm,
     "rel_peak_concurrency": q_rel_peak_concurrency,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
@@ -2541,6 +2654,7 @@ ORACLES_REL: dict[str, str] = {
     "rel_holt_trend": _REL_HOLT_SQL,
     "rel_capped_balance": _REL_CAPPED_BALANCE_SQL,
     "rel_cuped": _REL_CUPED_SQL,
+    "rel_pvm": _REL_PVM_SQL,
     "rel_peak_concurrency": _REL_PEAK_CONCURRENCY_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,

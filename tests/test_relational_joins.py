@@ -1544,3 +1544,80 @@ def test_rel_cuped_matches_python_replica(spark):
     assert (r["n_users"], r["theta_e6"]) == (n, theta)
     assert (r["reduction_e6"], r["corr2_e6"]) == (red, corr2)
     assert 0 < red <= corr2 < 10**6
+
+
+def test_rel_pvm_matches_python_replica_and_bridge_identity(spark):
+    """PVM recomputed with Python bignums from quantized per-line
+    (brand, period, q, cents): exact row equality, the Laspeyres
+    bridge identity ΔR = vol + price + resid with |resid| <= 2 cents
+    (pure truncation remainder), and sign sanity — a brand whose
+    quantity grew has a positive volume effect."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_relational import _t, q_rel_pvm
+    from tests.conftest import SF_SMOKE
+
+    li = (
+        _t(spark, SF_SMOKE, "lineitem")
+        .select(
+            "l_partkey",
+            F.expr("unix_timestamp(l_shipdate) DIV 86400").alias("day"),
+            F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("q"),
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+                "r"
+            ),
+        )
+        .collect()
+    )
+    brand_of = {
+        r["p_partkey"]: r["p_brand"]
+        for r in _t(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+    }
+    days = [r["day"] for r in li]
+    cut = (min(days) + max(days)) // 2
+    agg: dict = {}
+    for r in li:
+        b = brand_of[r["l_partkey"]]
+        qa, qb, ra, rb = agg.get(b, (0, 0, 0, 0))
+        if r["day"] < cut:
+            qa += r["q"]
+            ra += r["r"]
+        else:
+            qb += r["q"]
+            rb += r["r"]
+        agg[b] = (qa, qb, ra, rb)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    want = {}
+    for b, (qa, qb, ra, rb) in agg.items():
+        if qa <= 0:
+            continue
+        vol = tdiv((qb - qa) * ra, qa)
+        price = tdiv(rb * qa - qb * ra, qa)
+        want[b] = (qa, qb, ra, rb, vol, price, (rb - ra) - vol - price)
+
+    got = q_rel_pvm(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r["brand"]]
+        assert (
+            r["q_a"],
+            r["q_b"],
+            r["r_a"],
+            r["r_b"],
+            r["vol_eff_c"],
+            r["price_eff_c"],
+            r["resid_c"],
+        ) == w, r["brand"]
+        assert abs(r["resid_c"]) <= 2
+        assert (
+            r["r_b"] - r["r_a"]
+            == r["vol_eff_c"] + r["price_eff_c"] + r["resid_c"]
+        )
+        if r["q_b"] > r["q_a"]:
+            assert r["vol_eff_c"] > 0
