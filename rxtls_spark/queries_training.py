@@ -14696,6 +14696,169 @@ FROM counts GROUP BY 1
 """
 
 
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality metrics for the LSH dedup index (the record-
+    linkage evaluation pair, Christen 2012): REDUCTION RATIO (what
+    fraction of the N(N−1)/2 all-pairs space the band blocking
+    avoids) and PAIRS COMPLETENESS (what fraction of TRUE duplicate
+    pairs still share a block) — the two numbers that price any
+    blocking scheme, measured against the injected-dup ground truth
+    (each %20 base doc owes three true pairs: base↔exact, base↔near,
+    exact↔near).  `lsh_bucket_stats` measures bucket SHAPE; this
+    measures blocking QUALITY against truth — together they are the
+    dedup-index acceptance test.
+
+    Cross-engine: the signature/band chain is the minhash_calibration
+    / lsh_bucket_stats spec verbatim (CAL_PERMS/STEP, LSH_BANDS/ROWS
+    and the md5-13-hex key flow in); candidate pairs are DISTINCT
+    (a<b) over shared (band, bucket); all counts and the e6 ratios
+    are exact BIGINTs.
+
+    Scale shape: bands are a pure map; candidates come from the
+    in-bucket self-join (bounded by bucket sizes — the LSH design
+    point); truth is a pure map over the %20 slice; three scalar
+    aggs merge into one row."""
+    from rxtls_spark.operators.dedup import with_injected_dups
+
+    docs = (
+        with_injected_dups(
+            _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        )
+        .where(F.trim("text") != "")
+        .select("doc_id", _lm_tokens().alias("t"))
+    )
+    perm = (
+        f"transform(sequence(0, {CAL_PERMS - 1}), k -> "
+        f"array_min(transform(s, g -> "
+        f"(((cast(conv(substring(md5(g), 1, 13), 16, 10) AS bigint)"
+        f" + k * {CAL_STEP}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P})))"
+    )
+    sig = docs.select(
+        "doc_id", F.expr(_SHINGLES_EXPR.format(t="t")).alias("s")
+    ).select("doc_id", F.expr(perm).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(0, {LSH_BANDS - 1}), b -> "
+            f"struct(CAST(b AS BIGINT) AS band, "
+            f"array_join(transform(slice(sig, b * {LSH_ROWS} + 1, "
+            f"{LSH_ROWS}), x -> CAST(x AS STRING)), ',') AS bucket)))"
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bucket")
+    cand = (
+        bands.select(F.col("doc_id").alias("a"), "band", "bucket")
+        .join(
+            bands.select(F.col("doc_id").alias("b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base_ids = docs.select("doc_id").where(
+        (F.col("doc_id") < 1_000_000_000) & (F.col("doc_id") % 20 == 0)
+    )
+    truth = base_ids.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("a"),
+                    (F.col("doc_id") + 1_000_000_000).alias("b"),
+                ),
+                F.struct(
+                    F.col("doc_id").alias("a"),
+                    (F.col("doc_id") + 2_000_000_000).alias("b"),
+                ),
+                F.struct(
+                    (F.col("doc_id") + 1_000_000_000).alias("a"),
+                    (F.col("doc_id") + 2_000_000_000).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_found = (
+        truth.join(cand, ["a", "b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    )
+    return (
+        n_docs.crossJoin(n_cand)
+        .crossJoin(n_true)
+        .crossJoin(n_found)
+        .selectExpr(
+            "n AS n_docs",
+            "n_cand AS n_cand_pairs",
+            "n_true AS n_true_pairs",
+            "n_found",
+            "CAST(1000000 - (n_cand * 1000000)"
+            " DIV ((n * (n - 1)) DIV 2) AS BIGINT) AS rr_e6",
+            "CAST((n_found * 1000000) DIV n_true AS BIGINT) AS pc_e6",
+        )
+    )
+
+
+def _blocking_quality_sql() -> str:
+    """blocking_quality oracle: `_DUPS_CTE` universe, the
+    lsh_bucket_stats signature/band SQL with doc_id kept, distinct
+    shared-bucket pairs, the injected-truth pair list, exact e6
+    ratios."""
+    return _DUPS_CTE + f"""
+, live AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM docs WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM live
+), sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {CAL_PERMS - 1}), k ->
+      list_min(list_transform(s, g ->
+        (((('0x' || substr(md5(g), 1, 13))::BIGINT
+           + k * {CAL_STEP}) % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, CAST(r.b AS BIGINT) AS band,
+         array_to_string(list_transform(
+           sig[r.b * {LSH_ROWS} + 1 : r.b * {LSH_ROWS} + {LSH_ROWS}],
+           x -> CAST(x AS VARCHAR)), ',') AS bucket
+  FROM sig CROSS JOIN range(0, {LSH_BANDS}) r(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+), truth AS (
+  SELECT doc_id AS a, doc_id + 1000000000 AS b FROM live
+  WHERE doc_id < 1000000000 AND doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 2000000000 FROM live
+  WHERE doc_id < 1000000000 AND doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 1000000000, doc_id + 2000000000 FROM live
+  WHERE doc_id < 1000000000 AND doc_id % 20 = 0
+), sums AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM live) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM truth t JOIN cand c ON t.a = c.a AND t.b = c.b) AS n_found
+)
+SELECT n AS n_docs, n_cand AS n_cand_pairs, n_true AS n_true_pairs,
+       n_found,
+       CAST(1000000 - (n_cand * 1000000)
+            // ((n * (n - 1)) // 2) AS BIGINT) AS rr_e6,
+       CAST((n_found * 1000000) // n_true AS BIGINT) AS pc_e6
+FROM sums
+"""
+
+
 # DP release constants — MIRRORED in `_dp_noisy_counts_sql`; change
 # together.  DP_EPS_E3 is the epsilon (e3); the two-sided geometric
 # noise table is computed ONCE in Python from the inverse CDF at
@@ -20074,6 +20237,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_normalize": q_quantile_normalize,
     "best_of_n": q_best_of_n,
     "lsh_bucket_stats": q_lsh_bucket_stats,
+    "blocking_quality": q_blocking_quality,
     "dp_noisy_counts": q_dp_noisy_counts,
     "poisson_bootstrap": q_poisson_bootstrap,
     "boilerplate_lines": q_boilerplate_lines,
@@ -22344,6 +22508,7 @@ WHERE rn <= 10
         "quantile_normalize": _quantile_normalize_sql(),
         "best_of_n": _best_of_n_sql(),
         "lsh_bucket_stats": _lsh_bucket_stats_sql(),
+        "blocking_quality": _blocking_quality_sql(),
         "dp_noisy_counts": _dp_noisy_counts_sql(),
         "poisson_bootstrap": _poisson_bootstrap_sql(),
         "boilerplate_lines": _boilerplate_sql(),

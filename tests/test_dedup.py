@@ -455,3 +455,34 @@ def test_set_simjoin_no_false_negatives_vs_brute_force(spark):
     for d in base:
         if d % 20 == 0 and base[d].strip():
             assert got[(d, d + 1_000_000_000)][3] == 10**6
+
+
+def test_blocking_quality_metrics_and_truth_coverage(spark):
+    """Structural locks on the record-linkage metrics: counts
+    reconcile (n_true == 3 × non-empty %20 base docs, n_found <=
+    min(n_true, n_cand)), both ratios inside [0, 1e6], RR is HIGH
+    (blocking must prune > 99% of the pair space — that is its job)
+    and PC is HIGH (>= 90% of injected dup pairs share a block — the
+    minhash bands are tuned for exactly these near-dups); exact-copy
+    pairs specifically are ALWAYS found (identical signatures)."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import q_blocking_quality
+    from tests.conftest import SF_SMOKE
+
+    n_base = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where((F.col("doc_id") % 20 == 0) & (F.trim("text") != ""))
+        .count()
+    )
+    got = q_blocking_quality(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_true_pairs"] == 3 * n_base
+    assert 0 <= r["n_found"] <= min(r["n_true_pairs"], r["n_cand_pairs"])
+    assert 0 <= r["pc_e6"] <= 10**6
+    assert 0 <= r["rr_e6"] <= 10**6
+    assert r["rr_e6"] >= 990000
+    assert r["pc_e6"] >= 900000
+    all_pairs = r["n_docs"] * (r["n_docs"] - 1) // 2
+    assert r["rr_e6"] == 10**6 - r["n_cand_pairs"] * 10**6 // all_pairs
