@@ -689,3 +689,48 @@ def image_phash_df(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sr", LongType()),
+        StructField("ch", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zcr", LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over REAL WAV payloads
+    (the audio leg of decode/feature-extract: RMS energy and
+    zero-crossing rate are the classic first two frame features of
+    any audio pipeline) — emitted as EXACT integers so the pytest
+    lock is bit-exact: sum_sq = Σ s² over all samples (≤ n·ch·2³⁰ —
+    BIGINT-safe to ~2³³ samples/clip), zcr = per-channel count of
+    adjacent sample pairs with s[i-1]·s[i] < 0, summed over
+    channels (the strict sign-change convention: zeros break runs
+    without counting)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sr", "ch", "n_frames",
+                                   "sum_sq", "zcr")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, ch, nf, samples = wav_decode(bytes(payload))
+                arr = samples.astype(np.int64).reshape(nf, ch)
+                prod = arr[1:] * arr[:-1]
+                out["doc_id"].append(int(doc_id))
+                out["sr"].append(int(sr))
+                out["ch"].append(int(ch))
+                out["n_frames"].append(int(nf))
+                out["sum_sq"].append(int((arr * arr).sum()))
+                out["zcr"].append(int((prod < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        gen, AUDIO_FEATURES_SCHEMA
+    )

@@ -12061,6 +12061,28 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over the REAL RIFF/WAVE payloads —
+    the audio leg of the multimodal decode/feature-extract surface
+    (images have phash/resize; video has frame sampling; this gives
+    audio its RMS-energy + zero-crossing features): per clip the
+    sample-rate/channel/frame metadata and two EXACT-integer
+    features, sum_sq = Σs² and the strict sign-change count.
+
+    Rows-only BY NATURE (the fifth such query, with content_hashes /
+    domains_csv_lines / distinct_domains_approx / compression_ratio):
+    samples come from the seeded RNG through a genuine WAV container
+    — not SQL-expressible — so the driver row-checks and pytest
+    locks the features bit-exact against an INDEPENDENT stdlib
+    RIFF parse (tests/test_multimodal.py).
+
+    Scale shape: pure Arrow-batched mapInPandas over the audio
+    slice; integer outputs, no shuffle at all."""
+    from rxtls_spark.operators.multimodal import audio_features, media_df
+
+    return audio_features(media_df(spark, sf_dir))
+
+
 def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup — the multimodal leg of the dedup
     family: every image payload is decoded through the REAL PNG codec
@@ -20272,6 +20294,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_phash": q_media_phash,
+    "media_audio_features": q_media_audio_features,
 }
 
 

@@ -478,3 +478,59 @@ def test_media_phash_groups_match_canon_formula(spark):
     assert all(r % PHASH_DUP_MOD == 0 for r, _ in dups)
     # no accidental collisions: group count == canon count
     assert len(got) == len(canon)
+
+
+def test_audio_features_match_independent_riff_parse(spark):
+    """The audio features re-derived from a MANUAL RIFF/WAVE byte
+    parse (struct over the fmt/data chunks — independent of both the
+    wave module and wav_decode) on every audio payload: exact
+    integer equality for sr/ch/n_frames/sum_sq/zcr, one row per
+    audio doc, zcr < n_samples, and the random PCM sanity that zcr
+    sits near half the per-channel transitions (random signs cross
+    ~half the time)."""
+    import struct
+
+    import numpy as np
+
+    from rxtls_spark.operators.multimodal import media_payload
+    from rxtls_spark.queries_training import q_media_audio_features
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["doc_id"]: r for r in q_media_audio_features(spark, SF_SMOKE).collect()
+    }
+    doc_ids = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    audio_ids = [r["doc_id"] for r in doc_ids if r["doc_id"] % 3 == 1]
+    assert set(got) == set(audio_ids)
+    for d in audio_ids:
+        raw = media_payload(d)
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(raw):
+            tag, sz = raw[pos : pos + 4], struct.unpack(
+                "<I", raw[pos + 4 : pos + 8]
+            )[0]
+            body = raw[pos + 8 : pos + 8 + sz]
+            if tag == b"fmt ":
+                fmt = body
+            elif tag == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)
+        ch, sr = struct.unpack("<HI", fmt[2:8])
+        width = struct.unpack("<H", fmt[14:16])[0] // 8
+        assert width == 2
+        arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        nf = len(arr) // ch
+        a2 = arr.reshape(nf, ch)
+        sum_sq = int((arr * arr).sum())
+        zcr = int(((a2[1:] * a2[:-1]) < 0).sum())
+        r = got[d]
+        assert (r["sr"], r["ch"], r["n_frames"]) == (sr, ch, nf)
+        assert (r["sum_sq"], r["zcr"]) == (sum_sq, zcr)
+        trans = (nf - 1) * ch
+        assert 0 < r["zcr"] < trans
+        assert abs(r["zcr"] - trans / 2) < 0.2 * trans

@@ -9,6 +9,7 @@ ROWS_ONLY = {
     "domains_csv_lines",
     "distinct_domains_approx",
     "compression_ratio",  # zlib not SQL-expressible; pytest byte-locked
+    "media_audio_features",
 }
 
 
