@@ -17920,19 +17920,18 @@ def q_set_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit runs over LSH's output region, here run standalone over
     the injected-dup universe.
 
-    Cross-engine exact: global token ranks are row_number over
-    (df ASC, tok) — a deterministic total order; prefix lengths are
+    Cross-engine exact: tokens order by the (df ASC, tok) pair
+    DIRECTLY — the same deterministic total order a global dense
+    rank would give, with NO global window anywhere (a corpus-scale
+    vocabulary never funnels through one task); prefix lengths are
     the integer ceiling form; verification is pure set arithmetic
     (inter·DEN ≥ NUM·(na + nb − inter)) and jacc_e6 an integer DIV.
 
-    Scale shape: the vocab rank window is ONE sort of the distinct
-    vocabulary (metadata-scale next to the corpus; at web scale this
-    is the zipf-vocab sort); candidates explode only ~(1−τ)·|d|+1
-    RARE tokens per doc, so the equi-join on rank is sparse by
-    construction — the whole point of PPJoin; verification touches
-    candidate pairs only."""
-    from pyspark.sql.window import Window
-
+    Scale shape: df is one hash agg; per-doc ordering is a local
+    array sort of (df, tok) structs; candidates explode only
+    ~(1−τ)·|d|+1 RARE tokens per doc, so the equi-join on tok is
+    sparse by construction — the whole point of PPJoin; verification
+    touches candidate pairs only."""
     from rxtls_spark.operators.dedup import with_injected_dups
 
     docs = (
@@ -17949,17 +17948,14 @@ def q_set_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    ranked_vocab = vocab.select(
-        "tok",
-        F.row_number()
-        .over(Window.orderBy("df", "tok"))
-        .cast("long")
-        .alias("r"),
-    )
     arrs = (
-        toks.join(ranked_vocab, "tok")
+        toks.join(vocab, "tok")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("r")).alias("rs"))
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(df, tok))).tok"
+            ).alias("rs")
+        )
         .select(
             "doc_id",
             "rs",
@@ -17972,11 +17968,12 @@ def q_set_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     pre = arrs.select(
-        "doc_id", F.explode(F.slice("rs", 1, F.col("p").cast("int"))).alias("r")
+        "doc_id",
+        F.explode(F.slice("rs", 1, F.col("p").cast("int"))).alias("tok"),
     )
     cand = (
-        pre.select(F.col("doc_id").alias("a"), "r")
-        .join(pre.select(F.col("doc_id").alias("b"), "r"), "r")
+        pre.select(F.col("doc_id").alias("a"), "tok")
+        .join(pre.select(F.col("doc_id").alias("b"), "tok"), "tok")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -18021,9 +18018,10 @@ def q_set_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _set_simjoin_sql(num: int | None = None, den: int | None = None) -> str:
-    """set_simjoin oracle: the `_DUPS_CTE` universe, the identical
-    (df ASC, tok) global rank, integer-ceiling prefixes, rank
-    equi-join candidates, list_intersect verification."""
+    """set_simjoin oracle: the `_DUPS_CTE` universe, per-doc token
+    lists in the identical (df ASC, tok) order (no global rank —
+    mirrors the windowless Spark plan), integer-ceiling prefixes,
+    tok equi-join candidates, list_intersect verification."""
     num = PPJ_NUM if num is None else num
     den = PPJ_DEN if den is None else den
     return _DUPS_CTE + f"""
@@ -18036,21 +18034,18 @@ def _set_simjoin_sql(num: int | None = None, den: int | None = None) -> str:
   FROM live
 ), vocab AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toksx GROUP BY 1
-), rv AS (
-  SELECT tok, CAST(row_number() OVER (ORDER BY df, tok) AS BIGINT) AS r
-  FROM vocab
 ), arrs AS (
-  SELECT t.doc_id, list(rv.r ORDER BY rv.r) AS rs,
+  SELECT t.doc_id, list(t.tok ORDER BY v.df, t.tok) AS rs,
          CAST(count(*) AS BIGINT) AS n,
          CAST(count(*) - (({num} * count(*) + {den - 1}) // {den}) + 1
               AS BIGINT) AS p
-  FROM toksx t JOIN rv ON t.tok = rv.tok
+  FROM toksx t JOIN vocab v ON t.tok = v.tok
   GROUP BY 1
 ), pre AS (
-  SELECT doc_id, unnest(rs[1:CAST(p AS INTEGER)]) AS r FROM arrs
+  SELECT doc_id, unnest(rs[1:CAST(p AS INTEGER)]) AS tok FROM arrs
 ), cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM pre x JOIN pre y ON x.r = y.r AND x.doc_id < y.doc_id
+  FROM pre x JOIN pre y ON x.tok = y.tok AND x.doc_id < y.doc_id
 ), ver AS (
   SELECT c.a, c.b, aa.n AS n_a, bb.n AS n_b,
          CAST(len(list_intersect(aa.rs, bb.rs)) AS BIGINT) AS inter
