@@ -1610,6 +1610,107 @@ FROM t
 """
 
 
+# Path-trigram spec — MIRRORED in `_REL_PATH_TRIGRAMS_SQL`; change
+# together.  Sessions are the rel_event_sessions 30-min spec (order by
+# full ts + event_id — the micros rule); paths concatenate with '>',
+# ranking (cnt DESC, path), top PATH_TOPK.
+PATH_TOPK = 20
+
+
+def q_rel_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top within-session event-type trigram paths — the sequential-
+    pattern query between `rel_markov_transitions` (memoryless pairs)
+    and full PrefixSpan mining: three-step behavioral paths with
+    counts, the table a funnel designer reads to find the journeys
+    nobody designed.  Sessions are the rel_event_sessions 30-min
+    spec; paths stay within one session (a trigram never spans a
+    session boundary — the two lags partition by (user, session)).
+
+    Cross-engine: session ids via the per-user (ts, event_id) window
+    cumsum; trigrams are lag-lag string concat with '>'; counts
+    BIGINT; ranking (cnt DESC, path) fixed-k.
+
+    Scale path: ONE per-user session window (the standard shard),
+    two lags on the SAME window spec (one exchange reused), a hash
+    agg onto the bounded type³ path space, fixed-k top-k."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("es") - F.lag("es", 1).over(w)
+    sess = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            F.lag("event_type", 2).over(ws),
+            F.lag("event_type", 1).over(ws),
+            F.col("event_type"),
+        ).alias("path"),
+        F.lag("event_type", 2).over(ws).isNotNull().alias("full"),
+    ).where(F.col("full"))
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "path")
+        .limit(PATH_TOPK)
+        .select(
+            "path",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "path"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+_REL_PATH_TRIGRAMS_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL
+                OR es - lag(es) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+), tri AS (
+  SELECT lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM sid
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT a || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS cnt
+  FROM tri WHERE a IS NOT NULL GROUP BY 1
+)
+SELECT path, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, path) AS BIGINT) AS rank
+FROM paths
+ORDER BY cnt DESC, path LIMIT {PATH_TOPK}
+"""
+
+
 def q_rel_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day — the interval-overlap member
     of the relational family (as-of joins align points, scd2 builds
@@ -2606,6 +2707,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_capped_balance": q_rel_capped_balance,
     "rel_cuped": q_rel_cuped,
     "rel_pvm": q_rel_pvm,
+    "rel_path_trigrams": q_rel_path_trigrams,
     "rel_peak_concurrency": q_rel_peak_concurrency,
     "rel_log_compaction": q_log_compaction,
     "rel_retention_cohorts": q_retention_cohorts,
@@ -2655,6 +2757,7 @@ ORACLES_REL: dict[str, str] = {
     "rel_capped_balance": _REL_CAPPED_BALANCE_SQL,
     "rel_cuped": _REL_CUPED_SQL,
     "rel_pvm": _REL_PVM_SQL,
+    "rel_path_trigrams": _REL_PATH_TRIGRAMS_SQL,
     "rel_peak_concurrency": _REL_PEAK_CONCURRENCY_SQL,
     "rel_local_supplier_volume": """
 SELECT n_name,

@@ -2188,6 +2188,87 @@ ORDER BY pl2_e3 DESC, doc_id LIMIT {topk}
 """
 
 
+def q_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count fusion of the lexical ranking trio (Borda 1781 via
+    the rank-fusion literature, e.g. Aslam & Montague 2001) — the
+    LINEAR-points companion of `rrf_fusion`'s reciprocal rule, over
+    the bm25 / qlm / pl2 top-k lists on the SAME deterministic
+    query: each list awards TOPK+1−rank points, absent docs score 0,
+    and the fused order is (borda DESC, doc_id).  Emits per fused
+    doc its points and how many of the three lists carried it — the
+    consensus-vs-single-model signal a ranker evaluation reads.
+
+    Cross-engine: all three inputs are already oracle-proven ranked
+    lists; points/sums are pure BIGINT; the oracle splices the FULL
+    `_bm25_sql`/`_qlm_sql`/`_pl2_sql` as subquery CTEs (the rrf
+    splice precedent — all three rankers' constants flow in).
+
+    Scale shape: three bounded top-k lists (each the bm25 plan) →
+    a union of 3·TOPK rows → one tiny agg + fixed-k top-k."""
+    lists = [
+        q_bm25_topk(spark, sf_dir).select("doc_id", "rank"),
+        q_qlm_topk(spark, sf_dir).select("doc_id", "rank"),
+        q_pl2_topk(spark, sf_dir).select("doc_id", "rank"),
+    ]
+    pts = None
+    for df in lists:
+        p = df.select(
+            "doc_id",
+            (F.lit(BM25_TOPK + 1) - F.col("rank")).cast("long").alias("pt"),
+        )
+        pts = p if pts is None else pts.unionByName(p)
+    from pyspark.sql.window import Window as _W
+
+    agg = pts.groupBy("doc_id").agg(
+        F.sum("pt").cast("long").alias("borda"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    return (
+        agg.orderBy(F.desc("borda"), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            "borda",
+            "n_lists",
+            F.row_number()
+            .over(_W.orderBy(F.desc("borda"), "doc_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def _borda_fusion_sql(topk: int | None = None) -> str:
+    """borda_fusion oracle: the three full ranker SQLs spliced as
+    subquery CTEs, identical linear points, (borda DESC, doc_id)
+    fixed-k."""
+    topk = BM25_TOPK if topk is None else topk
+    return f"""
+WITH bm AS (
+{_bm25_sql()}
+), ql AS (
+{_qlm_sql()}
+), pl AS (
+{_pl2_sql()}
+), pts AS (
+  SELECT doc_id, CAST({topk} + 1 - rank AS BIGINT) AS pt FROM bm
+  UNION ALL
+  SELECT doc_id, CAST({topk} + 1 - rank AS BIGINT) FROM ql
+  UNION ALL
+  SELECT doc_id, CAST({topk} + 1 - rank AS BIGINT) FROM pl
+), agg AS (
+  SELECT doc_id, CAST(sum(pt) AS BIGINT) AS borda,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM pts GROUP BY 1
+)
+SELECT doc_id, borda, n_lists,
+       CAST(row_number() OVER (ORDER BY borda DESC, doc_id) AS BIGINT)
+         AS rank
+FROM agg
+ORDER BY borda DESC, doc_id LIMIT {topk}
+"""
+
+
 # RRF constants — MIRRORED in `_rrf_fusion_sql`; change together.
 # The doc_id == vec_id row correspondence between documents and
 # embeddings is part of the spec (first query to consume it).
@@ -20168,6 +20249,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "qlm_topk": q_qlm_topk,
     "pl2_topk": q_pl2_topk,
+    "borda_fusion": q_borda_fusion,
     "rrf_fusion": q_rrf_fusion,
     "tfidf_topterms": q_tfidf_topterms,
     "bigram_lm_score": q_bigram_lm_score,
@@ -22284,6 +22366,7 @@ WHERE rk <= greatest(1, CAST(floor(n * 0.5) AS BIGINT))
         "rrf_fusion": _rrf_fusion_sql(),
         "qlm_topk": _qlm_sql(),
         "pl2_topk": _pl2_sql(),
+        "borda_fusion": _borda_fusion_sql(),
         "tfidf_topterms": _tfidf_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
         "stupid_backoff": _stupid_backoff_sql(),

