@@ -7796,6 +7796,186 @@ FROM c
     )
 
 
+# AUC-bootstrap spec — MIRRORED in `_auc_bootstrap_sql`; change
+# together.  AUCB_B replicates; per-(doc, b) weights are the shared
+# `_poisson_weight_table()` literals indexed by the md5('ab{b}|'‖
+# doc_id)-13-hex permille — md5, NOT knuth (the dawid_skene lesson:
+# knuth is linear, so knuth(doc·M+b) correlates replicates); the
+# doubled-U AUC form is the roc_auc slice on WEIGHTED counts,
+# accumulated DECIMAL(38,0) ↔ HUGEINT.
+AUCB_B = 20
+
+
+def q_auc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the classifier's AUC
+    (Chamandy 2012 resampling × the Mann-Whitney identity) — the
+    error bar `roc_auc`'s point estimate ships without: each of
+    ``AUCB_B`` replicates reweights every doc w ~ Poisson(1) and
+    recomputes AUC exactly on the reweighted sample, all in ONE pass
+    — possible because AUC collapses onto the bounded e3-score
+    histogram, so 'resampling the corpus' is just resampling
+    integer cell weights.  Emits per replicate the weighted class
+    masses and auc_e6, rank-ordered so the [2nd, 19th] rows are the
+    ≈90% CI.
+
+    Cross-engine: p_e3/y from the shared logreg chain (constants
+    flow in); weights via the spliced Poisson inverse-CDF literals
+    on md5 permilles; per (b, p_e3) weighted pos/neg sums are exact
+    BIGINTs; cum_tp uses the DEFAULT RANGE frame per b (distinct
+    keys — the roc_auc rule); the doubled-U slice wneg·(2·cum_tp −
+    wpos) accumulates DECIMAL(38,0) ↔ HUGEINT (≈1e25 at corpus
+    scale); auc_e6 = (auc2·1e6) DIV (2·P·N), all truncating DIVs on
+    non-negatives.
+
+    Scale shape: ONE ×B map-side explode feeding a hash agg onto
+    (B × ≤1001) cells; everything after is metadata-scale."""
+    from pyspark.sql.window import Window as _W
+
+    fx = logreg_features(_docs(spark, sf_dir))
+    _, wv = _logreg_train(fx)
+    m = (
+        F.lit(wv[0]) * F.lit(1.0)
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    sc = fx.select(
+        "doc_id",
+        F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p_e3"),
+        F.col("y").cast("long").alias("y_l"),
+    )
+    tab = F.array(*[F.lit(x) for x in _poisson_weight_table()])
+    reps = sc.select(
+        "p_e3",
+        "y_l",
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(AUCB_B))).alias("b0"),
+    ).select(
+        "p_e3",
+        "y_l",
+        F.col("b0").cast("long").alias("b"),
+        F.element_at(
+            tab,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ab"),
+                                F.col("b0").cast("string"),
+                                F.lit("|"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+            ).cast("int")
+            + 1,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    cells = reps.groupBy("b", "p_e3").agg(
+        F.sum(F.when(F.col("y_l") == 1, F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("wpos"),
+        F.sum(F.when(F.col("y_l") == 0, F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("wneg"),
+    )
+    cum = cells.withColumn(
+        "cum_tp",
+        F.sum("wpos")
+        .over(_W.partitionBy("b").orderBy(F.col("p_e3").desc()))
+        .cast("long"),
+    )
+    agg = cum.groupBy("b").agg(
+        F.sum("wpos").cast("long").alias("w_pos"),
+        F.sum("wneg").cast("long").alias("w_neg"),
+        F.sum(
+            (
+                F.col("wneg") * (2 * F.col("cum_tp") - F.col("wpos"))
+            ).cast("decimal(38,0)")
+        ).alias("auc2d"),
+    )
+    return agg.selectExpr(
+        "b",
+        "w_pos",
+        "w_neg",
+        "CAST(CASE WHEN w_pos > 0 AND w_neg > 0 THEN"
+        " (auc2d * 1000000) DIV (2 * CAST(w_pos AS DECIMAL(38,0)) * w_neg)"
+        " ELSE 0 END AS BIGINT) AS auc_e6",
+    ).selectExpr(
+        "b",
+        "w_pos",
+        "w_neg",
+        "auc_e6",
+        "CAST(row_number() OVER (ORDER BY auc_e6, b) AS BIGINT) AS rk",
+    )
+
+
+def _auc_bootstrap_sql(
+    iters: int = LOGREG_ITERS, lr: float = LOGREG_LR, nb: int | None = None
+) -> str:
+    """auc_bootstrap oracle: the shared GD chain, the identical md5
+    permille → Poisson-literal weights, weighted histogram, per-b
+    default-frame cum, HUGEINT doubled-U, (auc ASC, b) ranks."""
+    nb = AUCB_B if nb is None else nb
+    parts = _logreg_ctes(iters, lr)
+    tab = ", ".join(str(x) for x in _poisson_weight_table())
+    mm = "(w.w0 * 1.0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    pp = f"(1.0 / (1.0 + exp(-{mm})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT doc_id,
+         CAST(floor({pp} * 1000 + 0.5) AS BIGINT) AS p_e3,
+         CAST(y AS BIGINT) AS y_l
+  FROM fx, w{iters} w
+), ptab AS (SELECT [{tab}] AS t),
+reps AS (
+  SELECT s.p_e3, s.y_l, CAST(r.b AS BIGINT) AS b,
+         CAST(ptab.t[CAST(('0x' || substr(md5('ab' || CAST(r.b AS VARCHAR)
+                || '|' || CAST(s.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                % 1000 + 1] AS BIGINT) AS w
+  FROM sc s CROSS JOIN range(1, {nb + 1}) r(b) CROSS JOIN ptab
+), cells AS (
+  SELECT b, p_e3,
+         CAST(sum(CASE WHEN y_l = 1 THEN w ELSE 0 END) AS BIGINT) AS wpos,
+         CAST(sum(CASE WHEN y_l = 0 THEN w ELSE 0 END) AS BIGINT) AS wneg
+  FROM reps GROUP BY 1, 2
+), cum AS (
+  SELECT b, p_e3, wpos, wneg,
+         CAST(sum(wpos) OVER (PARTITION BY b ORDER BY p_e3 DESC)
+              AS BIGINT) AS cum_tp
+  FROM cells
+), agg AS (
+  SELECT b, CAST(sum(wpos) AS BIGINT) AS w_pos,
+         CAST(sum(wneg) AS BIGINT) AS w_neg,
+         sum(CAST(wneg AS HUGEINT) * (2 * cum_tp - wpos)) AS auc2d
+  FROM cum GROUP BY 1
+)
+SELECT b, w_pos, w_neg,
+       CAST(CASE WHEN w_pos > 0 AND w_neg > 0 THEN
+         (auc2d * 1000000) // (2 * CAST(w_pos AS HUGEINT) * w_neg)
+         ELSE 0 END AS BIGINT) AS auc_e6,
+       CAST(row_number() OVER (ORDER BY
+         CAST(CASE WHEN w_pos > 0 AND w_neg > 0 THEN
+           (auc2d * 1000000) // (2 * CAST(w_pos AS HUGEINT) * w_neg)
+           ELSE 0 END AS BIGINT), b) AS BIGINT) AS rk
+FROM agg
+"""
+    )
+
+
 # --- BPE tokenizer training ----------------------------------------------------
 
 # BPE training constants — baked into the unrolled `_bpe_merges_sql`
@@ -20339,6 +20519,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocking_quality": q_blocking_quality,
     "dp_noisy_counts": q_dp_noisy_counts,
     "poisson_bootstrap": q_poisson_bootstrap,
+    "auc_bootstrap": q_auc_bootstrap,
     "boilerplate_lines": q_boilerplate_lines,
     "hll_distinct": q_hll_distinct,
     "hll_intersect": q_hll_intersect,
@@ -22612,6 +22793,7 @@ WHERE rn <= 10
         "blocking_quality": _blocking_quality_sql(),
         "dp_noisy_counts": _dp_noisy_counts_sql(),
         "poisson_bootstrap": _poisson_bootstrap_sql(),
+        "auc_bootstrap": _auc_bootstrap_sql(),
         "boilerplate_lines": _boilerplate_sql(),
         "hll_distinct": _hll_distinct_sql(),
         "hll_intersect": _hll_intersect_sql(),

@@ -8276,3 +8276,74 @@ def test_borda_fusion_matches_python_replica(spark):
         assert (r["borda"], r["n_lists"]) == (pts[r["doc_id"]], nls[r["doc_id"]])
         assert 1 <= r["borda"] <= 3 * BM25_TOPK
     assert any(r["n_lists"] >= 2 for r in got)
+
+
+def test_auc_bootstrap_matches_python_replica(spark):
+    """Per-replicate AUC recomputed with exact Python ints from the
+    engine features: md5-permille Poisson weights, the weighted
+    Mann-Whitney doubled-U on the e3-score histogram — full row
+    equality including ranks.  Statistical locks: every replicate
+    AUC in (500000, 1e6) (the classifier genuinely separates), the
+    replicate spread is non-degenerate (min < max), and the
+    unweighted point AUC lies INSIDE [min, max] of the replicates
+    (the CI actually brackets the estimate on this data)."""
+    import hashlib
+    import math
+
+    from rxtls_spark.queries_training import (
+        AUCB_B,
+        _logreg_train,
+        _poisson_weight_table,
+        logreg_features,
+        q_auc_bootstrap,
+    )
+    from tests.conftest import SF_SMOKE
+
+    fx = logreg_features(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    feats = {
+        r["doc_id"]: (r["x1"], r["x2"], r["x3"], int(r["y"]))
+        for r in fx.collect()
+    }
+    _, wv = _logreg_train(fx)
+    tab = _poisson_weight_table()
+    sc = {}
+    for d, (x1, x2, x3, y) in feats.items():
+        m = wv[0] * 1.0 + wv[1] * x1 + wv[2] * x2 + wv[3] * x3
+        sc[d] = (math.floor(1.0 / (1.0 + math.exp(-m)) * 1000 + 0.5), y)
+
+    def auc_of(weight_fn):
+        cells = {}
+        for d, (p, y) in sc.items():
+            w = weight_fn(d)
+            wp, wn = cells.get(p, (0, 0))
+            cells[p] = (wp + w * y, wn + w * (1 - y))
+        P = sum(wp for wp, _ in cells.values())
+        N = sum(wn for _, wn in cells.values())
+        cum, auc2 = 0, 0
+        for p in sorted(cells, reverse=True):
+            wp, wn = cells[p]
+            cum += wp
+            auc2 += wn * (2 * cum - wp)
+        return (auc2 * 10**6 // (2 * P * N), P, N) if P and N else (0, P, N)
+
+    want = {}
+    for b in range(1, AUCB_B + 1):
+
+        def wfn(d, b=b):
+            h = hashlib.md5(f"ab{b}|{d}".encode()).hexdigest()[:13]
+            return tab[int(h, 16) % 1000]
+
+        want[b] = auc_of(wfn)
+
+    got = sorted(q_auc_bootstrap(spark, SF_SMOKE).collect(), key=lambda r: r["b"])
+    assert len(got) == AUCB_B
+    for r in got:
+        auc, P, N = want[r["b"]]
+        assert (r["auc_e6"], r["w_pos"], r["w_neg"]) == (auc, P, N)
+        assert 500000 < r["auc_e6"] < 10**6
+    order = sorted(want, key=lambda b: (want[b][0], b))
+    assert [r["b"] for r in sorted(got, key=lambda r: r["rk"])] == order
+    aucs = [v[0] for v in want.values()]
+    assert min(aucs) < max(aucs)
+    point, _, _ = auc_of(lambda d: 1)
+    assert min(aucs) <= point <= max(aucs)
