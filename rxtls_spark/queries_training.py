@@ -15951,6 +15951,149 @@ def q_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scorer_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the two quality signals per source —
+    completing the agreement trio (`scorer_agreement` = Spearman on
+    ranks, `scorer_kappa` = categorical, this = pairwise concordance
+    with PROPER tie handling, which Spearman's midrank-free rank
+    formula on this data quietly lacks): over the SAME
+    knuth-sampled ≤AGREE_K docs per source, count concordant /
+    discordant / tied pairs of (quality, rarity) and report
+    τ-b = (C − D)/√((T − Tx)(T − Ty)).
+
+    Cross-engine exact: the sample is the shared (knuth h, doc_id)
+    rule; C/D/Tx/Ty are exact BIGINT counts from the in-source pair
+    self-join (sign tests on the e5/e3 integer scores — no ranks
+    needed at all, Kendall's definitional form); τ-b is the ONE
+    explicitly-ordered float expression (the kn_bigram rule)
+    e6-floored.  T = n(n−1)/2 exact.
+
+    Scale shape: the bounded per-source sample makes the pair join
+    ≤ AGREE_K²/2 rows per source (the scorer_agreement scale
+    argument — pairwise statistics are only scale-safe over bounded
+    samples); one hash agg ends it."""
+    from pyspark.sql.window import Window
+
+    rar = q_doc_rarity(spark, sf_dir).select("doc_id", "rarity_e3")
+    qnum = F.floor(quality_score() * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    uni = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            "doc_id",
+            qnum.alias("qnum"),
+            knuth_hash(F.col("doc_id")).alias("h"),
+        )
+        .join(rar, "doc_id")
+    )
+    ws = Window.partitionBy("source")
+    keep = (
+        uni.withColumn(
+            "srk", F.row_number().over(ws.orderBy("h", "doc_id"))
+        )
+        .where(F.col("srk") <= AGREE_K)
+        .select("source", "doc_id", "qnum", "rarity_e3")
+        .localCheckpoint(eager=False)
+    )
+    a = keep.select(
+        "source",
+        F.col("doc_id").alias("da"),
+        F.col("qnum").alias("qa"),
+        F.col("rarity_e3").alias("ra"),
+    )
+    b = keep.select(
+        "source",
+        F.col("doc_id").alias("db"),
+        F.col("qnum").alias("qb"),
+        F.col("rarity_e3").alias("rb"),
+    )
+    pairs = (
+        a.join(b, "source")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "source",
+            F.signum(F.col("qa") - F.col("qb")).cast("long").alias("sx"),
+            F.signum(F.col("ra") - F.col("rb")).cast("long").alias("sy"),
+        )
+    )
+    agg = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("t_pairs"),
+        F.sum(
+            ((F.col("sx") * F.col("sy")) == 1).cast("long")
+        )
+        .cast("long")
+        .alias("c_pairs"),
+        F.sum(
+            ((F.col("sx") * F.col("sy")) == -1).cast("long")
+        )
+        .cast("long")
+        .alias("d_pairs"),
+        F.sum((F.col("sx") == 0).cast("long")).cast("long").alias("tx"),
+        F.sum((F.col("sy") == 0).cast("long")).cast("long").alias("ty"),
+    )
+    return agg.selectExpr(
+        "source",
+        "t_pairs",
+        "c_pairs",
+        "d_pairs",
+        "tx",
+        "ty",
+        "CAST(CASE WHEN t_pairs > tx AND t_pairs > ty THEN"
+        " floor(CAST(c_pairs - d_pairs AS DOUBLE)"
+        " / sqrt(CAST(t_pairs - tx AS DOUBLE)"
+        " * CAST(t_pairs - ty AS DOUBLE)) * 1000000.0)"
+        " ELSE 0 END AS BIGINT) AS tau_b_e6",
+    )
+
+
+def _scorer_kendall_sql(k: int | None = None) -> str:
+    """scorer_kendall oracle: the SHARED `_RARITY_QNUM_CTES` chain
+    (edit once — scorer_agreement moves too), the identical knuth
+    sample, definitional sign-pair counting, the one-expression
+    τ-b float e6-floored."""
+    k = AGREE_K if k is None else k
+    return _TEXT_CTE + f"""
+{_RARITY_QNUM_CTES}
+, uni AS (
+  SELECT d.source, d.doc_id, qq.qnum, ra.rarity_e3,
+         (((d.doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P}) AS h
+  FROM documents d
+  JOIN qq ON d.doc_id = qq.doc_id
+  JOIN rar ra ON d.doc_id = ra.doc_id
+), keep AS (
+  SELECT source, doc_id, qnum, rarity_e3 FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY h, doc_id) AS srk
+    FROM uni)
+  WHERE srk <= {k}
+), prs AS (
+  SELECT x.source,
+         CAST(sign(x.qnum - y.qnum) AS BIGINT) AS sx,
+         CAST(sign(x.rarity_e3 - y.rarity_e3) AS BIGINT) AS sy
+  FROM keep x JOIN keep y
+    ON x.source = y.source AND x.doc_id < y.doc_id
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS t_pairs,
+         CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_pairs,
+         CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_pairs,
+         CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM prs GROUP BY 1
+)
+SELECT source, t_pairs, c_pairs, d_pairs, tx, ty,
+       CAST(CASE WHEN t_pairs > tx AND t_pairs > ty THEN
+         floor(CAST(c_pairs - d_pairs AS DOUBLE)
+               / sqrt(CAST(t_pairs - tx AS DOUBLE)
+               * CAST(t_pairs - ty AS DOUBLE)) * 1000000.0)
+         ELSE 0 END AS BIGINT) AS tau_b_e6
+FROM agg
+"""
+
+
 # Preference-pair constants — MIRRORED in `_preference_pairs_sql`;
 # change together.  PREF_K bounds the per-source knuth sample (the
 # scorer_agreement/AGREE_K discipline — pairing needs a total rank,
@@ -20491,6 +20634,7 @@ QUERIES_TRAIN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "roc_auc": q_roc_auc,
     "pr_curve": q_pr_curve,
     "scorer_kappa": q_scorer_kappa,
+    "scorer_kendall": q_scorer_kendall,
     "preference_pairs": q_preference_pairs,
     "grad_noise_scale": q_grad_noise_scale,
     "uncertainty_sample": q_uncertainty_sample,
@@ -20620,6 +20764,31 @@ _QUALITY_SQL = """floor(greatest(0.0, least(1.0,
     + 0.3 * least(n_chars / 500.0, 1.0)
     + 0.3 * (1.0 - least(1.0, 4.0 * punct_ratio + 4.0 * digit_ratio))))
     * 100000 + 0.5) / 100000"""
+
+# The rarity + stable-qnum CTE chain shared by the
+# `scorer_agreement` AND `scorer_kendall` oracles (edit once, both
+# move): rdf/rn/rsc/rar is the doc_rarity e3 ln(N/df) form, qq the
+# e5 quality numerator.
+_RARITY_QNUM_CTES = f""", rtoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+), rinst AS (
+  SELECT doc_id, unnest(t) AS tok FROM rtoks
+), rdf AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM rinst GROUP BY 1
+), rn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM rtoks
+), rsc AS (
+  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(CAST(floor(ln(rn.n / CAST(d.df AS DOUBLE)) * 1000.0) AS BIGINT)) AS BIGINT) AS s
+  FROM rinst i JOIN rdf d USING (tok), rn GROUP BY 1
+), rar AS (
+  SELECT doc_id, CAST(s // n_toks AS BIGINT) AS rarity_e3 FROM rsc
+), qq AS (
+  SELECT doc_id, CAST(floor(({_QUALITY_SQL}) * 100000 + 0.5) AS BIGINT) AS qnum
+  FROM feats
+)"""
+
 
 # The Gopher-repetition CTE bodies (w/base/g2m/g3d) — shared by the
 # `repetition` and `filter_cascade` oracles.
@@ -21803,25 +21972,7 @@ SELECT c.vocab_k,
 FROM cov c, tot
 """,
         "scorer_agreement": _TEXT_CTE + f"""
-, rtoks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
-  FROM documents WHERE trim(text) <> ''
-), rinst AS (
-  SELECT doc_id, unnest(t) AS tok FROM rtoks
-), rdf AS (
-  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM rinst GROUP BY 1
-), rn AS (
-  SELECT CAST(count(*) AS BIGINT) AS n FROM rtoks
-), rsc AS (
-  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-         CAST(sum(CAST(floor(ln(rn.n / CAST(d.df AS DOUBLE)) * 1000.0) AS BIGINT)) AS BIGINT) AS s
-  FROM rinst i JOIN rdf d USING (tok), rn GROUP BY 1
-), rar AS (
-  SELECT doc_id, CAST(s // n_toks AS BIGINT) AS rarity_e3 FROM rsc
-), qq AS (
-  SELECT doc_id, CAST(floor(({_QUALITY_SQL}) * 100000 + 0.5) AS BIGINT) AS qnum
-  FROM feats
-), uni AS (
+{_RARITY_QNUM_CTES}, uni AS (
   SELECT d.source, q.doc_id, q.qnum, r.rarity_e3,
          ((d.doc_id % {KNUTH_P}) * {KNUTH_A}) % {KNUTH_P} AS h
   FROM qq q JOIN rar r USING (doc_id) JOIN documents d ON q.doc_id = d.doc_id
@@ -22849,6 +23000,7 @@ GROUP BY 1, 2
         "roc_auc": _roc_auc_sql(),
         "pr_curve": _pr_curve_sql(),
         "scorer_kappa": _scorer_kappa_sql(),
+        "scorer_kendall": _scorer_kendall_sql(),
         "preference_pairs": _preference_pairs_sql(),
         "grad_noise_scale": _grad_noise_sql(),
         "uncertainty_sample": _uncertainty_sql(),

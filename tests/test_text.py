@@ -8347,3 +8347,104 @@ def test_auc_bootstrap_matches_python_replica(spark):
     assert min(aucs) < max(aucs)
     point, _, _ = auc_of(lambda d: 1)
     assert min(aucs) <= point <= max(aucs)
+
+
+def test_scorer_kendall_matches_python_replica(spark):
+    """τ-b recomputed pairwise in exact Python over the same knuth
+    sample: full row equality, the Kendall identities C + D + ties
+    partition all pairs and |τ-b| <= 1, and the trio coherence lock:
+    per source, sign(τ-b) == sign(Spearman ρ) wherever BOTH are
+    decisively nonzero (|·| > 0.05) — the two rank statistics must
+    not tell opposite stories on the same data."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.queries_training import (
+        AGREE_K,
+        _docs,
+        knuth_hash,
+        q_doc_rarity,
+        q_scorer_agreement,
+        q_scorer_kendall,
+        quality_score,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rar = {
+        r["doc_id"]: r["rarity_e3"]
+        for r in q_doc_rarity(spark, SF_SMOKE).collect()
+    }
+    qnum = F.floor(quality_score() * F.lit(100000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    rows = (
+        _docs(spark, SF_SMOKE)
+        .select(
+            "source",
+            "doc_id",
+            qnum.alias("qnum"),
+            knuth_hash(F.col("doc_id")).alias("h"),
+        )
+        .collect()
+    )
+    per_src: dict = {}
+    for r in rows:
+        if r["doc_id"] in rar:
+            per_src.setdefault(r["source"], []).append(
+                (r["h"], r["doc_id"], r["qnum"], rar[r["doc_id"]])
+            )
+    want = {}
+    for src, xs in per_src.items():
+        xs.sort(key=lambda t: (t[0], t[1]))
+        keep = xs[:AGREE_K]
+        C = D = tx = ty = 0
+        n = len(keep)
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = keep[i], keep[j]
+                # pair order by doc_id (da < db) matches the join
+                if a[1] > b[1]:
+                    a, b = b, a
+                sx = (a[2] > b[2]) - (a[2] < b[2])
+                sy = (a[3] > b[3]) - (a[3] < b[3])
+                if sx == 0:
+                    tx += 1
+                if sy == 0:
+                    ty += 1
+                if sx * sy == 1:
+                    C += 1
+                elif sx * sy == -1:
+                    D += 1
+        T = n * (n - 1) // 2
+        tau = (
+            math.floor(
+                (C - D) / math.sqrt(float(T - tx) * float(T - ty)) * 1e6
+            )
+            if T > tx and T > ty
+            else 0
+        )
+        want[src] = (T, C, D, tx, ty, tau)
+
+    got = {r["source"]: r for r in q_scorer_kendall(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for src, (T, C, D, tx, ty, tau) in want.items():
+        r = got[src]
+        assert (
+            r["t_pairs"],
+            r["c_pairs"],
+            r["d_pairs"],
+            r["tx"],
+            r["ty"],
+            r["tau_b_e6"],
+        ) == (T, C, D, tx, ty, tau), src
+        assert C + D <= T
+        assert abs(tau) <= 10**6
+    rho = {
+        r["source"]: r["rho_e6"]
+        for r in q_scorer_agreement(spark, SF_SMOKE).collect()
+    }
+    for src in want:
+        t, p = want[src][5], rho.get(src, 0)
+        if abs(t) > 50000 and abs(p) > 50000:
+            assert (t > 0) == (p > 0), (src, t, p)
