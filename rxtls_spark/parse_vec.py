@@ -43,6 +43,18 @@ _BASE: dict[str, Any] = {
     "extracted_text": b"",
 }
 
+# Single-lookup dispatch for the walk: replaces the reference's 4-branch
+# comparison chain (== "san" / == "text" / in _INT_KEYS / in fields) with
+# one dict probe.  Kinds: 1 = san append, 2 = text (base64, only under
+# want_text), 3 = int field, 4 = plain string field.  Exactly the keys
+# the reference chain can match: _INT_KEYS as kind 3, every _BASE key
+# that is not an int key as kind 4 ("entry_type"/"ts_ms"/
+# "extracted_text" are overwritable mid-walk, reference.py:97-98), and
+# any other key falls through unmatched in both implementations.
+_KIND: dict[str, int] = {"san": 1, "text": 2}
+_KIND.update({k: 3 for k in _INT_KEYS})
+_KIND.update({k: 4 for k in _BASE if k not in _KIND})
+
 
 def parse_batch(
     bufs: list[bytes | None], want_text: bool = True
@@ -104,31 +116,41 @@ def parse_batch(
         rows, et, ts, body, end = rows[keep], et[keep], ts[keep], body[keep], end[keep]
 
     # --- per-row key=value payload walk (variable-length tail) ---
+    # tolist() up front: bulk numpy→Python conversion is ~10× cheaper
+    # than per-element scalar indexing inside the loop.  ts stays uint64
+    # until tolist() so >=2^63 timestamps keep their unsigned value
+    # (reference semantics: int(uint64 scalar) is exact).
     et_names = np.where(et == 1, "PrecertLogEntry", "X509LogEntry").tolist()
     base = _BASE
-    int_keys = _INT_KEYS
-    for k in range(len(rows)):
-        i = rows[k]
-        payload = bl[i][body[k] : end[k]]
+    kind_of = _KIND
+    rows_l = rows.tolist()
+    ts_l = ts.tolist()
+    body_l = body.tolist()
+    end_l = end.tolist()
+    for k in range(len(rows_l)):
+        i = rows_l[k]
+        payload = bl[i][body_l[k] : end_l[k]]
         try:
             text = payload.decode("utf-8")
             f = base.copy()
             f["entry_type"] = et_names[k]
-            f["ts_ms"] = int(ts[k])
+            f["ts_ms"] = ts_l[k]
             sans: list[str] = []
             for line in text.split("\n"):
                 if not line:
                     continue
                 key, _, value = line.partition("=")
-                if key == "san":
+                kind = kind_of.get(key)
+                if kind is None:
+                    continue
+                if kind == 1:
                     sans.append(value)
-                elif key == "text":
-                    if want_text:
-                        f["extracted_text"] = a2b_base64(value)
-                elif key in int_keys:
-                    f[key] = int(value)
-                elif key in f:
+                elif kind == 4:
                     f[key] = value
+                elif kind == 3:
+                    f[key] = int(value)
+                elif want_text:  # kind == 2: text
+                    f["extracted_text"] = a2b_base64(value)
         except (UnicodeDecodeError, ValueError):
             continue
         # first-seen dedup of [CN if non-empty] + SANs (models.go:265-277)

@@ -767,14 +767,21 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE corpus-scale hash agg (the bounded histogram);
     the positional sums are a window over sources × distinct lengths
     (metadata-scale); the corpus is never sorted or re-scanned."""
-    from pyspark.sql.window import Window
-
     hist = (
         _docs(spark, sf_dir)
         .select("source", F.col("n_chars").cast("long").alias("v"))
         .groupBy("source", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    return _gini_from_hist(hist)
+
+
+def _gini_from_hist(hist: DataFrame) -> DataFrame:
+    """(source, v, c) histogram → (source, n, total_chars, gini_e6).
+    Split from q_source_gini so the overflow test can drive it with
+    adversarial (v, c) constants directly."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("source").orderBy("v")
     pos = hist.withColumn(
         "p",
@@ -785,17 +792,28 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long"),
     )
+    # S1 accumulates in DECIMAL(38,0) (degree_assortativity rule): at
+    # 10^10 docs/source c·p ~ 1e20 and even the triangular number
+    # c·(c+1)/2 ~ 5e19 exceed BIGINT, so every product is cast before
+    # multiplying and the triangular term uses an exact parity split
+    # (the even factor takes the halving BIGINT DIV, the product runs
+    # in DECIMAL).  Values are identical at any scale BIGINT survives;
+    # the DuckDB oracle's sums are HUGEINT natively.
+    tri = (
+        "CASE WHEN c % 2 = 0"
+        " THEN CAST(c DIV 2 AS DECIMAL(38,0)) * (c + 1)"
+        " ELSE CAST((c + 1) DIV 2 AS DECIMAL(38,0)) * c END"
+    )
     sums = pos.groupBy("source").agg(
         F.sum(F.col("c")).cast("long").alias("n"),
         F.sum(F.col("v") * F.col("c")).cast("long").alias("s0"),
         F.sum(
-            F.col("v")
-            * (
-                F.col("c") * F.col("p")
-                + F.expr("(c * (c + 1)) DIV 2")
+            F.expr(
+                "CAST(v AS DECIMAL(38,0))"
+                f" * (CAST(c AS DECIMAL(38,0)) * p + ({tri}))"
             )
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("s1"),
     )
     return sums.select(
@@ -803,7 +821,7 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("s0").alias("total_chars"),
         F.expr(
-            "CAST((2 * s1 * 1000000) DIV (n * s0)"
+            "CAST((2 * s1 * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * s0)"
             " - ((n + 1) * 1000000) DIV n AS BIGINT)"
         ).alias("gini_e6"),
     )
@@ -7899,9 +7917,12 @@ def q_auc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wpos").cast("long").alias("w_pos"),
         F.sum("wneg").cast("long").alias("w_neg"),
         F.sum(
-            (
-                F.col("wneg") * (2 * F.col("cum_tp") - F.col("wpos"))
-            ).cast("decimal(38,0)")
+            # cast BEFORE multiplying (the degree_assortativity rule):
+            # per-term wneg·(2·cum_tp−wpos) is ~1e22 at the design scale
+            # — a BIGINT product would ANSI-overflow where the oracle's
+            # CAST(wneg AS HUGEINT) * (...) succeeds
+            F.col("wneg").cast("decimal(38,0)")
+            * (2 * F.col("cum_tp") - F.col("wpos"))
         ).alias("auc2d"),
     )
     return agg.selectExpr(
@@ -15076,8 +15097,12 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cand AS n_cand_pairs",
             "n_true AS n_true_pairs",
             "n_found",
-            "CAST(1000000 - (n_cand * 1000000)"
-            " DIV ((n * (n - 1)) DIV 2) AS BIGINT) AS rr_e6",
+            # DECIMAL(38,0) accumulation (degree_assortativity rule):
+            # n·(n−1) and n_cand·1e6 ANSI-overflow BIGINT past ~3e9
+            # docs; the final CAST keeps the BIGINT output type.
+            "CAST(1000000 - (CAST(n_cand AS DECIMAL(38,0)) * 1000000)"
+            " DIV ((CAST(n AS DECIMAL(38,0)) * (n - 1)) DIV 2)"
+            " AS BIGINT) AS rr_e6",
             "CAST((n_found * 1000000) DIV n_true AS BIGINT) AS pc_e6",
         )
     )

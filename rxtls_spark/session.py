@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Throughput batch workload: ParallelGC beats G1's low-pause
+        # tuning here (A/B on the lite parse pipeline: ~5-8% wall, GC was
+        # 10% of executor run time under G1).  Applied to both driver
+        # (local mode: the executor JVM) and executors (cluster submit).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -116,3 +116,46 @@ def test_range_repartition_deterministic(spark, pages):
     a = placements(salted_repartition_by_range(pages, "lang", 8))
     b = placements(salted_repartition_by_range(pages, "lang", 8))
     assert a == b
+
+
+def test_suffix_group_expr_matches_split_form(spark):
+    """The substring_index route expression (r6 optimization) must equal
+    the original regex-split + slice/array_join form on adversarial
+    domains: empty, 1-4+ labels, unknown suffixes, wildcards, embedded
+    spaces (junk-gate passthroughs), consecutive/leading dots, and every
+    catalog suffix at depth 1-3."""
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.datagen.lookups import tld_suffixes_rows
+    from rxtls_spark.operators.enrich import suffix_group_expr
+
+    rows = tld_suffixes_rows()
+
+    def split_form(tld_rows, domain_col="primary_domain"):
+        pairs = []
+        for s, g in tld_rows:
+            pairs.append(F.lit(s))
+            pairs.append(F.lit(g))
+        m = F.create_map(*pairs)
+        labels = F.split(F.col(domain_col), r"\.")
+        cand3 = F.when(F.size(labels) >= 4, F.array_join(F.slice(labels, -3, 3), "."))
+        cand2 = F.when(F.size(labels) >= 3, F.array_join(F.slice(labels, -2, 2), "."))
+        cand1 = F.when(F.size(labels) >= 2, F.array_join(F.slice(labels, -1, 1), "."))
+        return F.coalesce(
+            F.try_element_at(m, cand3),
+            F.try_element_at(m, cand2),
+            F.try_element_at(m, cand1),
+            F.lit("other"),
+        )
+
+    doms = [
+        "", "com", "a.com", "b.a.com", "c.b.a.com", "d.c.b.a.com",
+        "co.uk", "x.co.uk", "a.x.co.uk", "*.a.com", "*.co.uk", "a.*.com",
+        "a..com", ".com", "..", "a.b c", "::1", "-a.com", "a-.b.com",
+        "a.unknown", "x.y.z.unknown", "xyz", "a.b.co.jp", "b.ne.jp",
+        "1.2.3.4", "ac.uk", "b.ac.uk", "c.b.ac.uk", "a.com.", "a .com",
+    ] + [s for s, _ in rows] + [f"deep.x.{s}" for s, _ in rows]
+    df = spark.createDataFrame([(d,) for d in doms], "primary_domain string")
+    got = [r.g for r in df.withColumn("g", suffix_group_expr(rows)).collect()]
+    want = [r.g for r in df.withColumn("g", split_form(rows)).collect()]
+    assert got == want, list(zip(doms, got, want))

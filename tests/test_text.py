@@ -4428,6 +4428,37 @@ def test_source_gini_matches_python_replica(spark):
     assert gini_e6([0, 0, 0, 100]) > 700_000
 
 
+def test_source_gini_no_overflow_at_web_scale(spark):
+    """r6 overflow fix (VERDICT item 2): the DECIMAL(38,0) S1/final
+    form must survive a 10^10-doc source where c·p ~ 1e20 and even
+    c·(c+1)/2 ~ 5e19 exceed BIGINT — ANSI mode would raise, so plain
+    row equality against the exact-int Python replica is the proof."""
+    from fractions import Fraction
+
+    from rxtls_spark.queries_training import _gini_from_hist
+
+    # one source, two length runs of 5e9 docs each: p for the second
+    # run is 5e9, c·p = 2.5e19 > 2^63; tri(c) ≈ 1.25e19 > 2^63
+    c = 5_000_000_000
+    rows = [("big", 1_000, c), ("big", 1_000_000, c)]
+    hist = spark.createDataFrame(rows, "source string, v long, c long")
+    got = _gini_from_hist(hist).collect()
+    assert len(got) == 1
+    n = 2 * c
+    s0 = 1_000 * c + 1_000_000 * c
+    s1 = 1_000 * (c * 0 + c * (c + 1) // 2) + 1_000_000 * (
+        c * c + c * (c + 1) // 2
+    )
+    want_gini = int(
+        Fraction(2 * s1 * 1_000_000, n * s0).__floor__()
+        - ((n + 1) * 1_000_000) // n
+    )
+    r = got[0]
+    assert (r["source"], r["n"], r["total_chars"], r["gini_e6"]) == (
+        "big", n, s0, want_gini
+    )
+
+
 def test_script_profile_matches_python_replica(spark):
     """Script counts recomputed with Python re (the \\x{...} classes
     translated to \\uXXXX — same codepoint ranges), the mirrored
