@@ -11177,22 +11177,34 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no explode) into a 1-row min-struct agg; K passes total, each
     collect metadata-scale (one id + one vector).  Assignment is the
     same pure map + one bounded K-row agg."""
+    from rxtls_spark.operators.similarity import _sql_double
+
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
 
     def lit_vec(v) -> F.Column:
-        return F.array(*[F.lit(float(x)) for x in v])
+        # one-string literal (the _cents_lit py4j rule)
+        return F.expr("array(" + ",".join(_sql_double(x) for x in v) + ")")
 
     def cos_e5(lit: F.Column) -> F.Column:
         return F.floor(
             _cosine_cols(F.col("embedding"), lit) * F.lit(100000.0)
         ).cast("long")
 
-    def emb_of(vid: int):
-        return emb.where(F.col("vec_id") == vid).collect()[0]["embedding"]
-
-    seed_id = int(emb.agg(F.min("vec_id").alias("v")).collect()[0]["v"])
-    picks = [(1, seed_id, KCENTER_SEED_COVER)]
-    pick_vecs = [emb_of(seed_id)]
+    # the pick's vector rides along in the min-struct (vec_id is unique,
+    # so fields after it never influence the ordering) — one driver job
+    # per pick instead of two (r6: halves the K round-trips)
+    seed = (
+        emb.agg(
+            F.min(
+                F.struct(
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("embedding").alias("embedding"),
+                )
+            ).alias("b")
+        ).collect()[0]["b"]
+    )
+    picks = [(1, int(seed["vec_id"]), KCENTER_SEED_COVER)]
+    pick_vecs = [seed["embedding"]]
     for t in range(2, KCENTER_K + 1):
         cosses = [cos_e5(lit_vec(v)) for v in pick_vecs]
         msim = F.greatest(*cosses) if len(cosses) > 1 else cosses[0]
@@ -11201,14 +11213,16 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.min(
                     F.struct(
-                        msim.alias("msim"), F.col("vec_id").alias("vec_id")
+                        msim.alias("msim"),
+                        F.col("vec_id").alias("vec_id"),
+                        F.col("embedding").alias("embedding"),
                     )
                 ).alias("b")
             )
             .collect()[0]["b"]
         )
         picks.append((t, int(r["vec_id"]), int(r["msim"])))
-        pick_vecs.append(emb_of(r["vec_id"]))
+        pick_vecs.append(r["embedding"])
 
     best = F.greatest(
         *[

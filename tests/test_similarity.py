@@ -1728,3 +1728,58 @@ def test_lof_outliers_matches_python_replica(spark):
     top = max(got, key=lambda r: (r["lof_e3"], r["vec_id"]))
     nbr_kd = [kdist[o] for o, _ in edges[top["vec_id"]]]
     assert top["kdist_e5"] > sorted(nbr_kd)[len(nbr_kd) // 2]
+
+
+def test_sql_double_literal_is_bit_exact(spark):
+    """r6: _cents_lit/_book_lit build their literal trees as ONE
+    F.expr SQL string (py4j-cost optimization).  The repr(x)+'D'
+    double literal must recover the bit-identical IEEE double for
+    adversarial values — compared against the F.lit form via the
+    raw int64 bit pattern, not float equality."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from rxtls_spark.operators.similarity import (
+        _book_lit,
+        _cents_lit,
+        _sql_double,
+    )
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 0.1, -0.1, 1/3, 2/3, 1e-5, -1e-5,
+        1e300, -1e300, 1e-300, 5e-324, 2.2250738585072014e-308,
+        0.30000000000000004, 1.7976931348623157e308,
+        math.pi, -math.pi, 0.49999999999999994, 123456789.123456789,
+        6.02e23, 1.079, 0.7213,
+    ]
+    df = spark.range(1)
+    expr_col = F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
+    lit_col = F.array(*[F.lit(float(v)) for v in vals])
+    got_e, got_l = df.select(expr_col.alias("e"), lit_col.alias("l")).first()
+    bits = lambda x: struct.pack("<d", x)  # noqa: E731
+    assert [bits(x) for x in got_e] == [bits(v) for v in vals]
+    assert [bits(x) for x in got_l] == [bits(x) for x in got_e]
+
+    # struct/array builders equal the per-element-lit originals
+    cents = [(0, vals[:4]), (3, vals[4:8]), (7, vals[8:12])]
+    old_cents = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("centroid"),
+            )
+            for c, vec in cents
+        ]
+    )
+    a, b = df.select(
+        _cents_lit(cents).alias("a"), old_cents.alias("b")
+    ).first()
+    assert a == b
+    book = [vals[:5], vals[5:10], vals[10:15]]
+    old_book = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in book])
+    a, b = df.select(_book_lit(book).alias("a"), old_book.alias("b")).first()
+    assert [[bits(x) for x in row] for row in a] == [
+        [bits(x) for x in row] for row in b
+    ]
