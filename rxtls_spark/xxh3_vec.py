@@ -121,13 +121,24 @@ def xxh3_64_batch(items) -> np.ndarray:
         return out
     lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
     max_len = int(lens.max()) if n else 0
-    # pad 8 bytes so full-width u64 gathers at (len-8) never run off
-    # (row-wise fill: a flat index scatter is ~3× the temporaries and
-    # loses under this host's memory-bandwidth contention)
-    buf = np.zeros((n, max(max_len, 1) + 8), dtype=np.uint8)
-    for i, b in enumerate(items):
+    # pad 8 bytes so full-width u64 gathers at (len-8) never run off.
+    # The padded matrix is built by ONE C-level bytes.join of
+    # item+zero-tail pairs and a single frombuffer — the old per-row
+    # `buf[i, :len(b)] = np.frombuffer(b)` loop was ~45% of the whole
+    # batch hash (24.5k numpy slice-assignments); zero tails are
+    # no-copy memoryview slices of one shared blob.  buf is read-only
+    # (frombuffer over bytes) — every consumer only gathers from it.
+    w = max(max_len, 1) + 8
+    zb = memoryview(bytes(w))
+    parts: list = []
+    ap = parts.append
+    for b in items:
         if b:
-            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            ap(b)
+            ap(zb[: w - len(b)])
+        else:
+            ap(zb)
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8).reshape(n, w)
 
     # ---- len == 0
     m = lens == 0
@@ -228,6 +239,11 @@ def _accumulate_stripe(acc: np.ndarray, dv: np.ndarray, soff: int) -> None:
     acc += (dk & _M32) * (dk >> U(32))
 
 
+_SCRAMBLE_SEC = np.array(
+    [_r64s(_SECRET_LEN - 64 + 8 * i) for i in range(8)], dtype=np.uint64
+)
+
+
 def _hash_long_batch(buf: np.ndarray, rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
     m = rows.size
     acc = np.tile(np.array(_INIT_ACC, dtype=np.uint64), (m, 1))
@@ -237,27 +253,48 @@ def _hash_long_batch(buf: np.ndarray, rows: np.ndarray, lens: np.ndarray) -> np.
     for b in range(max_blocks):
         act = np.nonzero(nb_blocks > b)[0]
         sub_acc = acc[act]
+        # ONE contiguous gather of the whole 1024-byte block, then 16
+        # in-place stripe folds over its views (vs 16 separate gathers)
+        dvb = _gather64(
+            buf, rows[act], b * _BLOCK_LEN, 8 * _STRIPES_PER_BLOCK
+        ).reshape(len(act), _STRIPES_PER_BLOCK, 8)
         for s in range(_STRIPES_PER_BLOCK):
-            dv = _gather64(buf, rows[act], b * _BLOCK_LEN + 64 * s, 8)
-            _accumulate_stripe(sub_acc, dv, 8 * s)
+            _accumulate_stripe(sub_acc, dvb[:, s, :], 8 * s)
         # scramble
-        sec = np.array(
-            [_SEC64[_SECRET_LEN - 64 + 8 * i] for i in range(8)], dtype=np.uint64
-        )
         sub_acc ^= sub_acc >> U(47)
-        sub_acc ^= sec[None, :]
+        sub_acc ^= _SCRAMBLE_SEC[None, :]
         sub_acc *= U(PRIME32_1)
         acc[act] = sub_acc
 
     nb_stripes = ((lens - 1) - _BLOCK_LEN * nb_blocks) // 64
-    base = nb_blocks * _BLOCK_LEN
-    max_stripes = int(nb_stripes.max())
-    for s in range(max_stripes):
-        act = np.nonzero(nb_stripes > s)[0]
-        dv = _gather64(buf, rows[act], base[act] + 64 * s, 8)
-        sub_acc = acc[act]
-        _accumulate_stripe(sub_acc, dv, 8 * s)
-        acc[act] = sub_acc
+    # remainder stripes, grouped by block count so every row in a group
+    # shares the SAME scalar base offset: the group's common-prefix
+    # stripes (s < group min) are ONE contiguous gather + in-place folds
+    # on the group accumulator — no per-stripe acc[act] copy-out/copy-in
+    # and no 2-D index gathers (both dominated the old loop; measured
+    # ~2× on the ~830-byte chain-hash inputs)
+    for bcount in np.unique(nb_blocks):
+        grp = np.nonzero(nb_blocks == bcount)[0]
+        whole = grp.size == m
+        gbase = int(bcount) * _BLOCK_LEN
+        gstripes = nb_stripes[grp]
+        gmin, gmax = int(gstripes.min()), int(gstripes.max())
+        sub = acc if whole else acc[grp]
+        grows = rows if whole else rows[grp]
+        if gmin > 0:
+            dvp = _gather64(buf, grows, gbase, 8 * gmin).reshape(
+                grp.size, gmin, 8
+            )
+            for s in range(gmin):
+                _accumulate_stripe(sub, dvp[:, s, :], 8 * s)
+        for s in range(gmin, gmax):
+            act = np.nonzero(gstripes > s)[0]
+            dv = _gather64(buf, grows[act], gbase + 64 * s, 8)
+            sa = sub[act]
+            _accumulate_stripe(sa, dv, 8 * s)
+            sub[act] = sa
+        if not whole:
+            acc[grp] = sub
 
     # last stripe (secret offset SECRET_LEN-64-7, unaligned)
     dv = _gather64(buf, rows, lens - 64, 8)
