@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rxtls_spark.operators.similarity import cosine_expr, lsh_buckets_udf
+from rxtls_spark.operators.similarity import (
+    cosine_expr,
+    lsh_buckets_udf,
+    spread_scan,
+)
 
 DUP_OFFSET = 1_000_000
 
@@ -46,22 +50,13 @@ def _pair_sim(joined: DataFrame, threshold_e5: int) -> DataFrame:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the stream side of a broadcast pair join up to the
-    session's parallelism when the scan came in with fewer partitions:
-    tiny gate-scale inputs arrive as 1-2 splits and would otherwise
-    evaluate the whole O(n²) cosine verify nearly single-task (measured
-    9 s → ~1 s at sf0.01).  At corpus scale the scan already out-fans
-    the cores, so this is a no-op — no shuffle is added."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
-
-
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Exact pairwise (a < b) cosine ≥ threshold — verification variant."""
-    a = _spread(
+    """Exact pairwise (a < b) cosine ≥ threshold — verification variant.
+
+    spread_scan: the stream side of the broadcast pair join would run
+    the whole O(n²) cosine verify nearly single-task off a 1-2-split
+    gate-scale scan (measured 9 s → ~1 s at sf0.01)."""
+    a = spread_scan(
         embeddings.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
         )

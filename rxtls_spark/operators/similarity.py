@@ -63,6 +63,22 @@ def cosine_expr(a: str, b: str):
     return _cosine_cols(F.col(a), F.col(b))
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a scan up to the session's parallelism when it came
+    in with fewer partitions: tiny gate-scale inputs arrive as 1-2
+    splits and would otherwise run heavy per-row map work (quantizer
+    assignment, PQ encode, cosine verifies) nearly single-task.  At
+    corpus scale the scan already out-fans the cores — no-op, no
+    shuffle added.  Only safe where downstream results are partition-
+    order-free (per-row expressions, explicitly-ordered windows, or
+    integer aggregation): a float-sum consumer would see a different
+    fold order, so the kmeans TRAINING scan must never go through this."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def query_set(embeddings: DataFrame, every: int = 100) -> DataFrame:
     """Deterministic query subset: vec_id % every == 0."""
     return embeddings.where(F.col("vec_id") % every == 0).select(
