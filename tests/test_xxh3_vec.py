@@ -31,6 +31,26 @@ def test_fuzz_batch_equals_scalar():
     assert (got == exp).all()
 
 
+def test_long_path_mixed_block_groups():
+    """One batch mixing 0/1/2/4-block long inputs plus in-group length
+    spread: exercises the grouped remainder-stripe path (common-prefix
+    in-place folds + the masked gmin..gmax tail within each group) and
+    the whole-group fast case, against the scalar reference."""
+    rng = random.Random(7)
+    lens = [241, 300, 511, 1023, 1024, 1025, 1088, 1500, 2047, 2048,
+            2100, 3000, 4096, 4100]
+    items = [bytes(rng.randrange(256) for _ in range(n)) for n in lens]
+    got = xxh3_64_batch(items)
+    exp = np.array([xxh3_64(b) for b in items], dtype=np.uint64)
+    assert (got == exp).all()
+    # whole-group case: every item identical block count, varied stripes
+    items2 = [bytes(rng.randrange(256) for _ in range(n))
+              for n in (241, 400, 700, 1000, 1023)]
+    got2 = xxh3_64_batch(items2)
+    exp2 = np.array([xxh3_64(b) for b in items2], dtype=np.uint64)
+    assert (got2 == exp2).all()
+
+
 def test_hex_batch():
     items = [b"", b"abc", b"x" * 500]
     assert xxh3_hex_batch(items) == [xxh3_64_hex(b) for b in items]
